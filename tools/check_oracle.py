@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tool only —
+NOT part of the Scala library). Runs each oracle SQL from
+outDir/oracle_sql.json in DuckDB over the sf parquet tables, loads the
+engine's outDir/<name> parquet, sorts columns by name, and compares
+row count / schema shape / values.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    return str(v)
+
+
+def values_equal(a, b) -> bool:
+    if a.shape != b.shape:
+        return False
+    for col in a.columns:
+        ca, cb = a[col], b[col]
+        for x, y in zip(ca.tolist(), cb.tolist()):
+            if cell(x) != cell(y):
+                # numeric tolerance fallback for float repr jitter
+                try:
+                    fx, fy = float(x), float(y)
+                    if math.isclose(fx, fy, rel_tol=1e-12, abs_tol=1e-12):
+                        continue
+                except (TypeError, ValueError):
+                    pass
+                return False
+    return True
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no engine output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            exp = canon(con.execute(oracles[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            n_fail += 1
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            n_fail += 1
+        elif not values_equal(got, exp):
+            diff_idx = None
+            for i in range(len(got)):
+                if any(cell(got.iloc[i][c]) != cell(exp.iloc[i][c]) for c in got.columns):
+                    diff_idx = i
+                    break
+            print(f"FAIL {name}: value mismatch at row {diff_idx}")
+            if diff_idx is not None:
+                print(f"  got: {got.iloc[diff_idx].to_dict()}")
+                print(f"  exp: {exp.iloc[diff_idx].to_dict()}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
