@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Inventory
+import graft.queries.{Inventory, PipelineInventory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,8 @@ object SparkEntry {
     Inventory.queries("q09_join3_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Inventory.queries
+    Inventory.queries ++ PipelineInventory.queries
 
   def oracleSql: Map[String, String] =
-    Inventory.oracleSql
+    Inventory.oracleSql ++ PipelineInventory.oracleSql
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for a training-data pipeline: token/char
+  * stats, heuristic quality scoring, stopword-based language ID, and
+  * winnowing-style document fingerprinting. All are pure column
+  * expressions or key-partitioned aggregations — no UDFs, no driver
+  * loops — so they run as narrow maps + one shuffle at any scale.
+  */
+object TextAnalysis {
+
+  /** Small fixed stopword lists per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic and engine-portable. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "ta"))
+
+  /** Per-doc token/char statistics.
+    * Output: doc_id, n_tokens, n_chars, avg_token_len. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("avg_token_len",
+        round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 3))
+
+  /** Heuristic quality score in [0,1]: half from a length target, half
+    * from the stopword ratio (the reference's validation aggregates,
+    * polished_transactions.py:448-502, generalized to text corpora).
+    * Output: doc_id, n_tokens, stop_ratio, score. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stops = stopwords("en")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    tok.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token").isInCollection(stops), 1).otherwise(0)).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 50) * 0.5 +
+          (col("n_stop").cast("double") / col("n_tokens")) * 0.5, 4).as("score"))
+  }
+
+  /** Stopword-vote language ID with a fixed priority tiebreak.
+    * Output: doc_id, pred_lang, hits. */
+  def langId(docs: DataFrame): DataFrame = {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val scores = langs.map(l =>
+      sum(when(col("token").isInCollection(stopwords(l)), 1).otherwise(0)).as(s"s_$l"))
+    val scored = tok.groupBy("doc_id").agg(scores.head, scores.tail: _*)
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), pred.as("pred_lang"), best.cast("long").as("hits"))
+  }
+
+  /** Winnowing-style fingerprints: hash every char k-gram (md5), take
+    * the min hash in each sliding window of w positions, and keep the
+    * distinct window-minima per doc — the standard local fingerprinting
+    * scheme (Schleimer et al., SIGMOD'03), here as pure window functions.
+    * Output: doc_id, n_fp, min_fp. */
+  def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, length(text)-${k - 1}), i -> md5(substring(text, i, $k)))"))
+          .as(Seq("pos", "h")))
+    val winMin = grams.withColumn("wm", min(col("h")).over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)))
+    winMin.groupBy("doc_id")
+      .agg(countDistinct(col("wm")).as("n_fp"), min(col("wm")).as("min_fp"))
+  }
+
+  /** Token counting two ways: whitespace split vs a BPE-ish regex class
+    * count. Output: doc_id, n_ws, n_re. */
+  def tokenCounts(docs: DataFrame, pattern: String = "[a-z]+|[0-9]+"): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws"),
+      regexp_count(col("text"), lit(pattern)).cast("long").as("n_re"))
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Vectors._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteTopK`: exact cosine top-k — the correctness baseline. The
+  *    query side is broadcast, so the base table never shuffles; cost is
+  *    one narrow pass over the corpus per query batch.
+  *  - `ivfTopK`: IVF-style — assign every vector to its nearest centroid
+  *    once (broadcast centroids, narrow map), then answer queries by
+  *    scanning only the query's cluster. At 100 TB the assignment is the
+  *    write-path (cluster id becomes a partition column) and queries
+  *    touch 1/k of the data; recall is traded via `nprobe` clusters.
+  *
+  * Similarities are rounded before ranking so float noise cannot reorder
+  * ranks across engines (SURVEY §2.11 Q32 note).
+  */
+object Ann {
+
+  /** Normalize: vec_id, emb (double), nrm — norms computed once per
+    * vector, an O(n) pass, so the O(n*q) pair stage only does one dot
+    * each. `sqrt(dot(e,e))` here is bit-identical to the `sqrt` inside a
+    * per-pair cosine, so precomputation does not change any result. */
+  private def withNorm(emb: DataFrame, id: String = "vec_id"): DataFrame =
+    emb.select(col(id), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  /** Exact top-k neighbors for each query vector (cross join + window).
+    * Output: q_id, vec_id, sim, rn. */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val e = withNorm(emb)
+    val q = withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 3).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Assign each vector to its highest-cosine centroid (6dp rounding +
+    * centroid-id tiebreak keeps the argmax engine-independent). */
+  def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+    val c = withNorm(centroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("c_id"),
+        round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("c_id"))
+  }
+
+  /** IVF search for one query id: scan only the query's cluster.
+    * Output: vec_id, sim ordered best-first. */
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    val assign = assignClusters(emb, centroids)
+    val qCluster = assign.filter(col("vec_id") === queryId)
+      .select(col("c_id").as("q_cid"))
+    val e = withNorm(emb)
+    val q = withNorm(emb.filter(col("vec_id") === queryId))
+      .select(col("emb").as("qemb"), col("nrm").as("qnrm"))
+    assign.join(broadcast(qCluster), col("c_id") === col("q_cid"))
+      .join(e, "vec_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 3).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: top-N all-pairs by cosine. The
+    * exact quadratic baseline; the scale path buckets by LSH/IVF first
+    * (see Dedup.simhashPairs for the blocking pattern). */
+  def nearDupPairs(emb: DataFrame, topN: Int = 50): DataFrame = {
+    val n = withNorm(emb)
+    val a = n.select(col("vec_id").as("v1"), col("emb").as("e1"), col("nrm").as("n1"))
+    val b = n.select(col("vec_id").as("v2"), col("emb").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 3).as("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication operators for a large-scale training-data
+  * pipeline: exact (hash groupBy), MinHash+LSH, SimHash, and n-gram
+  * Jaccard. The reference only maintains an exact email-uniqueness set
+  * (`oltp_seeder.py:106-142`); these generalize that to content-level
+  * near-duplicate detection at corpus scale.
+  *
+  * Scale design (100 TB): every step is a narrow map or a key-partitioned
+  * shuffle. Nothing collects to the driver. The LSH band join and the
+  * SimHash block join are equi-joins on short hash keys, so Catalyst
+  * plans them as shuffled hash/sort-merge joins that scale with
+  * executors; the quadratic all-pairs verify only ever runs on LSH/block
+  * candidates, never the full corpus. Hashes are md5-based so oracle
+  * engines reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  /** Distinct (doc_id, token) pairs. */
+  def tokens(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+
+  /** Distinct word n-gram shingles per document (default 3-shingles). */
+  def wordShingles(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(", ")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', $parts))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: keep the first doc_id per content hash (SURVEY W1/A8). */
+  def exactKeepFirst(docs: DataFrame): DataFrame =
+    docs.withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+  /** k independent min-hashes per doc: h_j = min(md5("<j>:<shingle>")).
+    * A min over hex strings is total-ordered and engine-independent. */
+  def minhashSignatures(shingles: DataFrame, k: Int = 16): DataFrame = {
+    val aggs = (0 until k).map(j =>
+      min(md5(concat_ws(":", lit(j), col("shingle")))).as(s"h$j"))
+    shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: band b's key is md5 of the concatenated signature rows
+    * in that band. Docs sharing any band key are candidate pairs. */
+  def lshBands(sig: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val entries = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(entries: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+  }
+
+  /** Candidate pairs = docs sharing at least one LSH band key. */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+  /** Exact Jaccard over shingle sets for pairs sharing >= 1 shingle.
+    * Output: d1, d2, jaccard (double). `candidates` restricts the verify
+    * to an LSH candidate set — the scale path; pass None for the exact
+    * quadratic baseline (pairs sharing no shingle have Jaccard 0 and are
+    * never emitted either way). */
+  def jaccardPairs(shingles: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter0 = shingles.as("s1").join(shingles.as("s2"),
+        col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
+      .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("ninter"))
+    val inter = candidates match {
+      case Some(c) => inter0.join(c, Seq("d1", "d2"), "left_semi")
+      case None    => inter0
+    }
+    inter.join(counts.withColumnRenamed("n", "n1"), col("d1") === col("doc_id")).drop("doc_id")
+      .join(counts.withColumnRenamed("n", "n2"), col("d2") === col("doc_id")).drop("doc_id")
+      .select(col("d1"), col("d2"),
+        (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
+  }
+
+  /** 60-bit SimHash over distinct tokens. Token hash = first 15 hex chars
+    * of md5 as an integer; simhash bit b is set iff the per-bit signed
+    * vote sum is positive. 60 bits keeps the value clear of the sign bit
+    * in every engine. */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val tok = tokens(docs)
+      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+    val sim = (0 until bits).map { b =>
+      when(sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance <= maxDist, found via the
+    * pigeonhole blocking scheme: split the fingerprint into `blocks`
+    * equal bit-blocks; any pair within maxDist <= blocks-1 must agree on
+    * at least one block, so an equi-join per block finds all candidates
+    * without the quadratic cross join. */
+  def simhashPairs(sim: DataFrame, maxDist: Int = 5,
+      blocks: Int = 6, bits: Int = 60): DataFrame = {
+    val w = bits / blocks
+    val blocked = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until blocks).map(k =>
+        struct(lit(k).as("blk"),
+          shiftright(col("simhash"), k * w).bitwiseAND(lit((1L << w) - 1)).as("bkey"))): _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"), col("x.bkey").as("bkey"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

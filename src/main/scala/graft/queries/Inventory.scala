@@ -27,13 +27,9 @@ object Inventory {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** cosine(a, b) over array<double> using codegen'd higher-order
-    * functions — no UDF, stays inside WholeStageCodegen. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** cosine(a, b) over array<double> via the codegen'd DotProduct
+    * expression (graft.functions.Vectors). */
+  def cosine(a: Column, b: Column): Column = graft.functions.Vectors.cosine(a, b)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -34,11 +34,13 @@ object Tables {
     }
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     name match {
       case "events" => events(spark, dir)
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
+  }
 
   /** Register every fixture table as a temp view for SQL entry points. */
   def registerAll(spark: SparkSession, dir: String): Unit =
