@@ -69,7 +69,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object GraftFunctions {
   val DotName = "graft_dot"
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(DotName)))
+      reg.createOrReplaceTempFunction(
+        DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Structured Streaming surface of the engine (SURVEY §2.9).
+  *
+  * The reference's hourly Airflow ingest re-reads `updated_at >
+  * latest_ts` and resets the watermark to wall-clock `datetime.now()`
+  * (`batch_ingestion_pipeline.py:106`) — rows committed between the
+  * query and the reset are silently skipped. Structured Streaming's
+  * checkpointed file source replaces that with exactly-once progress by
+  * construction (ST1), fixing SURVEY bug A11.
+  *
+  * No Kafka connector exists in this environment, so stream transports
+  * are file sources; the operators themselves are transport-agnostic.
+  */
+object Ingest {
+
+  /** ST1: incremental ingest — every new file under `srcDir` flows to
+    * `outDir` exactly once per checkpoint. `Trigger.AvailableNow`
+    * drains what exists and stops, the streaming analog of the
+    * reference's hourly batch. */
+  def incrementalIngest(spark: SparkSession, schema: StructType,
+      srcDir: String, outDir: String, checkpoint: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST2: tumbling-window counts with a late-data watermark — the
+    * streaming form of batch Q28. Works on both streaming and batch
+    * frames (the plan is identical; only the sink differs). */
+  def hourlyCounts(events: DataFrame, watermark: String = "30 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("total"))
+
+  /** Debezium-shaped CDC envelope (FIXTURES.md: payload.op/before/after
+    * + source.lsn ordering key), row payload typed by `rowSchema`. */
+  def debeziumSchema(rowSchema: StructType): StructType =
+    StructType(Seq(StructField("payload", StructType(Seq(
+      StructField("op", StringType),
+      StructField("before", rowSchema),
+      StructField("after", rowSchema),
+      StructField("source", StructType(Seq(StructField("lsn", LongType)))),
+      StructField("ts_ms", LongType))))))
+
+  /** ST3a: decode a raw JSON-line CDC stream into (op, lsn, ts_ms, row)
+    * — deletes carry `before`, everything else `after`. */
+  def decodeCdc(raw: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame = {
+    val parsed = raw.select(
+      from_json(col(valueCol), debeziumSchema(rowSchema)).as("j"))
+    parsed.select(
+      col("j.payload.op").as("op"),
+      col("j.payload.source.lsn").as("lsn"),
+      col("j.payload.ts_ms").as("ts_ms"),
+      when(col("j.payload.op") === "d", col("j.payload.before"))
+        .otherwise(col("j.payload.after")).as("row"))
+  }
+
+  /** ST3b: batch compaction — keep the latest change per key by lsn,
+    * dropping keys whose latest op is a delete. This is the
+    * `foreachBatch` merge body; it is also the oracle the streaming
+    * path must equal (row_number over lsn desc). */
+  def latestPerKey(changes: DataFrame, keyCol: String): DataFrame =
+    changes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(s"row.$keyCol")).orderBy(col("lsn").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("row.*"))
+
+  /** ST3c: streaming keep-latest upsert — decode, then maintain a
+    * per-key snapshot via foreachBatch merge into `outDir` (recompute
+    * from old snapshot + batch, the recompute-and-overwrite pattern of
+    * SURVEY S9). At scale the sink would be a keyed MERGE into a table
+    * format; parquet overwrite keeps the same semantics here. */
+  def cdcUpsertStream(spark: SparkSession, rowSchema: StructType, keyCol: String,
+      srcDir: String, outDir: String, checkpoint: String): Unit = {
+    val raw = spark.readStream.text(srcDir)
+    val decoded = decodeCdc(raw, rowSchema)
+    val q = decoded.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark2 = batch.sparkSession
+        val existing =
+          try Some(spark2.read.parquet(outDir)) catch { case _: Throwable => None }
+        val asChanges = batch.select(col("op"), col("lsn"), col("row"))
+        val merged = existing match {
+          case Some(snap) =>
+            // Snapshot rows re-enter the merge as lsn=-1 upserts, so a
+            // newer change in the batch wins and deletes drop keys.
+            val snapAsChanges = snap.select(lit("r").as("op"), lit(-1L).as("lsn"),
+              struct(snap.columns.map(col): _*).as("row"))
+            latestPerKey(snapAsChanges.unionByName(asChanges), keyCol)
+          case None => latestPerKey(asChanges, keyCol)
+        }
+        val tmp = outDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark2.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(outDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST4: validation routing — future-dated events (reference injects
+    * ~1%, polished_transactions.py:385-390) split from the clean
+    * stream; the rejected side feeds a reconciliation sink. Returns
+    * (accepted, rejected) as two independently-sinkable frames. */
+  def routeFutureDated(events: DataFrame, now: java.sql.Timestamp,
+      tolerance: String = "0 seconds"): (DataFrame, DataFrame) = {
+    val cutoff = lit(now) + expr(s"INTERVAL $tolerance")
+    (events.filter(col("ts") <= cutoff), events.filter(col("ts") > cutoff))
+  }
+
+  /** ST4 batch-form oracle: late/future counts vs a fixed clock (Q29). */
+  def lateFutureCounts(events: DataFrame, futureAfter: String, lateBefore: String): DataFrame =
+    events.agg(
+      sum(when(col("ts") > lit(futureAfter).cast("timestamp"), 1).otherwise(0)).as("future_ct"),
+      sum(when(col("ts") < lit(lateBefore).cast("timestamp"), 1).otherwise(0)).as("late_ct"))
+}

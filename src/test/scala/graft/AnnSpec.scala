@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+import graft.functions.Vectors
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+
+  test("dot expression equals HOF fold bit-for-bit") {
+    val d = emb((0L, Seq(0.1f, 0.2f, 0.3f)), (1L, Seq(0.4f, 0.5f, 0.6f)))
+      .select(Vectors.asDouble(col("embedding")).as("e"))
+    val both = d.crossJoin(d.select(col("e").as("f")))
+      .select(Vectors.dot(col("e"), col("f")).as("expr"),
+        Vectors.dotHof(col("e"), col("f")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("bruteTopK ranks an identical vector first") {
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0.9f, 0.1f, 0f)))
+    val top = Ann.bruteTopK(d, d.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rn").select("vec_id").as[Long].collect()
+    assert(top.head == 1L)   // cos=1.0
+    assert(top(1) == 3L)     // next closest
+  }
+
+  test("IVF search returns in-cluster neighbors best-first") {
+    // two clear clusters around e1 and e2; centroids = ids 0 and 1
+    val d = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)),
+      (4L, Seq(0.01f, 0.99f)))
+    val res = Ann.ivfTopK(d, d.filter(col("vec_id") < 2), queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(res == Set(2L, 3L))  // cluster of vec 0 only; 1 and 4 unscanned
+  }
+
+  test("nearDupPairs surfaces the most similar pair first") {
+    val d = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 1e-4f)), (2L, Seq(0f, 1f)))
+    val first = Ann.nearDupPairs(d, topN = 3).select("v1", "v2")
+      .as[(Long, Long)].head()
+    assert(first == ((0L, 1L)))
+  }
+}

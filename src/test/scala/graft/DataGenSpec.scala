@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.DataGen
+import graft.operators.Quality
+
+/** X6 generator: deterministic, partition-invariant, and the injected
+  * defect rates land near their BASELINE.md targets; the Quality
+  * detectors find exactly what was planted (SURVEY §5.2.5). */
+class DataGenSpec extends SparkSpec {
+
+  private val N = 20000L
+  private lazy val cust = DataGen.customers(spark, N).cache()
+  private lazy val acct = DataGen.accounts(spark, N, N).cache()
+  private lazy val tx = DataGen.transactions(spark, N, N).cache()
+
+  private def rate(n: Long, of: Long): Double = n.toDouble / of
+
+  test("generator is deterministic and partition-invariant") {
+    val a = DataGen.customers(spark, 1000).orderBy("customer_id").collect()
+    val b = DataGen.customers(spark, 1000).repartition(7).orderBy("customer_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("null rates near 30% phone / 20% address") {
+    val r = Quality.nullRates(cust, Seq("phone", "address")).collect().head
+    assert(math.abs(r.getAs[Double]("null_rate_phone") - 0.30) < 0.02)
+    assert(math.abs(r.getAs[Double]("null_rate_address") - 0.20) < 0.02)
+  }
+
+  test("~8% fuzzy duplicates planted and all detected") {
+    val total = cust.count()
+    val dups = total - N  // re-emitted rows
+    assert(math.abs(rate(dups, N) - 0.08) < 0.01)
+    val found = Quality.fuzzyDuplicateCustomers(cust)
+      .agg(sum(col("n") - 1)).collect().head.getLong(0)
+    // every planted dup pairs with its original under typo normalization
+    assert(found >= dups)
+    val survivors = Quality.dedupCustomersKeepFirst(cust).count()
+    assert(survivors == total - found)
+  }
+
+  test("~2% negative balances detected") {
+    val neg = Quality.negativeBalances(acct).count()
+    assert(math.abs(rate(neg, N) - 0.02) < 0.01)
+  }
+
+  test("transaction type mix matches .35/.30/.25/.08/.02") {
+    val m = tx.groupBy("transaction_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(rate(m("Deposit"), N) - 0.35) < 0.02)
+    assert(math.abs(rate(m("Withdrawal"), N) - 0.30) < 0.02)
+    assert(math.abs(rate(m("Transfer"), N) - 0.25) < 0.03)
+    assert(math.abs(rate(m("Payment"), N) - 0.08) < 0.01)
+    assert(math.abs(rate(m("Refund"), N) - 0.02) < 0.01)
+  }
+
+  test("~2% circular transfer pairs planted and detected by self-join") {
+    val pairs = Quality.circularTransfers(tx).count()
+    // ~2% of id-pairs are circular -> pairs ≈ 0.02 * N/2
+    assert(math.abs(rate(pairs, N / 2) - 0.02) < 0.01)
+  }
+
+  test("future-dated and late rates near 1% / 5%, found by the detectors") {
+    val future = tx.filter(col("transaction_date") > col("created_at")).count()
+    assert(math.abs(rate(future, N) - 0.01) < 0.005)
+    val late = Quality.lateArrivals(tx, 4).count()
+    assert(math.abs(rate(late, N) - 0.05) < 0.01)
+  }
+
+  test("orphan detector: clean FK graph has none; corrupted rows surface") {
+    assert(Quality.orphans(acct, cust, "customer_id").count() == 0)
+    val corrupted = acct.withColumn("customer_id",
+      when(col("account_id") < 10, col("customer_id") + lit(10 * N))
+        .otherwise(col("customer_id")))
+    assert(Quality.orphans(corrupted, cust, "customer_id").count() == 10)
+  }
+
+  test("inactive-account transactions detected via semi-join") {
+    val n = Quality.inactiveAccountTx(tx, acct).count()
+    // ~13% of accounts are not active; tx spread uniformly
+    assert(math.abs(rate(n, N) - 0.13) < 0.03)
+  }
+
+  test("quality report aggregates all detectors") {
+    val r = Quality.report(cust, acct, tx, "2024-01-31 00:00:00").collect().head
+    assert(r.getAs[Long]("n_customers") == cust.count())
+    assert(r.getAs[Long]("n_negative_balance") > 0)
+    assert(r.getAs[Long]("n_circular_pairs") > 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.sources.Tables
+import graft.operators.Dedup
+
+/** Algebraic laws (SURVEY §5.2.3) on fixture data + generated frames:
+  * plan rewrites the optimizer is allowed to do must not change
+  * results, and the set/dedup operators obey their algebra. */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val customer = Tables.load(spark, sf, "customer").cache()
+  private lazy val orders = Tables.load(spark, sf, "orders").cache()
+
+  /** Draw n deterministic samples from a ScalaCheck generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("filter-project commutation: select(c).filter(p) == filter(p).select(c)") {
+    for (threshold <- samples(Gen.choose(-1000.0, 9000.0), 5)) {
+      val a = customer.select("c_custkey", "c_acctbal")
+        .filter(col("c_acctbal") > threshold)
+      val b = customer.filter(col("c_acctbal") > threshold)
+        .select("c_custkey", "c_acctbal")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+
+  test("dedup idempotence: exactKeepFirst(exactKeepFirst(x)) == exactKeepFirst(x)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val once = Dedup.exactKeepFirst(docs)
+    val twice = Dedup.exactKeepFirst(once)
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).isEmpty)
+  }
+
+  test("set algebra: |A ∩ B| + |A \\ B| == |A| for key sets") {
+    val a = customer.select($"c_custkey".as("k")).distinct()
+    val b = orders.select($"o_custkey".as("k")).distinct()
+    val n = a.intersect(b).count() + a.except(b).count()
+    assert(n == a.count())
+  }
+
+  test("union cardinality: |A ∪ B| == |A| + |B| - |A ∩ B| for key sets") {
+    val a = customer.filter($"c_acctbal" > 0).select($"c_custkey".as("k")).distinct()
+    val b = orders.select($"o_custkey".as("k")).distinct()
+    val u = a.unionByName(b).distinct().count()
+    assert(u == a.count() + b.count() - a.intersect(b).count())
+  }
+
+  test("SCD2 intervals from LEAD are disjoint and cover each key's history") {
+    // validity intervals per user over events (Q21 shape): for each
+    // user ordered by (vf, id): vt == next vf, last vt is null
+    val ev = Tables.load(spark, sf, "events")
+    val iv = ev.select($"user_id", $"event_id", $"ts".as("vf"),
+      lead($"ts", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")).as("vt"))
+    val bad = iv.filter($"vt".isNotNull && $"vt" < $"vf").count()
+    assert(bad == 0)
+    val openEnded = iv.filter($"vt".isNull).groupBy("user_id").count()
+      .filter($"count" =!= 1).count()
+    assert(openEnded == 0)
+  }
+
+  test("ledger aggregation equals sequential replay (A5)") {
+    // signed groupBy-sum must equal the last running-total value per
+    // key (tolerance: the two plans sum in different orders)
+    val ev = Tables.load(spark, sf, "events")
+    val signed = ev.withColumn("delta",
+      when($"event_type" === "purchase", $"value").otherwise(0.0))
+    val grouped = signed.groupBy("user_id").agg(sum("delta").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val replay = signed.withColumn("run", sum("delta").over(w))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"run")
+    val joined = grouped.join(replay, "user_id")
+    assert(joined.count() == grouped.count())
+    val maxDiff = joined.agg(max(abs($"total" - $"run"))).head().getDouble(0)
+    assert(maxDiff < 1e-6)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.streaming.Ingest
+
+/** Streaming batch-equivalence (SURVEY §5.2.4, ST1-ST4): feed the
+  * events fixture through file-source streams and assert the final
+  * state equals the corresponding batch query. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val events = Tables.load(spark, sf, "events").cache()
+
+  test("ST1: incremental ingest is exactly-once across restarts") {
+    val src = tmp("st1-src"); val out = tmp("st1-out"); val ck = tmp("st1-ck")
+    val schema = events.schema
+    // chunk 1 arrives, drain
+    events.filter($"event_id" < 500).write.mode("append").parquet(src)
+    Ingest.incrementalIngest(spark, schema, src, out, ck)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == events.filter($"event_id" < 500).count())
+    // chunk 2 arrives, drain again with the same checkpoint: only new
+    // files flow (the reference's wall-clock watermark would drop or
+    // double-read rows here — SURVEY bug A11)
+    events.filter($"event_id" >= 500).write.mode("append").parquet(src)
+    Ingest.incrementalIngest(spark, schema, src, out, ck)
+    val outDf = spark.read.parquet(out)
+    assert(outDf.count() == events.count())
+    assert(outDf.select("event_id").distinct().count() == events.count())
+  }
+
+  test("ST2: streaming hourly windowed counts equal batch Q28") {
+    val src = tmp("st2-src"); val ck = tmp("st2-ck")
+    events.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val q = Ingest.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("st2_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("st2_out")
+      .orderBy("h", "event_type")
+      .collect()
+    val batch = Ingest.hourlyCounts(events)
+      .orderBy("h", "event_type")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("ST3: CDC decode + keep-latest-per-key equals the batch oracle") {
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def env(op: String, id: Long, v: String, lsn: Long): String =
+      s"""{"payload":{"op":"$op","before":${if (op == "d") s"""{"id":$id,"v":"$v"}""" else "null"},""" +
+        s""""after":${if (op != "d") s"""{"id":$id,"v":"$v"}""" else "null"},""" +
+        s""""source":{"lsn":$lsn},"ts_ms":${1700000000000L + lsn}}}"""
+    val src = tmp("st3-src"); val out = tmp("st3-out"); val ck = tmp("st3-ck")
+    // batch 1: create 1,2,3 ; update 2
+    Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      Seq(env("c", 1, "a", 1), env("c", 2, "b", 2), env("c", 3, "c", 3),
+        env("u", 2, "b2", 4)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStream(spark, rowSchema, "id", src, out, ck)
+    // batch 2: delete 1, update 3, create 4
+    Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      Seq(env("d", 1, "a", 5), env("u", 3, "c2", 6), env("c", 4, "d", 7))
+        .mkString("\n").getBytes)
+    Ingest.cdcUpsertStream(spark, rowSchema, "id", src, out, ck)
+    val snap = spark.read.parquet(out).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(snap == Seq((2L, "b2"), (3L, "c2"), (4L, "d")))
+    // equals the batch keep-latest over the full change log
+    val raw = spark.read.text(src)
+    val batchSnap = Ingest.latestPerKey(Ingest.decodeCdc(raw, rowSchema), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(batchSnap == snap)
+  }
+
+  test("ST4: future-dated routing splits the stream losslessly") {
+    val now = java.sql.Timestamp.valueOf("2024-01-28 00:00:00")
+    val (ok, rejected) = Ingest.routeFutureDated(events, now)
+    assert(ok.count() + rejected.count() == events.count())
+    val q29 = Ingest.lateFutureCounts(events, "2024-01-28 00:00:00", "2024-01-05 00:00:00")
+      .collect().head
+    assert(rejected.count() == q29.getAs[Long]("future_ct"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("stats: token/char counts and mean token length") {
+    val r = TextAnalysis.stats(docs((1L, "a bb ccc"))).collect().head
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_chars") == 8L)
+    assert(r.getAs[Double]("avg_token_len") == 2.0) // (8-3+1)/3
+  }
+
+  test("qualityScore: stopword-free short doc scores low, stopworded long doc higher") {
+    val d = docs(
+      (1L, "zz yy xx"),
+      (2L, Seq.fill(25)("the data is in the table and a file").mkString(" ")))
+    val m = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(m(1L) < 0.1)
+    assert(m(2L) > 0.5)
+  }
+
+  test("langId votes by stopword lists with fixed tiebreak") {
+    val d = docs(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro de la casa y el gato"),
+      (3L, "zz qq ww"))
+    val m = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(m(1L) == "en")
+    assert(m(2L) == "es")
+    assert(m(3L) == "und")
+  }
+
+  test("fingerprints: identical docs produce identical fingerprint sets") {
+    val d = docs((1L, "abcdefghij klmno"), (2L, "abcdefghij klmno"), (3L, "zzzzzzzzzzzzzzzz"))
+    val rows = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_fp"), r.getAs[String]("min_fp"))))
+      .toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    assert(rows(3L)._1 == 1L) // all 5-grams of a constant string are equal
+  }
+
+  test("tokenCounts: regex classes vs whitespace") {
+    val r = TextAnalysis.tokenCounts(docs((1L, "ab 12 cd9"))).collect().head
+    assert(r.getAs[Long]("n_ws") == 3L)
+    assert(r.getAs[Long]("n_re") == 4L) // ab, 12, cd, 9
+  }
+}
