@@ -20,22 +20,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Distinct (doc_id, token) pairs. */
+  /** Distinct (doc_id, token) pairs — per-doc array_distinct, no
+    * shuffle (see wordShingles). */
   def tokens(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("token"))
-      .distinct()
+      explode(array_distinct(split(col(textCol), " "))).as("token"))
 
-  /** Distinct word n-gram shingles per document (default 3-shingles). */
+  /** Distinct word n-gram shingles per document (default 3-shingles).
+    * Distinctness is enforced per-doc with `array_distinct` BEFORE the
+    * explode — a narrow map, where a post-explode `.distinct()` would
+    * cost a full shuffle of every (doc, shingle) row. */
   def wordShingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val parts = (0 until n).map(k => s"t[i+$k]").mkString(", ")
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', $parts))"))
+        explode(expr(
+          s"array_distinct(transform(sequence(0, size(t)-$n), i -> concat_ws(' ', $parts)))"))
           .as("shingle"))
-      .distinct()
   }
 
   /** Exact dedup: keep the first doc_id per content hash (SURVEY W1/A8). */
@@ -79,13 +82,21 @@ object Dedup {
     * never emitted either way). */
   def jaccardPairs(shingles: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter0 = shingles.as("s1").join(shingles.as("s2"),
-        col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
-      .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("ninter"))
+    // With candidates, intersections are driven FROM the candidate pairs
+    // (join work ∝ |candidates| x shingles-per-doc) instead of the full
+    // inverted-index self-join (∝ Σ per-shingle df²) — the difference
+    // between LSH-linear and quadratic at corpus scale.
     val inter = candidates match {
-      case Some(c) => inter0.join(c, Seq("d1", "d2"), "left_semi")
-      case None    => inter0
+      case Some(c) =>
+        c.join(shingles.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(shingles.as("s2"),
+            col("d2") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("ninter"))
+      case None =>
+        shingles.as("s1").join(shingles.as("s2"),
+            col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
+          .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("ninter"))
     }
     inter.join(counts.withColumnRenamed("n", "n1"), col("d1") === col("doc_id")).drop("doc_id")
       .join(counts.withColumnRenamed("n", "n2"), col("d2") === col("doc_id")).drop("doc_id")
@@ -111,15 +122,27 @@ object Dedup {
     * pigeonhole blocking scheme: split the fingerprint into `blocks`
     * equal bit-blocks; any pair within maxDist <= blocks-1 must agree on
     * at least one block, so an equi-join per block finds all candidates
-    * without the quadratic cross join. */
+    * without the quadratic cross join.
+    *
+    * `maxBucket` drops degenerate buckets (more than that many docs
+    * sharing a block value): corpora with a shared vocabulary produce
+    * correlated simhashes, and one hot bucket turns the block join
+    * quadratic (measured: a 1815-doc bucket -> 8.3M candidate pairs).
+    * Skipping hot buckets is the standard bounded-recall tradeoff —
+    * pairs lost this way collide only on patterns shared by >maxBucket
+    * documents. */
   def simhashPairs(sim: DataFrame, maxDist: Int = 5,
-      blocks: Int = 6, bits: Int = 60): DataFrame = {
+      blocks: Int = 6, bits: Int = 60, maxBucket: Int = 100): DataFrame = {
     val w = bits / blocks
-    val blocked = sim.select(col("doc_id"), col("simhash"),
+    val exploded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until blocks).map(k =>
         struct(lit(k).as("blk"),
           shiftright(col("simhash"), k * w).bitwiseAND(lit((1L << w) - 1)).as("bkey"))): _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"), col("x.bkey").as("bkey"))
+    val blocked = exploded
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy("blk", "bkey")))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))

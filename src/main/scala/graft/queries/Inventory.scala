@@ -149,10 +149,13 @@ object Inventory {
     // Q11 [J4,F17] self-join circular transfers (polished_transactions.py:364-375)
     QueryDef("q11_self_join_circular",
       (s, d) => {
+        // persist: both sides of the self-join need the JSON-decoded
+        // projection; without it the scan+parse runs twice.
         val tr = T(s, d, "events")
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id").as("src"),
             get_json_object(col("props"), "$.k").cast("int").as("dst"))
+          .persist()
         val a = tr.as("a"); val b = tr.as("b")
         a.join(b,
             col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&

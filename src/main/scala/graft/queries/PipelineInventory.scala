@@ -87,9 +87,18 @@ object PipelineInventory {
     // LSH candidates verified with exact shingle-set Jaccard.
     QueryDef("p02_minhash_lsh_pairs",
       (s, d) => {
-        val sh = Dedup.wordShingles(T(s, d, "documents"))
-        val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(sh)))
-        Dedup.jaccardPairs(sh, Some(cand))
+        // The shingle set feeds four plan branches (signatures, counts,
+        // both sides of the intersection join); without persist Spark
+        // re-derives the explode+distinct subtree per branch.
+        // persist + eager count: plan branches hitting an
+        // UNmaterialized cache race to populate it and duplicate the
+        // upstream work; a cheap count() first makes later scans pure
+        // cache reads.
+        val sh = Dedup.wordShingles(T(s, d, "documents")).persist()
+        sh.count()
+        val bands = Dedup.lshBands(Dedup.minhashSignatures(sh)).persist()
+        bands.count()
+        Dedup.jaccardPairs(sh, Some(Dedup.lshCandidates(bands)))
           .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
           .orderBy(col("jaccard").desc, col("d1"), col("d2"))
           .limit(100)
@@ -124,8 +133,10 @@ object PipelineInventory {
         .orderBy(col("dist"), col("d1"), col("d2"))
         .limit(50),
       Some(s"""WITH $simhashCte,
-              |blk AS (SELECT doc_id, simhash, k AS blk, (simhash >> CAST(10 * k AS INT)) & 1023 AS bkey
-              |        FROM sim, range(0, 6) r(k)),
+              |blk0 AS (SELECT doc_id, simhash, k AS blk, (simhash >> CAST(10 * k AS INT)) & 1023 AS bkey
+              |         FROM sim, range(0, 6) r(k)),
+              |blk AS (SELECT * FROM (SELECT b.*, COUNT(*) OVER (PARTITION BY blk, bkey) AS bc
+              |                       FROM blk0 b) t WHERE bc <= 100),
               |pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
               |                 CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
               |          FROM blk x JOIN blk y

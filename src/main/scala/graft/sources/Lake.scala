@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-side sinks and DDL, replacing the reference's connector layer:
+  *
+  *  - S7  bronze sink: the reference serializes pandas frames to CSV and
+  *    puts them at `test/bronze/{table}/{table}/{ts}.csv`
+  *    (psql_connector.py:136-166). Here the layout becomes a partition
+  *    COLUMN (`batch_ts=...`), so the path scheme is queryable and
+  *    partition pruning applies; format defaults to parquet (the
+  *    reference's own roadmap, README.md:17) with CSV kept for bronze
+  *    compatibility.
+  *  - S8  append sink: `df.write.mode("append")` — vectorized, replacing
+  *    the row-at-a-time execute_many loop (connector_config.py:186-188).
+  *  - S9  keyed overwrite ("UPDATE"): recompute-and-overwrite — Spark has
+  *    no in-place update; the ledger/SCD pattern (SURVEY §7.4.4) models
+  *    mutation as append + latest-wins compaction (streaming.Ingest.latestPerKey).
+  *  - S10/S11 DDL from StructType: `CREATE TABLE ... USING parquet` /
+  *    DROP-rebuild (schemas.py:63-79, generator.py:33-48).
+  */
+object Lake {
+
+  /** S7: write one ingest batch under a batch_ts partition. At scale the
+    * same call distributes: one partition column = one pruned directory
+    * per ingest cycle. */
+  def writeBronze(df: DataFrame, root: String, table: String, batchTs: String,
+      format: String = "parquet"): Unit =
+    df.withColumn("batch_ts", lit(batchTs))
+      .write.mode("append")
+      .format(format)
+      .option("header", "true")
+      .partitionBy("batch_ts")
+      .save(s"$root/$table")
+
+  /** Read the bronze table; `sinceBatch` prunes partitions at the
+    * source (the incremental-read path — check PushedFilters/
+    * PartitionFilters in explain). */
+  def readBronze(spark: SparkSession, root: String, table: String,
+      sinceBatch: Option[String] = None, format: String = "parquet"): DataFrame = {
+    val df = spark.read.format(format)
+      .option("header", "true").option("inferSchema", "true")
+      .load(s"$root/$table")
+    sinceBatch.fold(df)(b => df.filter(col("batch_ts") > lit(b)))
+  }
+
+  /** S10: DDL string from a schema (SchemaLoader.generate_ddl analog). */
+  def createTableDdl(table: String, schema: org.apache.spark.sql.types.StructType,
+      location: Option[String] = None): String = {
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    s"CREATE TABLE IF NOT EXISTS $table (${schema.toDDL}) USING parquet$loc"
+  }
+
+  /** S10/S11: drop-and-recreate a catalog table (generator.py:33-48). */
+  def recreateTable(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType, location: Option[String] = None): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(createTableDdl(table, schema, location))
+  }
+
+  /** S3/S4 catalog introspection, pg_catalog/information_schema analog:
+    * (table, column, type, nullable) rows from the session catalog. */
+  def describeColumns(spark: SparkSession, table: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.catalog.listColumns(table)
+      .map(c => (table, c.name, c.dataType, c.nullable))
+      .toDF("table_name", "column_name", "data_type", "is_nullable")
+  }
+}
