@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew handling for hot keys (SURVEY §4.2 "salting for skew"; the
+  * reference's A5 balance ledger keyed by account_id is the motivating
+  * workload — a few hot accounts dominate).
+  *
+  * AQE's skew-join splitting handles join-side skew automatically; this
+  * covers AGGREGATION skew, where one groupBy key overwhelms a single
+  * reducer: aggregate per (key, salt) first — fanning one hot key over
+  * `salts` reducers — then combine the partials per key. Exact for
+  * sums/counts/min/max (associative); identical results to the direct
+  * groupBy. */
+object Skew {
+
+  /** Two-phase salted sum of `valueCol` per `key`. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int = 16,
+      out: String = "total"): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as(out))
+
+  /** Two-phase salted count per `key`. */
+  def saltedCount(df: DataFrame, key: String, salts: Int = 16,
+      out: String = "n"): DataFrame =
+    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).cast("long").as(out))
+}

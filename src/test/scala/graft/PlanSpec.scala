@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan shape assertions (SURVEY §4.2): the optimizations the
+  * engine relies on at scale must actually appear in the executed plan —
+  * a silent regression to scan-everything or shuffle-everything passes
+  * value checks but fails these.
+  *
+  * Uses sf0.01 (other suites cache sf0.001 tables, and Spark's cache
+  * manager would substitute InMemoryTableScan for the parquet scan) and
+  * inspects the plan AFTER an action so AQE has finalized it and
+  * codegen stages are visible. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("equality filter pushes into the parquet scan") {
+    val p = executedPlan("q03_eq_filter")
+    assert(p.contains("EqualTo(o_orderstatus,O)"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("column pruning reaches the scan (ReadSchema is the projection)") {
+    val p = executedPlan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("small dimension join is a broadcast hash join") {
+    assert(executedPlan("q10_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("IN-subquery semi join plans as LeftSemi") {
+    assert(executedPlan("q08_semi_join").contains("LeftSemi"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(executedPlan("q16_topk").contains("TakeOrderedAndProject"))
+  }
+
+  // Codegen stages print as "*(n) Op" markers in the finalized plan.
+  test("aggregation pipeline runs inside WholeStageCodegen") {
+    val p = executedPlan("q13_multi_agg")
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("the DotProduct expression stays in a codegen stage in ANN plans") {
+    val p = executedPlan("p05_embed_neardup")
+    assert(p.contains("dotproduct"))
+    val codegenWithDot = p.linesIterator.exists(l => l.contains("*(") && l.contains("dotproduct"))
+    assert(codegenWithDot, p.linesIterator.take(30).mkString("\n"))
+  }
+}
