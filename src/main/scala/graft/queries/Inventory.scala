@@ -266,7 +266,7 @@ object Inventory {
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
         .orderBy("o_custkey", "rn"),
-      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+      Some("""SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
              |  SELECT o_custkey, o_orderkey,
              |         ROW_NUMBER() OVER (PARTITION BY o_custkey
              |                            ORDER BY o_orderdate, o_orderkey) AS rn
