@@ -83,6 +83,46 @@ class StreamingSpec extends SparkSpec {
     assert(batchSnap == snap)
   }
 
+  test("T5: streaming dropDuplicates equals batch distinct across files") {
+    val src = tmp("t5-src"); val ck = tmp("t5-ck")
+    // the same rows arrive twice in different files (reference's
+    // in-memory email set, oltp_seeder.py:106-142, as a stream)
+    events.filter($"event_id" < 200).write.mode("append").parquet(src)
+    events.filter($"event_id" < 300).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.format("memory").queryName("t5_out")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("t5_out").count() ==
+      events.filter($"event_id" < 300).count())
+    assert(spark.table("t5_out").select("event_id").distinct().count() ==
+      spark.table("t5_out").count())
+  }
+
+  test("T7: streaming sliding-window counts equal batch r38") {
+    val src = tmp("t7-src"); val ck = tmp("t7-ck")
+    events.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+      .withWatermark("ts", "30 days")
+      .groupBy(window($"ts", "7 days", "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"n")
+    val q = stream.writeStream.format("memory").queryName("t7_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("t7_out").orderBy("w_start").collect()
+    val batch = SparkEntry.queries("r38_sliding_window")(spark, sf)
+      .orderBy("w_start").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("ST4: future-dated routing splits the stream losslessly") {
     val now = java.sql.Timestamp.valueOf("2024-01-28 00:00:00")
     val (ok, rejected) = Ingest.routeFutureDated(events, now)
