@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory (SURVEY §7.1 core module): one place that encodes
+  * the engine's required session invariants —
+  *
+  *  - UTC session timezone (oracle parity; FIXTURES timestamps are UTC)
+  *  - AQE on (runtime re-planning: coalesce, skew-join splitting)
+  *  - shuffle partitions sized to the deployment, never the 200 default
+  *  - graft's native expressions registered
+  *
+  * Local callers pass cores; a cluster deployment passes its own master
+  * and a shuffle-partition count ~2-3x total executor cores.
+  */
+object Sessions {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession =
+    build(s"local[$cores]", cores, appName)
+
+  def build(master: String, shufflePartitions: Int,
+      appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(s)
+    s
+  }
+}

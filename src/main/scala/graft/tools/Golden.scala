@@ -1,0 +1,50 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.SparkEntry
+
+/** Golden-hash regression harness (SURVEY §5.2.2): canonical md5 per
+  * query at sf0.001, committed to test resources, so `sbt test`
+  * detects any value regression offline — the oracle gate at sf0.01
+  * proves correctness; goldens protect refactors between oracle runs.
+  */
+object Golden {
+
+  /** Canonical digest: columns sorted by name, rows in query order,
+    * cells rendered deterministically. */
+  def digest(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val projected = df.select(cols.head, cols.tail: _*)
+    val md = MessageDigest.getInstance("MD5")
+    projected.collect().foreach { row =>
+      val line = (0 until row.length).map { i =>
+        row.get(i) match {
+          case null                     => "NULL"
+          case t: java.sql.Timestamp    => t.toInstant.toString
+          case d: java.math.BigDecimal  => d.toPlainString
+          case v                        => v.toString
+        }
+      }.mkString("|")
+      md.update((line + "\n").getBytes(StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  val goldenPath = "src/test/resources/goldens-sf0.001.txt"
+
+  /** Regenerate the golden file: `runMain graft.tools.Golden`. */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(8, "golden-gen")
+    val sf = "/root/testdata/sf0.001"
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      s"$name ${digest(fn(spark, sf))}"
+    }
+    Files.createDirectories(Paths.get("src/test/resources"))
+    Files.writeString(Paths.get(goldenPath), lines.mkString("\n") + "\n")
+    println(s"wrote ${lines.size} goldens to $goldenPath")
+    spark.stop()
+  }
+}
