@@ -79,6 +79,54 @@ object Ann {
       .limit(k)
   }
 
+  /** Deterministic ±1 random-hyperplane matrix (signs from md5 of
+    * "p:j"), shared verbatim with the DuckDB oracle so sketches match
+    * bit-for-bit. */
+  def hyperplanes(nPlanes: Int = 16, dim: Int = 64): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$j".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** SimHash-for-vectors: bit p of the sketch is the sign of the
+    * projection onto hyperplane p. A narrow map — one pass, no shuffle. */
+  def hyperplaneSketch(emb: DataFrame, planes: Seq[Seq[Double]] = hyperplanes()): DataFrame = {
+    val e = withNorm(emb)
+    val sketch = planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(col("emb"), typedLit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.withColumn("sk", sketch)
+  }
+
+  /** Embedding near-dup via hyperplane LSH: candidates share an 8-bit
+    * sketch block (pigeonhole: any pair within Hamming 1 of the 16-bit
+    * sketch collides on a block), then exact cosine reranks. The
+    * LSH-bucketed scale path beside the IVF one: candidate count is
+    * bucket-bound, never all-pairs. */
+  def lshNearDup(emb: DataFrame, topN: Int = 20,
+      planes: Seq[Seq[Double]] = hyperplanes()): DataFrame = {
+    val sk = hyperplaneSketch(emb, planes)
+    val blocked = sk.select(col("vec_id"), col("emb"), col("nrm"), col("sk"),
+      explode(array((0 until 2).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("sk"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))): _*)).as("x"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("x.b").as("b"), col("x.bkey").as("bkey"))
+    val a = blocked.select(col("vec_id").as("v1"), col("emb").as("e1"),
+      col("nrm").as("n1"), col("b"), col("bkey"))
+    val bb = blocked.select(col("vec_id").as("v2"), col("emb").as("e2"),
+      col("nrm").as("n2"), col("b"), col("bkey"))
+    a.join(bb, Seq("b", "bkey")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 3).as("sim"))
+      .distinct()
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(topN)
+  }
+
   /** Embedding near-duplicate pairs: top-N all-pairs by cosine. The
     * exact quadratic baseline; the scale path buckets by LSH/IVF first
     * (see Dedup.simhashPairs for the blocking pattern). */

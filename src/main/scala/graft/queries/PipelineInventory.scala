@@ -198,6 +198,30 @@ object PipelineInventory {
               |WHERE a.vec_id <> 0
               |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin)),
 
+    // Hyperplane-LSH near-dup (the LSH-bucketed scale path; IVF is the
+    // other). Sketch signs are a Scala-generated literal shared with
+    // the oracle, so both engines compute identical projections.
+    QueryDef("p14_embed_lsh_neardup",
+      (s, d) => Ann.lshNearDup(T(s, d, "embeddings"), topN = 20),
+      Some {
+        val planeLits = Ann.hyperplanes().map(pl =>
+          "[" + pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(",") + "]::DOUBLE[]")
+        val terms = planeLits.zipWithIndex.map { case (l, p) =>
+          s"CASE WHEN list_reduce([e.emb[i] * ($l)[i] FOR i IN range(1, 65)], (x,y) -> x+y) > 0" +
+            s" THEN (CAST(1 AS BIGINT) << $p) ELSE CAST(0 AS BIGINT) END"
+        }.mkString(" + ")
+        s"""WITH $embCte,
+           |sk AS (SELECT e.vec_id, e.emb, $terms AS sk FROM e),
+           |blk AS (SELECT vec_id, sk, b, (sk >> CAST(8 * b AS INT)) & 255 AS bkey
+           |        FROM sk, range(0, 2) r(b)),
+           |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+           |         FROM blk x JOIN blk y
+           |           ON x.b = y.b AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+           |SELECT c.v1, c.v2, ${rrepr(dcos("a.emb", "b.emb"), 3)} AS sim
+           |FROM cand c JOIN e a ON c.v1 = a.vec_id JOIN e b ON c.v2 = b.vec_id
+           |ORDER BY sim DESC, c.v1, c.v2 LIMIT 20""".stripMargin
+      }),
+
     // ---- Text analysis --------------------------------------------------
 
     QueryDef("p08_text_stats",

@@ -41,6 +41,19 @@ class AnnSpec extends SparkSpec {
     assert(res == Set(2L, 3L))  // cluster of vec 0 only; 1 and 4 unscanned
   }
 
+  test("hyperplane LSH: identical vectors share the sketch and surface as the top pair") {
+    val d = emb(
+      (0L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),
+      (1L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),
+      (2L, Seq.tabulate(64)(i => ((i * 31) % 11).toFloat - 5f)))
+    val sk = Ann.hyperplaneSketch(d).select("vec_id", "sk")
+      .as[(Long, Long)].collect().toMap
+    assert(sk(0L) == sk(1L))
+    val top = Ann.lshNearDup(d, topN = 5).select("v1", "v2", "sim").collect()
+    assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L)
+    assert(top.head.getDouble(2) == 1.0)
+  }
+
   test("nearDupPairs surfaces the most similar pair first") {
     val d = emb(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 1e-4f)), (2L, Seq(0f, 1f)))
