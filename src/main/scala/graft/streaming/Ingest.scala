@@ -119,6 +119,15 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** T4/T5: bounded-state streaming dedup — duplicates dropped while
+    * their event time is within the watermark, after which state is
+    * GC'd (Spark 4's dropDuplicatesWithinWatermark; the exact-unbounded
+    * variant is plain dropDuplicates, StreamingSpec T5). */
+  def dedupWithinWatermark(stream: DataFrame, keyCol: String,
+      tsCol: String = "ts", watermark: String = "30 days"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** ST4: validation routing — future-dated events (reference injects
     * ~1%, polished_transactions.py:385-390) split from the clean
     * stream; the rejected side feeds a reconciliation sink. Returns

@@ -123,6 +123,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("T4: dropDuplicatesWithinWatermark dedups re-delivered rows with bounded state") {
+    val src = tmp("t4-src"); val ck = tmp("t4-ck")
+    events.filter($"event_id" < 100).write.mode("append").parquet(src)
+    events.filter($"event_id" < 100).write.mode("append").parquet(src) // redelivery
+    val stream = Ingest.dedupWithinWatermark(
+      spark.readStream.schema(events.schema).parquet(src), "event_id")
+    val q = stream.writeStream.format("memory").queryName("t4_out")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("t4_out").count() == 100)
+  }
+
   test("ST4: future-dated routing splits the stream losslessly") {
     val now = java.sql.Timestamp.valueOf("2024-01-28 00:00:00")
     val (ok, rejected) = Ingest.routeFutureDated(events, now)
