@@ -101,7 +101,7 @@ object Ingest {
             // Snapshot rows re-enter the merge as lsn=-1 upserts, so a
             // newer change in the batch wins and deletes drop keys.
             val snapAsChanges = snap.select(lit("r").as("op"), lit(-1L).as("lsn"),
-              struct(snap.columns.map(col): _*).as("row"))
+              struct(snap.columns.toIndexedSeq.map(col): _*).as("row"))
             latestPerKey(snapAsChanges.unionByName(asChanges), keyCol)
           case None => latestPerKey(asChanges, keyCol)
         }

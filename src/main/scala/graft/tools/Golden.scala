@@ -16,7 +16,7 @@ object Golden {
   /** Canonical digest: columns sorted by name, rows in query order,
     * cells rendered deterministically. */
   def digest(df: DataFrame): String = {
-    val cols = df.columns.sorted
+    val cols = df.columns.sorted.toIndexedSeq
     val projected = df.select(cols.head, cols.tail: _*)
     val md = MessageDigest.getInstance("MD5")
     projected.collect().foreach { row =>
