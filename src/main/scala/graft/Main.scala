@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.gen.DataGen
+import graft.operators.Quality
+import graft.sources.{Lake, Tables}
+import graft.streaming.Ingest
+
+/** CLI entry point (SURVEY §7.1 app module) — the pipeline stages a
+  * reference user runs via Airflow DAGs, as engine subcommands:
+  *
+  *   inventory <sfDir> <outDir>      run every declared query -> parquet
+  *   gen <outDir> <nCustomers>       deterministic OLTP corpus (X6)
+  *   quality <dataDir> <nowTs>       silver-layer quality report
+  *   ingest <srcDir> <outDir> <ck>   checkpointed incremental bronze ingest
+  *   bronze <sfDir> <root> <batchTs> write fixture tables as a bronze batch
+  */
+object Main {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Main <command> [args]
+        |  inventory <sfDir> <outDir>
+        |  gen <outDir> <nCustomers>
+        |  quality <dataDir> <nowTs e.g. 2024-01-31 00:00:00>
+        |  ingest <srcDir> <outDir> <checkpointDir>
+        |  bronze <sfDir> <lakeRoot> <batchTs>""".stripMargin)
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) usage()
+    val spark: SparkSession = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, s"graft-${args(0)}")
+    try args.toList match {
+      case "inventory" :: sfDir :: outDir :: Nil =>
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          println(s"wrote $outDir/$name")
+        }
+      case "gen" :: outDir :: n :: Nil =>
+        val nc = n.toLong
+        DataGen.customers(spark, nc).write.mode("overwrite").parquet(s"$outDir/customers")
+        DataGen.accounts(spark, nc, nc).write.mode("overwrite").parquet(s"$outDir/accounts")
+        DataGen.transactions(spark, nc, nc * 10).write.mode("overwrite")
+          .parquet(s"$outDir/transactions")
+        println(s"generated corpus at $outDir (customers=$nc, tx=${nc * 10})")
+      case "quality" :: dataDir :: now :: Nil =>
+        val report = Quality.report(
+          spark.read.parquet(s"$dataDir/customers"),
+          spark.read.parquet(s"$dataDir/accounts"),
+          spark.read.parquet(s"$dataDir/transactions"), now)
+        report.show(truncate = false)
+      case "ingest" :: srcDir :: outDir :: ck :: Nil =>
+        val schema = spark.read.parquet(srcDir).schema
+        Ingest.incrementalIngest(spark, schema, srcDir, outDir, ck)
+        println(s"ingested new files from $srcDir -> $outDir")
+      case "bronze" :: sfDir :: root :: batchTs :: Nil =>
+        Tables.all.foreach { t =>
+          Lake.writeBronze(Tables.load(spark, sfDir, t), root, t, batchTs)
+          println(s"bronze $root/$t/batch_ts=$batchTs")
+        }
+      case _ => usage()
+    } finally spark.stop()
+  }
+}
