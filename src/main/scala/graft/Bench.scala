@@ -10,14 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic (sorted) order + one discarded warmup so the
+    // first-measured query does not absorb JVM/codegen warmup, and a
+    // cache clear per query so persisted intermediates (q11, p02) never
+    // leak into later measurements.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
+    spark.catalog.clearCache()
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -104,10 +104,16 @@ object Ann {
   /** Embedding near-dup via hyperplane LSH: candidates share an 8-bit
     * sketch block (pigeonhole: any pair within Hamming 1 of the 16-bit
     * sketch collides on a block), then exact cosine reranks. The
-    * LSH-bucketed scale path beside the IVF one: candidate count is
-    * bucket-bound, never all-pairs. */
+    * LSH-bucketed scale path beside the IVF one.
+    *
+    * `maxBucket` makes the "bucket-bound, never all-pairs" claim actually
+    * hold: a correlated corpus (near-identical embeddings are exactly the
+    * near-dup case) concentrates sketches into few buckets, and one
+    * uncapped bucket of n vectors emits n²/2 pairs. Buckets larger than
+    * `maxBucket` are dropped before the join — the same bounded-recall
+    * guard as [[graft.operators.Dedup.simhashPairs]]. */
   def lshNearDup(emb: DataFrame, topN: Int = 20,
-      planes: Seq[Seq[Double]] = hyperplanes()): DataFrame = {
+      planes: Seq[Seq[Double]] = hyperplanes(), maxBucket: Int = 200): DataFrame = {
     val sk = hyperplaneSketch(emb, planes)
     val blocked = sk.select(col("vec_id"), col("emb"), col("nrm"), col("sk"),
       explode(array((0 until 2).map(b =>
@@ -115,6 +121,9 @@ object Ann {
           shiftright(col("sk"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))): _*)).as("x"))
       .select(col("vec_id"), col("emb"), col("nrm"),
         col("x.b").as("b"), col("x.bkey").as("bkey"))
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy("b", "bkey")))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
     val a = blocked.select(col("vec_id").as("v1"), col("emb").as("e1"),
       col("nrm").as("n1"), col("b"), col("bkey"))
     val bb = blocked.select(col("vec_id").as("v2"), col("emb").as("e2"),

@@ -67,13 +67,26 @@ object Dedup {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
   }
 
-  /** Candidate pairs = docs sharing at least one LSH band key. */
-  def lshCandidates(bands: DataFrame): DataFrame =
-    bands.as("x").join(bands.as("y"),
+  /** Candidate pairs = docs sharing at least one LSH band key.
+    *
+    * `maxBucket` drops degenerate band buckets before the self-join, the
+    * same bounded-recall guard as [[simhashPairs]]: boilerplate-heavy
+    * corpora (shared headers/footers) put thousands of docs behind one
+    * band hash, and an uncapped bucket of n docs emits n²/2 candidate
+    * pairs — the one uncontrolled quadratic on the 100 TB path. Pairs
+    * lost this way collide only on content shared by >maxBucket
+    * documents, which is exactly the boilerplate LSH should not match on. */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = 100): DataFrame = {
+    val capped = bands
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
 
   /** Exact Jaccard over shingle sets for pairs sharing >= 1 shingle.
     * Output: d1, d2, jaccard (double). `candidates` restricts the verify

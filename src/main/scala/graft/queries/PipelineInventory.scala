@@ -104,8 +104,10 @@ object PipelineInventory {
           .limit(100)
       },
       Some(s"""WITH $mhCte,
+              |bandc AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY band, bh) AS bc
+              |                         FROM bands z) t WHERE bc <= 100),
               |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-              |         FROM bands x JOIN bands y
+              |         FROM bandc x JOIN bandc y
               |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
               |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
               |inter AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS ninter
@@ -212,8 +214,10 @@ object PipelineInventory {
         }.mkString(" + ")
         s"""WITH $embCte,
            |sk AS (SELECT e.vec_id, e.emb, $terms AS sk FROM e),
-           |blk AS (SELECT vec_id, sk, b, (sk >> CAST(8 * b AS INT)) & 255 AS bkey
-           |        FROM sk, range(0, 2) r(b)),
+           |blk0 AS (SELECT vec_id, sk, b, (sk >> CAST(8 * b AS INT)) & 255 AS bkey
+           |         FROM sk, range(0, 2) r(b)),
+           |blk AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY b, bkey) AS bc
+           |                       FROM blk0 z) t WHERE bc <= 200),
            |cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
            |         FROM blk x JOIN blk y
            |           ON x.b = y.b AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
@@ -361,14 +365,20 @@ object PipelineInventory {
     // containing it (SCD2 lookup built from LEAD validity intervals).
     QueryDef("r37_asof_join",
       (s, d) => {
+        // Both sides derive from the same `events` frame; renaming the
+        // join key on the build side (s_uid) keeps the equi-join
+        // unambiguous after refactors — `pu("user_id") === su("user_id")`
+        // on shared lineage trips Spark's "trivially true predicate"
+        // resolution and is where silently-wrong self-joins come from.
         val ev = T(s, d, "events")
         val su = ev.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("vf"),
+          .select(col("user_id").as("s_uid"), col("event_id").as("s_id"),
+            col("ts").as("vf"),
             lead("ts", 1).over(
               Window.partitionBy("user_id").orderBy("ts", "event_id")).as("vt"))
         val pu = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"))
-        pu.join(su, pu("user_id") === su("user_id") &&
+        pu.join(su, col("user_id") === col("s_uid") &&
             col("ts") >= col("vf") && (col("vt").isNull || col("ts") < col("vt")))
           .select(col("event_id"), col("s_id"))
           .orderBy("event_id")

@@ -54,6 +54,17 @@ class AnnSpec extends SparkSpec {
     assert(top.head.getDouble(2) == 1.0)
   }
 
+  test("lshNearDup drops hot sketch buckets (correlated corpus stays sub-quadratic)") {
+    // 250 identical vectors share both sketch blocks: one 250-vector
+    // bucket would emit 250*249/2 candidate pairs. The default cap (200)
+    // drops the bucket; raising it past the bucket size restores the
+    // pairs, proving the cap (not the LSH itself) gated them.
+    val vec = Seq.tabulate(64)(i => ((i * 13) % 9).toFloat - 4f)
+    val d = emb((0L until 250L).map(i => (i, vec)): _*)
+    assert(Ann.lshNearDup(d, topN = 100000).count() == 0L)
+    assert(Ann.lshNearDup(d, topN = 100000, maxBucket = 300).count() == 250L * 249 / 2)
+  }
+
   test("nearDupPairs surfaces the most similar pair first") {
     val d = emb(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 1e-4f)), (2L, Seq(0f, 1f)))

@@ -30,6 +30,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshCandidates drops hot band buckets (boilerplate corpus stays sub-quadratic)") {
+    // 250 docs sharing identical boilerplate collide on every band key;
+    // uncapped that is 250*249/2 pairs from one bucket. The default cap
+    // (100) drops the hot bucket entirely while an unrelated small pair
+    // still surfaces.
+    val boiler = (1L to 250L).map(i => (i, "shared boilerplate header text common to every single document here"))
+    val pair = Seq((1001L, "alpha beta gamma delta epsilon zeta eta"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta"))
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.wordShingles(docs((boiler ++ pair): _*))))
+    val capped = Dedup.lshCandidates(bands).as[(Long, Long)].collect().toSet
+    assert(capped == Set((1001L, 1002L)))
+    val uncapped = Dedup.lshCandidates(bands, maxBucket = 1000).count()
+    assert(uncapped == 250L * 249 / 2 + 1)  // the blowup the cap prevents
+  }
+
   test("jaccardPairs computes exact set Jaccard") {
     // shingles: doc1 {a b c, b c d}, doc2 {a b c, b c x} -> J = 1/3
     val d = docs((1L, "a b c d"), (2L, "a b c x"))
