@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Inventory, PipelineInventory}
+import graft.queries.{Inventory, NorthwindInventory, PipelineInventory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,8 @@ object SparkEntry {
     Inventory.queries("q09_join3_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Inventory.queries ++ PipelineInventory.queries
+    Inventory.queries ++ PipelineInventory.queries ++ NorthwindInventory.queries
 
   def oracleSql: Map[String, String] =
-    Inventory.oracleSql ++ PipelineInventory.oracleSql
+    Inventory.oracleSql ++ PipelineInventory.oracleSql ++ NorthwindInventory.oracleSql
 }

@@ -47,6 +47,12 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("northwind join graph broadcasts every dimension (no dim-side shuffle)") {
+    val p = executedPlan("q40_northwind_join_graph")
+    val nBroadcast = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast >= 4, p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("the DotProduct expression stays in a codegen stage in ANN plans") {
     val p = executedPlan("p05_embed_neardup")
     assert(p.contains("dotproduct"))
