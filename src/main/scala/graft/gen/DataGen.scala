@@ -63,8 +63,39 @@ object DataGen {
     val dups = typod.filter(u(id, seed, "dup") < 0.08)
       .withColumn("customer_id", id + n)
       .withColumn("email", translate(col("email"), "ae", "43"))
-    typod.unionByName(dups)
+    // ~4% second dup class: same person, email rewritten BEYOND the
+    // leet map — a dropped character in the local part plus a domain
+    // swap (the reference's '@gmail.com'→'@yahoo.com' rewrite,
+    // polished_transactions.py:106). The translate-normalize key
+    // cannot recover these; only the blocked levenshtein pass
+    // (Quality.fuzzyDuplicatesBlocked) does.
+    val dups2 = typod.filter(u(id, seed, "dup2") < 0.04)
+      .withColumn("customer_id", id + 2 * n)
+      .withColumn("email",
+        concat(regexp_replace(regexp_extract(col("email"), "^([^@]+)", 1),
+          "^(.{2}).", "$1"), lit("@sample.org")))
+    typod.unionByName(dups).unionByName(dups2)
   }
+
+  /** Deterministic snapshot of the generated OLTP corpus as parquet
+    * (written once, skipped when present) — the oracle-checkable form:
+    * DuckDB reads the same files the report queries read. */
+  def materializeQualityCorpus(spark: SparkSession,
+      dir: String = qualityCorpusDir,
+      nCustomers: Long = 2000, nAccounts: Long = 3000, nTx: Long = 10000): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tables = Seq("customers", "accounts", "transactions")
+    if (tables.forall(t => Files.exists(Paths.get(s"$dir/$t.parquet")))) return
+    customers(spark, nCustomers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/customers.parquet")
+    accounts(spark, nCustomers, nAccounts).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/accounts.parquet")
+    transactions(spark, nAccounts, nTx).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/transactions.parquet")
+  }
+
+  def qualityCorpusDir: String =
+    sys.env.getOrElse("GRAFT_QUALITY_DIR", "/root/repo/fixtures/quality")
 
   def accounts(spark: SparkSession, nCustomers: Long, n: Long, seed: Long = 42L): DataFrame = {
     val ids = spark.range(n).toDF("account_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -18,9 +18,11 @@ object Quality {
       cols.map(c => round(avg(when(col(c).isNull, 1.0).otherwise(0.0)), 4)
         .as(s"null_rate_$c")): _*)
 
-  /** Fuzzy duplicate customers (issue #1): normalize the leet-typo map
-    * (4->a, 3->e) and group — pairs beyond the normalization key fall
-    * back to a blocked levenshtein pass. Returns (dup_key, ids, n). */
+  /** Fuzzy duplicate customers (issue #1), stage 1: normalize the
+    * leet-typo map (4->a, 3->e) and group on the key. Pairs whose typos
+    * fall outside the map (domain rewrites, dropped characters —
+    * oltp_seeder.py:115-126, polished_transactions.py:100-119) are the
+    * job of stage 2, [[fuzzyDuplicatesBlocked]]. Returns (dup_key, ids, n). */
   def fuzzyDuplicateCustomers(customers: DataFrame): DataFrame =
     customers
       .withColumn("norm_email", translate(lower(col("email")), "43", "ae"))
@@ -36,6 +38,27 @@ object Quality {
         Window.partitionBy("norm_email").orderBy("customer_id")))
       .filter(col("rn") === 1)
       .drop("rn", "norm_email")
+
+  /** Fuzzy duplicates, stage 2: blocked edit-distance match for typo
+    * classes the normalization key misses by construction. Rows are
+    * grouped by `blockKey` (caller picks: exact name, soundex, prefix);
+    * only within-block pairs are compared — work is ∝ Σ block², never
+    * the corpus², and blocks hotter than `maxBlock` are dropped (the
+    * same bounded-recall guard as the LSH joins). Returns
+    * (id1, id2, dist) with dist = levenshtein(matchCol) <= maxDist. */
+  def fuzzyDuplicatesBlocked(df: DataFrame, id: Column, blockKey: Column,
+      matchCol: Column, maxDist: Int = 2, maxBlock: Int = 100): DataFrame = {
+    val base = df.select(id.as("id"), blockKey.as("blk"), matchCol.as("m"))
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("bc") <= maxBlock)
+      .drop("bc")
+    val a = base.select(col("id").as("id1"), col("blk"), col("m").as("m1"))
+    val b = base.select(col("id").as("id2"), col("blk").as("blk2"), col("m").as("m2"))
+    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("m1"), col("m2")))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
 
   /** Negative balances (issue #4). */
   def negativeBalances(accounts: DataFrame): DataFrame =
@@ -78,22 +101,30 @@ object Quality {
       Seq("account_id"), "left_semi")
 
   /** One-row quality report mirroring the reference's validation
-    * aggregates (polished_transactions.py:448-502). */
+    * aggregates (polished_transactions.py:448-502).
+    *
+    * One declarative plan: each source contributes one single-row
+    * aggregate and the 1-row frames cross-join — no driver-side
+    * `count()`/`first()` loop, so the report is itself composable,
+    * oracle-checkable, and runs its table scans as one job each
+    * instead of six serialized actions. */
   def report(customers: DataFrame, accounts: DataFrame, tx: DataFrame,
       now: String): DataFrame = {
-    val dupCount = fuzzyDuplicateCustomers(customers)
-      .agg(coalesce(sum(col("n") - 1), lit(0)).as("v")).select(col("v"))
-    val vals = Seq(
-      customers.count(),
-      dupCount.first().getLong(0),
-      customers.filter(col("phone").isNull).count(),
-      accounts.filter(col("balance") < 0).count(),
-      futureDated(tx, now).count(),
-      circularTransfers(tx).count())
-    val spark = customers.sparkSession
-    import spark.implicits._
-    Seq((vals(0), vals(1), vals(2), vals(3), vals(4), vals(5)))
-      .toDF("n_customers", "n_fuzzy_dups", "n_null_phone",
+    val custAgg = customers.agg(
+      count(lit(1)).as("n_customers"),
+      coalesce(sum(when(col("phone").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null_phone"))
+    val dupAgg = fuzzyDuplicateCustomers(customers)
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_fuzzy_dups"))
+    val acctAgg = accounts.agg(
+      coalesce(sum(when(col("balance") < 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_negative_balance"))
+    val txAgg = tx.agg(
+      coalesce(sum(when(col("transaction_date") > lit(now).cast("timestamp"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_future_dated"))
+    val circAgg = circularTransfers(tx).agg(count(lit(1)).as("n_circular_pairs"))
+    custAgg.crossJoin(dupAgg).crossJoin(acctAgg).crossJoin(txAgg).crossJoin(circAgg)
+      .select("n_customers", "n_fuzzy_dups", "n_null_phone",
         "n_negative_balance", "n_future_dated", "n_circular_pairs")
   }
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Quality}
 import graft.functions.TextAnalysis
+import graft.gen.DataGen
 
 /** Training-data-pipeline operators (dedup, similarity search, text
   * analysis, multimodal metadata) declared as oracle-checked queries,
@@ -224,6 +225,65 @@ object PipelineInventory {
            |SELECT c.v1, c.v2, ${rrepr(dcos("a.emb", "b.emb"), 3)} AS sim
            |FROM cand c JOIN e a ON c.v1 = a.vec_id JOIN e b ON c.v2 = b.vec_id
            |ORDER BY sim DESC, c.v1, c.v2 LIMIT 20""".stripMargin
+      }),
+
+    // X2 stage 2: blocked edit-distance fuzzy dedup — block on
+    // (nation, segment), levenshtein <= 1 on the name within blocks.
+    // Work is Σ block², never corpus²; hot blocks capped.
+    QueryDef("p15_fuzzy_dedup",
+      (s, d) => Quality.fuzzyDuplicatesBlocked(
+          T(s, d, "customer"), col("c_custkey"),
+          concat_ws(":", col("c_nationkey"), col("c_mktsegment")), col("c_name"),
+          maxDist = 1, maxBlock = 1000)
+        .orderBy("id1", "id2"),
+      Some("""WITH b0 AS (SELECT c_custkey,
+             |              CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS blk,
+             |              c_name
+             |            FROM customer),
+             |b AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY blk) AS bc
+             |                     FROM b0 z) t WHERE bc <= 1000)
+             |SELECT x.c_custkey AS id1, y.c_custkey AS id2,
+             |       CAST(levenshtein(x.c_name, y.c_name) AS INT) AS dist
+             |FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+             |WHERE levenshtein(x.c_name, y.c_name) <= 1
+             |ORDER BY id1, id2""".stripMargin)),
+
+    // Quality report as ONE declarative plan over a deterministic
+    // generated-corpus snapshot (polished_transactions.py:448-521): five
+    // single-row aggregates cross-joined — zero driver-side actions.
+    QueryDef("q42_quality_report",
+      (s, _) => {
+        DataGen.materializeQualityCorpus(s)
+        val dir = DataGen.qualityCorpusDir
+        Quality.report(
+          s.read.parquet(s"$dir/customers.parquet"),
+          s.read.parquet(s"$dir/accounts.parquet"),
+          s.read.parquet(s"$dir/transactions.parquet"),
+          "2024-01-15 00:00:00")
+      },
+      Some {
+        val dir = DataGen.qualityCorpusDir
+        s"""WITH cust AS (SELECT * FROM read_parquet('$dir/customers.parquet/*.parquet')),
+           |acct AS (SELECT * FROM read_parquet('$dir/accounts.parquet/*.parquet')),
+           |tx AS (SELECT * FROM read_parquet('$dir/transactions.parquet/*.parquet')),
+           |grp AS (SELECT replace(replace(lower(email), '4', 'a'), '3', 'e') AS k,
+           |               COUNT(*) AS n
+           |        FROM cust GROUP BY 1),
+           |circ AS (SELECT a.transaction_id
+           |         FROM tx a JOIN tx b
+           |           ON a.account_id = b.related_account_id
+           |          AND a.related_account_id = b.account_id
+           |          AND a.transaction_id < b.transaction_id
+           |          AND CAST(a.transaction_date AS DATE) = CAST(b.transaction_date AS DATE)
+           |         WHERE a.transaction_type = 'Transfer' AND b.transaction_type = 'Transfer'
+           |           AND a.related_account_id IS NOT NULL AND b.related_account_id IS NOT NULL)
+           |SELECT
+           |  (SELECT COUNT(*) FROM cust) AS n_customers,
+           |  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM grp WHERE n > 1) AS n_fuzzy_dups,
+           |  (SELECT COUNT(*) FILTER (WHERE phone IS NULL) FROM cust) AS n_null_phone,
+           |  (SELECT COUNT(*) FILTER (WHERE balance < 0) FROM acct) AS n_negative_balance,
+           |  (SELECT COUNT(*) FILTER (WHERE transaction_date > TIMESTAMP '2024-01-15 00:00:00') FROM tx) AS n_future_dated,
+           |  (SELECT COUNT(*) FROM circ) AS n_circular_pairs""".stripMargin
       }),
 
     // ---- Text analysis --------------------------------------------------

@@ -28,16 +28,30 @@ class DataGenSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("null_rate_address") - 0.20) < 0.02)
   }
 
-  test("~8% fuzzy duplicates planted and all detected") {
+  test("~8% leet-map + ~4% beyond-map duplicates planted; each stage finds its class") {
     val total = cust.count()
-    val dups = total - N  // re-emitted rows
-    assert(math.abs(rate(dups, N) - 0.08) < 0.01)
+    val c1 = cust.filter(col("customer_id") >= N && col("customer_id") < 2 * N).count()
+    val c2 = cust.filter(col("customer_id") >= 2 * N).count()
+    assert(math.abs(rate(c1, N) - 0.08) < 0.01)
+    assert(math.abs(rate(c2, N) - 0.04) < 0.01)
+    // stage 1 (translate-normalize key) catches every leet-map dup...
     val found = Quality.fuzzyDuplicateCustomers(cust)
       .agg(sum(col("n") - 1)).collect().head.getLong(0)
-    // every planted dup pairs with its original under typo normalization
-    assert(found >= dups)
+    assert(found >= c1)
     val survivors = Quality.dedupCustomersKeepFirst(cust).count()
     assert(survivors == total - found)
+    // ...but by construction cannot see the domain-rewrite class,
+    assert(found < c1 + c2)
+    // which the blocked levenshtein pass (stage 2) fully recovers.
+    val normLocal = regexp_extract(
+      translate(lower(col("email")), "43", "ae"), "^([^@]+)", 1)
+    val pairs = Quality.fuzzyDuplicatesBlocked(cust, col("customer_id"),
+      lower(col("full_name")), normLocal, maxDist = 2)
+    val recovered = pairs.select(col("id2").as("customer_id"))
+      .union(pairs.select(col("id1").as("customer_id"))).distinct()
+    val missed = cust.filter(col("customer_id") >= 2 * N)
+      .join(recovered, Seq("customer_id"), "left_anti").count()
+    assert(missed == 0)
   }
 
   test("~2% negative balances detected") {
