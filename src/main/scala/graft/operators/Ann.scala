@@ -79,6 +79,44 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF write path: materialize the corpus with the cluster id as a
+    * PARTITION COLUMN, so a query's cluster scan is directory pruning
+    * (`PartitionFilters` in the plan), not a filter over all files. At
+    * 100 TB this is the difference between reading 1/k of the data and
+    * reading all of it: the assignment cost is paid once at write time
+    * (broadcast-centroid narrow map), every query after that touches
+    * only `nprobe` directories. */
+  def writeIvfIndex(emb: DataFrame, centroids: DataFrame, path: String): Unit =
+    assignClusters(emb, centroids)
+      .join(emb, "vec_id")
+      .write.partitionBy("c_id").mode("overwrite").parquet(path)
+
+  /** Query a partitioned IVF index: rank centroids against the query
+    * vector, scan only the `nprobe` nearest cluster directories, exact
+    * cosine re-rank inside them. The centroid ranking collects `nprobe`
+    * ids to the driver — that is the IVF routing table (size = #centroids,
+    * never data-sized) and is what turns into a partition-pruning
+    * predicate. Output: vec_id, sim, best-first. */
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, queryVec: Seq[Double], k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val q = typedLit(queryVec)
+    val probeIds = withNorm(centroids)
+      .select(col("vec_id"),
+        (dot(col("emb"), q) / (col("nrm") * sqrt(dot(q, q)))).as("csim"))
+      .orderBy(col("csim").desc, col("vec_id"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("c_id").isin(probeIds: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .select(col("vec_id"),
+        round(dot(col("emb"), q) / (col("nrm") * sqrt(dot(q, q))), 3).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic ±1 random-hyperplane matrix (signs from md5 of
     * "p:j"), shared verbatim with the DuckDB oracle so sketches match
     * bit-for-bit. */

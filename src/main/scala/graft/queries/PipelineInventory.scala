@@ -462,6 +462,22 @@ object PipelineInventory {
              |FROM events, range(0, 7) r(k)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // A10 general form: explicit GROUPING SETS — the subtotal shape
+    // dashboard views emit (README.md:34-40); rollup/cube are its
+    // special cases (q15, r34).
+    QueryDef("r40_grouping_sets",
+      (s, d) => T(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check).
     QueryDef("r39_approx_distinct",

@@ -45,4 +45,35 @@ object Tables {
   /** Register every fixture table as a temp view for SQL entry points. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** JDBC source — the reference's actual transport (every read is
+    * `pd.read_sql` over a live Postgres connection,
+    * psql_connector.py:112-134). Returns a lazily-planned scan with the
+    * same pushdown surface as the parquet loaders: Catalyst pushes
+    * filters into the remote query, `partitionColumn`+`numPartitions`
+    * splits the read into `numPartitions` parallel range queries so a
+    * big table arrives as a distributed scan, not one connection.
+    *
+    * No database exists in this sandbox (and no driver jar), so this
+    * path is compile-checked only; behavior is the standard Spark JDBC
+    * DataSource contract.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      bounds: Option[(Long, Long)] = None,
+      numPartitions: Int = 32,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(props)
+    val partitioned = (partitionColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) => base
+        .option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", numPartitions)
+      case _ => base
+    }
+    partitioned.load()
+  }
 }

@@ -82,8 +82,10 @@ object Ingest {
   /** ST3c: streaming keep-latest upsert — decode, then maintain a
     * per-key snapshot via foreachBatch merge into `outDir` (recompute
     * from old snapshot + batch, the recompute-and-overwrite pattern of
-    * SURVEY S9). At scale the sink would be a keyed MERGE into a table
-    * format; parquet overwrite keeps the same semantics here. */
+    * SURVEY S9). Rewrites the FULL snapshot every micro-batch — fine
+    * for small dimensions; the scale path is
+    * [[cdcUpsertStreamPartitioned]], which rewrites only the key-hash
+    * partitions a batch touches. */
   def cdcUpsertStream(spark: SparkSession, rowSchema: StructType, keyCol: String,
       srcDir: String, outDir: String, checkpoint: String): Unit = {
     val raw = spark.readStream.text(srcDir)
@@ -118,6 +120,79 @@ object Ingest {
       .start()
     q.awaitTermination()
   }
+
+  /** ST3c at scale: keep-latest upsert over a KEY-HASH-PARTITIONED
+    * snapshot (`kb = pmod(hash(key), nBuckets)` as a partition column).
+    * Each micro-batch:
+    *
+    *  1. finds the buckets its keys hash into (≤ nBuckets values — the
+    *     one driver-side collect, bounded by the layout, never by data),
+    *  2. reads ONLY those snapshot partitions (directory pruning),
+    *  3. merges keep-latest-per-key, and
+    *  4. swaps ONLY those partition directories.
+    *
+    * Untouched partitions are never read or rewritten, so per-batch I/O
+    * is O(touched buckets), not O(snapshot) — the property the
+    * full-rewrite variant lacks at 100 TB. The swap is still
+    * delete-then-rename per directory (parquet has no atomic commit);
+    * a table format with a transactional MERGE is the production sink,
+    * and this layout maps 1:1 onto its bucketed-merge form. */
+  def cdcUpsertStreamPartitioned(spark: SparkSession, rowSchema: StructType,
+      keyCol: String, srcDir: String, outDir: String, checkpoint: String,
+      nBuckets: Int = 16): Unit = {
+    val raw = spark.readStream.text(srcDir)
+    val decoded = decodeCdc(raw, rowSchema)
+    val q = decoded.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark2 = batch.sparkSession
+        val kb = pmod(hash(col(s"row.$keyCol")), lit(nBuckets))
+        val asChanges = batch.select(col("op"), col("lsn"), col("row"))
+          .withColumn("kb", kb)
+        val touched = asChanges.select("kb").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val existing =
+            try Some(spark2.read.parquet(outDir)) catch { case _: Throwable => None }
+          val merged = existing match {
+            case Some(snap) =>
+              val touchedSnap = snap.filter(col("kb").isin(touched.map(Integer.valueOf): _*))
+              val dataCols = snap.columns.filterNot(_ == "kb").toIndexedSeq
+              val snapAsChanges = touchedSnap.select(
+                lit("r").as("op"), lit(-1L).as("lsn"),
+                struct(dataCols.map(col): _*).as("row"), col("kb").cast("int").as("kb"))
+              latestPerKeyKeepBucket(snapAsChanges.unionByName(asChanges), keyCol)
+            case None => latestPerKeyKeepBucket(asChanges, keyCol)
+          }
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark2.sparkContext.hadoopConfiguration)
+          val tmp = outDir + "_tmp"
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          merged.write.partitionBy("kb").mode("overwrite").parquet(tmp)
+          touched.foreach { b =>
+            val src = new org.apache.hadoop.fs.Path(s"$tmp/kb=$b")
+            val dst = new org.apache.hadoop.fs.Path(s"$outDir/kb=$b")
+            fs.delete(dst, true)
+            fs.mkdirs(dst.getParent)
+            if (fs.exists(src)) fs.rename(src, dst)
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** latestPerKey, retaining the bucket column for the partitioned write. */
+  private def latestPerKeyKeepBucket(changes: DataFrame, keyCol: String): DataFrame =
+    changes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(s"row.$keyCol")).orderBy(col("lsn").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("kb"), col("row.*"))
 
   /** T4/T5: bounded-state streaming dedup — duplicates dropped while
     * their event time is within the watermark, after which state is

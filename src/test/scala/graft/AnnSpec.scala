@@ -41,6 +41,25 @@ class AnnSpec extends SparkSpec {
     assert(res == Set(2L, 3L))  // cluster of vec 0 only; 1 and 4 unscanned
   }
 
+  test("IVF write path prunes cluster directories and nprobe widens recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val d = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)),
+      (4L, Seq(0.01f, 0.99f)), (5L, Seq(0.02f, 0.98f)))
+    val cents = d.filter(col("vec_id") < 2)
+    Ann.writeIvfIndex(d, cents, dir)
+    val res = Ann.ivfSearchIndex(spark, dir, cents, Seq(1.0, 0.0), k = 3, nprobe = 1)
+    res.collect()  // finalize AQE plan before inspecting
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*c_id".r.findFirstIn(plan).isDefined, plan.take(1500))
+    // nprobe=1 sees only the query's cluster {0,2,3}...
+    assert(res.select("vec_id").as[Long].collect().toSet == Set(0L, 2L, 3L))
+    // ...nprobe=#clusters recovers the full corpus
+    val all = Ann.ivfSearchIndex(spark, dir, cents, Seq(1.0, 0.0), k = 10, nprobe = 2)
+    assert(all.count() == 6)
+  }
+
   test("hyperplane LSH: identical vectors share the sketch and surface as the top pair") {
     val d = emb(
       (0L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),

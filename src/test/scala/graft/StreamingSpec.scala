@@ -83,6 +83,48 @@ class StreamingSpec extends SparkSpec {
     assert(batchSnap == snap)
   }
 
+  test("ST3p: partitioned CDC upsert rewrites only touched buckets, equals the batch oracle") {
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def env(op: String, id: Long, v: String, lsn: Long): String =
+      s"""{"payload":{"op":"$op","before":${if (op == "d") s"""{"id":$id,"v":"$v"}""" else "null"},""" +
+        s""""after":${if (op != "d") s"""{"id":$id,"v":"$v"}""" else "null"},""" +
+        s""""source":{"lsn":$lsn},"ts_ms":${1700000000000L + lsn}}}"""
+    val src = tmp("st3p-src"); val out = tmp("st3p-out"); val ck = tmp("st3p-ck")
+    // batch 1: many keys spread over the 8 buckets
+    Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      (1L to 40L).map(i => env("c", i, s"v$i", i)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
+    // fingerprint every bucket's files (name, size, mtime)
+    def fingerprint(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(out)
+      root.listFiles().filter(_.getName.startsWith("kb=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+      }.toMap
+    }
+    val before = fingerprint()
+    // batch 2 touches exactly one key -> exactly one bucket
+    Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      Seq(env("u", 7, "v7b", 100)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
+    val after = fingerprint()
+    val touchedBucket = spark.range(1).select(
+      pmod(hash(lit(7L)), lit(8)).cast("string")).head.getString(0)
+    // untouched buckets: byte-identical files; the touched one changed
+    before.keys.filterNot(_ == s"kb=$touchedBucket").foreach { b =>
+      assert(after(b) == before(b), s"bucket $b was rewritten")
+    }
+    assert(after(s"kb=$touchedBucket") != before(s"kb=$touchedBucket"))
+    // final snapshot equals the batch keep-latest oracle
+    val raw = spark.read.text(src)
+    val batchSnap = Ingest.latestPerKey(Ingest.decodeCdc(raw, rowSchema), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val snap = spark.read.parquet(out).select("id", "v").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(snap == batchSnap)
+  }
+
   test("T5: streaming dropDuplicates equals batch distinct across files") {
     val src = tmp("t5-src"); val ck = tmp("t5-ck")
     // the same rows arrive twice in different files (reference's
