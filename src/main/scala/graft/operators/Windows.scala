@@ -49,6 +49,25 @@ object Windows {
       Window.partitionBy(key).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
+  /** T7 batch form: sessionize by inactivity gap (gaps-and-islands).
+    * A row starts a new session when it is the key's first event or
+    * arrives >= `gap` after the previous one — the same boundary rule
+    * as Structured Streaming's `session_window` (window end = last
+    * event + gap), so the streaming form merges identically
+    * (StreamingSpec T7s). One key-partitioned window, one shuffle;
+    * the session id is a running sum of boundary flags. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gap: String,
+      order: Column*): DataFrame = {
+    val w = Window.partitionBy(key).orderBy((ts +: order): _*)
+    df.withColumn("_prev", lag(ts, 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || ts >= col("_prev") + expr(s"INTERVAL $gap"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev", "_new")
+  }
+
   /** W5: previous value per key (circular-transfer lookback). */
   def lagPerKey(df: DataFrame, value: Column, out: String,
       key: Column, order: Column*): DataFrame =

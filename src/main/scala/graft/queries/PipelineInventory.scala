@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Ann, Dedup, Quality}
+import graft.operators.{Ann, Dedup, Quality, Windows}
 import graft.functions.TextAnalysis
 import graft.gen.DataGen
 
@@ -461,6 +461,26 @@ object PipelineInventory {
       Some("""SELECT date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS w_start, COUNT(*) AS n
              |FROM events, range(0, 7) r(k)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T7 batch form: inactivity-gap session windows (gaps-and-islands;
+    // boundary rule matches Structured Streaming's session_window, so
+    // the streaming form merges identically — StreamingSpec T7s).
+    QueryDef("r43_session_window",
+      (s, d) => Windows.sessionize(T(s, d, "events"),
+          col("user_id"), col("ts"), "1 HOUR", col("event_id"))
+        .groupBy(col("user_id"), col("session_id").cast("int").as("sid"))
+        .agg(min("ts").as("s_start"), max("ts").as("s_end"), count(lit(1)).as("n"))
+        .orderBy("user_id", "sid"),
+      Some("""WITH l AS (SELECT user_id, event_id, ts,
+             |             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |           FROM events),
+             |f AS (SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 1 HOUR
+             |                     THEN 1 ELSE 0 END AS new_s FROM l),
+             |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+             |SELECT user_id, CAST(sid AS INT) AS sid,
+             |       MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
 
     // A10 general form: explicit GROUPING SETS — the subtotal shape
     // dashboard views emit (README.md:34-40); rollup/cube are its

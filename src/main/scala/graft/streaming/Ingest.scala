@@ -45,6 +45,20 @@ object Ingest {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("total"))
 
+  /** T7 streaming form: session windows — events within `gap` of each
+    * other merge into one growing window per key; the window closes
+    * `gap` after the last event (state GC'd past the watermark). The
+    * batch oracle is `operators.Windows.sessionize` with the same
+    * boundary rule (StreamingSpec T7s). */
+  def sessionCounts(events: DataFrame, gap: String = "1 hour",
+      watermark: String = "30 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n"))
+
   /** Debezium-shaped CDC envelope (FIXTURES.md: payload.op/before/after
     * + source.lsn ordering key), row payload typed by `rowSchema`. */
   def debeziumSchema(rowSchema: StructType): StructType =

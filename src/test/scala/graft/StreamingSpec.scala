@@ -165,6 +165,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("T7s: streaming session windows equal the batch sessionize oracle") {
+    val src = tmp("t7s-src"); val ck = tmp("t7s-ck")
+    events.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val q = Ingest.sessionCounts(stream)
+      .writeStream.format("memory").queryName("t7s_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("t7s_out")
+      .orderBy("user_id", "s_start")
+      .select("user_id", "s_start", "s_end", "n").collect()
+    // batch oracle: same boundary rule; session_window's end = last+gap
+    val batch = graft.operators.Windows.sessionize(
+        events, $"user_id", $"ts", "1 HOUR", $"event_id")
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_start"),
+        (max($"ts") + expr("INTERVAL 1 HOUR")).as("s_end"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "s_start")
+      .select("user_id", "s_start", "s_end", "n").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("T4: dropDuplicatesWithinWatermark dedups re-delivered rows with bounded state") {
     val src = tmp("t4-src"); val ck = tmp("t4-ck")
     events.filter($"event_id" < 100).write.mode("append").parquet(src)
