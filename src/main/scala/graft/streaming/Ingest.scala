@@ -171,7 +171,8 @@ object Ingest {
             try Some(spark2.read.parquet(outDir)) catch { case _: Throwable => None }
           val merged = existing match {
             case Some(snap) =>
-              val touchedSnap = snap.filter(col("kb").isin(touched.map(Integer.valueOf): _*))
+              val touchedSnap = snap.filter(
+                col("kb").isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
               val dataCols = snap.columns.filterNot(_ == "kb").toIndexedSeq
               val snapAsChanges = touchedSnap.select(
                 lit("r").as("op"), lit(-1L).as("lsn"),

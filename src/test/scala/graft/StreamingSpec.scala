@@ -110,7 +110,7 @@ class StreamingSpec extends SparkSpec {
     Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
     val after = fingerprint()
     val touchedBucket = spark.range(1).select(
-      pmod(hash(lit(7L)), lit(8)).cast("string")).head.getString(0)
+      pmod(hash(lit(7L)), lit(8)).cast("string")).head().getString(0)
     // untouched buckets: byte-identical files; the touched one changed
     before.keys.filterNot(_ == s"kb=$touchedBucket").foreach { b =>
       assert(after(b) == before(b), s"bucket $b was rewritten")
