@@ -54,7 +54,10 @@ object Quality {
       .drop("bc")
     val a = base.select(col("id").as("id1"), col("blk"), col("m").as("m1"))
     val b = base.select(col("id").as("id2"), col("blk").as("blk2"), col("m").as("m2"))
-    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2"))
+    // Length gap is a lower bound on edit distance — a one-subtraction
+    // pre-filter that skips the O(len²) levenshtein for most pairs.
+    a.join(b, col("blk") === col("blk2") && col("id1") < col("id2") &&
+        abs(length(col("m1")) - length(col("m2"))) <= maxDist)
       .withColumn("dist", levenshtein(col("m1"), col("m2")))
       .filter(col("dist") <= maxDist)
       .select("id1", "id2", "dist")
