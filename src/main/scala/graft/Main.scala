@@ -24,7 +24,9 @@ object Main {
         |  gen <outDir> <nCustomers>
         |  quality <dataDir> <nowTs e.g. 2024-01-31 00:00:00>
         |  ingest <srcDir> <outDir> <checkpointDir>
-        |  bronze <sfDir> <lakeRoot> <batchTs>""".stripMargin)
+        |  bronze <sfDir> <lakeRoot> <batchTs>
+        |  northwind <outDir>
+        |  ivf-build <sfDir> <indexDir> <nCentroids>""".stripMargin)
     sys.exit(2)
   }
 
@@ -60,6 +62,14 @@ object Main {
           Lake.writeBronze(Tables.load(spark, sfDir, t), root, t, batchTs)
           println(s"bronze $root/$t/batch_ts=$batchTs")
         }
+      case "northwind" :: outDir :: Nil =>
+        graft.sources.Northwind.materialize(spark, outDir = outDir)
+        println(s"northwind fixture at $outDir (${graft.sources.Northwind.schemas.size} tables)")
+      case "ivf-build" :: sfDir :: indexDir :: k :: Nil =>
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        graft.operators.Ann.writeIvfIndex(emb,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") < k.toLong), indexDir)
+        println(s"IVF index at $indexDir (cluster-partitioned, $k centroids)")
       case _ => usage()
     } finally spark.stop()
   }
