@@ -45,6 +45,27 @@ object Ingest {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("total"))
 
+  /** T8: stream-stream interval join — each purchase attributed to the
+    * signups of the same user within the preceding `window`. Both sides
+    * carry watermarks, so join state is GC'd once the event time falls
+    * behind (state ∝ watermark horizon, never the stream). The same
+    * plan runs in batch (watermarks are no-ops there), which is the
+    * equivalence oracle (StreamingSpec T8). */
+  def attributedPurchases(events: DataFrame, window: String = "7 days",
+      watermark: String = "30 days"): DataFrame = {
+    val su = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("event_id").as("s_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    val pu = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    pu.join(su, col("user_id") === col("s_uid") &&
+        col("s_ts") <= col("ts") &&
+        col("ts") <= col("s_ts") + expr(s"INTERVAL $window"))
+      .select(col("event_id"), col("s_id"))
+  }
+
   /** T7 streaming form: session windows — events within `gap` of each
     * other merge into one growing window per key; the window closes
     * `gap` after the last event (state GC'd past the watermark). The

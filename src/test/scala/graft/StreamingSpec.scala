@@ -191,6 +191,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("T8: stream-stream interval join equals the batch form") {
+    val src = tmp("t8-src"); val ck = tmp("t8-ck")
+    events.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val q = Ingest.attributedPurchases(stream)
+      .writeStream.format("memory").queryName("t8_out")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("t8_out").orderBy("event_id", "s_id").collect()
+    val batch = Ingest.attributedPurchases(events).orderBy("event_id", "s_id").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("T4: dropDuplicatesWithinWatermark dedups re-delivered rows with bounded state") {
     val src = tmp("t4-src"); val ck = tmp("t4-ck")
     events.filter($"event_id" < 100).write.mode("append").parquet(src)
