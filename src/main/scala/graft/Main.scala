@@ -26,7 +26,8 @@ object Main {
         |  ingest <srcDir> <outDir> <checkpointDir>
         |  bronze <sfDir> <lakeRoot> <batchTs>
         |  northwind <outDir>
-        |  ivf-build <sfDir> <indexDir> <nCentroids>""".stripMargin)
+        |  ivf-build <sfDir> <indexDir> <nCentroids>
+        |  sql <sfDir> <statement>""".stripMargin)
     sys.exit(2)
   }
 
@@ -65,6 +66,14 @@ object Main {
       case "northwind" :: outDir :: Nil =>
         graft.sources.Northwind.materialize(spark, outDir = outDir)
         println(s"northwind fixture at $outDir (${graft.sources.Northwind.schemas.size} tables)")
+      case "sql" :: sfDir :: stmt :: Nil =>
+        // SQL entry point over the registered corpus (SELECT-only, the
+        // P11 classifier guards against statement injection into a
+        // read-only surface).
+        require(graft.sources.Meta.isSelectStatement(spark, stmt),
+          "only SELECT statements are accepted")
+        Tables.registerAll(spark, sfDir)
+        spark.sql(stmt).show(100, truncate = false)
       case "ivf-build" :: sfDir :: indexDir :: k :: Nil =>
         val emb = Tables.load(spark, sfDir, "embeddings")
         graft.operators.Ann.writeIvfIndex(emb,
