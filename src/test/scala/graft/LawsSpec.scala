@@ -29,6 +29,26 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize: gap rule holds at every boundary and rows are preserved") {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.load(spark, sf, "events")
+    val s = graft.operators.Windows.sessionize(
+      events, col("user_id"), col("ts"), "1 HOUR", col("event_id"))
+    assert(s.count() == events.count())
+    // Re-derive each row's predecessor: the session id increments
+    // exactly when the inactivity gap is >= 1 hour — no more, no less.
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val violations = s
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("prev_sid", lag("session_id", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .filter(
+        (col("ts") >= col("prev") + expr("INTERVAL 1 HOUR")) =!=
+          (col("session_id") === col("prev_sid") + 1))
+      .count()
+    assert(violations == 0)
+  }
+
   test("dedup idempotence: exactKeepFirst(exactKeepFirst(x)) == exactKeepFirst(x)") {
     val docs = Tables.load(spark, sf, "documents")
     val once = Dedup.exactKeepFirst(docs)
