@@ -45,6 +45,19 @@ object Lake {
     sinceBatch.fold(df)(b => df.filter(col("batch_ts") > lit(b)))
   }
 
+  /** Range-clustered write for file skipping: rows are range-partitioned
+    * and sorted on `cols`, so every output file covers a disjoint slice
+    * of the clustering key and parquet row-group min/max stats let a
+    * range predicate skip whole files (the silver/gold layout knob at
+    * 100 TB — the partition column prunes directories, clustering prunes
+    * files within them). Disjointness is asserted in LakeSpec by
+    * re-deriving per-file [min, max] from `input_file_name()`. */
+  def writeClustered(df: DataFrame, path: String, nFiles: Int,
+      cols: org.apache.spark.sql.Column*): Unit =
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+
   /** S10: DDL string from a schema (SchemaLoader.generate_ddl analog). */
   def createTableDdl(table: String, schema: org.apache.spark.sql.types.StructType,
       location: Option[String] = None): String = {

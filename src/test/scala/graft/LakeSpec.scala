@@ -20,6 +20,25 @@ class LakeSpec extends SparkSpec {
     assert(!plan.contains("batch_ts = null"))
   }
 
+  test("clustered write produces disjoint per-file key ranges (file-skipping layout)") {
+    val out = Files.createTempDirectory("clustered").toString
+    val events = Tables.load(spark, sf, "events")
+    Lake.writeClustered(events, out, nFiles = 8, col("ts"))
+    // re-derive each file's [min, max] of the clustering key
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("lo")
+      .collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(!b.getTimestamp(1).before(a.getTimestamp(2)),
+        s"overlapping file ranges: $a vs $b")
+    }
+    // row count preserved
+    assert(spark.read.parquet(out).count() == events.count())
+  }
+
   test("S7 CSV compatibility mode round-trips") {
     val root = Files.createTempDirectory("bronze-csv").toString
     val nation = Tables.load(spark, sf, "nation")
