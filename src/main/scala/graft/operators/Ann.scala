@@ -101,9 +101,11 @@ object Ann {
       centroids: DataFrame, queryVec: Seq[Double], k: Int = 10,
       nprobe: Int = 2): DataFrame = {
     val q = typedLit(queryVec)
+    // query norm is a driver-side constant — never recomputed per row
+    val qn = lit(math.sqrt(queryVec.map(x => x * x).sum))
     val probeIds = withNorm(centroids)
       .select(col("vec_id"),
-        (dot(col("emb"), q) / (col("nrm") * sqrt(dot(q, q)))).as("csim"))
+        (dot(col("emb"), q) / (col("nrm") * qn)).as("csim"))
       .orderBy(col("csim").desc, col("vec_id"))
       .limit(nprobe)
       .collect().map(_.getLong(0)).toSeq
@@ -112,7 +114,7 @@ object Ann {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       .select(col("vec_id"),
-        round(dot(col("emb"), q) / (col("nrm") * sqrt(dot(q, q))), 3).as("sim"))
+        round(dot(col("emb"), q) / (col("nrm") * qn), 3).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

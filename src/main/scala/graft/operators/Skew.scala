@@ -32,4 +32,22 @@ object Skew {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).cast("long").as(out))
+
+  /** Salted equi-join for join-side skew beyond what AQE's runtime
+    * split handles (e.g. one key = 30% of the fact table): the skewed
+    * (big) side gets a random salt in [0, salts); the build (small)
+    * side is replicated once per salt value; the join key becomes
+    * (key, salt), fanning each hot key over `salts` reducers. Exact —
+    * every big-side row still meets every matching build row exactly
+    * once. Cost: build side shuffles `salts`× (use only when the build
+    * side is small but above the broadcast threshold — below it,
+    * `broadcast()` already avoids the skewed shuffle entirely). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -22,4 +22,18 @@ class SkewSpec extends SparkSpec {
     assert(direct.join(salted, "account_id")
       .filter(col("count") =!= col("n")).count() == 0)
   }
+
+  test("salted join equals plain join on a skewed fact table") {
+    // 10 accounts over 20k rows -> every key is hot
+    val tx = DataGen.transactions(spark, 10, 20000)
+      .select("transaction_id", "account_id", "amount")
+    val accts = DataGen.accounts(spark, 10, 10)
+      .select("account_id", "account_type")
+    val plain = tx.join(accts, "account_id")
+      .select("transaction_id", "account_type")
+    val salted = Skew.saltedJoin(tx, accts, "account_id")
+      .select("transaction_id", "account_type")
+    assert(salted.count() == plain.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
 }
