@@ -41,6 +41,18 @@ object Dedup {
           .as("shingle"))
   }
 
+  /** Shingles pre-hashed to 60-bit ints (same md5-derived value the
+    * minhash permutations consume): the persisted intermediate carries
+    * 8-byte longs instead of ~20-char strings, set-intersection joins
+    * compare ints, and downstream minhash skips the md5 entirely.
+    * Jaccard over hashed shingles equals Jaccard over strings up to
+    * md5 collisions — negligible, and identical in any engine
+    * computing the same hash. */
+  def shingleHashes(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    wordShingles(docs, n, idCol, textCol).select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
+
   /** Exact dedup: keep the first doc_id per content hash (SURVEY W1/A8). */
   def exactKeepFirst(docs: DataFrame): DataFrame =
     docs.withColumn("rn", row_number().over(
@@ -67,8 +79,11 @@ object Dedup {
     * multiply-adds instead of k md5s (~16× less hashing on the 100 TB
     * path); every product stays under 2^60 so the arithmetic is
     * overflow-free in any engine with checked 64-bit ints. */
-  def minhashSignatures(shingles: DataFrame, k: Int = 16): DataFrame = {
-    val x = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+  def minhashSignatures(shingles: DataFrame, k: Int = 16,
+      hashed: Boolean = false): DataFrame = {
+    val x =
+      if (hashed) col("shingle")
+      else conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
     val withHalves = shingles.select(col("doc_id"),
       shiftright(x, 30).as("xhi"), x.bitwiseAND(lit((1L << 30) - 1)).as("xlo"))
     val aggs = (0 until k).map { j =>
