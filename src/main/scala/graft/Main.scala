@@ -26,6 +26,7 @@ object Main {
         |  ingest <srcDir> <outDir> <checkpointDir>
         |  bronze <sfDir> <lakeRoot> <batchTs>
         |  northwind <outDir>
+        |  quality-fixture [outDir]
         |  ivf-build <sfDir> <indexDir> <nCentroids>
         |  sql <sfDir> <statement>""".stripMargin)
     sys.exit(2)
@@ -66,6 +67,12 @@ object Main {
       case "northwind" :: outDir :: Nil =>
         graft.sources.Northwind.materialize(spark, outDir = outDir)
         println(s"northwind fixture at $outDir (${graft.sources.Northwind.schemas.size} tables)")
+      case "quality-fixture" :: rest if rest.lengthCompare(1) <= 0 =>
+        // Explicit fixture materialization (q42's corpus) — queries only
+        // READ the committed fixture; regeneration is this command.
+        val dir = rest.headOption.getOrElse(DataGen.qualityCorpusDir)
+        DataGen.materializeQualityCorpus(spark, dir)
+        println(s"quality corpus fixture at $dir")
       case "sql" :: sfDir :: stmt :: Nil =>
         // SQL entry point over the registered corpus (SELECT-only, the
         // P11 classifier guards against statement injection into a

@@ -119,6 +119,74 @@ object Ann {
       .limit(k)
   }
 
+  /** Batched IVF search — the form a training-data pipeline actually
+    * runs: top-k for a whole DataFrame of queries against a
+    * cluster-assigned index, in ONE plan (no per-query driver loop).
+    *
+    *  1. Rank centroids per query (queries × centroids — both tiny next
+    *     to the corpus; centroids broadcast) and keep `nprobe` per query.
+    *  2. Join the (query, probed-cluster) pairs against the index on the
+    *     cluster id. The probe side is broadcast, so over a
+    *     cluster-PARTITIONED index (`writeIvfIndex`) Spark turns the
+    *     join into dynamic partition pruning — only probed cluster
+    *     directories are read (plan-asserted in AnnSpec).
+    *  3. Exact-cosine re-rank, window top-k per query.
+    *
+    * `index` must carry (vec_id, embedding, c_id) — either
+    * `spark.read.parquet(ivfIndexPath)` (the pruning path) or an inline
+    * `assignClusters(...).join(emb, "vec_id")` (the oracle-checkable
+    * form, p19). Output: q_id, vec_id, sim, rn. */
+  def ivfSearchBatch(index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame =
+    rerankProbed(index, probeRank(centroids, queries, nprobe), k)
+
+  /** (q_id, qemb, qnrm, c_id): the `nprobe` highest-cosine centroids
+    * per query (6dp rounding + centroid-id tiebreak, engine-stable). */
+  private def probeRank(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val q = withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val c = withNorm(centroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    q.crossJoin(broadcast(c))
+      .select(col("q_id"), col("qemb"), col("qnrm"), col("c_id"),
+        round(dot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("qemb"), col("qnrm"), col("c_id"))
+  }
+
+  /** Exact-cosine re-rank of probed clusters: index ⋈ broadcast probes
+    * on the cluster id, window top-k per query. */
+  private def rerankProbed(index: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val e = index
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"), col("c_id"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    e.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 3).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** [[ivfSearchBatch]] over a persisted cluster-partitioned index. The
+    * union of probed clusters across the batch is collected first — the
+    * IVF routing table, bounded by #centroids, never data-sized — and
+    * applied as a STATIC partition predicate, so only probed cluster
+    * directories are listed and read regardless of optimizer
+    * heuristics (`PartitionFilters` plan-asserted in AnnSpec). */
+  def ivfSearchBatchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val probes = probeRank(centroids, queries, nprobe)
+    val probed = probes.select("c_id").distinct().collect().map(_.get(0)).toIndexedSeq
+    rerankProbed(spark.read.parquet(path).where(col("c_id").isin(probed: _*)),
+      probes, k)
+  }
+
   /** Deterministic ±1 random-hyperplane matrix (signs from md5 of
     * "p:j"), shared verbatim with the DuckDB oracle so sketches match
     * bit-for-bit. */
@@ -177,8 +245,11 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: top-N all-pairs by cosine. The
-    * exact quadratic baseline; the scale path buckets by LSH/IVF first
-    * (see Dedup.simhashPairs for the blocking pattern). */
+    * exact QUADRATIC baseline — a verification/audit tool, never a
+    * corpus-scale path (that is [[lshNearDup]] / IVF). Callers must
+    * bound the input to a deterministic slice (the p05 gate query uses
+    * `vec_id < 500`, fixed cost at any corpus size); an unbounded call
+    * is n²/2 dot products. */
   def nearDupPairs(emb: DataFrame, topN: Int = 50): DataFrame = {
     val n = withNorm(emb)
     val a = n.select(col("vec_id").as("v1"), col("emb").as("e1"), col("nrm").as("n1"))

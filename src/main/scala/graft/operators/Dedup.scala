@@ -154,6 +154,162 @@ object Dedup {
         (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
   }
 
+  /** Persist the MinHash/LSH band index for a corpus: one compact row
+    * per (doc_id, band, bh). This is what makes dedup INCREMENTAL — a
+    * later batch is deduped by banding only ITS text and joining
+    * against these ~50-byte rows; the old corpus' text is never
+    * rescanned (at 100 TB the index is ~4 rows × 50 B per doc vs the
+    * documents themselves). Append each accepted batch's survivor bands
+    * with [[appendBandIndex]]. */
+  def writeBandIndex(docs: DataFrame, path: String, k: Int = 16,
+      bands: Int = 4, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    lshBands(minhashSignatures(shingleHashes(docs, idCol = idCol, textCol = textCol),
+        k, hashed = true), bands, rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's bands (post-dedup survivors) to the index. */
+  def appendBandIndex(docs: DataFrame, path: String, k: Int = 16,
+      bands: Int = 4, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    lshBands(minhashSignatures(shingleHashes(docs, idCol = idCol, textCol = textCol),
+        k, hashed = true), bands, rowsPerBand)
+      .write.mode("append").parquet(path)
+
+  /** Candidate matches for a NEW batch against the persisted band index
+    * plus within the batch itself. Returns (new_id, other_id,
+    * other_is_new): band collisions where `new_id` is from the batch and
+    * `other_id` is either an indexed (old) doc or another batch doc.
+    * The bucket cap counts old+new occupancy together, so a bucket hot
+    * across the corpus stays dropped for new batches too. Only the new
+    * batch's text is ever read — the old side contributes band rows. */
+  def incrementalCandidates(newDocs: DataFrame, indexPath: String,
+      maxBucket: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newBands = lshBands(minhashSignatures(
+      shingleHashes(newDocs, idCol = idCol, textCol = textCol), hashed = true))
+    val idx = spark.read.parquet(indexPath)
+      .select(col("doc_id"), col("band"), col("bh")).withColumn("is_new", lit(false))
+    val all = newBands.withColumn("is_new", lit(true)).unionByName(idx)
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
+    val newSide = all.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    all.select(col("doc_id").as("other_id"), col("band"), col("bh"), col("is_new"))
+      .join(newSide, Seq("band", "bh"))
+      .filter(col("other_id") =!= col("new_id") &&
+        // new-new collisions appear once (ordered), new-old always
+        (!col("is_new") || col("new_id") < col("other_id")))
+      .select(col("new_id"), col("other_id"), col("is_new").as("other_is_new"))
+      .distinct()
+  }
+
+  /** Incremental dedup: survivors of a new batch against a persisted
+    * index of the already-accepted corpus. A batch doc is dropped iff
+    * (a) it band-matches an indexed doc, (b) it is in a within-batch
+    * component that CONTAINS such a doc (transitive contamination —
+    * otherwise A_old~B_new~C_new would keep C while a full recompute
+    * drops it), or (c) it is not the min id of its clean within-batch
+    * component. With batch ids above all indexed ids, the result equals
+    * a full recompute over old ∪ new restricted to the new batch
+    * (DedupSpec proves it). Append the survivors' bands via
+    * [[appendBandIndex]] to accept the batch. */
+  def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
+      maxBucket: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text", maxIter: Int = 20): DataFrame = {
+    val cand = incrementalCandidates(newDocs, indexPath, maxBucket, idCol, textCol)
+    val newNew = cand.filter(col("other_is_new"))
+      .select(least(col("new_id"), col("other_id")).as("d1"),
+        greatest(col("new_id"), col("other_id")).as("d2"))
+      .distinct()
+    val oldMatched = cand.filter(!col("other_is_new"))
+      .select(col("new_id").as("id")).distinct()
+    val comp = components(newNew, maxIter)
+    val contaminated = comp.join(oldMatched, "id").select("comp").distinct()
+    newDocs
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(oldMatched.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .join(contaminated.withColumnRenamed("comp", "ccomp"),
+        col("comp") === col("ccomp"), "left_anti")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
+  /** Connected components over an undirected candidate-pair list — the
+    * survivor-selection stage that turns near-dup PAIRS (LSH/SimHash/
+    * Jaccard output) into a deduplicated corpus. Transitive near-dups
+    * (A~B, B~C) form one component, so exactly one survivor is kept
+    * where pairwise keep-first would double-keep.
+    *
+    * Algorithm: min-label propagation with path halving, expressed as
+    * DataFrame joins — each iteration (a) pulls the min neighbor label
+    * and (b) replaces every label by its label's label, which doubles
+    * the propagation distance per round, so convergence is
+    * O(log diameter) iterations (near-dup components are almost always
+    * cliques or short chains — 2-4 rounds in practice). Each iteration
+    * is CHECKPOINTED (reliable, not cached): lineage stays bounded, no
+    * persisted RDDs are left behind, and a lost executor recomputes
+    * from the checkpoint, not from the raw pair join. The per-iteration
+    * driver action is a single emptiness probe for convergence; all
+    * data stays distributed — labels are (id, comp) pairs, orders of
+    * magnitude smaller than the corpus at 100 TB.
+    *
+    * Returns (id, comp) for every id appearing in `pairs`, where comp
+    * is the component's minimum id. Ids in no pair are absent (their
+    * component is trivially themselves — see [[survivors]]). */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        System.getProperty("java.io.tmpdir") + "/graft-checkpoints")
+    val edges = pairs
+      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
+      .unionByName(pairs.select(col("d2").cast("long").as("src"),
+        col("d1").cast("long").as("dst")))
+      .distinct()
+      .checkpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .checkpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // Path halving: comp := comp(comp). Every comp value is itself a
+      // labelled vertex, so the self-join resolves one more hop.
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
+        .checkpoint()
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Deduplicated corpus from a candidate-pair graph: every doc in no
+    * pair survives; each component keeps its minimum-id doc. The last
+    * stage of the dedup pipeline — LSH emits pairs, this emits the
+    * corpus (the reference's insert-time email dedup is the key-level
+    * analog, `oltp_seeder.py:106-142`). */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      maxIter: Int = 20): DataFrame =
+    docs.join(components(pairs, maxIter).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+
   /** 60-bit SimHash over distinct tokens. Token hash = first 15 hex chars
     * of md5 as an integer; simhash bit b is set iff the per-bit signed
     * vote sum is positive. 60 bits keeps the value clear of the sign bit

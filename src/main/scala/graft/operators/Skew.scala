@@ -15,10 +15,21 @@ import org.apache.spark.sql.functions._
   * groupBy. */
 object Skew {
 
+  /** Deterministic per-row salt: a hash of EVERY input column. Unlike
+    * `monotonically_increasing_id()` (partition-index-dependent, so a
+    * stage retry after a fetch failure — routine at 100 TB — re-salts
+    * recomputed rows differently and can double-count or drop rows in
+    * the downstream shuffle), this reproduces identical salt assignments
+    * on every recompute. Rows that are full duplicates share a salt and
+    * land on one reducer; with any per-row variety (ids, timestamps)
+    * the fan-out is uniform. */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts))
+
   /** Two-phase salted sum of `valueCol` per `key`. */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int = 16,
       out: String = "total"): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salts)))
+    df.withColumn("_salt", rowSalt(df, salts))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))
@@ -27,7 +38,7 @@ object Skew {
   /** Two-phase salted count per `key`. */
   def saltedCount(df: DataFrame, key: String, salts: Int = 16,
       out: String = "n"): DataFrame =
-    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("_salt", rowSalt(df, salts))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
@@ -44,8 +55,7 @@ object Skew {
     * `broadcast()` already avoids the skewed shuffle entirely). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val saltedBig = big.withColumn("_salt", rowSalt(big, salts))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -128,7 +128,16 @@ object Northwind {
       .map { line =>
         val rest = line.stripPrefix("INSERT INTO ")
         val table = rest.takeWhile(_ != ' ')
-        val body = rest.substring(rest.indexOf('(') + 1, rest.lastIndexOf(')'))
+        val open = rest.indexOf('(')
+        val close = rest.lastIndexOf(')')
+        // One complete INSERT per line is assumed; a string literal with
+        // an embedded newline would split the tuple across lines. Fail
+        // with the table and line rather than an index error.
+        require(open >= 0 && close > open,
+          s"northwind dump: no complete (...) tuple on one line for table " +
+            s"'$table' (multi-line INSERT values are unsupported): " +
+            s"${line.take(100)}")
+        val body = rest.substring(open + 1, close)
         table -> body
       }
       .toSeq.groupBy(_._1)

@@ -130,8 +130,22 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark2 = batch.sparkSession
+        val fs0 = org.apache.hadoop.fs.FileSystem.get(
+          spark2.sparkContext.hadoopConfiguration)
+        // A crash between park and promote in a previous batch leaves
+        // the snapshot parked aside; restore before reading.
+        val bak0 = new org.apache.hadoop.fs.Path(outDir + "_bak")
+        if (fs0.exists(bak0) && !fs0.exists(new org.apache.hadoop.fs.Path(outDir)))
+          fs0.rename(bak0, new org.apache.hadoop.fs.Path(outDir))
+        fs0.delete(bak0, true)
+        // Existence is checked explicitly: a missing/empty snapshot
+        // means first batch (merge from empty), but a transient read
+        // ERROR must fail the batch so the checkpoint retries —
+        // swallowing it would silently overwrite the snapshot with
+        // batch-only rows.
         val existing =
-          try Some(spark2.read.parquet(outDir)) catch { case _: Throwable => None }
+          if (snapshotExists(fs0, outDir)) Some(spark2.read.parquet(outDir))
+          else None
         val asChanges = batch.select(col("op"), col("lsn"), col("row"))
         val merged = existing match {
           case Some(snap) =>
@@ -144,11 +158,13 @@ object Ingest {
         }
         val tmp = outDir + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark2.sparkContext.hadoopConfiguration)
+        // Park-then-promote (never delete-then-rename): a crash leaves
+        // the old snapshot either live or parked, and the next batch
+        // restores it — no window where the snapshot is simply gone.
         val dst = new org.apache.hadoop.fs.Path(outDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        if (fs0.exists(dst)) fs0.rename(dst, bak0)
+        fs0.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        fs0.delete(bak0, true)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -168,10 +184,13 @@ object Ingest {
     *
     * Untouched partitions are never read or rewritten, so per-batch I/O
     * is O(touched buckets), not O(snapshot) — the property the
-    * full-rewrite variant lacks at 100 TB. The swap is still
-    * delete-then-rename per directory (parquet has no atomic commit);
-    * a table format with a transactional MERGE is the production sink,
-    * and this layout maps 1:1 onto its bucketed-merge form. */
+    * full-rewrite variant lacks at 100 TB. The swap is park-then-promote
+    * per directory (old bucket renamed aside, promoted, backup deleted
+    * last) with crash recovery at the next batch start
+    * ([[restoreParkedBuckets]]); parquet has no atomic multi-directory
+    * commit, so a table format with transactional MERGE is the
+    * production sink — this layout maps 1:1 onto its bucketed-merge
+    * form. */
   def cdcUpsertStreamPartitioned(spark: SparkSession, rowSchema: StructType,
       keyCol: String, srcDir: String, outDir: String, checkpoint: String,
       nBuckets: Int = 16): Unit = {
@@ -188,8 +207,19 @@ object Ingest {
         val touched = asChanges.select("kb").distinct()
           .collect().map(_.getInt(0)).sorted
         if (touched.nonEmpty) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark2.sparkContext.hadoopConfiguration)
+          // A crash mid-swap in a previous batch leaves buckets parked in
+          // the backup dir; restore them BEFORE reading the snapshot so a
+          // checkpoint replay merges against the full pre-batch state.
+          restoreParkedBuckets(fs, outDir)
+          // Missing/empty snapshot = first batch; a transient read
+          // error must fail the batch (checkpoint retries) rather than
+          // be treated as empty — that would drop every existing key
+          // in the touched buckets.
           val existing =
-            try Some(spark2.read.parquet(outDir)) catch { case _: Throwable => None }
+            if (snapshotExists(fs, outDir)) Some(spark2.read.parquet(outDir))
+            else None
           val merged = existing match {
             case Some(snap) =>
               val touchedSnap = snap.filter(
@@ -201,18 +231,26 @@ object Ingest {
               latestPerKeyKeepBucket(snapAsChanges.unionByName(asChanges), keyCol)
             case None => latestPerKeyKeepBucket(asChanges, keyCol)
           }
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark2.sparkContext.hadoopConfiguration)
           val tmp = outDir + "_tmp"
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
           merged.write.partitionBy("kb").mode("overwrite").parquet(tmp)
+          // Park-then-promote swap: the old bucket is renamed aside
+          // (never deleted) before the new one is promoted, so a crash
+          // at any point leaves the old data either in place or in the
+          // backup dir — and restoreParkedBuckets puts it back on
+          // replay. Deletion of old data happens only after every
+          // touched bucket promoted successfully.
+          val bak = new org.apache.hadoop.fs.Path(outDir + "_bak")
+          fs.delete(bak, true)
+          fs.mkdirs(bak)
           touched.foreach { b =>
             val src = new org.apache.hadoop.fs.Path(s"$tmp/kb=$b")
             val dst = new org.apache.hadoop.fs.Path(s"$outDir/kb=$b")
-            fs.delete(dst, true)
             fs.mkdirs(dst.getParent)
+            if (fs.exists(dst)) fs.rename(dst, new org.apache.hadoop.fs.Path(bak, s"kb=$b"))
             if (fs.exists(src)) fs.rename(src, dst)
           }
+          fs.delete(bak, true)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         }
         ()
@@ -222,6 +260,42 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** A snapshot "exists" only if its directory holds any non-hidden
+    * entry: a missing OR empty directory means first batch (callers
+    * often pre-create the output dir), while a transient READ error on
+    * real data must still fail the batch — only this narrow
+    * no-data-yet case merges from empty. */
+  private def snapshotExists(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Recovery for the park-then-promote bucket swap: any bucket parked
+    * under `<outDir>_bak` whose live directory is missing was caught
+    * mid-swap by a crash — move it back. Buckets whose live directory
+    * EXISTS were already promoted (the crash hit after promote, before
+    * backup cleanup); the promoted data wins and the replayed merge is
+    * idempotent against it (re-applying the same changes keep-latest
+    * yields the same snapshot). */
+  private def restoreParkedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(outDir + "_bak")
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).filter(_.getPath.getName.startsWith("kb=")).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(outDir, st.getPath.getName)
+        if (!fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          fs.rename(st.getPath, live)
+        }
+      }
+      fs.delete(bak, true)
+    }
+  }
+
   /** latestPerKey, retaining the bucket column for the partitioned write. */
   private def latestPerKeyKeepBucket(changes: DataFrame, keyCol: String): DataFrame =
     changes
@@ -229,6 +303,36 @@ object Ingest {
         Window.partitionBy(col(s"row.$keyCol")).orderBy(col("lsn").desc)))
       .filter(col("rn") === 1 && col("op") =!= "d")
       .select(col("kb"), col("row.*"))
+
+  /** Streamed quality report — the reference's daily report DAG
+    * (polished_transactions.py:500-545) as a cadence job over the
+    * transaction stream: each micro-batch appends ONE report row
+    * (tagged with its batch id) to a gold table. The report body is
+    * the SAME declarative `Quality.report` plan the batch path runs —
+    * foreachBatch contributes only cadence and the append, so the
+    * streamed rows equal the batch report per micro-batch by
+    * construction (StreamingSpec proves it). Dimensions (customers,
+    * accounts) are static frames joined into each batch's plan. */
+  def qualityReportStream(spark: SparkSession, customers: DataFrame,
+      accounts: DataFrame, txSchema: StructType, srcDir: String,
+      goldDir: String, checkpoint: String, now: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(txSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Quality.report(customers, accounts, batch, now)
+          .withColumn("batch_id", lit(id))
+          .coalesce(1)
+          .write.mode("append").parquet(goldDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** T4/T5: bounded-state streaming dedup — duplicates dropped while
     * their event time is within the watermark, after which state is

@@ -60,6 +60,29 @@ class AnnSpec extends SparkSpec {
     assert(all.count() == 6)
   }
 
+  test("batched IVF: one plan serves the query batch; index path still prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfb").toString
+    val d = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)),
+      (4L, Seq(0.01f, 0.99f)), (5L, Seq(0.02f, 0.98f)))
+    val cents = d.filter(col("vec_id") < 2)
+    Ann.writeIvfIndex(d, cents, dir)
+    val queries = d.filter(col("vec_id") === 2 || col("vec_id") === 4)
+    val viaIndex = Ann.ivfSearchBatchIndex(spark, dir, cents, queries, k = 2, nprobe = 1)
+    val rowsIdx = viaIndex.collect()
+    // nprobe=1: query 2 sees only cluster 0 {0,3}, query 4 only cluster 1 {1,5}
+    val byQuery = rowsIdx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(byQuery(2L) == Set(0L, 3L) && byQuery(4L) == Set(1L, 5L))
+    // the partitioned scan reads only probed cluster directories
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*c_id".r.findFirstIn(plan).isDefined, plan.take(1500))
+    // inline-index form (the p19 oracle shape) computes identical results
+    val inline = Ann.ivfSearchBatch(
+      Ann.assignClusters(d, cents).join(d, "vec_id"), cents, queries, k = 2, nprobe = 1)
+    assert(rowsIdx.map(_.toSeq).toSet == inline.collect().map(_.toSeq).toSet)
+  }
+
   test("hyperplane LSH: identical vectors share the sketch and surface as the top pair") {
     val d = emb(
       (0L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),

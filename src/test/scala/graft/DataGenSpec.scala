@@ -54,6 +54,33 @@ class DataGenSpec extends SparkSpec {
     assert(missed == 0)
   }
 
+  test("fixed-cardinality block key silently zeroes recall at scale; proportional key recovers") {
+    import spark.implicits._
+    // A corpus large enough that EVERY block of a fixed-cardinality key
+    // (2 nations x 5 segments = 10 blocks, ever) overflows maxBlock:
+    // the cap then drops all blocks and blocked dedup returns ZERO
+    // pairs with no error — the silent-zero-recall hazard of p15's
+    // round-2 key. A corpus-PROPORTIONAL key (nation x name-prefix)
+    // keeps block size bounded at any corpus size and recovers the
+    // planted duplicate.
+    val segs = Seq("AUTO", "BLDG", "FURN", "HSHD", "MACH")
+    val base = (0 until 3000).map { i =>
+      (i.toLong, (i % 2).toLong, segs(i % 5), f"Customer#$i%09d")
+    }
+    val planted = Seq((900001L, 0L, "AUTO", "Customer#000000100"))  // dup of id 100
+    val cust = (base ++ planted).toDF("id", "nation", "segment", "name")
+    val fixedKey = concat_ws(":", col("nation"), col("segment"))
+    val propKey = concat_ws(":", col("nation"),
+      expr("substring(name, 1, length(name) - 2)"))
+    val fixed = Quality.fuzzyDuplicatesBlocked(cust, col("id"), fixedKey,
+      col("name"), maxDist = 1, maxBlock = 100)
+    assert(fixed.count() == 0)  // every 300-row block dropped: zero recall
+    val prop = Quality.fuzzyDuplicatesBlocked(cust, col("id"), propKey,
+      col("name"), maxDist = 1, maxBlock = 100)
+    val found = prop.select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(found.contains((100L, 900001L)))
+  }
+
   test("~2% negative balances detected") {
     val neg = Quality.negativeBalances(acct).count()
     assert(math.abs(rate(neg, N) - 0.02) < 0.01)

@@ -66,6 +66,67 @@ class DedupSpec extends SparkSpec {
     assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)))
   }
 
+  test("components: transitive chain A~B~C collapses to one component, one survivor") {
+    import spark.implicits._
+    // Chain 1-2, 2-3 (A~B~C with no direct A~C pair) plus a separate
+    // pair and an untouched doc: pairwise keep-first would keep 1 and 3
+    // (double-keep); component dedup must keep only 1.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (42L, "f"))
+    val kept = Dedup.survivors(d, pairs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 10L, 42L))
+  }
+
+  test("components: long path needs log-bounded rounds (path halving), no persisted RDD leak") {
+    import spark.implicits._
+    // A 64-node path graph has diameter 63; plain min-propagation needs
+    // 63 rounds — path halving must land it well inside maxIter=20.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = Dedup.components(path).as[(Long, Long)].collect()
+    assert(comp.length == 64 && comp.forall(_._2 == 1L))
+    // Checkpointing, not caching: nothing new pinned in the block manager.
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
+  test("incremental dedup vs persisted band index equals full recompute; old text never rescanned") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val oldPath = s"$root/old_corpus.parquet"; val idxPath = s"$root/bands"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val t3 = "red green blue yellow purple orange pink gray"
+    docs((1L, t1), (2L, t2), (3L, t3)).write.parquet(oldPath)
+    val oldDocs = spark.read.parquet(oldPath)
+    Dedup.writeBandIndex(oldDocs, idxPath)
+    // batch ids above all indexed ids: 11 dups an OLD doc, 12/13 dup
+    // each other within the batch, 14 is clean
+    val newDocs = docs((11L, t1), (12L, "brand new document text here today"),
+      (13L, "brand new document text here today"), (14L, "fully unique content nothing shared"))
+    val inc = Dedup.dedupAgainstIndex(newDocs, idxPath)
+    assert(inc.select("doc_id").as[Long].collect().sorted.toSeq == Seq(12L, 14L))
+    // equality with a full recompute over old ∪ new, restricted to the batch
+    val union = oldDocs.unionByName(newDocs)
+    val fullPairs = Dedup.lshCandidates(Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.shingleHashes(union), hashed = true)))
+    val full = Dedup.survivors(union, fullPairs)
+      .filter(col("doc_id") >= 11L).select("doc_id").as[Long].collect().sorted
+    assert(full.toSeq == Seq(12L, 14L))
+    // the incremental plan reads band rows, never the old corpus files
+    val cand = Dedup.incrementalCandidates(newDocs, idxPath)
+    cand.collect()
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("old_corpus"), plan.take(1500))
+    assert(plan.contains("bands"), plan.take(1500))
+    // accepting the batch: append survivor bands, then a later batch
+    // duplicating doc 12 is caught by the index alone
+    Dedup.appendBandIndex(newDocs.join(inc.select("doc_id"), "doc_id"), idxPath)
+    val batch3 = docs((21L, "brand new document text here today"))
+    assert(Dedup.dedupAgainstIndex(batch3, idxPath).count() == 0)
+  }
+
   test("simhashPairs finds identical pair at distance 0 via blocking") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -59,4 +59,16 @@ class PlanSpec extends SparkSpec {
     val codegenWithDot = p.linesIterator.exists(l => l.contains("*(") && l.contains("dotproduct"))
     assert(codegenWithDot, p.linesIterator.take(30).mkString("\n"))
   }
+
+  test("no gate query carries an UNBOUNDED nested-loop/cartesian join") {
+    // The exact all-pairs baseline (p05) is allowed only over a
+    // deterministic bounded slice: any BroadcastNestedLoopJoin or
+    // CartesianProduct in a gate plan must sit above a scan whose
+    // pushed filter bounds the corpus (vec_id < 500). A BNLJ over an
+    // unbounded scan is the one plan shape that cannot survive 100×.
+    val p = executedPlan("p05_embed_neardup")
+    assert(p.contains("LessThan(vec_id,500)"), p.linesIterator.take(30).mkString("\n"))
+    val nBounded = p.linesIterator.count(_.contains("LessThan(vec_id,500)"))
+    assert(nBounded >= 2, s"both BNLJ branches must be bounded:\n$p")
+  }
 }

@@ -34,7 +34,30 @@ class SmokeSpec extends SparkSpec {
 
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // r39: HLL sketch internals differ across engines — rows-only check.
-    assert(noOracle == Set("r39_approx_distinct"), s"missing oracles: $noOracle")
+    // r39: HLL sketch internals differ across engines; r45: seeded RNG
+    // sampling is engine-specific — both are rows-only checks.
+    assert(noOracle == Set("r39_approx_distinct", "r45_sample_seeded"),
+      s"missing oracles: $noOracle")
+  }
+
+  test("no query function leaks persisted RDDs (scoped caching)") {
+    // q11/p02 cache intermediates; withCached must release them before
+    // returning, so callers beyond Verify/Bench (which clearCache()
+    // defensively) never accumulate pinned blocks.
+    for (name <- Seq("q11_self_join_circular", "p02_minhash_lsh_pairs")) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(name)(spark, sf).count()
+      assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+        s"$name left persisted RDDs behind")
+    }
+  }
+
+  test("seeded sample is deterministic for a fixed seed and near the target fraction") {
+    val c = Tables.load(spark, sf, "customer")
+    val a = SparkEntry.queries("r45_sample_seeded")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("r45_sample_seeded")(spark, sf).collect().toSeq
+    assert(a == b)
+    val n = c.count().toDouble
+    assert(math.abs(a.length / n - 0.2) < 0.15)  // Bernoulli tolerance at sf0.001
   }
 }

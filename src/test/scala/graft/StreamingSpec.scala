@@ -125,6 +125,28 @@ class StreamingSpec extends SparkSpec {
     assert(snap == batchSnap)
   }
 
+  test("STQ: streamed quality report equals the batch report per micro-batch") {
+    val src = tmp("stq-src"); val gold = tmp("stq-gold"); val ck = tmp("stq-ck")
+    val cust = graft.gen.DataGen.customers(spark, 200)
+    val acct = graft.gen.DataGen.accounts(spark, 200, 300)
+    val tx = graft.gen.DataGen.transactions(spark, 300, 1000)
+    val h1 = tx.filter($"transaction_id" < 500)
+    val h2 = tx.filter($"transaction_id" >= 500)
+    // one file per half -> maxFilesPerTrigger=1 yields one micro-batch each
+    h1.coalesce(1).write.mode("append").parquet(src)
+    h2.coalesce(1).write.mode("append").parquet(src)
+    val now = "2024-06-01 00:00:00"
+    Ingest.qualityReportStream(spark, cust, acct, tx.schema, src, gold, ck, now)
+    val goldDf = spark.read.parquet(gold)
+    assert(goldDf.select("batch_id").distinct().count() == 2)
+    val streamed = goldDf.drop("batch_id").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val expected = Seq(h1, h2)
+      .map(h => graft.operators.Quality.report(cust, acct, h, now).collect().head.toSeq)
+      .sortBy(_.toString)
+    assert(streamed.toSeq == expected)
+  }
+
   test("T5: streaming dropDuplicates equals batch distinct across files") {
     val src = tmp("t5-src"); val ck = tmp("t5-ck")
     // the same rows arrive twice in different files (reference's
