@@ -310,6 +310,30 @@ object Dedup {
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
 
+  /** The whole near-dup dedup pipeline as one call: shingle → minhash →
+    * LSH candidates → exact-Jaccard verify at `threshold` → connected
+    * components → one survivor per component. The shingle set is
+    * cached only while [[components]] materializes the verified pair
+    * graph (its first checkpoint consumes every shingle-reading
+    * branch), then released — the returned plan touches only `docs`
+    * and the checkpointed labels, so nothing stays pinned. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.5,
+      maxBucket: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text", maxIter: Int = 20): DataFrame = {
+    val sh = shingleHashes(docs, idCol = idCol, textCol = textCol).persist()
+    sh.count()
+    try {
+      val bands = lshBands(minhashSignatures(sh, hashed = true))
+      val verified = jaccardPairs(sh, Some(lshCandidates(bands, maxBucket)))
+        .filter(col("jaccard") >= threshold)
+        .select(col("d1"), col("d2"))
+      val comp = components(verified, maxIter)
+      docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .filter(col("comp").isNull || col("comp") === col(idCol))
+        .drop("comp")
+    } finally sh.unpersist()
+  }
+
   /** 60-bit SimHash over distinct tokens. Token hash = first 15 hex chars
     * of md5 as an integer; simhash bit b is set iff the per-bit signed
     * vote sum is positive. 60 bits keeps the value clear of the sign bit

@@ -281,7 +281,7 @@ object Ingest {
     * backup cleanup); the promoted data wins and the replayed merge is
     * idempotent against it (re-applying the same changes keep-latest
     * yields the same snapshot). */
-  private def restoreParkedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def restoreParkedBuckets(fs: org.apache.hadoop.fs.FileSystem,
       outDir: String): Unit = {
     val bak = new org.apache.hadoop.fs.Path(outDir + "_bak")
     if (fs.exists(bak)) {

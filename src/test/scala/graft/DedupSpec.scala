@@ -91,6 +91,20 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
   }
 
+  test("dedupCorpus: end-to-end pipeline keeps one survivor per verified cluster, no cache leak") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (4L, "completely different content all about database engines and columnar storage"))
+    val kept = Dedup.dedupCorpus(d, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L), s"kept=$kept")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
   test("incremental dedup vs persisted band index equals full recompute; old text never rescanned") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("lshidx").toString

@@ -125,6 +125,40 @@ class StreamingSpec extends SparkSpec {
     assert(snap == batchSnap)
   }
 
+  test("ST3r: bucket parked by a crashed swap is restored before the next batch merges") {
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def env(op: String, id: Long, v: String, lsn: Long): String =
+      s"""{"payload":{"op":"$op","before":null,""" +
+        s""""after":{"id":$id,"v":"$v"},"source":{"lsn":$lsn},"ts_ms":${1700000000000L + lsn}}}"""
+    val src = tmp("st3r-src"); val out = tmp("st3r-out"); val ck = tmp("st3r-ck")
+    Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      (1L to 40L).map(i => env("c", i, s"v$i", i)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
+    // simulate a crash caught between park and promote: one bucket sits
+    // in the backup dir and its live directory is gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val victim = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("kb=")).head.getName
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out + "_bak"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/$victim"),
+      new org.apache.hadoop.fs.Path(s"${out}_bak/$victim"))
+    assert(!new java.io.File(s"$out/$victim").exists())
+    // next batch (touching a different key) must restore the parked
+    // bucket before merging — no key may be lost
+    Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      Seq(env("u", 7, "v7b", 100)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
+    assert(!new java.io.File(out + "_bak").exists())
+    val raw = spark.read.text(src)
+    val batchSnap = Ingest.latestPerKey(Ingest.decodeCdc(raw, rowSchema), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val snap = spark.read.parquet(out).select("id", "v").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(snap == batchSnap)
+  }
+
   test("STQ: streamed quality report equals the batch report per micro-batch") {
     val src = tmp("stq-src"); val gold = tmp("stq-gold"); val ck = tmp("stq-ck")
     val cust = graft.gen.DataGen.customers(spark, 200)
