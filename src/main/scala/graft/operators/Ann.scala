@@ -187,6 +187,42 @@ object Ann {
       probes, k)
   }
 
+  /** Quantized candidate scan + exact re-rank: rank candidates by
+    * cosine over int8 absmax codes (the p17 quantization — 4× smaller
+    * than floats, so the corpus-wide scan reads a quarter of the
+    * bytes), keep a `shortlist` per query, then re-rank the shortlist
+    * with exact float cosine. Integer code dot products are exact in
+    * any engine (|codes| ≤ 127, 64 dims ≪ 2^53), which keeps the whole
+    * candidate stage oracle-checkable. The re-rank touches only
+    * shortlist × queries rows. */
+  def quantizedTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      shortlist: Int = 40): DataFrame = {
+    def quant(df: DataFrame, p: String): DataFrame =
+      df.select(col("vec_id").as(s"${p}id"), asDouble(col("embedding")).as("e"))
+        .withColumn("scale0", expr("array_max(transform(e, x -> abs(x)))"))
+        .withColumn(s"${p}codes",
+          expr("transform(e, x -> cast(cast(round(x / scale0 * 127) as int) as double))"))
+        .withColumn(s"${p}cn", sqrt(dot(col(s"${p}codes"), col(s"${p}codes"))))
+        .select(col(s"${p}id"), col("e").as(s"${p}e"),
+          col(s"${p}codes"), col(s"${p}cn"))
+    val e = quant(emb, "v")
+    val q = quant(queries, "q")
+    val short = e.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), col("ve"), col("qe"),
+        round(dot(col("vcodes"), col("qcodes")) / (col("vcn") * col("qcn")), 6).as("qsim"))
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("qsim").desc, col("vid"))))
+      .filter(col("qrn") <= shortlist)
+    short
+      .select(col("qid").as("q_id"), col("vid").as("vec_id"),
+        round(dot(col("ve"), col("qe")) /
+          (sqrt(dot(col("ve"), col("ve"))) * sqrt(dot(col("qe"), col("qe")))), 3).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+  }
+
   /** Deterministic ±1 random-hyperplane matrix (signs from md5 of
     * "p:j"), shared verbatim with the DuckDB oracle so sketches match
     * bit-for-bit. */

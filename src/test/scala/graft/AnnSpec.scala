@@ -83,6 +83,21 @@ class AnnSpec extends SparkSpec {
     assert(rowsIdx.map(_.toSeq).toSet == inline.collect().map(_.toSeq).toSet)
   }
 
+  test("quantizedTopK with a full shortlist equals exact bruteTopK") {
+    val d = emb(
+      (0L, Seq(1f, 0.1f, 0f)), (1L, Seq(0.9f, 0.2f, 0.1f)),
+      (2L, Seq(0f, 1f, 0.3f)), (3L, Seq(0.8f, 0.1f, 0.05f)),
+      (4L, Seq(0.1f, 0.9f, 0.4f)))
+    val q = d.filter(col("vec_id") === 0)
+    // shortlist >= corpus: the int8 candidate stage passes everything
+    // through and the exact re-rank must reproduce bruteTopK verbatim
+    val quant = Ann.quantizedTopK(d, q, k = 3, shortlist = 100)
+      .select("q_id", "vec_id", "sim", "rn").orderBy("q_id", "rn").collect()
+    val brute = Ann.bruteTopK(d, q, k = 3)
+      .select("q_id", "vec_id", "sim", "rn").orderBy("q_id", "rn").collect()
+    assert(quant.map(_.toSeq).toSeq == brute.map(_.toSeq).toSeq)
+  }
+
   test("hyperplane LSH: identical vectors share the sketch and surface as the top pair") {
     val d = emb(
       (0L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),
