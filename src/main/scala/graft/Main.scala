@@ -26,6 +26,7 @@ object Main {
         |  ingest <srcDir> <outDir> <checkpointDir>
         |  bronze <sfDir> <lakeRoot> <batchTs>
         |  northwind <outDir>
+        |  dedup <sfDir> <outDir>
         |  quality-fixture [outDir]
         |  ivf-build <sfDir> <indexDir> <nCentroids>
         |  sql <sfDir> <statement>""".stripMargin)
@@ -67,6 +68,11 @@ object Main {
       case "northwind" :: outDir :: Nil =>
         graft.sources.Northwind.materialize(spark, outDir = outDir)
         println(s"northwind fixture at $outDir (${graft.sources.Northwind.schemas.size} tables)")
+      case "dedup" :: sfDir :: outDir :: Nil =>
+        // End-to-end near-dup dedup: corpus in, survivor corpus out.
+        graft.operators.Dedup.dedupCorpus(Tables.load(spark, sfDir, "documents"))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"deduplicated corpus at $outDir")
       case "quality-fixture" :: rest if rest.lengthCompare(1) <= 0 =>
         // Explicit fixture materialization (q42's corpus) — queries only
         // READ the committed fixture; regeneration is this command.

@@ -270,8 +270,13 @@ object Dedup {
         col("d1").cast("long").as("dst")))
       .distinct()
       .checkpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed labels one propagation ahead — comp0 = min(id, min neighbor):
+    // pair and star components (the dominant near-dup shapes) are
+    // already converged at init, so they cost one confirming round
+    // instead of two.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
       .checkpoint()
     var iter = 0
     var converged = false
@@ -279,20 +284,21 @@ object Dedup {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      val prop = labels.select(col("id"), col("comp").as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("ncomp"), col("old"))).as("comp"))
       // Path halving: comp := comp(comp). Every comp value is itself a
-      // labelled vertex, so the self-join resolves one more hop.
+      // labelled vertex, so the self-join resolves one more hop. The
+      // change flag rides in the checkpointed frame, so the convergence
+      // probe is a filter over the checkpoint — no extra join job.
       val next = prop
         .join(prop.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
-        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"),
+          (coalesce(col("cc"), col("comp")) =!= col("old")).as("chg"))
         .checkpoint()
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     labels
