@@ -80,6 +80,52 @@ object TextAnalysis {
 
   /** Token counting two ways: whitespace split vs a BPE-ish regex class
     * count. Output: doc_id, n_ws, n_re. */
+  /** Email/phone patterns kept to syntax both Java regex and RE2
+    * accept (character classes and bounded repetition only — no
+    * lookaround), so the scrub is reproducible in any engine. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrub stage an LLM training corpus runs
+    * before anything else: count and replace email/phone matches with
+    * typed placeholder tokens. Pure column expressions (codegen'd
+    * regexp), one narrow pass.
+    * Output: doc_id, n_emails, n_phones, scrubbed. */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+
+  /** Repetition metrics (the Gopher-style repetition filters): the
+    * fraction of all word bigrams taken by the single most frequent
+    * bigram, and the distinct/total token ratio. High top-bigram
+    * fraction or low distinct ratio flags boilerplate/looping text.
+    * Work is one explode + two key-partitioned aggregations.
+    * Output: doc_id, n_bigrams, top_n, top_frac, distinct_ratio. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val bg = tk.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")).as("bg"))
+    val bgAgg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_bigrams"), max("n").cast("long").as("top_n"))
+    val tokAgg = tk.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        countDistinct("tok").cast("long").as("n_distinct"))
+    bgAgg.join(tokAgg, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("top_n"),
+        round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_frac"),
+        round(col("n_distinct").cast("double") / col("n_tok"), 4).as("distinct_ratio"))
+  }
+
   def tokenCounts(docs: DataFrame, pattern: String = "[a-z]+|[0-9]+"): DataFrame =
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_ws"),

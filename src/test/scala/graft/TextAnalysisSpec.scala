@@ -51,4 +51,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ws") == 3L)
     assert(r.getAs[Long]("n_re") == 4L) // ab, 12, cd, 9
   }
+
+  test("scrubPii counts and redacts every email and phone match") {
+    val r = TextAnalysis.scrubPii(docs(
+      (1L, "mail bob.smith@corp.io or 555-1234 or ann@x.co thanks"))).collect().head
+    assert(r.getAs[Long]("n_emails") == 2L)
+    assert(r.getAs[Long]("n_phones") == 1L)
+    val s = r.getAs[String]("scrubbed")
+    assert(!s.contains("@") && !s.contains("555-1234"))
+    assert(s.contains("<EMAIL>") && s.contains("<PHONE>"))
+  }
+
+  test("repetition separates looping text from varied text") {
+    val m = TextAnalysis.repetition(docs(
+      (1L, "spam ham spam ham spam ham"),
+      (2L, "a b c d e f"))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("top_frac"), r.getAs[Double]("distinct_ratio")))).toMap
+    assert(m(1L)._1 > m(2L)._1)      // looping doc: one bigram dominates
+    assert(m(1L)._2 < m(2L)._2)      // looping doc: low distinct ratio
+    assert(m(2L)._2 == 1.0)
+  }
 }
