@@ -47,4 +47,47 @@ class MultimodalSpec extends SparkSpec {
     val orig = media.collect().map(r => r.doc_id -> r.payload.toSeq).toMap
     assert(resized.forall(r => r.payload.toSeq == orig(r.doc_id)))
   }
+
+  test("WAV codec: encode/parse round-trip, chunk walk, corrupt payloads dropped") {
+    val wav = Multimodal.encodeWav(rate = 16000, channels = 2, bits = 16,
+      nSamples = 8000, seed = 42L)
+    assert(Multimodal.parseWav(wav).contains((16000, 2, 16, 8000L)))
+    // an extra chunk between fmt and data must not break the walk
+    val listChunk = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val withExtra = wav.take(36) ++ listChunk ++ wav.drop(36)
+    assert(Multimodal.parseWav(withExtra).contains((16000, 2, 16, 8000L)))
+    assert(Multimodal.parseWav("not audio at all".getBytes).isEmpty)
+    // typed Dataset stage: duration derived from real header fields
+    val m = Seq(
+      Multimodal.MediaRow(1L, wav, "audio", 0, 0, 0L),
+      Multimodal.MediaRow(2L, "garbage".getBytes, "audio", 0, 0, 0L)).toDS()
+    val metas = Multimodal.wavMeta(m).collect()
+    assert(metas.length == 1)
+    assert(metas.head == Multimodal.WavMeta(1L, 16000, 2, 16, 8000L, 500L))
+  }
+
+  test("BMP codec: pixel round-trip and a REAL nearest-neighbor resize") {
+    // 4x2 image with distinct per-pixel colors
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 7 + 3).toByte)
+    val bmp = Multimodal.encodeBmp(4, 2, rgb)
+    assert(Multimodal.parseBmp(bmp).contains((4, 2, 24)))
+    val Some((w, h, back)) = Multimodal.decodeBmpPixels(bmp)
+    assert((w, h) == ((4, 2)) && back.toSeq == rgb.toSeq)
+    // resize longest edge 4 -> 2: nearest-neighbor keeps exact source pixels
+    val m = Seq(Multimodal.MediaRow(1L, bmp, "image", 4, 2, 0L)).toDS()
+    val out = Multimodal.resizeBmp(m, maxDim = 2).head()
+    assert((out.width, out.height) == ((2, 1)))
+    val Some((nw, nh, rpix)) = Multimodal.decodeBmpPixels(out.payload)
+    assert((nw, nh) == ((2, 1)))
+    // pixel (x,y) of the result = source pixel (x/scale, y/scale)
+    val expected = Array(0, 2).flatMap { sx =>
+      val src = (0 * 4 + sx) * 3
+      rgb.slice(src, src + 3)
+    }
+    assert(rpix.toSeq == expected.toSeq)
+    // non-BMP payloads pass through untouched
+    val passthru = Multimodal.resizeBmp(
+      Seq(Multimodal.MediaRow(2L, "txt".getBytes, "image", 9, 9, 0L)).toDS(), 2).head()
+    assert(passthru.payload.toSeq == "txt".getBytes.toSeq)
+  }
 }
