@@ -58,6 +58,34 @@ object Lake {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction — the maintenance job every streaming/
+    * append sink needs at scale: micro-batches leave many tiny files,
+    * and at 100 TB scan cost is driven by file count as much as bytes.
+    * Rewrites `dir` into ceil(bytes / targetFileBytes) files (optionally
+    * preserving a partition-column layout), swapped in park-then-promote
+    * style so a crash leaves either the old or the new layout, never
+    * neither. Row content is byte-for-byte preserved (LakeSpec). */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    fs.delete(tmp, true)
+    val writer = df.repartition(nFiles).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_bak")
+    fs.delete(bak, true)
+    fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+  }
+
   /** S10: DDL string from a schema (SchemaLoader.generate_ddl analog). */
   def createTableDdl(table: String, schema: org.apache.spark.sql.types.StructType,
       location: Option[String] = None): String = {

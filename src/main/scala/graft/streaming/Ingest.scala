@@ -304,6 +304,54 @@ object Ingest {
       .filter(col("rn") === 1 && col("op") =!= "d")
       .select(col("kb"), col("row.*"))
 
+  /** Streaming corpus ingest with INCREMENTAL near-dup dedup — the
+    * form a continuously-fed training corpus actually runs: each
+    * micro-batch of documents is deduped against the persisted band
+    * index (only the batch's text is shingled — old docs contribute
+    * their ~50-byte band rows, never their text), survivors append to
+    * the silver corpus and their bands to the index, duplicates are
+    * dropped. The first batch bootstraps the index from its own
+    * within-batch survivor set. Per-batch cost ∝ batch size at any
+    * corpus size; checkpointing makes the accept-or-drop decision
+    * exactly-once across restarts. */
+  def dedupIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, corpusDir: String, indexPath: String, checkpoint: String,
+      maxBucket: Int = 100, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val survivors =
+          if (snapshotExists(fs, indexPath))
+            graft.operators.Dedup.dedupAgainstIndex(batch, indexPath, maxBucket)
+          else {
+            val pairs = graft.operators.Dedup.lshCandidates(
+              graft.operators.Dedup.lshBands(graft.operators.Dedup.minhashSignatures(
+                graft.operators.Dedup.shingleHashes(batch), hashed = true)), maxBucket)
+            graft.operators.Dedup.survivors(batch, pairs)
+          }
+        // Materialize survivors EAGERLY before touching the index: the
+        // survivor plan READS indexPath, and appendBandIndex WRITES it —
+        // a lazy plan would re-run the dedup against the half-mutated
+        // index. The checkpoint pins the decision; both sinks then
+        // consume the materialized rows.
+        val kept = survivors.localCheckpoint(true)
+        try {
+          kept.write.mode("append").parquet(corpusDir)
+          if (snapshotExists(fs, indexPath))
+            graft.operators.Dedup.appendBandIndex(kept, indexPath)
+          else graft.operators.Dedup.writeBandIndex(kept, indexPath)
+        } finally { kept.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streamed quality report — the reference's daily report DAG
     * (polished_transactions.py:500-545) as a cadence job over the
     * transaction stream: each micro-batch appends ONE report row

@@ -39,6 +39,20 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == events.count())
   }
 
+  test("compact bin-packs many small files into few, content identical") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val events = Tables.load(spark, sf, "events")
+    events.repartition(20).write.parquet(dir)
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() == 20)
+    val before = spark.read.parquet(dir).orderBy("event_id").collect()
+    Lake.compact(spark, dir) // tiny table -> one target file
+    assert(dataFiles() == 1)
+    val after = spark.read.parquet(dir).orderBy("event_id").collect()
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("S7 CSV compatibility mode round-trips") {
     val root = Files.createTempDirectory("bronze-csv").toString
     val nation = Tables.load(spark, sf, "nation")

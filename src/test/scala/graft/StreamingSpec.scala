@@ -159,6 +159,33 @@ class StreamingSpec extends SparkSpec {
     assert(snap == batchSnap)
   }
 
+  test("STD: streaming dedup ingest accepts survivors, drops cross-batch dups, appends the index") {
+    val src = tmp("std-src"); val corpus = tmp("std-corpus")
+    val ck = tmp("std-ck")
+    val idx = src + "-idx" // must NOT pre-exist (snapshotExists bootstraps)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val b1 = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val b2 = Seq((11L, t1), (12L, "totally fresh content nothing shared here at all"),
+      (13L, "totally fresh content nothing shared here at all")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.dedupIngestStream(spark, b1.schema, src, corpus, idx, ck)
+    // batch1: 2 dups 1, keep {1,3}; batch2: 11 dups indexed 1 -> dropped,
+    // 13 dups in-batch 12 -> keep {12}
+    val kept = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 12L))
+    // the index holds bands for exactly the accepted docs
+    val indexed = spark.read.parquet(idx).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(indexed == Seq(1L, 3L, 12L))
+    // a late third batch duplicating batch-1 content is fully dropped
+    Seq((21L, t2)).toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    Ingest.dedupIngestStream(spark, b1.schema, src, corpus, idx, ck)
+    assert(spark.read.parquet(corpus).count() == 3)
+  }
+
   test("STQ: streamed quality report equals the batch report per micro-batch") {
     val src = tmp("stq-src"); val gold = tmp("stq-gold"); val ck = tmp("stq-ck")
     val cust = graft.gen.DataGen.customers(spark, 200)
