@@ -58,6 +58,40 @@ object Lake {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) interleave of two 16-bit normalized columns —
+    * pure shift/mask arithmetic, fully codegen'd. */
+  private def zInterleave(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-ORDERED write: cluster files on the Morton interleave of TWO
+    * columns, so per-file min/max stats are tight on BOTH dimensions
+    * and a range predicate on either column skips files
+    * ([[writeClustered]] gives that for one column only — its files
+    * span the full range of every other column). Each column is
+    * normalized to a 16-bit rank via its min/max (a 4-scalar layout
+    * statistic, the only driver-side values), interleaved, then
+    * range-partitioned and sorted on the z-value. The standard
+    * lakehouse OPTIMIZE ZORDER layout, as one declarative write. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+      ca: org.apache.spark.sql.Column, cb: org.apache.spark.sql.Column): Unit = {
+    val s = df.agg(min(ca).cast("double"), max(ca).cast("double"),
+      min(cb).cast("double"), max(cb).cast("double")).head()
+    val (aLo, aHi, bLo, bHi) = (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
+    def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else least(lit(65535L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+    df.withColumn("_z", zInterleave(norm(ca, aLo, aHi), norm(cb, bLo, bHi)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the maintenance job every streaming/
     * append sink needs at scale: micro-batches leave many tiny files,
     * and at 100 TB scan cost is driven by file count as much as bytes.

@@ -39,6 +39,33 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == events.count())
   }
 
+  test("z-ordered write skips files on BOTH dimensions; single-dim clustering cannot") {
+    val zdir = Files.createTempDirectory("zorder").toString + "/z"
+    val cdir = Files.createTempDirectory("zorder").toString + "/c"
+    val events = Tables.load(spark, sf, "events")
+    Lake.writeZOrdered(events, zdir, nFiles = 8, col("user_id"), col("value"))
+    Lake.writeClustered(events, cdir, nFiles = 8, col("user_id"))
+    def hitFiles(dir: String, lo: Double, hi: Double): (Long, Long) = {
+      val ranges = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("value").as("lo"), max("value").as("hi"))
+        .collect()
+      val hits = ranges.count(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+      (hits.toLong, ranges.length.toLong)
+    }
+    // a range predicate on the SECOND dimension: every user_id-clustered
+    // file spans the full value range (zero skipping); the z-ordered
+    // layout keeps per-file value ranges tight enough to skip some
+    val stats = events.agg(min("value"), max("value")).head()
+    val (vlo, vhi) = (stats.getDouble(0), stats.getDouble(1))
+    val mid = (vlo + vhi) / 2; val w = (vhi - vlo) * 0.05
+    val (zHits, zTotal) = hitFiles(zdir, mid - w, mid + w)
+    val (cHits, cTotal) = hitFiles(cdir, mid - w, mid + w)
+    assert(cHits == cTotal)            // single-dim layout: no skipping on dim 2
+    assert(zHits < zTotal, s"z-order skipped nothing: $zHits/$zTotal")
+    assert(spark.read.parquet(zdir).count() == events.count())
+  }
+
   test("compact bin-packs many small files into few, content identical") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val events = Tables.load(spark, sf, "events")
