@@ -74,5 +74,10 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(DotName)))
       reg.createOrReplaceTempFunction(
         DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // The HOF-dot rewrite on live sessions (GraftExtensions covers
+    // sessions built with spark.sql.extensions).
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDot
   }
 }

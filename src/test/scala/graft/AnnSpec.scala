@@ -11,13 +11,36 @@ class AnnSpec extends SparkSpec {
     rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
 
   test("dot expression equals HOF fold bit-for-bit") {
+    // The rewrite rule would turn the HOF side into DotProduct and make
+    // this vacuous — suspend it so the INTERPRETED fold is what we
+    // compare against.
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try {
+      val d = emb((0L, Seq(0.1f, 0.2f, 0.3f)), (1L, Seq(0.4f, 0.5f, 0.6f)))
+        .select(Vectors.asDouble(col("embedding")).as("e"))
+      val both = d.crossJoin(d.select(col("e").as("f")))
+        .select(Vectors.dot(col("e"), col("f")).as("expr"),
+          Vectors.dotHof(col("e"), col("f")).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("optimizer rule rewrites user-written HOF dot to the codegen'd DotProduct") {
     val d = emb((0L, Seq(0.1f, 0.2f, 0.3f)), (1L, Seq(0.4f, 0.5f, 0.6f)))
-      .select(Vectors.asDouble(col("embedding")).as("e"))
-    val both = d.crossJoin(d.select(col("e").as("f")))
-      .select(Vectors.dot(col("e"), col("f")).as("expr"),
-        Vectors.dotHof(col("e"), col("f")).as("hof"))
-      .collect()
-    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("e"))
+    val hof = d.crossJoin(d.select(col("e").as("f")))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(e, f, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("dot"))
+    val rows = hof.orderBy("vec_id", "dot").collect()
+    val plan = hof.queryExecution.executedPlan.toString
+    assert(plan.contains("dotproduct"), plan.take(1200))   // rule fired
+    assert(!plan.contains("aggregate(zip_with"), plan.take(1200))
+    val native = d.crossJoin(d.select(col("e").as("f")))
+      .select(col("vec_id"), Vectors.dot(col("e"), col("f")).as("dot"))
+      .orderBy("vec_id", "dot").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == native.map(_.getDouble(1)).toSeq)
   }
 
   test("bruteTopK ranks an identical vector first") {
