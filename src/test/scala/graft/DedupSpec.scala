@@ -91,6 +91,30 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
   }
 
+  test("components matches a union-find oracle on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(v: Int): Int = { if (parent(v) != v) parent(v) = find(parent(v)); parent(v) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.components(edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      // same partition into components (min-id labels must agree exactly:
+      // the oracle unions toward the smaller root, like min propagation)
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("dedupCorpus: end-to-end pipeline keeps one survivor per verified cluster, no cache leak") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
