@@ -185,11 +185,19 @@ object Dedup {
     * batch's text is ever read — the old side contributes band rows. */
   def incrementalCandidates(newDocs: DataFrame, indexPath: String,
       maxBucket: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    incrementalCandidatesBands(newDocs,
+      newDocs.sparkSession.read.parquet(indexPath), maxBucket, idCol, textCol)
+
+  /** [[incrementalCandidates]] over an already-loaded band frame —
+    * lets callers filter the index first (e.g. to earlier batches for
+    * idempotent streaming replay). */
+  def incrementalCandidatesBands(newDocs: DataFrame, indexBands: DataFrame,
+      maxBucket: Int = 100, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
     val newBands = lshBands(minhashSignatures(
       shingleHashes(newDocs, idCol = idCol, textCol = textCol), hashed = true))
-    val idx = spark.read.parquet(indexPath)
+    val idx = indexBands
       .select(col("doc_id"), col("band"), col("bh")).withColumn("is_new", lit(false))
     val all = newBands.withColumn("is_new", lit(true)).unionByName(idx)
       .withColumn("bc", count(lit(1)).over(Window.partitionBy("band", "bh")))
@@ -218,8 +226,15 @@ object Dedup {
     * [[appendBandIndex]] to accept the batch. */
   def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
       maxBucket: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text", maxIter: Int = 20): DataFrame =
+    dedupAgainstIndexBands(newDocs,
+      newDocs.sparkSession.read.parquet(indexPath), maxBucket, idCol, textCol, maxIter)
+
+  /** [[dedupAgainstIndex]] over an already-loaded band frame. */
+  def dedupAgainstIndexBands(newDocs: DataFrame, indexBands: DataFrame,
+      maxBucket: Int = 100, idCol: String = "doc_id",
       textCol: String = "text", maxIter: Int = 20): DataFrame = {
-    val cand = incrementalCandidates(newDocs, indexPath, maxBucket, idCol, textCol)
+    val cand = incrementalCandidatesBands(newDocs, indexBands, maxBucket, idCol, textCol)
     val newNew = cand.filter(col("other_is_new"))
       .select(least(col("new_id"), col("other_id")).as("d1"),
         greatest(col("new_id"), col("other_id")).as("d2"))

@@ -123,6 +123,13 @@ object Ingest {
     * partitions a batch touches. */
   def cdcUpsertStream(spark: SparkSession, rowSchema: StructType, keyCol: String,
       srcDir: String, outDir: String, checkpoint: String): Unit = {
+    // Same pre-start recovery as the partitioned variant: a crash that
+    // parked the whole snapshot must not wait for new data to heal.
+    val preFs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val preBak = new org.apache.hadoop.fs.Path(outDir + "_bak")
+    if (preFs.exists(preBak) && !preFs.exists(new org.apache.hadoop.fs.Path(outDir)))
+      preFs.rename(preBak, new org.apache.hadoop.fs.Path(outDir))
     val raw = spark.readStream.text(srcDir)
     val decoded = decodeCdc(raw, rowSchema)
     val q = decoded.writeStream
@@ -194,6 +201,11 @@ object Ingest {
   def cdcUpsertStreamPartitioned(spark: SparkSession, rowSchema: StructType,
       keyCol: String, srcDir: String, outDir: String, checkpoint: String,
       nBuckets: Int = 16): Unit = {
+    // Recover a crashed swap BEFORE the stream starts too: with no new
+    // data, no batch would run, and readers would otherwise see the
+    // snapshot missing a parked bucket indefinitely.
+    restoreParkedBuckets(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), outDir)
     val raw = spark.readStream.text(srcDir)
     val decoded = decodeCdc(raw, rowSchema)
     val q = decoded.writeStream
@@ -322,29 +334,41 @@ object Ingest {
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        val survivors =
-          if (snapshotExists(fs, indexPath))
-            graft.operators.Dedup.dedupAgainstIndex(batch, indexPath, maxBucket)
-          else {
+        // "Index exists" must ignore this batch's own partial output
+        // from a crashed attempt — only EARLIER batches' partitions
+        // count, so a replay reproduces the original decision.
+        val earlier = fs.exists(new org.apache.hadoop.fs.Path(indexPath)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(indexPath)).exists { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < id
+          }
+        val idx =
+          if (earlier) Some(batch.sparkSession.read.parquet(indexPath)
+            .filter(col("batch_id") < id))
+          else None
+        val survivors = idx match {
+          case Some(i) => graft.operators.Dedup.dedupAgainstIndexBands(batch, i, maxBucket)
+          case None =>
             val pairs = graft.operators.Dedup.lshCandidates(
               graft.operators.Dedup.lshBands(graft.operators.Dedup.minhashSignatures(
                 graft.operators.Dedup.shingleHashes(batch), hashed = true)), maxBucket)
             graft.operators.Dedup.survivors(batch, pairs)
-          }
+        }
         // Materialize survivors EAGERLY before touching the index: the
-        // survivor plan READS indexPath, and appendBandIndex WRITES it —
+        // survivor plan READS indexPath, and the band write mutates it —
         // a lazy plan would re-run the dedup against the half-mutated
-        // index. The checkpoint pins the decision; both sinks then
-        // consume the materialized rows.
+        // index. Both sinks are per-batch OVERWRITE partitions keyed by
+        // the batch id, so checkpoint replay is idempotent (a plain
+        // append would double rows on retry).
         val kept = survivors.localCheckpoint(true)
         try {
-          kept.write.mode("append").parquet(corpusDir)
-          if (snapshotExists(fs, indexPath))
-            graft.operators.Dedup.appendBandIndex(kept, indexPath)
-          else graft.operators.Dedup.writeBandIndex(kept, indexPath)
+          kept.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$id")
+          graft.operators.Dedup.lshBands(graft.operators.Dedup.minhashSignatures(
+              graft.operators.Dedup.shingleHashes(kept), hashed = true))
+            .write.mode("overwrite").parquet(s"$indexPath/batch_id=$id")
         } finally { kept.unpersist(); () }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
