@@ -26,6 +26,10 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // GC-driven cleanup of reliable checkpoints (Dedup.components
+      // checkpoints per iteration; without this a long-running stream
+      // of dedup batches grows the checkpoint dir without bound).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

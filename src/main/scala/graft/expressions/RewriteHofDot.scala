@@ -21,13 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Scope guard: both arrays must be `array<double>`. For the dense
   * equal-length embedding arrays this engine processes, results are
-  * bit-identical. The one semantic difference is ragged input:
-  * `zip_with` null-pads the shorter array (so the sum becomes null)
-  * while [[DotProduct]] truncates to the shorter length — embeddings
-  * are fixed-dimension, and the engine's own HOF baseline
-  * (`Vectors.dotHof`) documents the same truncation intent.
+  * bit-identical. The semantic difference is ragged/null input:
+  * `zip_with` null-pads the shorter array and propagates null elements
+  * (sum becomes null) while [[DotProduct]] truncates to the shorter
+  * length — embeddings are fixed-dimension and dense, and the engine's
+  * own HOF baseline (`Vectors.dotHof`) documents the same truncation
+  * intent. Sessions processing ragged/nullable array data can switch
+  * the rule off per-session with
+  * `SET spark.graft.rewriteHofDot.enabled=false`.
   */
 object RewriteHofDot extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.rewriteHofDot.enabled"
 
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -40,7 +45,9 @@ object RewriteHofDot extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b,
           LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
@@ -54,6 +61,7 @@ object RewriteHofDot extends Rule[LogicalPlan] {
         Set(m1.exprId, m2.exprId) == Set(av.exprId, vv.exprId) &&
         isDoubleArray(a) && isDoubleArray(b) =>
       DotProduct(a, b)
+    }
   }
 }
 

@@ -81,9 +81,11 @@ object TextAnalysis {
   /** Token counting two ways: whitespace split vs a BPE-ish regex class
     * count. Output: doc_id, n_ws, n_re. */
   /** Email/phone patterns kept to syntax both Java regex and RE2
-    * accept (character classes and bounded repetition only — no
-    * lookaround), so the scrub is reproducible in any engine. */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    * accept (character classes, bounded repetition, the (?i) flag — no
+    * lookaround), so the scrub is reproducible in any engine. Email
+    * matching is case-insensitive: "John.Doe@Example.COM" is PII just
+    * as much as its lowercase form. */
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "[0-9]{3}-[0-9]{4}"
 
   /** PII redaction — the scrub stage an LLM training corpus runs

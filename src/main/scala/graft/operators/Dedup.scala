@@ -185,18 +185,25 @@ object Dedup {
     * batch's text is ever read — the old side contributes band rows. */
   def incrementalCandidates(newDocs: DataFrame, indexPath: String,
       maxBucket: Int = 100, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", k: Int = 16, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame =
     incrementalCandidatesBands(newDocs,
-      newDocs.sparkSession.read.parquet(indexPath), maxBucket, idCol, textCol)
+      newDocs.sparkSession.read.parquet(indexPath), maxBucket, idCol, textCol,
+      k, bands, rowsPerBand)
 
   /** [[incrementalCandidates]] over an already-loaded band frame —
     * lets callers filter the index first (e.g. to earlier batches for
-    * idempotent streaming replay). */
+    * idempotent streaming replay). The k/bands/rowsPerBand parameters
+    * MUST match the ones the index was written with
+    * ([[writeBandIndex]]) — mismatched banding produces band hashes
+    * that can never collide with the index, i.e. silent zero recall. */
   def incrementalCandidatesBands(newDocs: DataFrame, indexBands: DataFrame,
       maxBucket: Int = 100, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", k: Int = 16, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
     val newBands = lshBands(minhashSignatures(
-      shingleHashes(newDocs, idCol = idCol, textCol = textCol), hashed = true))
+      shingleHashes(newDocs, idCol = idCol, textCol = textCol), k, hashed = true),
+      bands, rowsPerBand)
     val idx = indexBands
       .select(col("doc_id"), col("band"), col("bh")).withColumn("is_new", lit(false))
     val all = newBands.withColumn("is_new", lit(true)).unionByName(idx)
@@ -226,15 +233,20 @@ object Dedup {
     * [[appendBandIndex]] to accept the batch. */
   def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
       maxBucket: Int = 100, idCol: String = "doc_id",
-      textCol: String = "text", maxIter: Int = 20): DataFrame =
+      textCol: String = "text", maxIter: Int = 20, k: Int = 16,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
     dedupAgainstIndexBands(newDocs,
-      newDocs.sparkSession.read.parquet(indexPath), maxBucket, idCol, textCol, maxIter)
+      newDocs.sparkSession.read.parquet(indexPath), maxBucket, idCol, textCol,
+      maxIter, k, bands, rowsPerBand)
 
-  /** [[dedupAgainstIndex]] over an already-loaded band frame. */
+  /** [[dedupAgainstIndex]] over an already-loaded band frame. Banding
+    * parameters must match the index's ([[incrementalCandidatesBands]]). */
   def dedupAgainstIndexBands(newDocs: DataFrame, indexBands: DataFrame,
       maxBucket: Int = 100, idCol: String = "doc_id",
-      textCol: String = "text", maxIter: Int = 20): DataFrame = {
-    val cand = incrementalCandidatesBands(newDocs, indexBands, maxBucket, idCol, textCol)
+      textCol: String = "text", maxIter: Int = 20, k: Int = 16,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val cand = incrementalCandidatesBands(newDocs, indexBands, maxBucket, idCol,
+      textCol, k, bands, rowsPerBand)
     val newNew = cand.filter(col("other_is_new"))
       .select(least(col("new_id"), col("other_id")).as("d1"),
         greatest(col("new_id"), col("other_id")).as("d2"))
@@ -270,6 +282,13 @@ object Dedup {
     * driver action is a single emptiness probe for convergence; all
     * data stays distributed — labels are (id, comp) pairs, orders of
     * magnitude smaller than the corpus at 100 TB.
+    *
+    * Checkpoint location: an unset checkpoint dir falls back to
+    * java.io.tmpdir — fine for local mode; a CLUSTER deployment must
+    * `setCheckpointDir` to shared durable storage (HDFS/S3) or the
+    * lost-executor recovery property does not hold. `Sessions` enables
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` so finished
+    * iterations' files are GC-collected on long-running streams.
     *
     * Returns (id, comp) for every id appearing in `pairs`, where comp
     * is the component's minimum id. Ids in no pair are absent (their

@@ -132,22 +132,29 @@ object Multimodal {
   def parseWav(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (payload.length < 44 || tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE")
       return None
-    var off = 12
+    var off = 12L
     var rate = -1; var channels = -1; var bits = -1; var dataSize = -1L
     while (off + 8 <= payload.length) {
-      val id = tag(payload, off)
-      val size = leU32(payload, off + 4)
-      if (id == "fmt " && off + 24 <= payload.length) {
-        channels = leU16(payload, off + 10)
-        rate = leU32(payload, off + 12).toInt
-        bits = leU16(payload, off + 22)
+      val o = off.toInt
+      val id = tag(payload, o)
+      val size = leU32(payload, o + 4)
+      // A declared chunk size that cannot fit in the payload marks the
+      // payload corrupt — advancing by it would loop forever or walk
+      // off the array, so bail to None (the reject-sink contract).
+      if (size < 0 || off + 8 + size > payload.length) return None
+      if (id == "fmt " && o + 24 <= payload.length) {
+        channels = leU16(payload, o + 10)
+        rate = leU32(payload, o + 12).toInt
+        bits = leU16(payload, o + 22)
       } else if (id == "data") {
         dataSize = size
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      off += 8 + size + (size & 1) // chunks are word-aligned
     }
-    if (rate <= 0 || channels <= 0 || bits <= 0 || dataSize < 0) None
-    else Some((rate, channels, bits, dataSize / (channels * (bits / 8))))
+    // bits must be a positive multiple of 8: a corrupt fmt chunk with
+    // bits in 1..7 would otherwise divide by zero below.
+    if (rate <= 0 || channels <= 0 || bits <= 0 || bits % 8 != 0 || dataSize < 0) None
+    else Some((rate, channels, bits, dataSize / (channels.toLong * (bits / 8))))
   }
 
   /** Canonical 44-byte-header PCM WAV encoder (the [[parseWav]]
@@ -186,11 +193,18 @@ object Multimodal {
   }
 
   /** REAL BMP (24bpp uncompressed DIB) decode: dimensions + bpp from
-    * the header; None for malformed payloads. */
+    * the header; None for malformed payloads (bad magic, non-positive
+    * or absurd dimensions). */
   def parseBmp(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') None
-    else Some((leU32(payload, 18).toInt, leU32(payload, 22).toInt,
-      leU16(payload, 28)))
+    else {
+      val w = leU32(payload, 18)
+      val h = leU32(payload, 22)
+      // dimension sanity: positive, and the pixel area must be
+      // addressable (rejects corrupt headers before any allocation)
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) None
+      else Some((w.toInt, h.toInt, leU16(payload, 28)))
+    }
   }
 
   /** Minimal 24bpp BMP encoder from a row-major RGB pixel array
@@ -219,24 +233,33 @@ object Multimodal {
     b
   }
 
-  /** Decode a 24bpp BMP payload back to a top-down row-major RGB array. */
+  /** Decode a 24bpp BMP payload back to a top-down row-major RGB array.
+    * The pixel-data offset is read from the header (bfOffBits), and a
+    * payload whose declared dimensions don't fit its actual length
+    * returns None instead of reading out of bounds. */
   def decodeBmpPixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    parseBmp(payload).filter(_._3 == 24).map { case (w, h, _) =>
-      val rowSize = (w * 3 + 3) / 4 * 4
-      val rgb = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val src = 54 + (h - 1 - y) * rowSize + x * 3
-          val dst = (y * w + x) * 3
-          rgb(dst) = payload(src + 2); rgb(dst + 1) = payload(src + 1)
-          rgb(dst + 2) = payload(src)
-          x += 1
+    parseBmp(payload).filter(_._3 == 24).flatMap { case (w, h, _) =>
+      val offBits = leU32(payload, 10)
+      val rowSize = (w.toLong * 3 + 3) / 4 * 4
+      if (offBits < 54 || offBits + rowSize * h > payload.length ||
+          w.toLong * h * 3 > Int.MaxValue) None
+      else {
+        val base = offBits.toInt
+        val rgb = new Array[Byte]((w * h * 3).toInt)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val src = base + ((h - 1 - y) * rowSize).toInt + x * 3
+            val dst = (y * w + x) * 3
+            rgb(dst) = payload(src + 2); rgb(dst + 1) = payload(src + 1)
+            rgb(dst + 2) = payload(src)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        Some((w, h, rgb))
       }
-      (w, h, rgb)
     }
 
   /** REAL image resize: decode the BMP payload, nearest-neighbor

@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   * groupBy. */
 object Skew {
 
-  /** Deterministic per-row salt: a hash of EVERY input column. Unlike
-    * `monotonically_increasing_id()` (partition-index-dependent, so a
-    * stage retry after a fetch failure — routine at 100 TB — re-salts
-    * recomputed rows differently and can double-count or drop rows in
-    * the downstream shuffle), this reproduces identical salt assignments
-    * on every recompute. Rows that are full duplicates share a salt and
-    * land on one reducer; with any per-row variety (ids, timestamps)
-    * the fan-out is uniform. */
-  private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts))
+  /** Deterministic per-row salt: a hash of every hashable input column.
+    * Unlike `monotonically_increasing_id()` (partition-index-dependent,
+    * so a stage retry after a fetch failure — routine at 100 TB —
+    * re-salts recomputed rows differently and can double-count or drop
+    * rows in the downstream shuffle), this reproduces identical salt
+    * assignments on every recompute.
+    *
+    * LIMIT: determinism requires per-row variety. Rows identical in
+    * every hashed column share a salt and land on one reducer — so a
+    * frame projected down to just the hot key gains nothing; feed the
+    * frame WITH its id/timestamp columns. MapType columns (unhashable
+    * in Spark) are excluded from the salt. */
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    val hashable = df.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        col(f.name)
+    }.toIndexedSeq
+    require(hashable.nonEmpty, "saltedXxx: no hashable columns to derive a deterministic salt")
+    pmod(hash(hashable: _*), lit(salts))
+  }
 
   /** Two-phase salted sum of `valueCol` per `key`. */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int = 16,

@@ -96,15 +96,24 @@ object Lake {
     * append sink needs at scale: micro-batches leave many tiny files,
     * and at 100 TB scan cost is driven by file count as much as bytes.
     * Rewrites `dir` into ceil(bytes / targetFileBytes) files (optionally
-    * preserving a partition-column layout), swapped in park-then-promote
-    * style so a crash leaves either the old or the new layout, never
-    * neither. Row content is byte-for-byte preserved (LakeSpec). */
+    * preserving a partition-column layout), swapped park-then-promote:
+    * the old layout is parked aside (never deleted first), and a crash
+    * between park and promote is healed by the next compact() call,
+    * which restores the parked layout before proceeding. During that
+    * brief window readers see a missing dir — run compaction in a
+    * maintenance window or behind a table-format commit at scale. Row
+    * content is byte-for-byte preserved (LakeSpec). */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20,
       partitionCols: Seq[String] = Nil): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_bak")
+    // Heal a previous crash caught between park and promote: the old
+    // layout is parked in _compact_bak and the live dir is missing.
+    if (!fs.exists(p) && fs.exists(bak))
+      require(fs.rename(bak, p), s"compact: failed to restore $bak")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(dir)
@@ -113,10 +122,9 @@ object Lake {
     val writer = df.repartition(nFiles).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_bak")
     fs.delete(bak, true)
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
+    require(fs.rename(p, bak), s"compact: failed to park $p")
+    require(fs.rename(tmp, p), s"compact: failed to promote $tmp")
     fs.delete(bak, true)
   }
 

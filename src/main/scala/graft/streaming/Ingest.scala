@@ -395,10 +395,12 @@ object Ingest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // Per-batch OVERWRITE partition (not a plain append): checkpoint
+        // replay after a crash re-lands the identical row instead of
+        // doubling it.
         graft.operators.Quality.report(customers, accounts, batch, now)
-          .withColumn("batch_id", lit(id))
           .coalesce(1)
-          .write.mode("append").parquet(goldDir)
+          .write.mode("overwrite").parquet(s"$goldDir/batch_id=$id")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

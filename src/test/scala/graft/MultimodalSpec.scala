@@ -66,6 +66,29 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.head == Multimodal.WavMeta(1L, 16000, 2, 16, 8000L, 500L))
   }
 
+  test("corrupt payloads: hostile chunk sizes, truncated pixels, bad bit depths all -> None") {
+    // WAV with a chunk size of 0xFFFFFFF8: size.toInt would be -8 and an
+    // Int-based walk loops forever / walks off the array
+    val wav = Multimodal.encodeWav(16000, 1, 16, 100)
+    val hostile = wav.clone()
+    hostile(40) = 0xf8.toByte; hostile(41) = 0xff.toByte
+    hostile(42) = 0xff.toByte; hostile(43) = 0xff.toByte
+    assert(Multimodal.parseWav(hostile).isEmpty)
+    // fmt chunk declaring 4 bits/sample: bits/8 == 0 must not divide by zero
+    val odd = wav.clone(); odd(34) = 4; odd(35) = 0
+    assert(Multimodal.parseWav(odd).isEmpty)
+    // BMP header only (54 bytes, no pixel data): decode must refuse,
+    // not read out of bounds
+    val bmp = Multimodal.encodeBmp(4, 2, Array.fill(4 * 2 * 3)(1.toByte))
+    assert(Multimodal.decodeBmpPixels(bmp.take(54)).isEmpty)
+    // absurd width field
+    val wide = bmp.clone()
+    wide(18) = 0xff.toByte; wide(19) = 0xff.toByte
+    wide(20) = 0xff.toByte; wide(21) = 0x7f.toByte
+    assert(Multimodal.parseBmp(wide).isEmpty)
+    assert(Multimodal.decodeBmpPixels(wide).isEmpty)
+  }
+
   test("BMP codec: pixel round-trip and a REAL nearest-neighbor resize") {
     // 4x2 image with distinct per-pixel colors
     val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 7 + 3).toByte)

@@ -60,6 +60,10 @@ class TextAnalysisSpec extends SparkSpec {
     val s = r.getAs[String]("scrubbed")
     assert(!s.contains("@") && !s.contains("555-1234"))
     assert(s.contains("<EMAIL>") && s.contains("<PHONE>"))
+    // mixed-case addresses are PII too
+    val up = TextAnalysis.scrubPii(docs((2L, "write John.Doe@Example.COM today"))).collect().head
+    assert(up.getAs[Long]("n_emails") == 1L)
+    assert(!up.getAs[String]("scrubbed").contains("@"))
   }
 
   test("repetition separates looping text from varied text") {
