@@ -34,10 +34,19 @@ class SmokeSpec extends SparkSpec {
 
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // r39: HLL sketch internals differ across engines; r45: seeded RNG
-    // sampling is engine-specific — both are rows-only checks.
-    assert(noOracle == Set("r39_approx_distinct", "r45_sample_seeded"),
-      s"missing oracles: $noOracle")
+    // r39/r47: sketch internals (HLL, approx-percentile) differ across
+    // engines; r45: seeded RNG sampling is engine-specific — all three
+    // are rows-only checks.
+    assert(noOracle == Set("r39_approx_distinct", "r45_sample_seeded",
+      "r47_approx_percentiles"), s"missing oracles: $noOracle")
+  }
+
+  test("approx percentile tracks the exact percentile (r47's accuracy bound)") {
+    val rows = SparkEntry.queries("r47_approx_percentiles")(spark, sf).collect()
+    rows.foreach { r =>
+      val (ap, ex) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(ap - ex) <= math.max(1.0, ex * 0.05), s"$ap vs $ex")
+    }
   }
 
   test("no query function leaks persisted RDDs (scoped caching)") {
