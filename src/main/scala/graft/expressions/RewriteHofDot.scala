@@ -34,8 +34,13 @@ object RewriteHofDot extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.rewriteHofDot.enabled"
 
+  // containsNull must be statically false: a null element makes the HOF
+  // form return NULL while DotProduct reads the slot as 0 — restricting
+  // to provably-dense arrays closes that divergence at zero cost. The
+  // ragged-length case remains (lengths aren't statically known) and is
+  // covered by the kill switch + scaladoc.
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -66,11 +71,16 @@ object RewriteHofDot extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions`-loadable entry point: registers the
-  * [[RewriteHofDot]] optimizer rule and graft's native functions on
+  * [[RewriteHofDot]] optimizer rule AND the `graft_dot` function on
   * every session built with these extensions
   * (`--conf spark.sql.extensions=graft.expressions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDot)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.DotName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, GraftFunctions.DotName),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * The HOF composition (`dotHof`) is kept as the registration-free
   * fallback — it computes the identical left-fold sum but evaluates
   * interpreted (higher-order functions are CodegenFallback), measured
-  * ~50x slower on all-pairs workloads.
+  * ~50x slower on all-pairs workloads. NOTE: in sessions where
+  * `GraftFunctions.register` ran, the [[graft.expressions.RewriteHofDot]]
+  * rule rewrites this exact pattern into the native expression — to
+  * measure or compare the truly interpreted form, disable it first
+  * (`SET spark.graft.rewriteHofDot.enabled=false`, or clear
+  * `spark.experimental.extraOptimizations` as AnnSpec does).
   */
 object Vectors {
 

@@ -27,10 +27,19 @@ object Skew {
     * frame projected down to just the hot key gains nothing; feed the
     * frame WITH its id/timestamp columns. MapType columns (unhashable
     * in Spark) are excluded from the salt. */
+  // hash() rejects MapType RECURSIVELY (a struct or array containing a
+  // map fails the same way), so exclusion must check nested types too.
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
   private def rowSalt(df: DataFrame, salts: Int): Column = {
     val hashable = df.schema.fields.collect {
-      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        col(f.name)
+      case f if !containsMap(f.dataType) => col(f.name)
     }.toIndexedSeq
     require(hashable.nonEmpty, "saltedXxx: no hashable columns to derive a deterministic salt")
     pmod(hash(hashable: _*), lit(salts))

@@ -80,6 +80,12 @@ object Lake {
       ca: org.apache.spark.sql.Column, cb: org.apache.spark.sql.Column): Unit = {
     val s = df.agg(min(ca).cast("double"), max(ca).cast("double"),
       min(cb).cast("double"), max(cb).cast("double")).head()
+    // Empty input (or all-null clustering values): no layout to derive —
+    // write the frame as-is rather than NPE on the null min/max.
+    if ((0 until 4).exists(s.isNullAt)) {
+      df.repartition(math.max(1, nFiles)).write.mode("overwrite").parquet(path)
+      return
+    }
     val (aLo, aHi, bLo, bHi) = (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3))
     def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
       if (hi == lo) lit(0L)

@@ -124,12 +124,15 @@ object Ingest {
   def cdcUpsertStream(spark: SparkSession, rowSchema: StructType, keyCol: String,
       srcDir: String, outDir: String, checkpoint: String): Unit = {
     // Same pre-start recovery as the partitioned variant: a crash that
-    // parked the whole snapshot must not wait for new data to heal.
+    // parked the whole snapshot must not wait for new data to heal. A
+    // FAILED restore must abort — proceeding would let the in-batch
+    // cleanup delete the parked copy, the only copy of the snapshot.
     val preFs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val preBak = new org.apache.hadoop.fs.Path(outDir + "_bak")
     if (preFs.exists(preBak) && !preFs.exists(new org.apache.hadoop.fs.Path(outDir)))
-      preFs.rename(preBak, new org.apache.hadoop.fs.Path(outDir))
+      require(preFs.rename(preBak, new org.apache.hadoop.fs.Path(outDir)),
+        s"cdcUpsertStream: failed to restore parked snapshot $preBak")
     val raw = spark.readStream.text(srcDir)
     val decoded = decodeCdc(raw, rowSchema)
     val q = decoded.writeStream
@@ -140,11 +143,16 @@ object Ingest {
         val fs0 = org.apache.hadoop.fs.FileSystem.get(
           spark2.sparkContext.hadoopConfiguration)
         // A crash between park and promote in a previous batch leaves
-        // the snapshot parked aside; restore before reading.
+        // the snapshot parked aside; restore before reading. The backup
+        // is deleted ONLY once a live snapshot exists — a failed restore
+        // must abort the batch, never delete the only copy.
         val bak0 = new org.apache.hadoop.fs.Path(outDir + "_bak")
-        if (fs0.exists(bak0) && !fs0.exists(new org.apache.hadoop.fs.Path(outDir)))
-          fs0.rename(bak0, new org.apache.hadoop.fs.Path(outDir))
-        fs0.delete(bak0, true)
+        if (fs0.exists(bak0)) {
+          if (!fs0.exists(new org.apache.hadoop.fs.Path(outDir)))
+            require(fs0.rename(bak0, new org.apache.hadoop.fs.Path(outDir)),
+              s"cdcUpsertStream: failed to restore parked snapshot $bak0")
+          else fs0.delete(bak0, true)
+        }
         // Existence is checked explicitly: a missing/empty snapshot
         // means first batch (merge from empty), but a transient read
         // ERROR must fail the batch so the checkpoint retries —
@@ -169,8 +177,10 @@ object Ingest {
         // the old snapshot either live or parked, and the next batch
         // restores it — no window where the snapshot is simply gone.
         val dst = new org.apache.hadoop.fs.Path(outDir)
-        if (fs0.exists(dst)) fs0.rename(dst, bak0)
-        fs0.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        if (fs0.exists(dst))
+          require(fs0.rename(dst, bak0), s"cdcUpsertStream: failed to park $dst")
+        require(fs0.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+          s"cdcUpsertStream: failed to promote $tmp")
         fs0.delete(bak0, true)
         ()
       }
@@ -301,7 +311,8 @@ object Ingest {
         val live = new org.apache.hadoop.fs.Path(outDir, st.getPath.getName)
         if (!fs.exists(live)) {
           fs.mkdirs(live.getParent)
-          fs.rename(st.getPath, live)
+          require(fs.rename(st.getPath, live),
+            s"restoreParkedBuckets: failed to restore ${st.getPath}")
         }
       }
       fs.delete(bak, true)
@@ -339,12 +350,23 @@ object Ingest {
           batch.sparkSession.sparkContext.hadoopConfiguration)
         // "Index exists" must ignore this batch's own partial output
         // from a crashed attempt — only EARLIER batches' partitions
-        // count, so a replay reproduces the original decision.
-        val earlier = fs.exists(new org.apache.hadoop.fs.Path(indexPath)) &&
-          fs.listStatus(new org.apache.hadoop.fs.Path(indexPath)).exists { st =>
-            val n = st.getPath.getName
-            n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < id
-          }
+        // count, so a replay reproduces the original decision. An index
+        // NOT in the batch_id= layout (e.g. one built by writeBandIndex
+        // for batch use) is rejected loudly: silently ignoring it would
+        // accept duplicates, and writing beside it corrupts the layout.
+        val ip = new org.apache.hadoop.fs.Path(indexPath)
+        val entries =
+          if (fs.exists(ip))
+            fs.listStatus(ip).map(_.getPath.getName)
+              .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+          else Seq.empty
+        val foreign = entries.filterNot(_.startsWith("batch_id="))
+        require(foreign.isEmpty,
+          s"dedupIngestStream: $indexPath is not a batch_id=-partitioned stream " +
+            s"index (found ${foreign.take(3).mkString(", ")}); use a fresh index " +
+            "path or rebuild the index in the streaming layout")
+        val earlier = entries.exists(n =>
+          n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < id)
         val idx =
           if (earlier) Some(batch.sparkSession.read.parquet(indexPath)
             .filter(col("batch_id") < id))

@@ -28,8 +28,13 @@ class AnnSpec extends SparkSpec {
   }
 
   test("optimizer rule rewrites user-written HOF dot to the codegen'd DotProduct") {
+    // provably-dense arrays (containsNull=false): the rule's static
+    // guard — a nullable element type keeps the HOF untouched, since
+    // its null propagation differs from DotProduct's
     val d = emb((0L, Seq(0.1f, 0.2f, 0.3f)), (1L, Seq(0.4f, 0.5f, 0.6f)))
-      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("embedding").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)).as("e"))
     val hof = d.crossJoin(d.select(col("e").as("f")))
       .select(col("vec_id"),
         expr("aggregate(zip_with(e, f, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("dot"))
