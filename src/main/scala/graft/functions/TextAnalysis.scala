@@ -128,6 +128,28 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_tok"), 4).as("distinct_ratio"))
   }
 
+  /** Document chunking — the stage that turns raw documents into
+    * training-window-sized pieces: token windows of `chunkTokens` with
+    * `overlap` tokens shared between consecutive chunks (stride =
+    * chunkTokens - overlap). A pure narrow map (sequence + slice +
+    * posexplode): no shuffle, chunk count ∝ doc length, the final
+    * (possibly short) chunk always covers the tail.
+    * Output: doc_id, chunk_idx, chunk_text, n_tokens. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 32, overlap: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
+    val stride = chunkTokens - overlap
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .withColumn("nc",
+        ceil(greatest(lit(1.0), (size(col("t")) - overlap).cast("double")) / stride)
+          .cast("int"))
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, nc - 1), " +
+          s"i -> concat_ws(' ', slice(t, i * $stride + 1, $chunkTokens)))) " +
+          "as (chunk_idx, chunk_text)")
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   def tokenCounts(docs: DataFrame, pattern: String = "[a-z]+|[0-9]+"): DataFrame =
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_ws"),

@@ -66,6 +66,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!up.getAs[String]("scrubbed").contains("@"))
   }
 
+  test("chunk: overlapping windows cover every token; short docs yield one chunk") {
+    // 10 tokens, chunk 4, overlap 2, stride 2 -> ceil(8/2) = 4 chunks
+    val words = (1 to 10).map(i => s"w$i")
+    val rows = TextAnalysis.chunk(docs((1L, words.mkString(" ")), (2L, "a b")),
+        chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = rows.filter(_.getLong(0) == 1L).map(_.getString(2))
+    assert(c1.toSeq == Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    // consecutive chunks share exactly `overlap` tokens
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.split(" ").takeRight(2).toSeq == b.split(" ").take(2).toSeq)
+    }
+    // short doc: one chunk, the doc itself
+    val c2 = rows.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2.head.getString(2) == "a b" && c2.head.getLong(3) == 2L)
+  }
+
   test("repetition separates looping text from varied text") {
     val m = TextAnalysis.repetition(docs(
       (1L, "spam ham spam ham spam ham"),
