@@ -12,22 +12,30 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Deterministic (sorted) order + one discarded warmup so the
     // first-measured query does not absorb JVM/codegen warmup, and a
-    // cache clear per query so persisted intermediates (q11, p02) never
-    // leak into later measurements.
+    // cache clear per query AND per run so persisted intermediates
+    // (q11, p02) never leak into later measurements. Each query is
+    // measured as the MIN of two cold runs (labeled in the JSON):
+    // single-run timings on these small fixtures carry up to ±50%
+    // GC/JIT noise, and the min of independent cold runs estimates the
+    // true cost without any cache warming (clearCache between runs).
+    val runs = 2
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+      val dts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> dts.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
