@@ -187,6 +187,51 @@ object Ann {
       probes, k)
   }
 
+  /** One Lloyd (k-means) UPDATE step — the centroid-training primitive
+    * behind a real IVF index (the gate queries seed centroids from
+    * fixed vectors; production trains them). Assigns every vector to
+    * its nearest centroid, then emits the per-cluster per-dimension
+    * mean: two shuffles (assignment is a broadcast narrow map, the
+    * mean one groupBy). The per-dimension sum uses an ORDERED fold
+    * over the collected values so the double is bit-identical in any
+    * engine — the oracle-exactness concession; at corpus scale the
+    * plain associative `sum` replaces it (same values up to last-ulp).
+    * Output: c_id, dim, n, mean. */
+  def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignClusters(emb, centroids)
+      .join(emb, "vec_id")
+      .select(col("c_id"), posexplode(asDouble(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+      .groupBy("c_id", "dim")
+      .agg(count(lit(1)).as("n"),
+        expr("aggregate(sort_array(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("ssum"))
+      .select(col("c_id"), col("dim").cast("int").as("dim"), col("n"),
+        round(col("ssum") / col("n"), 6).as("mean"))
+
+  /** Iterated Lloyd training: seed = the first k vectors, then `iters`
+    * rounds of assign + per-dimension mean. All DataFrame ops — the
+    * per-iteration state is k centroid rows, never data-sized. The
+    * plain `avg` keeps this the scale path (associative, shuffle-
+    * friendly); [[kmeansStep]] is its oracle-checkable single step. */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cemb"))
+    for (_ <- 1 to iters) {
+      val assign = assignClusters(emb,
+        cents.select(col("c_id").as("vec_id"), col("cemb").as("embedding")))
+      cents = assign.join(emb, "vec_id")
+        .select(col("c_id"), posexplode(asDouble(col("embedding"))))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+        .groupBy("c_id", "dim")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+          .as("cemb"))
+    }
+    cents
+  }
+
   /** Quantized candidate scan + exact re-rank: rank candidates by
     * cosine over int8 absmax codes (the p17 quantization — 4× smaller
     * than floats, so the corpus-wide scan reads a quarter of the

@@ -111,6 +111,22 @@ class AnnSpec extends SparkSpec {
     assert(rowsIdx.map(_.toSeq).toSet == inline.collect().map(_.toSeq).toSet)
   }
 
+  test("trainCentroids separates two obvious clusters") {
+    // two tight groups near orthogonal axes; seeds = first 2 vectors
+    // (one from each group), 3 Lloyd rounds must keep/refine the split
+    val d = emb(
+      (0L, Seq(1f, 0f, 0.05f)), (1L, Seq(0f, 1f, 0.05f)),
+      (2L, Seq(0.95f, 0.05f, 0f)), (3L, Seq(0.9f, 0.1f, 0.02f)),
+      (4L, Seq(0.05f, 0.95f, 0f)), (5L, Seq(0.1f, 0.9f, 0.03f)))
+    val cents = Ann.trainCentroids(d, k = 2, iters = 3)
+      .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+    val assign = Ann.assignClusters(d, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(0L) == assign(2L) && assign(0L) == assign(3L))
+    assert(assign(1L) == assign(4L) && assign(1L) == assign(5L))
+    assert(assign(0L) != assign(1L))
+  }
+
   test("quantizedTopK with a full shortlist equals exact bruteTopK") {
     val d = emb(
       (0L, Seq(1f, 0.1f, 0f)), (1L, Seq(0.9f, 0.2f, 0.1f)),
