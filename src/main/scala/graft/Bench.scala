@@ -22,10 +22,15 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // A throwing query is NOT silently folded in as a fast timing: its
+    // name lands in the "errors" list so a regression is visible in the
+    // JSON instead of improving the total.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = ordered.map { case (name, fn) =>
       val dts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
@@ -34,8 +39,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,15 +34,26 @@ object RewriteHofDot extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.rewriteHofDot.enabled"
 
-  // containsNull must be statically false: a null element makes the HOF
-  // form return NULL while DotProduct reads the slot as 0 — restricting
-  // to provably-dense arrays closes that divergence at zero cost. The
-  // ragged-length case remains (lengths aren't statically known) and is
-  // covered by the kill switch + scaladoc.
-  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, containsNull) => !containsNull
-    case _ => false
-  }
+  /** Parquet-loaded arrays usually carry containsNull=true even for
+    * dense data, which keeps the static guard conservative (the rule
+    * then does not fire). Sessions that KNOW their array<double> data
+    * is dense can relax the guard to nullable element types with
+    * `SET spark.graft.rewriteHofDot.assumeDense=true` — the documented
+    * ragged/null caveats then apply. */
+  val AssumeDenseKey = "spark.graft.rewriteHofDot.assumeDense"
+
+  // Default guard: containsNull must be statically false — a null
+  // element makes the HOF form return NULL while DotProduct reads the
+  // slot as 0. The cost of the safety is reduced applicability
+  // (parquet schemas usually say nullable even for dense data);
+  // AssumeDenseKey opts trusted-dense sessions back in. The
+  // ragged-length case is never statically checkable and is covered by
+  // the kill switch + scaladoc.
+  private def isDoubleArray(e: Expression, assumeDense: Boolean): Boolean =
+    e.dataType match {
+      case ArrayType(DoubleType, containsNull) => assumeDense || !containsNull
+      case _ => false
+    }
 
   private def isIdentity(finish: Expression): Boolean = finish match {
     case LambdaFunction(v: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
@@ -52,6 +63,7 @@ object RewriteHofDot extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val assumeDense = conf.getConfString(AssumeDenseKey, "false").toBoolean
     plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b,
@@ -64,7 +76,7 @@ object RewriteHofDot extends Rule[LogicalPlan] {
       if isIdentity(finish) &&
         Set(x.exprId, y.exprId) == Set(xv.exprId, yv.exprId) &&
         Set(m1.exprId, m2.exprId) == Set(av.exprId, vv.exprId) &&
-        isDoubleArray(a) && isDoubleArray(b) =>
+        isDoubleArray(a, assumeDense) && isDoubleArray(b, assumeDense) =>
       DotProduct(a, b)
     }
   }

@@ -215,12 +215,14 @@ object Ann {
     * plain `avg` keeps this the scale path (associative, shuffle-
     * friendly); [[kmeansStep]] is its oracle-checkable single step. */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    var cents = emb.filter(col("vec_id") < k)
+    // seed = the k smallest vec_ids actually PRESENT (a `vec_id < k`
+    // filter silently under-seeds sparse or offset id spaces)
+    var cents = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cemb"))
     for (_ <- 1 to iters) {
       val assign = assignClusters(emb,
         cents.select(col("c_id").as("vec_id"), col("cemb").as("embedding")))
-      cents = assign.join(emb, "vec_id")
+      val means = assign.join(emb, "vec_id")
         .select(col("c_id"), posexplode(asDouble(col("embedding"))))
         .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
         .groupBy("c_id", "dim")
@@ -228,6 +230,10 @@ object Ann {
         .groupBy("c_id")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
           .as("cemb"))
+      // a centroid that attracted no vectors this round keeps its old
+      // position instead of silently vanishing (k must stay k)
+      cents = means.unionByName(
+        cents.join(means.select("c_id"), Seq("c_id"), "left_anti"))
     }
     cents
   }

@@ -142,7 +142,10 @@ object Multimodal {
       // payload corrupt — advancing by it would loop forever or walk
       // off the array, so bail to None (the reject-sink contract).
       if (size < 0 || off + 8 + size > payload.length) return None
-      if (id == "fmt " && o + 24 <= payload.length) {
+      // the fmt chunk's own declared size must cover the fields we
+      // read — a size < 16 would make us read the NEXT chunk's bytes
+      // as channels/rate/bits and accept fabricated metadata
+      if (id == "fmt " && size >= 16 && o + 24 <= payload.length) {
         channels = leU16(payload, o + 10)
         rate = leU32(payload, o + 12).toInt
         bits = leU16(payload, o + 22)

@@ -269,8 +269,19 @@ object Ingest {
             val src = new org.apache.hadoop.fs.Path(s"$tmp/kb=$b")
             val dst = new org.apache.hadoop.fs.Path(s"$outDir/kb=$b")
             fs.mkdirs(dst.getParent)
-            if (fs.exists(dst)) fs.rename(dst, new org.apache.hadoop.fs.Path(bak, s"kb=$b"))
-            if (fs.exists(src)) fs.rename(src, dst)
+            // Every rename result is CHECKED: an unchecked false (how
+            // HDFS reports most failures) would either let the later
+            // backup delete destroy the only copy of the bucket, or —
+            // if the park failed and dst still exists — nest the new
+            // directory INSIDE the old one. A throw here aborts the
+            // batch before any delete; restoreParkedBuckets heals on
+            // the next start.
+            if (fs.exists(dst))
+              require(fs.rename(dst, new org.apache.hadoop.fs.Path(bak, s"kb=$b")),
+                s"cdcUpsertStreamPartitioned: failed to park $dst")
+            if (fs.exists(src))
+              require(fs.rename(src, dst),
+                s"cdcUpsertStreamPartitioned: failed to promote $src")
           }
           fs.delete(bak, true)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)

@@ -46,6 +46,23 @@ class AnnSpec extends SparkSpec {
       .select(col("vec_id"), Vectors.dot(col("e"), col("f")).as("dot"))
       .orderBy("vec_id", "dot").collect()
     assert(rows.map(_.getDouble(1)).toSeq == native.map(_.getDouble(1)).toSeq)
+    // nullable element types stay untouched by default (null semantics
+    // differ) but opt in via assumeDense for trusted-dense data.
+    // Parquet-backed (arrays read nullable, and a LocalRelation would
+    // be constant-folded before the plan could be inspected).
+    val dn = graft.sources.Tables.load(spark, sf, "embeddings").limit(2)
+      .select(Vectors.asDouble(col("embedding")).as("e"))
+    val hofN = dn.select(expr(
+      "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("dot"))
+    hofN.collect()
+    assert(!hofN.queryExecution.executedPlan.toString.contains("dotproduct"))
+    spark.conf.set(graft.expressions.RewriteHofDot.AssumeDenseKey, "true")
+    try {
+      val hofD = dn.select(expr(
+        "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("dot"))
+      hofD.collect()
+      assert(hofD.queryExecution.executedPlan.toString.contains("dotproduct"))
+    } finally spark.conf.unset(graft.expressions.RewriteHofDot.AssumeDenseKey)
   }
 
   test("bruteTopK ranks an identical vector first") {

@@ -77,6 +77,11 @@ class MultimodalSpec extends SparkSpec {
     // fmt chunk declaring 4 bits/sample: bits/8 == 0 must not divide by zero
     val odd = wav.clone(); odd(34) = 4; odd(35) = 0
     assert(Multimodal.parseWav(odd).isEmpty)
+    // fmt chunk declaring size 0: fields would be read from the NEXT
+    // chunk's bytes — must reject, not fabricate metadata
+    val zeroFmt = wav.clone()
+    zeroFmt(16) = 0; zeroFmt(17) = 0; zeroFmt(18) = 0; zeroFmt(19) = 0
+    assert(Multimodal.parseWav(zeroFmt).isEmpty)
     // BMP header only (54 bytes, no pixel data): decode must refuse,
     // not read out of bounds
     val bmp = Multimodal.encodeBmp(4, 2, Array.fill(4 * 2 * 3)(1.toByte))
