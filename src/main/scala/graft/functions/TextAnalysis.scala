@@ -108,6 +108,10 @@ object TextAnalysis {
     * bigram, and the distinct/total token ratio. High top-bigram
     * fraction or low distinct ratio flags boilerplate/looping text.
     * Work is one explode + two key-partitioned aggregations.
+    * Documents with fewer than 2 tokens have no bigrams: they are KEPT
+    * (left join from the token side) with n_bigrams = top_n = 0 and a
+    * NULL top_frac, so short docs stay visible to the quality report
+    * instead of silently vanishing.
     * Output: doc_id, n_bigrams, top_n, top_frac, distinct_ratio. */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -122,8 +126,10 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tok"),
         countDistinct("tok").cast("long").as("n_distinct"))
-    bgAgg.join(tokAgg, "doc_id")
-      .select(col("doc_id"), col("n_bigrams"), col("top_n"),
+    tokAgg.join(bgAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_n"), lit(0L)).as("top_n"),
         round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_frac"),
         round(col("n_distinct").cast("double") / col("n_tok"), 4).as("distinct_ratio"))
   }
@@ -154,4 +160,58 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_ws"),
       regexp_count(col("text"), lit(pattern)).cast("long").as("n_re"))
+
+  /** Sequence packing — the stage after [[chunk]] that lays chunks into
+    * fixed-size training windows (GPT-style "concatenate then split"):
+    * chunks are concatenated in deterministic (doc_id, chunk_idx) order
+    * into a token stream per SHARD, and every `ctxTokens` tokens of a
+    * shard's stream is one training sequence. A chunk may straddle a
+    * boundary (first_bin < last_bin) — that is the packing contract, not
+    * an error; no padding is wasted except in each shard's final bin.
+    *
+    * Scale design (100 TB): a single global stream would serialize into
+    * one partition, so the stream is sharded by an md5 bucket of doc_id
+    * (shards = training data shards; each is an independent window
+    * partition). The only shuffle is the per-shard window sort, and
+    * shard cardinality is the parallelism knob.
+    * Output: doc_id, chunk_idx, shard, tok_start, first_bin, last_bin. */
+  def packSequences(chunks: DataFrame, ctxTokens: Int = 64,
+      shards: Int = 16): DataFrame = {
+    require(ctxTokens > 0 && shards > 0, "ctxTokens and shards must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % shards)
+      .withColumn("tok_end", sum("n_tokens").over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .select(col("doc_id"), col("chunk_idx"), col("shard"), col("tok_start"),
+        expr(s"tok_start DIV $ctxTokens").as("first_bin"),
+        expr(s"(tok_end - 1) DIV $ctxTokens").as("last_bin"))
+  }
+
+  /** Top-k distinguishing terms per document by tf-idf. The idf here is
+    * the LINEAR inverse document frequency (score = tf / df): integer
+    * division is IEEE-exact and bit-identical across engines, where
+    * `ln(N/df)` may differ in the last ulp between libm
+    * implementations and break cross-engine verification. The log
+    * variant orders terms identically for fixed tf (idf is monotone in
+    * 1/df either way).
+    * Work: one explode + two partial-aggregable groupBys + one join on
+    * the token key; the doc-frequency side is tokens-distinct-per-doc,
+    * never the corpus. Output: doc_id, token, tf, df, score, rk. */
+  def tfidf(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(df, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df"), 4).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))))
+      .filter(col("rk") <= k)
+  }
 }

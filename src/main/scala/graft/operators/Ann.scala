@@ -248,11 +248,17 @@ object Ann {
     * shortlist × queries rows. */
   def quantizedTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
       shortlist: Int = 40): DataFrame = {
+    // An all-zero embedding has scale0 = 0: dividing by it would make
+    // every code NaN, and NaN sorts ABOVE every double under desc, so
+    // one degenerate vector would top every query's shortlist. Emit
+    // all-zero codes instead, and rank zero-norm sims as NULL (desc
+    // puts nulls last), so degenerate vectors sink instead of float.
     def quant(df: DataFrame, p: String): DataFrame =
       df.select(col("vec_id").as(s"${p}id"), asDouble(col("embedding")).as("e"))
         .withColumn("scale0", expr("array_max(transform(e, x -> abs(x)))"))
         .withColumn(s"${p}codes",
-          expr("transform(e, x -> cast(cast(round(x / scale0 * 127) as int) as double))"))
+          expr("transform(e, x -> cast(cast(round(case when scale0 = 0d then 0d " +
+            "else x / scale0 * 127 end) as int) as double))"))
         .withColumn(s"${p}cn", sqrt(dot(col(s"${p}codes"), col(s"${p}codes"))))
         .select(col(s"${p}id"), col("e").as(s"${p}e"),
           col(s"${p}codes"), col(s"${p}cn"))
@@ -261,14 +267,18 @@ object Ann {
     val short = e.crossJoin(broadcast(q))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), col("ve"), col("qe"),
-        round(dot(col("vcodes"), col("qcodes")) / (col("vcn") * col("qcn")), 6).as("qsim"))
+        when(col("vcn") * col("qcn") > 0,
+          round(dot(col("vcodes"), col("qcodes")) / (col("vcn") * col("qcn")), 6))
+          .as("qsim"))
       .withColumn("qrn", row_number().over(
         Window.partitionBy("qid").orderBy(col("qsim").desc, col("vid"))))
       .filter(col("qrn") <= shortlist)
     short
+      .withColumn("vn", sqrt(dot(col("ve"), col("ve"))))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
       .select(col("qid").as("q_id"), col("vid").as("vec_id"),
-        round(dot(col("ve"), col("qe")) /
-          (sqrt(dot(col("ve"), col("ve"))) * sqrt(dot(col("qe"), col("qe")))), 3).as("sim"))
+        when(col("vn") * col("qn") > 0,
+          round(dot(col("ve"), col("qe")) / (col("vn") * col("qn")), 3)).as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= k)
@@ -346,5 +356,38 @@ object Ann {
         round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 3).as("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(topN)
+  }
+
+  /** Semantic dedup (SemDeDup-style): assign every embedding to its
+    * nearest centroid, then WITHIN each cluster drop any vector whose
+    * cosine to a lower-id cluster-mate meets `simT` — one survivor per
+    * semantic near-dup group, found without any corpus-wide pair join.
+    * The keep-lowest-id rule makes the output deterministic (the paper
+    * drops a random member; a fixed rule is the verifiable form).
+    *
+    * Scale design (100 TB): the pair join is per-cluster, so cost is
+    * sum(|cluster|²) — k is the knob that keeps clusters small
+    * (|cluster| ~ n/k), exactly how SemDeDup runs at corpus scale, and
+    * `maxCluster` skips degenerate hot clusters outright (same
+    * bounded-recall tradeoff as the LSH/simhash candidate caps; skipped
+    * vectors are kept, never silently dropped).
+    * Output: vec_id, c_id, kept. */
+  def semDedup(emb: DataFrame, centroids: DataFrame, simT: Double = 0.7,
+      maxCluster: Int = 1000): DataFrame = {
+    val assign = assignClusters(emb, centroids)
+    val e = withNorm(emb).join(assign, "vec_id")
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("c_id")))
+    val capped = e.filter(col("csz") <= maxCluster)
+    val lo = capped.select(col("c_id"), col("vec_id").as("v1"),
+      col("emb").as("e1"), col("nrm").as("n1"))
+    val hi = capped.select(col("c_id"), col("vec_id").as("v2"),
+      col("emb").as("e2"), col("nrm").as("n2"))
+    val dropped = lo.join(hi, Seq("c_id"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6) >= simT)
+      .select(col("v2").as("vec_id")).distinct()
+    e.select(col("vec_id"), col("c_id"))
+      .join(dropped.withColumn("drp", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("drp").isNull.as("kept"))
   }
 }

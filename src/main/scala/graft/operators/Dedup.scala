@@ -335,6 +335,16 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    // Exhausting maxIter means the labels are only partially converged:
+    // one near-dup component may still carry several labels, so
+    // downstream survivor selection would keep several "survivors" of
+    // the same cluster. That must never pass silently.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components() exhausted maxIter=$maxIter before converging; " +
+          "labels are partial and survivor selection over them may keep " +
+          "duplicate survivors. Raise maxIter (diameter of the pair " +
+          "graph exceeds ~2^iter under path halving).")
     labels
   }
 
@@ -420,5 +430,34 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Benchmark decontamination: flag training documents that share word
+    * n-grams with a held-out evaluation set (the GPT-3/Pile-style
+    * n-gram overlap check — a training corpus must not contain eval
+    * data). Returns every training doc with the count of DISTINCT
+    * eval n-grams it contains (0 = clean).
+    *
+    * Scale design (100 TB): the training side is one narrow
+    * shingle pass; the eval side is tiny relative to the corpus, so its
+    * distinct shingle set is broadcast (`broadcastEval=false` falls
+    * back to a shuffle join when the eval set is itself huge). Work is
+    * proportional to training shingles — no pairwise compare, and the
+    * contaminated-gram count is a partial-aggregable groupBy. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      broadcastEval: Boolean = true, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val trainSh = shingleHashes(docs, n, idCol, textCol)
+    val evalSh0 = shingleHashes(evalDocs, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    val hits = trainSh.join(evalSh, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_contaminated"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
   }
 }

@@ -159,6 +159,32 @@ class AnnSpec extends SparkSpec {
     assert(quant.map(_.toSeq).toSeq == brute.map(_.toSeq).toSeq)
   }
 
+  test("quantizedTopK ranks a zero-norm vector last, not first") {
+    // an all-zero embedding used to quantize to NaN codes, and NaN
+    // sorts above every double under desc — topping every shortlist
+    val d = emb(
+      (0L, Seq(1f, 0.1f, 0f)), (1L, Seq(0.9f, 0.2f, 0.1f)),
+      (2L, Seq(0f, 0f, 0f)), (3L, Seq(0.8f, 0.1f, 0.05f)))
+    val q = d.filter(col("vec_id") === 0)
+    val got = Ann.quantizedTopK(d, q, k = 2, shortlist = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"degenerate vector must not rank: $got")
+  }
+
+  test("semDedup keeps one survivor per within-cluster near-dup group") {
+    // 0,1,2 form a near-identical group near the x axis; 3 is its own
+    // direction. Centroids = {0, 3} so the group shares a cluster.
+    val d = emb(
+      (0L, Seq(1f, 0f, 0.01f)), (1L, Seq(1f, 0f, 0.011f)),
+      (2L, Seq(0.99f, 0.01f, 0.01f)), (3L, Seq(0f, 1f, 0f)))
+    val cents = d.filter(col("vec_id").isin(0L, 3L))
+    val rows = Ann.semDedup(d, cents, simT = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows(0L))                  // lowest id of the group survives
+    assert(!rows(1L) && !rows(2L))    // transitive mates dropped
+    assert(rows(3L))                  // singleton cluster untouched
+  }
+
   test("hyperplane LSH: identical vectors share the sketch and surface as the top pair") {
     val d = emb(
       (0L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),

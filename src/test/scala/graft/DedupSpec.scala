@@ -174,4 +174,17 @@ class DedupSpec extends SparkSpec {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("contamination counts distinct eval n-grams per training doc, zero for clean docs") {
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon"),   // contains eval's 3-grams
+      (2L, "one two three four five"))          // clean
+    val eval = docs((100L, "beta gamma delta epsilon"))
+    val got = Dedup.contamination(train, eval, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // eval doc has 2 distinct 3-grams, both inside train doc 1
+    assert(got(1L) == ((2L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got.size == 2)                        // every training doc reported
+  }
 }

@@ -93,4 +93,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L)._2 < m(2L)._2)      // looping doc: low distinct ratio
     assert(m(2L)._2 == 1.0)
   }
+
+  test("packSequences lays each shard's chunks into contiguous ctx-sized bins") {
+    // one shard so the stream is a single deterministic sequence
+    val chunks = Seq(
+      (1L, 0, 6L), (1L, 1, 6L), (2L, 0, 5L))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    val rows = TextAnalysis.packSequences(chunks, ctxTokens = 8, shards = 1)
+      .orderBy("tok_start").collect()
+    // stream: [0,6) [6,12) [12,17) — starts are contiguous (no gaps)
+    assert(rows.map(_.getAs[Long]("tok_start")).toSeq == Seq(0L, 6L, 12L))
+    // chunk 2 ([6,12)) straddles the 8-token boundary: bins 0 and 1
+    val straddler = rows(1)
+    assert(straddler.getAs[Long]("first_bin") == 0L)
+    assert(straddler.getAs[Long]("last_bin") == 1L)
+    // last chunk [12,17) sits fully in bin 1 ([8,16))? no — 16 crosses:
+    // first_bin = 12/8 = 1, last_bin = 16/8 = 2
+    assert(rows(2).getAs[Long]("first_bin") == 1L)
+    assert(rows(2).getAs[Long]("last_bin") == 2L)
+  }
+
+  test("tfidf ranks a document's rare term above corpus-wide terms") {
+    val m = TextAnalysis.tfidf(docs(
+      (1L, "shared shared unique"),
+      (2L, "shared other words"),
+      (3L, "shared more things")), k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token")).toMap
+    assert(m(1L) == "unique")   // df=1 beats tf=2 of the everywhere-term
+  }
+
+  test("repetition keeps sub-2-token docs with zero bigram metrics") {
+    val rows = TextAnalysis.repetition(docs(
+      (1L, "single"),
+      (2L, "a b c"))).orderBy("doc_id").collect()
+    assert(rows.length == 2)          // the short doc is NOT dropped
+    val short = rows.head
+    assert(short.getAs[Long]("n_bigrams") == 0L)
+    assert(short.getAs[Long]("top_n") == 0L)
+    assert(short.isNullAt(short.fieldIndex("top_frac")))
+    assert(short.getAs[Double]("distinct_ratio") == 1.0)
+  }
 }
