@@ -113,6 +113,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2).getAs[Long]("last_bin") == 2L)
   }
 
+  test("tokenBudgetSample keeps the boundary-crossing doc, drops the rest") {
+    // md5("1") < md5("2") < md5("3"), so the stream order is 1, 2, 3;
+    // 5-token docs against an 8-token budget: 1 fits, 2 crosses (kept),
+    // 3 starts past the budget (dropped)
+    val d = Seq((1L, "a b c d e", "en"), (2L, "f g h i j", "en"),
+      (3L, "k l m n o", "en")).toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.tokenBudgetSample(d, budgetTokens = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("tfidf ranks a document's rare term above corpus-wide terms") {
     val m = TextAnalysis.tfidf(docs(
       (1L, "shared shared unique"),
