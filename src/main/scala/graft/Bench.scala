@@ -49,7 +49,10 @@ object Bench {
     // 75-query line overflows that window and the driver records
     // parsed:null. The compact line self-truncates to the slowest
     // queries if the full 2dp map would still overflow.
-    def fmt2(v: Double) = f"$v%.2f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma decimal separator (de_DE etc.) would break the JSON line.
+    def fmt2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val fullQs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs","errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
@@ -59,19 +62,35 @@ object Bench {
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
 
-    def compactLine(qs: Seq[(String, Double)], omitted: Int): String = {
+    def compactLine(qs: Seq[(String, Double)], omitted: Int,
+        errNames: Seq[String], errOmitted: Int): String = {
       val m = qs.map { case (k, v) => s""""$k":${fmt2(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${ok.size},"runs":$runs,"errors":$errs$om,"queries":$m,"sf":"$sfLabel"}"""
+      val es = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val eo = if (errOmitted > 0) s""","errors_omitted":$errOmitted""" else ""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${ok.size},"runs":$runs,"errors":$es$eo$om,"queries":$m,"sf":"$sfLabel"}"""
     }
     // Budget under 2000 minus the trailing sbt status line (~80 chars)
-    // so the complete JSON line fits in the captured tail.
+    // so the complete JSON line fits in the captured tail. Truncation
+    // must cover the catastrophic case too: the query map shrinks all
+    // the way to EMPTY (kq=0, e.g. every query failing), and then the
+    // errors list itself is truncated — an unbounded 75-name errors
+    // array alone would overflow the window exactly when visibility
+    // matters most.
     val budget = 1800
-    var line = compactLine(ok, 0)
-    if (line.length > budget) {
-      val bySlow = ok.sortBy(-_._2)
-      var k = ok.size
-      while (k > 1 && { line = compactLine(bySlow.take(k).sortBy(_._1), ok.size - k); line.length > budget }) k -= 1
+    val bySlow = ok.sortBy(-_._2)
+    val errSeq = failed.toSeq
+    var kq = ok.size
+    var ke = errSeq.size
+    var line = compactLine(ok, 0, errSeq, 0)
+    while (line.length > budget && kq > 0) {
+      kq -= 1
+      line = compactLine(bySlow.take(kq).sortBy(_._1), ok.size - kq, errSeq, 0)
+    }
+    while (line.length > budget && ke > 0) {
+      ke -= 1
+      line = compactLine(bySlow.take(kq).sortBy(_._1), ok.size - kq,
+        errSeq.take(ke), errSeq.size - ke)
     }
     println(line)
     spark.stop()

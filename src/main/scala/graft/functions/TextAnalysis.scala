@@ -75,16 +75,24 @@ object TextAnalysis {
     * 2.4 s -> 0.23 s, and the gap grows with corpus size). Windows at the tail are truncated
     * (min over the remaining < w grams), matching the window-function
     * formulation position-for-position.
+    *
+    * Docs too short to carry a single k-gram (length < k, incl. null
+    * text) KEEP their row with n_fp = 0 and a null min_fp — same
+    * stay-visible rule as [[repetition]], so absence of a row never
+    * means "too short" to a consumer joining back to the corpus. (The
+    * `when` guards also dodge a Spark trap: `sequence(1, 0)` generates
+    * a DESCENDING [1, 0], not an empty array.)
     * Output: doc_id, n_fp, min_fp. */
   def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
     docs
-      .where(length(col("text")) >= k)
       .select(col("doc_id"),
-        expr(s"transform(sequence(1, length(text)-${k - 1}), i -> md5(substring(text, i, $k)))")
-          .as("hs"))
+        when(length(col("text")) >= k,
+          expr(s"transform(sequence(1, length(text)-${k - 1}), i -> md5(substring(text, i, $k)))"))
+          .otherwise(array().cast("array<string>")).as("hs"))
       .select(col("doc_id"),
-        expr(s"transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $w)))")
-          .as("wms"))
+        when(size(col("hs")) > 0,
+          expr(s"transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $w)))"))
+          .otherwise(array().cast("array<string>")).as("wms"))
       .select(col("doc_id"),
         size(array_distinct(col("wms"))).cast("long").as("n_fp"),
         array_min(col("wms")).as("min_fp"))

@@ -374,17 +374,44 @@ object Ann {
     * Output: vec_id, c_id, kept. */
   def semDedup(emb: DataFrame, centroids: DataFrame, simT: Double = 0.7,
       maxCluster: Int = 1000): DataFrame = {
-    val assign = assignClusters(emb, centroids)
-    val e = withNorm(emb).join(assign, "vec_id")
+    // Assignment computed ONCE with emb/nrm carried through (instead of
+    // assignClusters + a join back on vec_id): the lo/hi pair sides and
+    // the final kept-flag select all consume the SAME subtree, so the
+    // assignment shuffle is served by exchange reuse, and the join back
+    // on vec_id (a whole extra shuffle) disappears.
+    val c = withNorm(centroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    // The when() guards are load-bearing twice over: under ANSI mode
+    // (Spark 4 default) a zero-norm division THROWS [DIVIDE_BY_ZERO],
+    // and with ANSI off it yields NaN, which ranks above every double
+    // under desc. Guarded, a zero-norm vector's csim is null for every
+    // centroid (desc puts nulls last), so the c_id tiebreak assigns it
+    // to the lowest centroid id — same rule as the DuckDB oracle's
+    // NULL-division + NULLS LAST ordering.
+    val e = withNorm(emb).crossJoin(broadcast(c))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"),
+        when(col("nrm") * col("cnrm") > 0,
+          round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6)).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"))
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("c_id")))
     val capped = e.filter(col("csz") <= maxCluster)
     val lo = capped.select(col("c_id"), col("vec_id").as("v1"),
       col("emb").as("e1"), col("nrm").as("n1"))
     val hi = capped.select(col("c_id"), col("vec_id").as("v2"),
       col("emb").as("e2"), col("nrm").as("n2"))
+    // Same double guard on the pair cosine: a when-wrapped division is
+    // never evaluated for a zero-norm side (no ANSI throw, no NaN), the
+    // null comparison fails the filter, and degenerate vectors are kept
+    // and never drop anyone — same keep-on-skip rule as the cap. (A
+    // plain `n1*n2 > 0 && ...` conjunction is NOT safe: the optimizer
+    // may reorder predicates and evaluate the division first.)
     val dropped = lo.join(hi, Seq("c_id"))
       .filter(col("v1") < col("v2"))
-      .filter(round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6) >= simT)
+      .filter(when(col("n1") * col("n2") > 0,
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6)).geq(simT))
       .select(col("v2").as("vec_id")).distinct()
     e.select(col("vec_id"), col("c_id"))
       .join(dropped.withColumn("drp", lit(true)), Seq("vec_id"), "left")

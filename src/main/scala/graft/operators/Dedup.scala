@@ -338,11 +338,16 @@ object Dedup {
     // Exhausting maxIter means the labels are only partially converged:
     // one near-dup component may still carry several labels, so
     // downstream survivor selection would keep several "survivors" of
-    // the same cluster. That must never pass silently.
+    // the same cluster. Partial labels must never flow downstream with
+    // exit code 0 — a WARN line lost in executor noise is not a signal,
+    // so this throws. Path halving converges in O(log diameter)
+    // rounds, so the default maxIter=20 covers any graph a real corpus
+    // can produce; hitting this means the input is pathological, not
+    // that the limit is merely tight.
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      throw new IllegalStateException(
         s"components() exhausted maxIter=$maxIter before converging; " +
-          "labels are partial and survivor selection over them may keep " +
+          "labels are partial and survivor selection over them would keep " +
           "duplicate survivors. Raise maxIter (diameter of the pair " +
           "graph exceeds ~2^iter under path halving).")
     labels

@@ -185,6 +185,22 @@ class AnnSpec extends SparkSpec {
     assert(rows(3L))                  // singleton cluster untouched
   }
 
+  test("semDedup: a zero-norm vector neither drops cluster-mates nor is dropped") {
+    // 0/0 cosine is NaN and NaN > any double under desc — unguarded, a
+    // degenerate vector with a low id would mark every higher-id
+    // cluster-mate dropped (the quantizedTopK bug's sibling). Guarded,
+    // pairs with a zero-norm side never pass the simT filter.
+    val d = emb(
+      (0L, Seq(0f, 0f, 0f)), (1L, Seq(1f, 0f, 0.01f)),
+      (2L, Seq(0f, 1f, 0f)), (3L, Seq(0.2f, 0.9f, 0f)))
+    val cents = d.filter(col("vec_id").isin(1L, 2L))
+    val rows = Ann.semDedup(d, cents, simT = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows(0L), "zero-norm vector must be kept, not dropped")
+    assert(rows(1L) && rows(2L), "dissimilar mates must not be dropped by NaN")
+    assert(!rows(3L), "genuine near-dup of centroid 2 still dropped")
+  }
+
   test("hyperplane LSH: identical vectors share the sketch and surface as the top pair") {
     val d = emb(
       (0L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),

@@ -91,6 +91,17 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
   }
 
+  test("components: maxIter exhaustion throws instead of returning partial labels") {
+    import spark.implicits._
+    // Partial labels would let duplicate survivors through downstream
+    // dedup with exit code 0 — non-convergence must be loud.
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val ex = intercept[IllegalStateException] {
+      Dedup.components(path, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("maxIter"))
+  }
+
   test("components matches a union-find oracle on random graphs") {
     import spark.implicits._
     for (seed <- Seq(1, 7, 42)) {

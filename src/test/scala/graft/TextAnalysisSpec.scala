@@ -46,6 +46,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L)._1 == 1L) // all 5-grams of a constant string are equal
   }
 
+  test("fingerprints: docs shorter than k keep a row with n_fp=0") {
+    // same stay-visible rule as repetition(): absence of a row must
+    // never be how a consumer learns a doc was too short
+    val rows = TextAnalysis.fingerprints(docs((1L, "ab"), (2L, "abcdefghij")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_fp"), r.getAs[String]("min_fp")))).toMap
+    assert(rows(1L)._1 == 0L && rows(1L)._2 == null)
+    assert(rows(2L)._1 > 0L && rows(2L)._2 != null)
+  }
+
   test("tokenCounts: regex classes vs whitespace") {
     val r = TextAnalysis.tokenCounts(docs((1L, "ab 12 cd9"))).collect().head
     assert(r.getAs[Long]("n_ws") == 3L)
