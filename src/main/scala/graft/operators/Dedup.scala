@@ -465,4 +465,45 @@ object Dedup {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
+
+  /** Passage-level exact dedup (the Dolma/RefinedWeb "paragraph dedup"
+    * stage, with fixed-width token windows as the segmenter — this
+    * corpus carries no newlines): split each doc into non-overlapping
+    * `win`-token passages, keep only the corpus-wide FIRST occurrence
+    * of each distinct passage text (ordered by (doc_id, passage
+    * index)), and reassemble every doc from its surviving passages.
+    * Sub-document granularity catches boilerplate shared across
+    * otherwise-distinct docs — invisible to doc-level
+    * [[exactKeepFirst]]. Every doc keeps its row (a fully-duplicated
+    * doc comes back with n_kept = 0 and empty clean_text — same
+    * stay-visible rule as the quality filters).
+    *
+    * Scale design (100 TB): one shuffle, keyed by md5(passage) — a
+    * fixed-width shuffle key however long the passage. Keep-first is a
+    * per-key top-1 window; a boilerplate passage repeated across the
+    * whole corpus concentrates on one reducer, the same hot-key hazard
+    * as any global keep-first — at that scale swap the window for a
+    * `groupBy(key).agg(min(struct(doc_id, p_idx)))` owner join, whose
+    * map-side partial aggregation absorbs the skew.
+    * Output: doc_id, n_pass, n_kept, clean_text. */
+  def passageDedup(docs: DataFrame, win: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pass = docs
+      .select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / ${win}.0d) as int) - 1), " +
+          s"i -> array_join(slice(toks, i * $win + 1, $win), ' '))")))
+      .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "passage")
+    pass
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("passage"))).orderBy(col("doc_id"), col("p_idx"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_pass"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(filter(array_sort(collect_list(" +
+          "named_struct('i', p_idx, 'p', CASE WHEN rn = 1 THEN passage END))), " +
+          "s -> s.p IS NOT NULL), s -> s.p), ' ')").as("clean_text"))
+  }
 }

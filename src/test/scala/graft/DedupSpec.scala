@@ -198,4 +198,18 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((0L, false)))
     assert(got.size == 2)                        // every training doc reported
   }
+
+  test("passageDedup drops repeated passages but keeps the rest of the doc") {
+    // win=2 passages: doc1 = ["a b","c d"], doc2 = ["a b","x y"],
+    // doc3 = ["a b","c d"] (fully boilerplate), doc4 = ["q r"].
+    val d = docs((1L, "a b c d"), (2L, "a b x y"), (3L, "a b c d"), (4L, "q r"))
+    val got = Dedup.passageDedup(d, win = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pass"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "a b c d")))     // first owner keeps everything
+    assert(got(2L) == ((2L, 1L, "x y")))         // shared passage dies, rest lives
+    assert(got(3L) == ((2L, 0L, "")))            // fully-duplicated doc stays visible
+    assert(got(4L) == ((1L, 1L, "q r")))
+  }
 }
