@@ -91,6 +91,22 @@ object Ann {
       .join(emb, "vec_id")
       .write.partitionBy("c_id").mode("overwrite").parquet(path)
 
+  /** Incremental IVF ingest: assign ONLY the new batch to the index's
+    * (fixed) centroids and append into the partitioned index — the
+    * vector sibling of the persisted band index
+    * (`Dedup.appendBandIndex`). Existing vectors are never rescanned or
+    * rewritten (append adds part files; old files stay byte-identical,
+    * spec-asserted), so cost per batch is one broadcast-centroid narrow
+    * map over the batch alone. Centroids must be the ones the index was
+    * built with — re-clustering after drift is a full [[writeIvfIndex]].
+    * Plain append is at-least-once under caller retry; an exactly-once
+    * streaming ingest should wrap this in the per-batch-id OVERWRITE
+    * layout `streaming.Ingest.dedupIngestStream` uses. */
+  def appendIvfIndex(batch: DataFrame, centroids: DataFrame, path: String): Unit =
+    assignClusters(batch, centroids)
+      .join(batch, "vec_id")
+      .write.partitionBy("c_id").mode("append").parquet(path)
+
   /** Query a partitioned IVF index: rank centroids against the query
     * vector, scan only the `nprobe` nearest cluster directories, exact
     * cosine re-rank inside them. The centroid ranking collects `nprobe`

@@ -105,6 +105,35 @@ class AnnSpec extends SparkSpec {
     assert(all.count() == 6)
   }
 
+  test("appendIvfIndex: incremental batches equal a full rewrite, old files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfa").toString
+    val full = java.nio.file.Files.createTempDirectory("ivff").toString
+    val d = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)),
+      (4L, Seq(0.01f, 0.99f)), (5L, Seq(0.02f, 0.98f)))
+    val cents = d.filter(col("vec_id") < 2)
+    Ann.writeIvfIndex(d.filter(col("vec_id") < 4), cents, dir)
+    def files(root: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+    }
+    val before = files(dir)
+    Ann.appendIvfIndex(d.filter(col("vec_id") >= 4), cents, dir)
+    // append adds part files; every pre-existing file is untouched
+    val after = files(dir)
+    assert(before.forall { case (p, t) => after.get(p).contains(t) })
+    assert(after.size > before.size)
+    // search over the appended index == search over a one-shot index
+    Ann.writeIvfIndex(d, cents, full)
+    def top(p: String) = Ann.ivfSearchIndex(spark, p, cents, Seq(0.0, 1.0), k = 4, nprobe = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(top(dir) == top(full))
+  }
+
   test("batched IVF: one plan serves the query batch; index path still prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivfb").toString
     val d = emb(
