@@ -441,6 +441,37 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming vector ingest into a partitioned IVF index: each
+    * micro-batch of embeddings is assigned to the index's FIXED
+    * centroids (broadcast narrow map over the batch alone — old
+    * vectors never rescanned) and lands as a per-batch-id OVERWRITE
+    * partition, so checkpoint replay after a crash re-lands identical
+    * files instead of doubling rows (the exactly-once layout
+    * [[dedupIngestStream]] uses; `Ann.appendIvfIndex` is the
+    * at-least-once batch sibling). The index root reads back with
+    * (batch_id, c_id) as discovered partition columns — cluster
+    * pruning on c_id works across every batch directory, so
+    * `Ann.ivfSearchIndex` queries the streamed index unchanged. */
+  def vectorIngestStream(spark: SparkSession, vecSchema: StructType,
+      srcDir: String, indexPath: String, centroids: DataFrame,
+      checkpoint: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Ann.assignClusters(batch, centroids)
+          .join(batch, "vec_id")
+          .write.partitionBy("c_id").mode("overwrite")
+          .parquet(s"$indexPath/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** T4/T5: bounded-state streaming dedup — duplicates dropped while
     * their event time is within the watermark, after which state is
     * GC'd (Spark 4's dropDuplicatesWithinWatermark; the exact-unbounded

@@ -186,6 +186,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() == 3)
   }
 
+  test("STV: streamed vector ingest equals the batch-built IVF index, pruning intact") {
+    val src = tmp("stv-src"); val ck = tmp("stv-ck")
+    val idx = src + "-idx" // fresh path: the stream lays out batch_id= dirs
+    val b1 = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(0.99f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((3L, Seq(0.98f, 0.02f)), (4L, Seq(0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    val cents = b1.filter($"vec_id" < 2)
+    Ingest.vectorIngestStream(spark, b1.schema, src, idx, cents, ck)
+    val indexed = spark.read.parquet(idx)
+    assert(indexed.select("batch_id").distinct().count() == 2)
+    assert(indexed.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    // cluster-pruned search over the streamed index == one-shot batch index
+    val full = tmp("stv-full") + "-w"
+    graft.operators.Ann.writeIvfIndex(spark.read.parquet(src), cents, full)
+    def top(p: String) =
+      graft.operators.Ann.ivfSearchIndex(spark, p, cents, Seq(1.0, 0.0), k = 3, nprobe = 1)
+        .as[(Long, Double)].collect().toSeq
+    assert(top(idx) == top(full))
+    // restart on the same checkpoint: nothing new, nothing doubled
+    Ingest.vectorIngestStream(spark, b1.schema, src, idx, cents, ck)
+    assert(spark.read.parquet(idx).count() == 5)
+  }
+
   test("STQ: streamed quality report equals the batch report per micro-batch") {
     val src = tmp("stq-src"); val gold = tmp("stq-gold"); val ck = tmp("stq-ck")
     val cust = graft.gen.DataGen.customers(spark, 200)
