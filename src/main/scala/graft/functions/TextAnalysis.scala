@@ -153,6 +153,35 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_tok"), 4).as("distinct_ratio"))
   }
 
+  /** Attribute-based quality gate — the "taggers + mixer" pattern a
+    * production corpus pipeline runs: every rule lands as its own
+    * auditable boolean column and `kept` is their conjunction, so a
+    * corpus owner can see WHICH rule dropped a doc and re-mix with
+    * different thresholds without recomputing the metrics.
+    *   ok_len  — n_tokens >= minTokens
+    *   ok_rep  — top-bigram fraction <= maxTopFrac (docs with no
+    *             bigrams PASS: too-short is ok_len's verdict)
+    *   ok_stop — stopword ratio >= minStopRatio (prose signal)
+    *   ok_lang — predicted language ∈ langs
+    * Rules compare the ROUNDED metrics the component operators emit,
+    * so the verdicts are engine-exact wherever the metrics are.
+    * Metrics reuse the qualityScore/repetition/langId plans — each is
+    * one explode + partial-aggregable doc-keyed groupBy, stitched with
+    * doc-keyed equi-joins.
+    * Output: doc_id, n_tokens, stop_ratio, top_frac, pred_lang,
+    * ok_len, ok_rep, ok_stop, ok_lang, kept. */
+  def qualityGate(docs: DataFrame, minTokens: Int = 5, maxTopFrac: Double = 0.5,
+      minStopRatio: Double = 0.05, langs: Seq[String] = Seq("en")): DataFrame =
+    qualityScore(docs).select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
+      .join(repetition(docs).select(col("doc_id"), col("top_frac")), "doc_id")
+      .join(langId(docs).select(col("doc_id"), col("pred_lang")), "doc_id")
+      .withColumn("ok_len", col("n_tokens") >= minTokens)
+      .withColumn("ok_rep", col("top_frac").isNull || col("top_frac") <= maxTopFrac)
+      .withColumn("ok_stop", col("stop_ratio") >= minStopRatio)
+      .withColumn("ok_lang", col("pred_lang").isInCollection(langs))
+      .withColumn("kept",
+        col("ok_len") && col("ok_rep") && col("ok_stop") && col("ok_lang"))
+
   /** Document chunking — the stage that turns raw documents into
     * training-window-sized pieces: token windows of `chunkTokens` with
     * `overlap` tokens shared between consecutive chunks (stride =

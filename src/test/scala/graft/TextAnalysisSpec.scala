@@ -56,6 +56,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L)._1 > 0L && rows(2L)._2 != null)
   }
 
+  test("qualityGate: each rule flags its own defect, kept is the conjunction") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a good day today"),
+      (2L, "hello world"),                                   // too short, no stopwords
+      (3L, "spam spam spam spam spam spam spam spam"),       // looping
+      (4L, "el perro de la casa y el gato es un amigo de la casa grande")) // wrong lang
+    val g = TextAnalysis.qualityGate(d, minTokens = 5, maxTopFrac = 0.5,
+        minStopRatio = 0.05, langs = Seq("en")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("ok_len"), r.getAs[Boolean]("ok_rep"),
+          r.getAs[Boolean]("ok_stop"), r.getAs[Boolean]("ok_lang"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(g(1L) == ((true, true, true, true, true)))
+    assert(!g(2L)._1 && !g(2L)._5)                 // length rule
+    assert(!g(3L)._2 && !g(3L)._5)                 // repetition rule
+    assert(g(4L)._1 && !g(4L)._4 && !g(4L)._5)     // language rule (es wins the vote)
+  }
+
   test("tokenCounts: regex classes vs whitespace") {
     val r = TextAnalysis.tokenCounts(docs((1L, "ab 12 cd9"))).collect().head
     assert(r.getAs[Long]("n_ws") == 3L)
