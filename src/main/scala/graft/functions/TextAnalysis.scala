@@ -165,22 +165,51 @@ object TextAnalysis {
     *   ok_lang — predicted language ∈ langs
     * Rules compare the ROUNDED metrics the component operators emit,
     * so the verdicts are engine-exact wherever the metrics are.
-    * Metrics reuse the qualityScore/repetition/langId plans — each is
-    * one explode + partial-aggregable doc-keyed groupBy, stitched with
-    * doc-keyed equi-joins.
+    *
+    * The metrics are FUSED, not composed: one token explode + one
+    * doc-keyed aggregation computes length, stopword count and every
+    * language's vote together (the English vote IS the stopword
+    * count), and only the bigram metric — inherently (doc, bigram)-
+    * keyed — needs its own aggregation. Two passes over the text
+    * instead of the four that chaining qualityScore + repetition +
+    * langId would cost; all values identical to the component
+    * operators'.
     * Output: doc_id, n_tokens, stop_ratio, top_frac, pred_lang,
     * ok_len, ok_rep, ok_stop, ok_lang, kept. */
   def qualityGate(docs: DataFrame, minTokens: Int = 5, maxTopFrac: Double = 0.5,
-      minStopRatio: Double = 0.05, langs: Seq[String] = Seq("en")): DataFrame =
-    qualityScore(docs).select(col("doc_id"), col("n_tokens"), col("stop_ratio"))
-      .join(repetition(docs).select(col("doc_id"), col("top_frac")), "doc_id")
-      .join(langId(docs).select(col("doc_id"), col("pred_lang")), "doc_id")
+      minStopRatio: Double = 0.05, langs: Seq[String] = Seq("en")): DataFrame = {
+    val voteLangs = Seq("en", "es", "de", "fr", "zh")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val aggs = count(lit(1)).as("n_tokens") +: voteLangs.map(l =>
+      sum(when(col("token").isInCollection(stopwords(l)), 1).otherwise(0)).as(s"s_$l"))
+    val best = voteLangs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = voteLangs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    val base = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s_en").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        pred.as("pred_lang"))
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), max("n").as("top_n"))
+      .select(col("doc_id"),
+        round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_frac"))
+    base.join(bg, Seq("doc_id"), "left")
       .withColumn("ok_len", col("n_tokens") >= minTokens)
       .withColumn("ok_rep", col("top_frac").isNull || col("top_frac") <= maxTopFrac)
       .withColumn("ok_stop", col("stop_ratio") >= minStopRatio)
       .withColumn("ok_lang", col("pred_lang").isInCollection(langs))
       .withColumn("kept",
         col("ok_len") && col("ok_rep") && col("ok_stop") && col("ok_lang"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("top_frac"),
+        col("pred_lang"), col("ok_len"), col("ok_rep"), col("ok_stop"),
+        col("ok_lang"), col("kept"))
+  }
 
   /** Document chunking — the stage that turns raw documents into
     * training-window-sized pieces: token windows of `chunkTokens` with
