@@ -47,19 +47,28 @@ object TextAnalysis {
           (col("n_stop").cast("double") / col("n_tokens")) * 0.5, 4).as("score"))
   }
 
+  private val voteLangs = Seq("en", "es", "de", "fr", "zh")
+
+  /** Per-language stopword-hit aggregates over an exploded `token`
+    * column — ONE definition shared by [[langId]] and [[qualityGate]],
+    * so the vote and the gate can never drift apart. */
+  private def langVotes: Seq[Column] = voteLangs.map(l =>
+    sum(when(col("token").isInCollection(stopwords(l)), 1).otherwise(0)).as(s"s_$l"))
+
+  private def langBest: Column =
+    voteLangs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+
+  /** Winning language with the fixed priority tiebreak (shared). */
+  private def langPred: Column = voteLangs.foldRight(lit("und"): Column) { (l, acc) =>
+    when(col(s"s_$l") === langBest && langBest > 0, lit(l)).otherwise(acc)
+  }
+
   /** Stopword-vote language ID with a fixed priority tiebreak.
     * Output: doc_id, pred_lang, hits. */
   def langId(docs: DataFrame): DataFrame = {
-    val langs = Seq("en", "es", "de", "fr", "zh")
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val scores = langs.map(l =>
-      sum(when(col("token").isInCollection(stopwords(l)), 1).otherwise(0)).as(s"s_$l"))
-    val scored = tok.groupBy("doc_id").agg(scores.head, scores.tail: _*)
-    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
-    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
-      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
-    scored.select(col("doc_id"), pred.as("pred_lang"), best.cast("long").as("hits"))
+    tok.groupBy("doc_id").agg(langVotes.head, langVotes.tail: _*)
+      .select(col("doc_id"), langPred.as("pred_lang"), langBest.cast("long").as("hits"))
   }
 
   /** Winnowing-style fingerprints: hash every char k-gram (md5), take
@@ -135,12 +144,7 @@ object TextAnalysis {
   def repetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tk = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
-    val bg = tk.where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")).as("bg"))
-    val bgAgg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(sum("n").cast("long").as("n_bigrams"), max("n").cast("long").as("top_n"))
+    val bgAgg = bigramStats(docs, idCol, textCol)
     val tokAgg = tk.select(col("doc_id"), explode(col("t")).as("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tok"),
@@ -152,6 +156,18 @@ object TextAnalysis {
         round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_frac"),
         round(col("n_distinct").cast("double") / col("n_tok"), 4).as("distinct_ratio"))
   }
+
+  /** (doc_id, n_bigrams, top_n) over docs with ≥ 2 tokens — ONE
+    * definition of the bigram construction, shared by [[repetition]]
+    * and [[qualityGate]]. */
+  private def bigramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_bigrams"), max("n").cast("long").as("top_n"))
 
   /** Attribute-based quality gate — the "taggers + mixer" pattern a
     * production corpus pipeline runs: every rule lands as its own
@@ -178,25 +194,18 @@ object TextAnalysis {
     * ok_len, ok_rep, ok_stop, ok_lang, kept. */
   def qualityGate(docs: DataFrame, minTokens: Int = 5, maxTopFrac: Double = 0.5,
       minStopRatio: Double = 0.05, langs: Seq[String] = Seq("en")): DataFrame = {
-    val voteLangs = Seq("en", "es", "de", "fr", "zh")
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val aggs = count(lit(1)).as("n_tokens") +: voteLangs.map(l =>
-      sum(when(col("token").isInCollection(stopwords(l)), 1).otherwise(0)).as(s"s_$l"))
-    val best = voteLangs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
-    val pred = voteLangs.foldRight(lit("und"): Column) { (l, acc) =>
-      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
+    // Null text must stay a visible, rejectable row (the gate's whole
+    // point is an audit trail) — explode(split(null)) would silently
+    // drop the doc. Empty-string semantics: one empty token, zero
+    // votes, no bigrams, 'und' language.
+    val safe = docs.withColumn("text", coalesce(col("text"), lit("")))
+    val tok = safe.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val aggs = count(lit(1)).as("n_tokens") +: langVotes
     val base = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), col("n_tokens"),
         round(col("s_en").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
-        pred.as("pred_lang"))
-    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(sum("n").as("n_bigrams"), max("n").as("top_n"))
+        langPred.as("pred_lang"))
+    val bg = bigramStats(safe, "doc_id", "text")
       .select(col("doc_id"),
         round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_frac"))
     base.join(bg, Seq("doc_id"), "left")

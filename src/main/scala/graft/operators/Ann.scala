@@ -87,9 +87,17 @@ object Ann {
     * (broadcast-centroid narrow map), every query after that touches
     * only `nprobe` directories. */
   def writeIvfIndex(emb: DataFrame, centroids: DataFrame, path: String): Unit =
-    assignClusters(emb, centroids)
-      .join(emb, "vec_id")
-      .write.partitionBy("c_id").mode("overwrite").parquet(path)
+    writeIvf(emb, centroids, path, "overwrite")
+
+  /** The ONE definition of the IVF index layout (assign + carry the
+    * batch, land partitioned by cluster id): the full build, the batch
+    * append, and the streaming per-batch writer all go through here,
+    * so a layout change has exactly one home. */
+  private[graft] def writeIvf(batch: DataFrame, centroids: DataFrame,
+      path: String, mode: String): Unit =
+    assignClusters(batch, centroids)
+      .join(batch, "vec_id")
+      .write.partitionBy("c_id").mode(mode).parquet(path)
 
   /** Incremental IVF ingest: assign ONLY the new batch to the index's
     * (fixed) centroids and append into the partitioned index — the
@@ -103,9 +111,7 @@ object Ann {
     * streaming ingest should wrap this in the per-batch-id OVERWRITE
     * layout `streaming.Ingest.dedupIngestStream` uses. */
   def appendIvfIndex(batch: DataFrame, centroids: DataFrame, path: String): Unit =
-    assignClusters(batch, centroids)
-      .join(batch, "vec_id")
-      .write.partitionBy("c_id").mode("append").parquet(path)
+    writeIvf(batch, centroids, path, "append")
 
   /** Query a partitioned IVF index: rank centroids against the query
     * vector, scan only the `nprobe` nearest cluster directories, exact

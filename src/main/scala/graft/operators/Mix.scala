@@ -30,9 +30,13 @@ object Mix {
       .withColumn("u",
         conv(substring(md5(concat(lit("rs:"), col(idCol).cast("string"))), 1, 8), 16, 10)
           .cast("double") / lit(4294967296.0))
-      .withColumn("n_copies", least(lit(maxCopies),
-        (floor(col("weight")) +
-          when(col("u") < col("weight") - floor(col("weight")), 1).otherwise(0)).cast("int")))
+      // least() BEFORE the int cast: floor() is a long, and a pathological
+      // weight beyond Int.MaxValue must hit the cap, not overflow the cast
+      // (ANSI mode would throw; non-ANSI would wrap negative and silently
+      // drop exactly the domain the weight was meant to upsample).
+      .withColumn("n_copies", least(lit(maxCopies.toLong),
+        floor(col("weight")) +
+          when(col("u") < col("weight") - floor(col("weight")), 1).otherwise(0)).cast("int"))
       .filter(col("n_copies") > 0)
       .select(keys.map(col) :+ col(idCol) :+
         explode(sequence(lit(1), col("n_copies"))).as("copy"): _*)

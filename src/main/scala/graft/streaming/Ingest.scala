@@ -461,10 +461,8 @@ object Ingest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Ann.assignClusters(batch, centroids)
-          .join(batch, "vec_id")
-          .write.partitionBy("c_id").mode("overwrite")
-          .parquet(s"$indexPath/batch_id=$id")
+        graft.operators.Ann.writeIvf(batch, centroids,
+          s"$indexPath/batch_id=$id", "overwrite")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

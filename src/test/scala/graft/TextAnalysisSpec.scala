@@ -61,7 +61,8 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog and it is a good day today"),
       (2L, "hello world"),                                   // too short, no stopwords
       (3L, "spam spam spam spam spam spam spam spam"),       // looping
-      (4L, "el perro de la casa y el gato es un amigo de la casa grande")) // wrong lang
+      (4L, "el perro de la casa y el gato es un amigo de la casa grande"), // wrong lang
+      (5L, null))                                          // null text stays auditable
     val g = TextAnalysis.qualityGate(d, minTokens = 5, maxTopFrac = 0.5,
         minStopRatio = 0.05, langs = Seq("en")).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -72,6 +73,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!g(2L)._1 && !g(2L)._5)                 // length rule
     assert(!g(3L)._2 && !g(3L)._5)                 // repetition rule
     assert(g(4L)._1 && !g(4L)._4 && !g(4L)._5)     // language rule (es wins the vote)
+    assert(g.contains(5L) && !g(5L)._1 && !g(5L)._5) // null text: present, rejected
   }
 
   test("tokenCounts: regex classes vs whitespace") {
