@@ -306,6 +306,26 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** Recall@k of an approximate search against the exact baseline: the
+    * fraction of each query's true top-k the approximate result
+    * surfaced. This is the evaluation loop every ANN deployment runs —
+    * `nprobe`, band count, and `shortlist` are recall-vs-cost knobs,
+    * and this is the number that tunes them. Inputs are (q_id, vec_id)
+    * result shapes ([[bruteTopK]] / [[ivfSearchBatch]] /
+    * [[quantizedTopK]] all qualify). One doc-keyed join + aggregation:
+    * cost ∝ result sizes, never the corpus.
+    * Output: q_id, n_hit, n_true, recall — one row per exact-side query. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+    exact.select(col("q_id"), col("vec_id"))
+      .join(a, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        count(lit(1)).as("n_true"))
+      .select(col("q_id"), col("n_hit"), col("n_true"),
+        round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+  }
+
   /** Deterministic ±1 random-hyperplane matrix (signs from md5 of
     * "p:j"), shared verbatim with the DuckDB oracle so sketches match
     * bit-for-bit. */

@@ -478,11 +478,13 @@ object Dedup {
     * doc comes back with n_kept = 0 and empty clean_text — same
     * stay-visible rule as the quality filters).
     *
-    * Scale design (100 TB): one shuffle, keyed by md5(passage) — a
-    * fixed-width shuffle key however long the passage. Keep-first is a
-    * per-key top-1 window; a boilerplate passage repeated across the
-    * whole corpus concentrates on one reducer, the same hot-key hazard
-    * as any global keep-first — at that scale swap the window for a
+    * Scale design (100 TB): two shuffles, both bounded — the dedup
+    * decision shuffles once keyed by md5(passage) (fixed-width key
+    * however long the passage), and reassembly shuffles each passage
+    * once more keyed by doc id. Keep-first is a per-key top-1 window;
+    * a boilerplate passage repeated across the whole corpus
+    * concentrates on one reducer, the same hot-key hazard as any
+    * global keep-first — at that scale swap the window for a
     * `groupBy(key).agg(min(struct(doc_id, p_idx)))` owner join, whose
     * map-side partial aggregation absorbs the skew.
     * Output: doc_id, n_pass, n_kept, clean_text. */

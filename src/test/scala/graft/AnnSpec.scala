@@ -230,6 +230,25 @@ class AnnSpec extends SparkSpec {
     assert(!rows(3L), "genuine near-dup of centroid 2 still dropped")
   }
 
+  test("recallAtK scores approximate results against the exact baseline") {
+    import spark.implicits._
+    val exact = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("q_id", "vec_id")
+    val approx = Seq((0L, 1L), (0L, 9L), (1L, 3L), (1L, 4L)).toDF("q_id", "vec_id")
+    val r = Ann.recallAtK(approx, exact)
+      .select("q_id", "recall").as[(Long, Double)].collect().toMap
+    assert(r == Map(0L -> 0.5, 1L -> 1.0))
+    // a full-shortlist quantized scan reproduces the exact baseline: recall 1.0
+    val d = emb(
+      (0L, Seq(1f, 0.1f, 0f)), (1L, Seq(0.9f, 0.2f, 0.1f)),
+      (2L, Seq(0f, 1f, 0.3f)), (3L, Seq(0.8f, 0.1f, 0.05f)))
+    val q = d.filter(col("vec_id") < 2)
+    val full = Ann.recallAtK(
+      Ann.quantizedTopK(d, q, k = 2, shortlist = 100),
+      Ann.bruteTopK(d, q, k = 2))
+      .select("recall").as[Double].collect()
+    assert(full.length == 2 && full.forall(_ == 1.0))
+  }
+
   test("hyperplane LSH: identical vectors share the sketch and surface as the top pair") {
     val d = emb(
       (0L, Seq.tabulate(64)(i => (i % 7).toFloat - 3f)),
