@@ -212,4 +212,29 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, "")))            // fully-duplicated doc stays visible
     assert(got(4L) == ((1L, 1L, "q r")))
   }
+
+  test("passageDedup matches a sequential reference on random colliding corpora") {
+    // Reference implementation: walk docs in id order, keep a passage
+    // iff its text was never seen before (corpus-wide first occurrence).
+    // A tiny vocabulary forces heavy passage collisions.
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 12L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val win = 2
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = corpus.map { case (id, text) =>
+        val passages = text.split(" ").grouped(win).map(_.mkString(" ")).toSeq
+        val kept = passages.filter(p => seen.add(p))
+        id -> ((passages.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.passageDedup(corpus.toDF("doc_id", "text"), win = win)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_pass"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
 }

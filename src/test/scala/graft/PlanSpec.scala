@@ -32,6 +32,10 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q10_broadcast_join").contains("BroadcastHashJoin"))
   }
 
+  test("mixture resample broadcasts the weight table (no corpus-side shuffle for the join)") {
+    assert(executedPlan("r52_resample").contains("BroadcastHashJoin"))
+  }
+
   test("IN-subquery semi join plans as LeftSemi") {
     assert(executedPlan("q08_semi_join").contains("LeftSemi"))
   }
