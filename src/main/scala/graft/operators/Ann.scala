@@ -316,8 +316,13 @@ object Ann {
     * cost ∝ result sizes, never the corpus.
     * Output: q_id, n_hit, n_true, recall — one row per exact-side query. */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
-    exact.select(col("q_id"), col("vec_id"))
+    // distinct() both sides: a duplicated (q_id, vec_id) pair — e.g. a
+    // union of two search passes used as one candidate set — would
+    // otherwise fan out through the join and silently corrupt both
+    // n_hit and n_true. The metric is over result SETS by definition.
+    val a = approx.select(col("q_id"), col("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    exact.select(col("q_id"), col("vec_id")).distinct()
       .join(a, Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),

@@ -32,7 +32,17 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan("q10_broadcast_join").contains("BroadcastHashJoin"))
   }
 
-  test("mixture resample broadcasts the weight table (no corpus-side shuffle for the join)") {
+  test("mixture resample pins the weight join to broadcast via an explicit hint") {
+    // The executed plan showing BroadcastHashJoin would be vacuous
+    // here: AQE auto-broadcasts a table this small anyway. What must
+    // not regress is the explicit broadcast() HINT — the guarantee
+    // that the weight join never shuffles the corpus at a scale where
+    // stats no longer auto-qualify. The hint survives analysis as
+    // ResolvedHint, so its presence is assertable.
+    val df = SparkEntry.queries("r52_resample")(spark, "/root/testdata/sf0.01")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint") &&
+      analyzed.toLowerCase.contains("broadcast"), analyzed.take(800))
     assert(executedPlan("r52_resample").contains("BroadcastHashJoin"))
   }
 
