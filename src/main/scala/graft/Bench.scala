@@ -2,6 +2,48 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    * a comma decimal separator (de_DE etc.) would break the JSON line. */
+  private def fmt2(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** The FINAL stdout line the round driver parses. Kept compact (2dp)
+    * because the driver captures only the last ~2000 chars of output —
+    * a full-precision 75-query line overflows that window and the
+    * driver records parsed:null (this happened in round 3). The line
+    * self-truncates: first the query map shrinks to the slowest `kq`
+    * (down to EMPTY — e.g. every query failing), then the errors list
+    * itself truncates — an unbounded 75-name errors array alone would
+    * overflow the window exactly when visibility matters most.
+    * Extracted from main so the driver contract is spec-testable
+    * without a SparkSession (BenchSpec). */
+  private[graft] def compactLine(ok: Seq[(String, Double)], errSeq: Seq[String],
+      total: Double, runs: Int, sfLabel: String, budget: Int = 1800): String = {
+    def render(qs: Seq[(String, Double)], omitted: Int,
+        errNames: Seq[String], errOmitted: Int): String = {
+      val m = qs.map { case (k, v) => s""""$k":${fmt2(v)}""" }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val es = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val eo = if (errOmitted > 0) s""","errors_omitted":$errOmitted""" else ""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${ok.size},"runs":$runs,"errors":$es$eo$om,"queries":$m,"sf":"$sfLabel"}"""
+    }
+    val bySlow = ok.sortBy(-_._2)
+    var kq = ok.size
+    var ke = errSeq.size
+    var line = render(ok, 0, errSeq, 0)
+    while (line.length > budget && kq > 0) {
+      kq -= 1
+      line = render(bySlow.take(kq).sortBy(_._1), ok.size - kq, errSeq, 0)
+    }
+    while (line.length > budget && ke > 0) {
+      ke -= 1
+      line = render(bySlow.take(kq).sortBy(_._1), ok.size - kq,
+        errSeq.take(ke), errSeq.size - ke)
+    }
+    line
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,15 +86,7 @@ object Bench {
     val sfLabel = new java.io.File(sfDir).getName
 
     // Full-precision detail goes to a file (and an early stdout line);
-    // the FINAL stdout line is kept compact because the round driver
-    // captures only the last ~2000 chars of output — a full-precision
-    // 75-query line overflows that window and the driver records
-    // parsed:null. The compact line self-truncates to the slowest
-    // queries if the full 2dp map would still overflow.
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
-    // a comma decimal separator (de_DE etc.) would break the JSON line.
-    def fmt2(v: Double) =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // the final stdout line is the compact driver-parsed form.
     val fullQs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs","errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
@@ -62,37 +96,7 @@ object Bench {
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
 
-    def compactLine(qs: Seq[(String, Double)], omitted: Int,
-        errNames: Seq[String], errOmitted: Int): String = {
-      val m = qs.map { case (k, v) => s""""$k":${fmt2(v)}""" }.mkString("{", ",", "}")
-      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      val es = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val eo = if (errOmitted > 0) s""","errors_omitted":$errOmitted""" else ""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${ok.size},"runs":$runs,"errors":$es$eo$om,"queries":$m,"sf":"$sfLabel"}"""
-    }
-    // Budget under 2000 minus the trailing sbt status line (~80 chars)
-    // so the complete JSON line fits in the captured tail. Truncation
-    // must cover the catastrophic case too: the query map shrinks all
-    // the way to EMPTY (kq=0, e.g. every query failing), and then the
-    // errors list itself is truncated — an unbounded 75-name errors
-    // array alone would overflow the window exactly when visibility
-    // matters most.
-    val budget = 1800
-    val bySlow = ok.sortBy(-_._2)
-    val errSeq = failed.toSeq
-    var kq = ok.size
-    var ke = errSeq.size
-    var line = compactLine(ok, 0, errSeq, 0)
-    while (line.length > budget && kq > 0) {
-      kq -= 1
-      line = compactLine(bySlow.take(kq).sortBy(_._1), ok.size - kq, errSeq, 0)
-    }
-    while (line.length > budget && ke > 0) {
-      ke -= 1
-      line = compactLine(bySlow.take(kq).sortBy(_._1), ok.size - kq,
-        errSeq.take(ke), errSeq.size - ke)
-    }
-    println(line)
+    println(compactLine(ok, failed.toSeq, total, runs, sfLabel))
     spark.stop()
   }
 }
