@@ -478,15 +478,18 @@ object Dedup {
     * doc comes back with n_kept = 0 and empty clean_text — same
     * stay-visible rule as the quality filters).
     *
-    * Scale design (100 TB): two shuffles, both bounded — the dedup
-    * decision shuffles once keyed by md5(passage) (fixed-width key
-    * however long the passage), and reassembly shuffles each passage
-    * once more keyed by doc id. Keep-first is a per-key top-1 window;
-    * a boilerplate passage repeated across the whole corpus
-    * concentrates on one reducer, the same hot-key hazard as any
-    * global keep-first — at that scale swap the window for a
-    * `groupBy(key).agg(min(struct(doc_id, p_idx)))` owner join, whose
-    * map-side partial aggregation absorbs the skew.
+    * Scale design (100 TB): keep-first is an OWNER AGGREGATION, not a
+    * window — `groupBy(md5(passage)).agg(min(struct(doc_id, p_idx)))`
+    * computes each passage's first occurrence with map-side partial
+    * aggregation, so a boilerplate passage repeated across the whole
+    * corpus collapses to one row per map task before it ever reaches a
+    * reducer (a per-key top-1 window would sort ALL copies of the hot
+    * passage on one reducer instead — and AQE can split a skewed JOIN
+    * partition, but never a window partition). The join back fans the
+    * owner to each copy: skew there is AQE-splittable. Three bounded
+    * shuffles total: owner agg + owner join (both keyed by the
+    * fixed-width md5, however long the passage), then the doc-keyed
+    * reassembly.
     * Output: doc_id, n_pass, n_kept, clean_text. */
   def passageDedup(docs: DataFrame, win: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -497,15 +500,18 @@ object Dedup {
         s"transform(sequence(0, cast(ceil(size(toks) / ${win}.0d) as int) - 1), " +
           s"i -> array_join(slice(toks, i * $win + 1, $win), ' '))")))
       .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "passage")
-    pass
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("passage"))).orderBy(col("doc_id"), col("p_idx"))))
+      .withColumn("pk", md5(col("passage")))
+    val owners = pass.groupBy("pk")
+      .agg(min(struct(col("doc_id"), col("p_idx"))).as("own"))
+    pass.join(owners, "pk")
+      .withColumn("kept",
+        col("doc_id") === col("own.doc_id") && col("p_idx") === col("own.p_idx"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_pass"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         expr("array_join(transform(filter(array_sort(collect_list(" +
-          "named_struct('i', p_idx, 'p', CASE WHEN rn = 1 THEN passage END))), " +
+          "named_struct('i', p_idx, 'p', CASE WHEN kept THEN passage END))), " +
           "s -> s.p IS NOT NULL), s -> s.p), ' ')").as("clean_text"))
   }
 }
