@@ -53,12 +53,20 @@ object Dedup {
     wordShingles(docs, n, idCol, textCol).select(col("doc_id"),
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
 
-  /** Exact dedup: keep the first doc_id per content hash (SURVEY W1/A8). */
-  def exactKeepFirst(docs: DataFrame): DataFrame =
-    docs.withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-      .filter(col("rn") === 1)
-      .drop("rn")
+  /** Exact dedup: keep the first doc_id per content hash (SURVEY W1/A8).
+    * Keep-first is an owner aggregation (min doc_id per hash, map-side
+    * partial combine) + join back, not a per-hash window: a doc
+    * duplicated a million times across the corpus collapses to one row
+    * per map task before the shuffle instead of sorting every copy on
+    * one reducer, and skew in the join back is AQE-splittable (same
+    * reasoning as [[passageDedup]]). */
+  def exactKeepFirst(docs: DataFrame): DataFrame = {
+    val keyed = docs.withColumn("pk", md5(col("text")))
+    val owners = keyed.groupBy("pk").agg(min(col("doc_id")).as("own"))
+    keyed.join(owners, "pk")
+      .filter(col("doc_id") === col("own"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** 60-bit prime modulus for the minhash permutation family. */
   val MinhashP = 1152921504606846883L
