@@ -373,12 +373,10 @@ object Ann {
           shiftright(col("sk"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))): _*)).as("x"))
       .select(col("vec_id"), col("emb"), col("nrm"),
         col("x.b").as("b"), col("x.bkey").as("bkey"))
-      .withColumn("bc", count(lit(1)).over(Window.partitionBy("b", "bkey")))
-      .filter(col("bc") <= maxBucket)
-      .drop("bc")
-    val a = blocked.select(col("vec_id").as("v1"), col("emb").as("e1"),
+    val capped = Dedup.capBuckets(blocked, Seq("b", "bkey"), maxBucket)
+    val a = capped.select(col("vec_id").as("v1"), col("emb").as("e1"),
       col("nrm").as("n1"), col("b"), col("bkey"))
-    val bb = blocked.select(col("vec_id").as("v2"), col("emb").as("e2"),
+    val bb = capped.select(col("vec_id").as("v2"), col("emb").as("e2"),
       col("nrm").as("n2"), col("b"), col("bkey"))
     a.join(bb, Seq("b", "bkey")).filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
@@ -443,8 +441,10 @@ object Ann {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("emb"), col("nrm"), col("c_id"))
-      .withColumn("csz", count(lit(1)).over(Window.partitionBy("c_id")))
-    val capped = e.filter(col("csz") <= maxCluster)
+    // Cluster-size cap via Dedup.capBuckets (groupBy + join, never a
+    // count-over-window): the hot cluster is exactly the one the cap
+    // must drop, and a window would buffer all its rows on one reducer.
+    val capped = Dedup.capBuckets(e, Seq("c_id"), maxCluster)
     val lo = capped.select(col("c_id"), col("vec_id").as("v1"),
       col("emb").as("e1"), col("nrm").as("n1"))
     val hi = capped.select(col("c_id"), col("vec_id").as("v2"),

@@ -121,11 +121,34 @@ object Dedup {
     * pairs — the one uncontrolled quadratic on the 100 TB path. Pairs
     * lost this way collide only on content shared by >maxBucket
     * documents, which is exactly the boilerplate LSH should not match on. */
-  def lshCandidates(bands: DataFrame, maxBucket: Int = 100): DataFrame = {
-    val capped = bands
-      .withColumn("bc", count(lit(1)).over(Window.partitionBy("band", "bh")))
+  /** Drop every row of an over-populated bucket WITHOUT a window.
+    *
+    * A `count().over(partitionBy(bucket))` window SORT-BUFFERS every
+    * row of the hot bucket on one reducer — hot-spotting on exactly
+    * the degenerate bucket the cap exists to drop, and a window
+    * partition can never be AQE-split. Instead: repartition ONCE by
+    * the bucket keys (a single exchange both consumers reuse — without
+    * it the sizes branch re-computes the whole upstream, since a
+    * partial-agg exchange is not canonically equal to a row exchange),
+    * count bucket sizes with a streaming hash aggregate over that
+    * partitioning (no second shuffle), and semi-join the surviving
+    * keys back with a shuffled-hash hint: the per-partition keys table
+    * is the build side, so the hot bucket's rows STREAM through the
+    * probe and drop — no sort, no buffering, linear in the partition.
+    * Column order of `df` is preserved. */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val dfR = df.repartition(keys.map(col): _*)
+    val small = dfR.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= maxBucket)
-      .drop("bc")
+      .select(keys.map(col): _*)
+    dfR.join(small.hint("shuffle_hash"), keys)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  def lshCandidates(bands: DataFrame, maxBucket: Int = 100): DataFrame = {
+    val capped = capBuckets(bands, Seq("band", "bh"), maxBucket)
     capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -214,10 +237,9 @@ object Dedup {
       bands, rowsPerBand)
     val idx = indexBands
       .select(col("doc_id"), col("band"), col("bh")).withColumn("is_new", lit(false))
-    val all = newBands.withColumn("is_new", lit(true)).unionByName(idx)
-      .withColumn("bc", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bc") <= maxBucket)
-      .drop("bc")
+    val all = capBuckets(
+      newBands.withColumn("is_new", lit(true)).unionByName(idx),
+      Seq("band", "bh"), maxBucket)
     val newSide = all.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     all.select(col("doc_id").as("other_id"), col("band"), col("bh"), col("is_new"))
@@ -432,10 +454,7 @@ object Dedup {
         struct(lit(k).as("blk"),
           shiftright(col("simhash"), k * w).bitwiseAND(lit((1L << w) - 1)).as("bkey"))): _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"), col("x.bkey").as("bkey"))
-    val blocked = exploded
-      .withColumn("bc", count(lit(1)).over(Window.partitionBy("blk", "bkey")))
-      .filter(col("bc") <= maxBucket)
-      .drop("bc")
+    val blocked = capBuckets(exploded, Seq("blk", "bkey"), maxBucket)
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
