@@ -54,18 +54,23 @@ object Dedup {
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
 
   /** Exact dedup: keep the first doc_id per content hash (SURVEY W1/A8).
-    * Keep-first is an owner aggregation (min doc_id per hash, map-side
-    * partial combine) + join back, not a per-hash window: a doc
-    * duplicated a million times across the corpus collapses to one row
-    * per map task before the shuffle instead of sorting every copy on
-    * one reducer, and skew in the join back is AQE-splittable (same
-    * reasoning as [[passageDedup]]). */
+    *
+    * ONE aggregation — no window, no join: `min(struct(doc_id, rest…))`
+    * per content hash picks the whole surviving row, with map-side
+    * partial combine collapsing a corpus-wide duplicated doc to one row
+    * per map task before the shuffle (a keep-first window sorts every
+    * copy on one unsplittable reducer instead). The pure-agg form also
+    * nails the edges a join-back form misses: null-text docs keep their
+    * survivor (groupBy keeps null keys; an equi-join silently drops
+    * them), literally re-ingested duplicate rows collapse to one output
+    * row, and no internal column name can collide with the caller's
+    * schema. Requires orderable column types (struct min). */
   def exactKeepFirst(docs: DataFrame): DataFrame = {
-    val keyed = docs.withColumn("pk", md5(col("text")))
-    val owners = keyed.groupBy("pk").agg(min(col("doc_id")).as("own"))
-    keyed.join(owners, "pk")
-      .filter(col("doc_id") === col("own"))
-      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val ordered = col("doc_id") +:
+      docs.columns.filterNot(_ == "doc_id").map(col).toIndexedSeq
+    docs.groupBy(md5(col("text")).as("__pk"))
+      .agg(min(struct(ordered: _*)).as("__r"))
+      .select(docs.columns.map(c => col(s"__r.$c")).toIndexedSeq: _*)
   }
 
   /** 60-bit prime modulus for the minhash permutation family. */
@@ -528,9 +533,14 @@ object Dedup {
           s"i -> array_join(slice(toks, i * $win + 1, $win), ' '))")))
       .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "passage")
       .withColumn("pk", md5(col("passage")))
+      // One explicit exchange both consumers reuse — without it the
+      // owners branch re-computes the whole tokenize/explode upstream
+      // (a partial-agg exchange is not canonically equal to a row
+      // exchange), measured +53% on p30. Same trick as capBuckets.
+      .repartition(col("pk"))
     val owners = pass.groupBy("pk")
       .agg(min(struct(col("doc_id"), col("p_idx"))).as("own"))
-    pass.join(owners, "pk")
+    pass.join(owners.hint("shuffle_hash"), "pk")
       .withColumn("kept",
         col("doc_id") === col("own.doc_id") && col("p_idx") === col("own.p_idx"))
       .groupBy("doc_id")

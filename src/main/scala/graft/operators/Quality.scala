@@ -48,10 +48,9 @@ object Quality {
     * (id1, id2, dist) with dist = levenshtein(matchCol) <= maxDist. */
   def fuzzyDuplicatesBlocked(df: DataFrame, id: Column, blockKey: Column,
       matchCol: Column, maxDist: Int = 2, maxBlock: Int = 100): DataFrame = {
-    val base = df.select(id.as("id"), blockKey.as("blk"), matchCol.as("m"))
-      .withColumn("bc", count(lit(1)).over(Window.partitionBy("blk")))
-      .filter(col("bc") <= maxBlock)
-      .drop("bc")
+    val base = Dedup.capBuckets(
+      df.select(id.as("id"), blockKey.as("blk"), matchCol.as("m")),
+      Seq("blk"), maxBlock)
     val a = base.select(col("id").as("id1"), col("blk"), col("m").as("m1"))
     val b = base.select(col("id").as("id2"), col("blk").as("blk2"), col("m").as("m2"))
     // Length gap is a lower bound on edit distance — a one-subtraction

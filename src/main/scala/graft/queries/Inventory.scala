@@ -398,12 +398,12 @@ object Inventory {
       Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
-    // Q27 [W1,A8,F16] dedup keep-first by content hash (oltp_seeder.py:115-126)
+    // Q27 [W1,A8,F16] dedup keep-first by content hash (oltp_seeder.py:115-126).
+    // Routed through the library operator so the gate exercises the
+    // skew-safe owner-aggregation form (the ROW_NUMBER oracle below is
+    // the semantically-equal declarative spec).
     QueryDef("q27_dedup_hash",
-      (s, d) => T(s, d, "documents")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .filter(col("rn") === 1)
+      (s, d) => graft.operators.Dedup.exactKeepFirst(T(s, d, "documents"))
         .select("doc_id")
         .orderBy("doc_id"),
       Some("""SELECT doc_id FROM (

@@ -15,6 +15,16 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("exactKeepFirst: null-text docs keep a survivor; re-ingested duplicate rows collapse") {
+    // null-text docs form their own content group (they must not
+    // silently vanish), and a literally duplicated row — the classic
+    // re-ingested batch — yields ONE output row, not two.
+    val d = docs((1L, null), (2L, null), (3L, "a b"), (3L, "a b"), (4L, "a b"))
+    val kept = Dedup.exactKeepFirst(d).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    assert(Dedup.exactKeepFirst(d).count() == 2)
+  }
+
   test("wordShingles emits distinct 3-grams") {
     val d = docs((1L, "a b c d"))
     val sh = Dedup.wordShingles(d).select("shingle").as[String].collect().sorted
