@@ -299,6 +299,42 @@ object TextAnalysis {
       .select(col("domain"), col("doc_id"), col("n_tok"), col("cum"))
   }
 
+  /** Corpus-unigram likelihood score per document — the distributed
+    * analog of the LM-perplexity quality filter (CCNet-style: score
+    * each document by how likely its tokens are under a model trained
+    * on the corpus itself; outliers on both ends are boilerplate or
+    * garbage). The model here is the corpus's own unigram distribution
+    * and the score is the MEAN TOKEN PROBABILITY rather than mean
+    * log-prob: p = cnt/total is one IEEE-exact division of two exact
+    * integers, so the score is bit-identical cross-engine, where `ln`
+    * differs in the last ulp between libm implementations. High score =
+    * common/repetitive vocabulary, low = rare/garbled vocabulary; it is
+    * used the same way as perplexity, with its own thresholds.
+    *
+    * Work: one explode + a partial-aggregable token-count, a join back
+    * on the token key (shuffle join — the vocabulary is corpus-sized,
+    * not broadcastable at scale), a broadcast single-row total, and a
+    * per-doc aggregation. The per-doc fold runs in ascending-p order
+    * (`sort_array(collect_list)`) so the double sum is reproducible
+    * and oracle-checkable; the associative scale form is a plain
+    * `sum(p)` partial aggregate (same tradeoff as kmeansStep, p25).
+    * Output: doc_id, n_tok, score. */
+  def unigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val uni = tok.groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
+    val total = tok.agg(count(lit(1)).cast("long").as("total"))
+    tok.join(uni, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), (col("cnt").cast("double") / col("total")).as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        aggregate(sort_array(collect_list(col("p"))), lit(0d), _ + _).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("s") / col("n_tok"), 6).as("score"))
+  }
+
   /** Top-k distinguishing terms per document by tf-idf. The idf here is
     * the LINEAR inverse document frequency (score = tf / df): integer
     * division is IEEE-exact and bit-identical across engines, where

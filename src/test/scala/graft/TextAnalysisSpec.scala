@@ -174,4 +174,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.isNullAt(short.fieldIndex("top_frac")))
     assert(short.getAs[Double]("distinct_ratio") == 1.0)
   }
+
+  test("unigramScore: common-vocabulary doc outscores a rare-vocabulary doc") {
+    // Corpus: "the" appears 4x, every other token once (total 8 tokens).
+    val m = TextAnalysis.unigramScore(docs(
+      (1L, "the the the the"),           // all tokens at p=4/8
+      (2L, "aardvark qux zyzzyva foo"))) // all tokens at p=1/8
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("score"))).toMap
+    assert(m(1L) == ((4L, 0.5)))     // mean p = 4/8
+    assert(m(2L) == ((4L, 0.125)))   // mean p = 1/8
+  }
 }
