@@ -311,26 +311,34 @@ object TextAnalysis {
     * common/repetitive vocabulary, low = rare/garbled vocabulary; it is
     * used the same way as perplexity, with its own thresholds.
     *
-    * Work: one explode + a partial-aggregable token-count, a join back
-    * on the token key (shuffle join — the vocabulary is corpus-sized,
-    * not broadcastable at scale), a broadcast single-row total, and a
-    * per-doc aggregation. The per-doc fold runs in ascending-p order
+    * Work: one explode + a partial-aggregable per-doc term-frequency
+    * aggregate, then everything downstream runs on DISTINCT (doc,
+    * token) pairs, never per occurrence: the vocabulary table and the
+    * token-key shuffle join both carry tf weights (Σ_occurrences p =
+    * Σ_distinct tf·p), so the join input is the deduplicated pair set —
+    * the shape that survives a corpus where hot tokens repeat millions
+    * of times. The vocabulary is corpus-sized, not broadcastable; the
+    * single-row total is. The per-doc fold runs in ascending order
     * (`sort_array(collect_list)`) so the double sum is reproducible
     * and oracle-checkable; the associative scale form is a plain
-    * `sum(p)` partial aggregate (same tradeoff as kmeansStep, p25).
+    * `sum(tf*p)` partial aggregate (same tradeoff as kmeansStep, p25).
     * Output: doc_id, n_tok, score. */
   def unigramScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("token"))
-    val uni = tok.groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
-    val total = tok.agg(count(lit(1)).cast("long").as("total"))
-    tok.join(uni, "token")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+    val uni = tf.groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+    val total = uni.agg(sum("cnt").cast("long").as("total"))
+    // tf*cnt then /total: each step is one IEEE rounding of exact-int
+    // operands, bit-identical across engines (no ln, no re-association).
+    tf.join(uni, "token")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), (col("cnt").cast("double") / col("total")).as("p"))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("double") * col("cnt") / col("total")).as("w"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_tok"),
-        aggregate(sort_array(collect_list(col("p"))), lit(0d), _ + _).as("s"))
+      .agg(sum("tf").cast("long").as("n_tok"),
+        aggregate(sort_array(collect_list(col("w"))), lit(0d), _ + _).as("s"))
       .select(col("doc_id"), col("n_tok"),
         round(col("s") / col("n_tok"), 6).as("score"))
   }
