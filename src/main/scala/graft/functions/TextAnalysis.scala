@@ -258,8 +258,11 @@ object TextAnalysis {
     * Scale design (100 TB): a single global stream would serialize into
     * one partition, so the stream is sharded by an md5 bucket of doc_id
     * (shards = training data shards; each is an independent window
-    * partition). The only shuffle is the per-shard window sort, and
-    * shard cardinality is the parallelism knob.
+    * partition). A SHARD IS ONE REDUCER'S WORTH OF ROWS — a window
+    * partition is a single unsplittable task — so the shard count must
+    * scale with the input: use [[packSequencesAuto]] (or pass
+    * [[graft.operators.Mix.deriveShards]]) rather than a fixed count;
+    * a fixed 16 at 100 TB would mean 16 tasks of ~6 TB each.
     * Output: doc_id, chunk_idx, shard, tok_start, first_bin, last_bin. */
   def packSequences(chunks: DataFrame, ctxTokens: Int = 64,
       shards: Int = 16): DataFrame = {
@@ -276,6 +279,15 @@ object TextAnalysis {
         expr(s"(tok_end - 1) DIV $ctxTokens").as("last_bin"))
   }
 
+  /** [[packSequences]] with the shard count derived from the chunk
+    * count (one extra count job; at 100 TB that is the price of not
+    * sorting 6 TB per task). `minShards` keeps small inputs on a fixed
+    * documented shard count so gate-scale output is reproducible. */
+  def packSequencesAuto(chunks: DataFrame, ctxTokens: Int = 64,
+      rowsPerShard: Long = 4000000L, minShards: Int = 16): DataFrame =
+    packSequences(chunks, ctxTokens,
+      graft.operators.Mix.deriveShards(chunks.count(), rowsPerShard, minShards))
+
   /** Token-budget sampling per domain: walk each domain's documents in
     * deterministic md5 order and keep documents until the domain's
     * token budget is spent (the doc that crosses the boundary is kept —
@@ -283,18 +295,52 @@ object TextAnalysis {
     * ("x tokens of lang=de") turns into an actual document sample;
     * pairs with the mixture-stats weights (r50).
     *
-    * Scale design: one window partitioned by domain — domains are the
-    * parallelism unit, and within a domain the cumulative sum is a
-    * sorted range partition, never a global single-partition stream.
+    * Scale design (100 TB): a naive `Window.partitionBy(domain)` routes
+    * an entire domain to ONE reducer task (hash partitioning; AQE can
+    * split a skewed join partition but never a window partition), and a
+    * hot domain like lang=en can be half the corpus. Instead the prefix
+    * sum runs in two passes over md5-PREFIX buckets, which are
+    * contiguous ranges of the sort key h:
+    *   1. per-(domain, bucket) token sums — a plain partial-aggregable
+    *      groupBy over the corpus;
+    *   2. a window over that tiny (≤ domains × buckets rows) summary
+    *      yields each bucket's starting offset; buckets whose offset
+    *      already meets the budget are PRUNED before any heavy work —
+    *      at 100 TB with a fixed budget, all but the first few buckets
+    *      of every domain drop out here;
+    *   3. a within-bucket cumulative window (parallelism = domains ×
+    *      buckets, each partition ~1/buckets of its domain) plus the
+    *      bucket offset reconstructs the exact global cumulative sum.
+    * The result is bit-identical to the single-window form for any
+    * bucket count (buckets partition the h-order contiguously), so
+    * `buckets` is purely a parallelism knob.
     * Output: domain, doc_id, n_tok, cum. */
   def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
       domainCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy("domain").orderBy("h")
-    docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
+      textCol: String = "text", buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // First 8 hex chars of h as a 32-bit int, scaled into [0, buckets):
+    // monotone in h, so each bucket is a contiguous range of the sort
+    // key and cross-bucket order equals global h order.
+    val base = docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
         size(split(col(textCol), " ")).cast("long").as("n_tok"),
         md5(col(idCol).cast("string")).as("h"))
-      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bkt", expr(
+        s"(CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) * $buckets)" +
+          " DIV 4294967296"))
+    val bktSums = base.groupBy("domain", "bkt")
+      .agg(sum("n_tok").as("bkt_tok"))
+    val wOff = Window.partitionBy("domain").orderBy("bkt")
+    val offsets = bktSums
+      .withColumn("off", sum("bkt_tok").over(wOff) - col("bkt_tok"))
+      // A bucket whose starting offset already meets the budget cannot
+      // contribute a row (its first doc has cum - n_tok = off >= budget):
+      // prune it before the per-row window ever sees its data.
+      .filter(col("off") < budgetTokens)
+      .select(col("domain"), col("bkt"), col("off"))
+    val wIn = Window.partitionBy("domain", "bkt").orderBy("h")
+    base.join(broadcast(offsets), Seq("domain", "bkt"))
+      .withColumn("cum", col("off") + sum("n_tok").over(wIn))
       .filter(col("cum") - col("n_tok") < budgetTokens)
       .select(col("domain"), col("doc_id"), col("n_tok"), col("cum"))
   }

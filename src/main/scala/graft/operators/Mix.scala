@@ -40,4 +40,48 @@ object Mix {
       .filter(col("n_copies") > 0)
       .select(keys.map(col) :+ col(idCol) :+
         explode(sequence(lit(1), col("n_copies"))).as("copy"): _*)
+
+  /** Shard-count sizing for the sharded-window operators (corpusShuffle,
+    * packSequences): a shard is ONE reducer's worth of rows — a window
+    * partition is a single unsplittable task, so the shard count must
+    * grow with the input. `ceil(nRows / rowsPerShard)` with a floor that
+    * keeps small inputs on the documented default (and the oracle SQL
+    * valid at gate scale). 100 TB ≈ 10^11 rows / 4M rows-per-shard ≈
+    * 25k shards — each a bounded sort, all independent. */
+  def deriveShards(nRows: Long, rowsPerShard: Long = 4000000L,
+      minShards: Int = 16): Int = {
+    require(rowsPerShard > 0 && minShards > 0,
+      "rowsPerShard and minShards must be positive")
+    val needed = (nRows + rowsPerShard - 1) / rowsPerShard
+    math.max(minShards.toLong, needed).min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Deterministic global corpus shuffle: docs ordered by md5(doc_id),
+    * sharded into `shards` contiguous RANGES of the hash ((hv * shards)
+    * >> 32 over the first 8 hex chars is monotone in the hash, so
+    * (shard, pos) IS the global shuffled order). Each shard's
+    * row_number is one reducer task, so `shards` must scale with the
+    * input — use [[corpusShuffleAuto]] or pass [[deriveShards]].
+    * At shards = 256 the range formula reduces to the hash's first
+    * byte. Output: doc_id, shard, pos. */
+  def corpusShuffle(docs: DataFrame, shards: Int = 256,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = docs
+      .withColumn("h", md5(col(idCol).cast("string")))
+      .withColumn("shard", expr(
+        s"(CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) * $shards)" +
+          " DIV 4294967296"))
+    h.withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("h")))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** [[corpusShuffle]] with the shard count derived from the input size
+    * (one extra count job — a metadata-cheap scan next to the shuffle
+    * itself). minShards = 256 keeps gate-scale output identical to the
+    * fixed-256 form. */
+  def corpusShuffleAuto(docs: DataFrame, rowsPerShard: Long = 4000000L,
+      minShards: Int = 256, idCol: String = "doc_id"): DataFrame =
+    corpusShuffle(docs, deriveShards(docs.count(), rowsPerShard, minShards), idCol)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Mix
 
 class MixSpec extends SparkSpec {
@@ -33,6 +34,44 @@ class MixSpec extends SparkSpec {
     val copies = Mix.resampleByWeight(corpus, wts, Seq("lang", "source"))
       .filter($"doc_id" === 10L).select("copy").as[Int].collect().sorted
     assert(copies.toSeq == Seq(1, 2))
+  }
+
+  test("deriveShards scales with input and floors at minShards") {
+    // small inputs stay on the documented floor (oracle-stable at gate SF)
+    assert(Mix.deriveShards(0L) == 16)
+    assert(Mix.deriveShards(60000L) == 16)
+    assert(Mix.deriveShards(1000L, minShards = 256) == 256)
+    // past the floor, shard count grows with rows: 1 reducer ≈ rowsPerShard
+    assert(Mix.deriveShards(100000000L) == 25)
+    assert(Mix.deriveShards(100000000000L) == 25000)  // ~100 TB of rows
+    assert(Mix.deriveShards(1000L, rowsPerShard = 100L) == 16)
+    assert(Mix.deriveShards(10000L, rowsPerShard = 100L) == 100)
+    // monotone: more rows never means fewer shards
+    val pts = Seq(1L, 1000000L, 10000000L, 1000000000L, 50000000000L)
+    assert(pts.map(Mix.deriveShards(_)) == pts.map(Mix.deriveShards(_)).sorted)
+  }
+
+  test("corpusShuffle: (shard, pos) is the global md5 order, any shard count") {
+    val docs = (1 to 500).map(_.toLong).toDF("doc_id")
+    def order(shards: Int): Seq[Long] =
+      Mix.corpusShuffle(docs, shards).orderBy("shard", "pos")
+        .select("doc_id").as[Long].collect().toSeq
+    val global = docs.select($"doc_id",
+        md5($"doc_id".cast("string")).as("h"))
+      .orderBy("h").select("doc_id").as[Long].collect().toSeq
+    // shards are contiguous hash ranges: concatenating them in shard
+    // order reproduces the one global shuffled order, for 1, 7, or 256
+    assert(order(1) == global)
+    assert(order(7) == global)
+    assert(order(256) == global)
+    // at 256 the range formula reduces to the hash's first byte (what
+    // the r49 oracle SQL computes)
+    val firstByte = Mix.corpusShuffle(docs, 256)
+      .join(docs.select($"doc_id",
+        conv(substring(md5($"doc_id".cast("string")), 1, 2), 16, 10)
+          .cast("long").as("fb")), "doc_id")
+      .filter($"shard" =!= $"fb").count()
+    assert(firstByte == 0L)
   }
 
   test("resampleByWeight caps pathological weights at maxCopies") {

@@ -23,6 +23,35 @@ class SkewSpec extends SparkSpec {
       .filter(col("count") =!= col("n")).count() == 0)
   }
 
+  test("tokenBudgetSample splits a hot domain across md5-prefix buckets") {
+    import spark.implicits._
+    // one domain holds ~all rows — the lang=en case: a naive
+    // Window.partitionBy(domain) would put all 2000 docs in ONE task
+    val docs = (1 to 2000).map(i => (i.toLong, "t " * (i % 7 + 1), "en"))
+      .toDF("doc_id", "text", "lang")
+    val bucketed = graft.functions.TextAnalysis
+      .tokenBudgetSample(docs, budgetTokens = 3000L, buckets = 8)
+    // buckets = 1 IS the single-window semantics; the bucketed form
+    // must be row-identical (buckets partition the h-order contiguously)
+    val single = graft.functions.TextAnalysis
+      .tokenBudgetSample(docs, budgetTokens = 3000L, buckets = 1)
+    assert(bucketed.exceptAll(single).isEmpty && single.exceptAll(bucketed).isEmpty)
+    assert(bucketed.count() > 0)
+    // plan: no window may partition by domain alone with the per-row
+    // sort key — the heavy cumulative window must carry bkt in its
+    // partition spec (a window partition is one unsplittable task)
+    val plan = bucketed.queryExecution.optimizedPlan.toString
+    assert(!"windowspecdefinition\\(domain#\\d+, h#".r.findFirstIn(plan).isDefined,
+      "found a window partitioned by domain alone over per-row data")
+    assert("windowspecdefinition\\(domain#\\d+, bkt#".r.findFirstIn(plan).isDefined,
+      "expected the cumulative window to partition by (domain, bkt)")
+    // the hot domain really lands in >1 bucket at this scale
+    val nBkt = docs.select(expr(
+      "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) * 8) DIV 4294967296"))
+      .distinct().count()
+    assert(nBkt > 1)
+  }
+
   test("salted join equals plain join on a skewed fact table") {
     // 10 accounts over 20k rows -> every key is hot
     val tx = DataGen.transactions(spark, 10, 20000)
