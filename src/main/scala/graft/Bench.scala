@@ -62,7 +62,11 @@ object Bench {
     // runs estimates the true cost without any cache warming
     // (clearCache between runs).
     val runs = 2
+    // Dev-only: SPARK_GRAFT_ONLY=q01,p25 restricts the run for targeted
+    // profiling; the driver never sets it, so round benches are full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     val failed = scala.collection.mutable.LinkedHashSet[String]()

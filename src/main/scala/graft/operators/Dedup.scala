@@ -166,29 +166,43 @@ object Dedup {
     * to an LSH candidate set — the scale path; pass None for the exact
     * quadratic baseline (pairs sharing no shingle have Jaccard 0 and are
     * never emitted either way). */
-  def jaccardPairs(shingles: DataFrame, candidates: Option[DataFrame] = None): DataFrame = {
-    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // With candidates, intersections are driven FROM the candidate pairs
-    // (join work ∝ |candidates| x shingles-per-doc) instead of the full
-    // inverted-index self-join (∝ Σ per-shingle df²) — the difference
-    // between LSH-linear and quadratic at corpus scale.
-    val inter = candidates match {
+  def jaccardPairs(shingles: DataFrame, candidates: Option[DataFrame] = None): DataFrame =
+    candidates match {
       case Some(c) =>
-        c.join(shingles.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(shingles.as("s2"),
-            col("d2") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("ninter"))
+        // Candidate-driven verify: fold each doc's (already distinct)
+        // shingles into ONE array row, then two doc_id equi-joins bring
+        // both sets onto the candidate pair and a hash-set
+        // `array_intersect` counts the overlap in place. Work is
+        // ∝ |candidates| × shingles-per-doc and the arrays are bounded
+        // by document length (never corpus-sized) — vs the previous
+        // form's two shuffles of the full (doc, shingle) table plus a
+        // per-pair groupBy and two count joins (measured 2× slower at
+        // sf0.1 with the identical result, r5).
+        val byDoc = shingles.groupBy("doc_id")
+          .agg(collect_list("shingle").as("ss"), count(lit(1)).as("n"))
+        c.join(byDoc.as("b1"), col("d1") === col("b1.doc_id"))
+          .join(byDoc.as("b2"), col("d2") === col("b2.doc_id"))
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("b1.ss"), col("b2.ss"))).cast("long").as("ninter"),
+            col("b1.n").as("n1"), col("b2.n").as("n2"))
+          // band-hash collisions can pair docs sharing no shingle;
+          // those were never emitted by the join-on-shingle form either
+          .filter(col("ninter") > 0)
+          .select(col("d1"), col("d2"),
+            (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
       case None =>
+        // Exact quadratic baseline: inverted-index self-join
+        // (∝ Σ per-shingle df²) — the oracle-shaped reference path.
+        val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
         shingles.as("s1").join(shingles.as("s2"),
             col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
           .select(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("ninter"))
+          .join(counts.withColumnRenamed("n", "n1"), col("d1") === col("doc_id")).drop("doc_id")
+          .join(counts.withColumnRenamed("n", "n2"), col("d2") === col("doc_id")).drop("doc_id")
+          .select(col("d1"), col("d2"),
+            (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
     }
-    inter.join(counts.withColumnRenamed("n", "n1"), col("d1") === col("doc_id")).drop("doc_id")
-      .join(counts.withColumnRenamed("n", "n2"), col("d2") === col("doc_id")).drop("doc_id")
-      .select(col("d1"), col("d2"),
-        (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
-  }
 
   /** Persist the MinHash/LSH band index for a corpus: one compact row
     * per (doc_id, band, bh). This is what makes dedup INCREMENTAL — a
