@@ -62,21 +62,16 @@ object Ann {
 
   /** IVF search for one query id: scan only the query's cluster.
     * Output: vec_id, sim ordered best-first. */
-  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
-    val assign = assignClusters(emb, centroids)
-    val qCluster = assign.filter(col("vec_id") === queryId)
-      .select(col("c_id").as("q_cid"))
-    val e = withNorm(emb)
-    val q = withNorm(emb.filter(col("vec_id") === queryId))
-      .select(col("emb").as("qemb"), col("nrm").as("qnrm"))
-    assign.join(broadcast(qCluster), col("c_id") === col("q_cid"))
-      .join(e, "vec_id")
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 3).as("sim"))
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    // Probing only the query's own cluster (nprobe = 1) measured
+    // recall@10 ≈ 0.18 on the sf0.01 corpus — true neighbors straddle
+    // cluster boundaries. nprobe is the recall knob, same machinery as
+    // the batch path; AnnSpec pins the shipped default to ≥ 0.9.
+    val index = assignClusters(emb, centroids).join(emb, "vec_id")
+    rerankProbed(index, probeRank(centroids, emb.filter(col("vec_id") === queryId), nprobe), k)
+      .select(col("vec_id"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
   }
 
   /** IVF write path: materialize the corpus with the cluster id as a

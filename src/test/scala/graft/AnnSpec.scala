@@ -81,9 +81,14 @@ class AnnSpec extends SparkSpec {
       (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
       (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)),
       (4L, Seq(0.01f, 0.99f)))
-    val res = Ann.ivfTopK(d, d.filter(col("vec_id") < 2), queryId = 0L, k = 10)
+    val res = Ann.ivfTopK(d, d.filter(col("vec_id") < 2), queryId = 0L, k = 10,
+        nprobe = 1)
       .select("vec_id").as[Long].collect().toSet
     assert(res == Set(2L, 3L))  // cluster of vec 0 only; 1 and 4 unscanned
+    // the shipped default (nprobe = 2) widens to the second cluster
+    val wide = Ann.ivfTopK(d, d.filter(col("vec_id") < 2), queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(wide == Set(1L, 2L, 3L, 4L))
   }
 
   test("IVF write path prunes cluster directories and nprobe widens recall") {
@@ -279,5 +284,35 @@ class AnnSpec extends SparkSpec {
     val first = Ann.nearDupPairs(d, topN = 3).select("v1", "v2")
       .as[(Long, Long)].head()
     assert(first == ((0L, 1L)))
+  }
+
+  test("shipped approximate-ANN defaults hold recall@10 >= 0.9 vs brute force") {
+    // The recall floor the tuned defaults must clear on the sf0.01
+    // corpus (500 vectors) — a tuning regression (nprobe, shortlist,
+    // centroid seeding) fails here instead of shipping silently.
+    val embSf = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = embSf.filter(col("vec_id") < 5)
+    val exact = Ann.bruteTopK(embSf, queries, k = 10)
+      .select("q_id", "vec_id").persist()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallAtK(approx.select("q_id", "vec_id"), exact)
+        .agg(avg("recall")).head.getDouble(0)
+    // p19's shape: seeded centroids, batch IVF at the shipped nprobe
+    val centroids = embSf.filter(col("vec_id") < 8)
+    val index = Ann.assignClusters(embSf, centroids).join(embSf, "vec_id")
+    val rIvf = meanRecall(
+      Ann.ivfSearchBatch(index, centroids, queries, k = 10, nprobe = 2))
+    // p21's shape: int8 absmax scan at the shipped default shortlist
+    val rQuant = meanRecall(Ann.quantizedTopK(embSf, queries, k = 10))
+    // p07's shape: single-query IVF — recall over query 0's truth set
+    val rOne = Ann.recallAtK(
+        Ann.ivfTopK(embSf, centroids, queryId = 0L, k = 10)
+          .withColumn("q_id", lit(0L)).select("q_id", "vec_id"),
+        exact.filter(col("q_id") === 0L))
+      .agg(avg("recall")).head.getDouble(0)
+    exact.unpersist()
+    assert(rQuant >= 0.9, s"quantizedTopK recall@10 = $rQuant")
+    assert(rIvf >= 0.9, s"ivfSearchBatch recall@10 = $rIvf")
+    assert(rOne >= 0.9, s"ivfTopK recall@10 = $rOne")
   }
 }
