@@ -61,12 +61,49 @@ class SmokeSpec extends SparkSpec {
     }
   }
 
-  test("seeded sample is deterministic for a fixed seed and near the target fraction") {
+  test("seeded sample is deterministic and inside 4-sigma binomial bounds") {
     val c = Tables.load(spark, sf, "customer")
     val a = SparkEntry.queries("r45_sample_seeded")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("r45_sample_seeded")(spark, sf).collect().toSeq
     assert(a == b)
+    // k ~ Binomial(n, 0.2): |k - np| <= 4*sqrt(np(1-p)) — a quantitative
+    // gate for the no-oracle entry (P(outside) < 1e-4, and the seed is
+    // fixed so the draw never varies run to run anyway)
     val n = c.count().toDouble
-    assert(math.abs(a.length / n - 0.2) < 0.15)  // Bernoulli tolerance at sf0.001
+    val sigma = math.sqrt(n * 0.2 * 0.8)
+    assert(math.abs(a.length - n * 0.2) <= 4 * sigma,
+      s"sampled ${a.length} of $n (expected ${n * 0.2} +- ${4 * sigma})")
+  }
+
+  test("approx_percentile p50 sits at rank 0.5 within tolerance (r47)") {
+    // Rank-tolerance contract of the sketch: the fraction of values on
+    // either side of the reported p50 brackets 0.5. Value tolerance
+    // (test above) can mask a sketch that returns a near-by value from
+    // the wrong rank; this pins the rank itself.
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sf, "lineitem")
+    val approx = SparkEntry.queries("r47_approx_percentiles")(spark, sf)
+      .select("l_returnflag", "p50_approx").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((flag, p50) <- approx) {
+      val g = li.filter(col("l_returnflag") === flag)
+      val n = g.count().toDouble
+      val below = g.filter(col("l_quantity") < p50).count() / n
+      val atOrBelow = g.filter(col("l_quantity") <= p50).count() / n
+      // discrete data: the interval [below, atOrBelow] must cover 0.5
+      // up to the sketch's rank error (1/accuracy) + one row of slack
+      val tol = 1.0 / 10000 + 1.0 / n
+      assert(below <= 0.5 + tol && atOrBelow >= 0.5 - tol,
+        s"$flag: p50=$p50 ranks [$below, $atOrBelow]")
+    }
+  }
+
+  test("HLL approx distinct within 5% of exact (r39's error bound)") {
+    val r = SparkEntry.queries("r39_approx_distinct")(spark, sf).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    // Spark's default rsd = 0.05; 5% is the documented contract for the
+    // no-oracle entry (the sketch is engine-specific, the bound is not)
+    assert(math.abs(approx - exact) <= math.max(1.0, exact * 0.05),
+      s"approx $approx vs exact $exact")
   }
 }
