@@ -536,15 +536,34 @@ object Dedup {
     * shuffles total: owner agg + owner join (both keyed by the
     * fixed-width md5, however long the passage), then the doc-keyed
     * reassembly.
+    * Segmentation (Dolma behavior): a document WITH newlines splits on
+    * its natural paragraph boundaries — blank lines (`\n\n+`) when it
+    * has them, single `\n` otherwise — with empty/whitespace segments
+    * dropped and `clean_text` rejoined with `\n`; a document without
+    * newlines falls back to fixed `win`-token windows rejoined with a
+    * space (the fixture corpora carry no newlines, so the oracle models
+    * exactly the token-window path). The decision is per document, a
+    * narrow map either way.
     * Output: doc_id, n_pass, n_kept, clean_text. */
   def passageDedup(docs: DataFrame, win: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val rawParas = when(col("txt").contains("\n\n"), split(col("txt"), "\n{2,}"))
+      .otherwise(split(col("txt"), "\n"))
+    val paraSegs = filter(transform(rawParas, s => trim(s)), s => s =!= "")
     val pass = docs
-      .select(col(idCol).as("doc_id"),
-        split(coalesce(col(textCol), lit("")), " ").as("toks"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, cast(ceil(size(toks) / ${win}.0d) as int) - 1), " +
-          s"i -> array_join(slice(toks, i * $win + 1, $win), ' '))")))
+      .select(col(idCol).as("doc_id"), txt.as("txt"),
+        split(txt, " ").as("toks"))
+      .withColumn("segs",
+        when(col("txt").contains("\n"),
+          // stay-visible rule: an all-whitespace/newline doc keeps one
+          // empty passage instead of vanishing from the report
+          when(size(paraSegs) > 0, paraSegs).otherwise(array(lit(""))))
+          .otherwise(expr(
+            s"transform(sequence(0, cast(ceil(size(toks) / ${win}.0d) as int) - 1), " +
+              s"i -> array_join(slice(toks, i * $win + 1, $win), ' '))")))
+      .withColumn("sep", when(col("txt").contains("\n"), lit("\n")).otherwise(lit(" ")))
+      .select(col("doc_id"), col("sep"), posexplode(col("segs")))
       .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "passage")
       .withColumn("pk", md5(col("passage")))
       // One explicit exchange both consumers reuse — without it the
@@ -563,6 +582,6 @@ object Dedup {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         expr("array_join(transform(filter(array_sort(collect_list(" +
           "named_struct('i', p_idx, 'p', CASE WHEN kept THEN passage END))), " +
-          "s -> s.p IS NOT NULL), s -> s.p), ' ')").as("clean_text"))
+          "s -> s.p IS NOT NULL), s -> s.p), max(sep))").as("clean_text"))
   }
 }

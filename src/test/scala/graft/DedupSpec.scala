@@ -247,4 +247,27 @@ class DedupSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: $got vs $expected")
     }
   }
+
+  test("passageDedup segments on paragraph boundaries when newlines exist") {
+    // Dolma behavior: blank-line boundaries preferred, single-newline
+    // fallback, token windows only for newline-free text. Docs 1 and 2
+    // share the "shared header" paragraph; doc 3 is newline-free and
+    // must segment exactly as before (token windows).
+    val d = docs(
+      (1L, "shared header\n\nunique one"),
+      (2L, "shared header\n\nunique two\n\n\n"),   // trailing blanks drop
+      (3L, "plain doc no breaks"),                 // no newlines: windows
+      (4L, "line a\nline b"),                      // single-\n splitting
+      (5L, "\n\n"))                                // all-whitespace stays
+    val got = Dedup.passageDedup(d, win = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pass"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "shared header\nunique one")))
+    assert(got(2L) == ((2L, 1L, "unique two")))   // shared paragraph died
+    // newline-free docs keep the token-window segmentation unchanged
+    assert(got(3L) == ((2L, 2L, "plain doc no breaks")))
+    assert(got(4L) == ((2L, 2L, "line a\nline b")))
+    assert(got(5L) == ((1L, 1L, "")))             // stay-visible rule
+  }
 }
