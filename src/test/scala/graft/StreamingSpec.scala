@@ -125,6 +125,63 @@ class StreamingSpec extends SparkSpec {
     assert(snap == batchSnap)
   }
 
+  test("ST3k: a hot key rewrites only its own bucket, and compaction preserves the snapshot") {
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def env(op: String, id: Long, v: String, lsn: Long): String =
+      s"""{"payload":{"op":"$op","before":null,""" +
+        s""""after":{"id":$id,"v":"$v"},"source":{"lsn":$lsn},"ts_ms":${1700000000000L + lsn}}}"""
+    val src = tmp("st3k-src"); val out = tmp("st3k-out"); val ck = tmp("st3k-ck")
+    Files.write(java.nio.file.Paths.get(src, "b1.json"),
+      (1L to 40L).map(i => env("c", i, s"v$i", i)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
+    def fingerprint(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(out)
+      root.listFiles().filter(_.getName.startsWith("kb=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+      }.toMap
+    }
+    val before = fingerprint()
+    // skewed batch: 300 successive updates of ONE hot key + one other
+    // key — per-batch work must stay bounded by the touched buckets,
+    // not fan out across the snapshot
+    val hot = (1L to 300L).map(i => env("u", 7, s"v7-$i", 1000 + i))
+    Files.write(java.nio.file.Paths.get(src, "b2.json"),
+      (hot :+ env("u", 8, "v8b", 2000)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
+    val after = fingerprint()
+    val touched = spark.range(1).select(
+        pmod(hash(lit(7L)), lit(8)).cast("string"),
+        pmod(hash(lit(8L)), lit(8)).cast("string")).head()
+    val touchedDirs = Set(s"kb=${touched.getString(0)}", s"kb=${touched.getString(1)}")
+    before.keys.filterNot(touchedDirs).foreach { b =>
+      assert(after(b) == before(b), s"bucket $b was rewritten by the hot-key batch")
+    }
+    // keep-latest under the skew: highest lsn wins for the hot key
+    def oracle(): Seq[(Long, String)] = {
+      val raw = spark.read.text(src)
+      Ingest.latestPerKey(Ingest.decodeCdc(raw, rowSchema), "id")
+        .orderBy("id").as[(Long, String)].collect().toSeq
+    }
+    def snap(): Seq[(Long, String)] =
+      spark.read.parquet(out).select("id", "v").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+    assert(snap() == oracle())
+    assert(snap().contains((7L, "v7-300")))
+    // small-file compaction over the bucketed layout must preserve both
+    // the rows and the kb= directory structure the upsert depends on
+    graft.sources.Lake.compact(spark, out, partitionCols = Seq("kb"))
+    assert(snap() == oracle())
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("kb=")))
+    // and the stream keeps merging correctly on top of the compacted
+    // snapshot (bucket pruning + park/promote still line up)
+    Files.write(java.nio.file.Paths.get(src, "b3.json"),
+      Seq(env("u", 9, "v9b", 3000)).mkString("\n").getBytes)
+    Ingest.cdcUpsertStreamPartitioned(spark, rowSchema, "id", src, out, ck, nBuckets = 8)
+    assert(snap() == oracle())
+  }
+
   test("ST3r: bucket parked by a crashed swap is restored before the next batch merges") {
     val rowSchema = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType)))
