@@ -90,6 +90,38 @@ object Ingest {
       StructField("source", StructType(Seq(StructField("lsn", LongType)))),
       StructField("ts_ms", LongType))))))
 
+  /** S13 Kafka transport (consume): the reference's raw-bytes topic
+    * round-trip with read-from-earliest (`cdc/test.py:8-18`,
+    * `auto_offset_reset='earliest'`). Emits the same one-string-column
+    * `value` shape the file-source tests feed [[decodeCdc]], so every
+    * downstream operator is transport-agnostic — swap
+    * `spark.readStream.text(dir)` for this call and nothing else
+    * changes. ENV-BOUND: `/opt/spark/jars` ships no `spark-sql-kafka`
+    * connector (SURVEY env facts), so in this sandbox `.load()` fails
+    * with DATA_SOURCE_NOT_FOUND (spec-asserted); on a cluster with the
+    * connector jar it runs as-is. */
+  def kafkaLines(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S13 Kafka transport (produce): stream a `value` string column to a
+    * topic — the write half of the reference's round-trip. Same
+    * env-bound caveat as [[kafkaLines]]. Returns the started query so
+    * callers control the trigger/await policy. */
+  def kafkaSink(lines: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    lines.selectExpr("CAST(value AS STRING) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** ST3a: decode a raw JSON-line CDC stream into (op, lsn, ts_ms, row)
     * — deletes carry `before`, everything else `after`. */
   def decodeCdc(raw: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame = {
@@ -210,13 +242,24 @@ object Ingest {
     * form. */
   def cdcUpsertStreamPartitioned(spark: SparkSession, rowSchema: StructType,
       keyCol: String, srcDir: String, outDir: String, checkpoint: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16): Unit =
+    cdcUpsertPartitionedFrom(spark, spark.readStream.text(srcDir), rowSchema,
+      keyCol, outDir, checkpoint, nBuckets)
+
+  /** Transport-agnostic form of [[cdcUpsertStreamPartitioned]]: `raw`
+    * is ANY streaming frame with a string `value` column of Debezium
+    * JSON lines — the file source the tests drive, or [[kafkaLines]]
+    * on a cluster that ships the connector. Everything downstream of
+    * the source (decode, bucket pruning, park-then-promote swap,
+    * crash recovery) is identical. */
+  def cdcUpsertPartitionedFrom(spark: SparkSession, raw: DataFrame,
+      rowSchema: StructType, keyCol: String, outDir: String,
+      checkpoint: String, nBuckets: Int = 16): Unit = {
     // Recover a crashed swap BEFORE the stream starts too: with no new
     // data, no batch would run, and readers would otherwise see the
     // snapshot missing a parked bucket indefinitely.
     restoreParkedBuckets(org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration), outDir)
-    val raw = spark.readStream.text(srcDir)
     val decoded = decodeCdc(raw, rowSchema)
     val q = decoded.writeStream
       .outputMode("append")
