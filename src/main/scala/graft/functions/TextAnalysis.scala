@@ -47,6 +47,27 @@ object TextAnalysis {
           (col("n_stop").cast("double") / col("n_tokens")) * 0.5, 4).as("score"))
   }
 
+  /** Score-based corpus pruning (the FineWeb/DCLM "keep the best X% of
+    * every domain" stage): a document survives iff its [[qualityScore]]
+    * clears its domain's exact p-th score percentile. The cutoff table
+    * is ONE partial-aggregable percentile aggregation (domain-count
+    * rows) broadcast back onto the scored corpus — no window, no
+    * per-domain sort of the corpus, so a hot domain costs its share of
+    * one groupBy, never one reducer. Ties at the cutoff are kept, so
+    * the kept fraction is >= 1 - p per domain.
+    * Output: domain, doc_id, score, cutoff. */
+  def qualityPrune(docs: DataFrame, p: Double = 0.5,
+      domainCol: String = "lang"): DataFrame = {
+    require(p >= 0 && p <= 1, "p must be in [0, 1]")
+    val scored = qualityScore(docs)
+      .join(docs.select(col("doc_id"), col(domainCol).as("domain")), "doc_id")
+    val cutoffs = scored.groupBy("domain")
+      .agg(round(expr(s"percentile(score, $p)"), 4).as("cutoff"))
+    scored.join(broadcast(cutoffs), "domain")
+      .filter(col("score") >= col("cutoff"))
+      .select(col("domain"), col("doc_id"), col("score"), col("cutoff"))
+  }
+
   private val voteLangs = Seq("en", "es", "de", "fr", "zh")
 
   /** Per-language stopword-hit aggregates over an exploded `token`

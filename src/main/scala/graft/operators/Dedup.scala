@@ -512,6 +512,48 @@ object Dedup {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** [[contamination]] at the scale where even the eval set's DISTINCT
+    * shingle table is too big to broadcast as rows: a Bloom filter over
+    * the eval shingles replaces the broadcast join. The filter is built
+    * with one tree-aggregation (the driver holds the BITS of the
+    * sketch — sized by `fpp` and the eval-shingle count, never by the
+    * corpus), ships to every executor once, and the training side stays
+    * one narrow shingle pass with a per-row membership probe.
+    *
+    * Semantics vs the exact form: NO false negatives (every truly
+    * contaminated n-gram is flagged), and a doc-level false-positive
+    * only when a clean doc has some shingle colliding in the filter
+    * (probability ≤ shingles-per-doc × fpp) — the standard
+    * contamination-screen trade: the flagged set is a slight superset,
+    * re-checkable exactly with [[contamination]] on the (tiny) flagged
+    * slice. The membership probe is a closure over the broadcast
+    * sketch — not codegen'd, but one hash per row against in-memory
+    * bits, and the scale motivation is shipping megabytes instead of a
+    * row table. DedupSpec proves the superset property and bounds the
+    * false-positive rate on a clean corpus.
+    * Output: doc_id, n_flagged, contaminated. */
+  def contaminationBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      fpp: Double = 0.01, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val evalSh = shingleHashes(evalDocs, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    // expectedNumItems from a cheap count of the (already distinct)
+    // eval shingles: exact sizing keeps the realized fpp at the target.
+    val nEval = math.max(1L, evalSh.count())
+    val bf = evalSh.stat.bloomFilter("shingle", nEval, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((s: Long) => bfB.value.mightContainLong(s))
+    val trainSh = shingleHashes(docs, n, idCol, textCol)
+    val hits = trainSh
+      .groupBy("doc_id")
+      .agg(sum(when(might(col("shingle")), 1L).otherwise(0L)).as("n_flagged"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+  }
+
   /** Passage-level exact dedup (the Dolma/RefinedWeb "paragraph dedup"
     * stage, with fixed-width token windows as the segmenter — this
     * corpus carries no newlines): split each doc into non-overlapping

@@ -248,6 +248,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationBloom never misses a true hit and bounds false positives") {
+    // train: 3 docs sharing 5-grams with the eval doc, 197 clean docs
+    // with disjoint vocabulary (no shingle overlap possible)
+    val evalDocs = docs((900L, "alpha beta gamma delta epsilon zeta"))
+    val dirty = Seq(
+      (1L, "alpha beta gamma delta epsilon noise"),
+      (2L, "pre alpha beta gamma delta epsilon"),
+      (3L, "beta gamma delta epsilon zeta post"))
+    val clean = (100L until 297L).map(i =>
+      i -> (0 until 8).map(j => s"w${i}_$j").mkString(" "))
+    val train = docs((dirty ++ clean): _*)
+    val exact = Dedup.contamination(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val bloom = Dedup.contaminationBloom(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(bloom.keySet == exact.keySet)          // every doc reported
+    // no false negatives: the bloom flags are a superset of the exact
+    exact.filter(_._2).keys.foreach(id =>
+      assert(bloom(id), s"bloom missed truly contaminated doc $id"))
+    assert(Set(1L, 2L, 3L).forall(exact(_)))      // fixture sanity
+    // false positives bounded: clean docs have ~4 shingles each at
+    // fpp=0.01; allow 10x the expected rate before failing
+    val cleanIds = clean.map(_._1).toSet
+    val fp = cleanIds.count(bloom(_))
+    assert(fp <= math.max(2, (cleanIds.size * 0.04 * 10).toInt),
+      s"$fp bloom false positives across ${cleanIds.size} clean docs")
+  }
+
   test("passageDedup segments on paragraph boundaries when newlines exist") {
     // Dolma behavior: blank-line boundaries preferred, single-newline
     // fallback, token windows only for newline-free text. Docs 1 and 2
