@@ -41,6 +41,31 @@ object Mix {
       .select(keys.map(col) :+ col(idCol) :+
         explode(sequence(lit(1), col("n_copies"))).as("copy"): _*)
 
+  /** Temperature-scaled mixture weights (the multilingual-training
+    * sampling knob): domain i's target share is
+    * `frac_i^tau / Σ_j frac_j^tau`, and `weight` is the per-doc
+    * expected copy count that realizes it (feed straight into
+    * [[resampleByWeight]]). tau = 1 is natural sampling (every weight
+    * exactly 1), tau = 0 equalizes domains (r50's equalize weight),
+    * 0 < tau < 1 upsamples the tail without flattening the head.
+    *
+    * Scale: one partial-aggregable groupBy to domain counts; both
+    * global windows run over the domain-sized summary (never the
+    * corpus), same shape as the r50 mixture stats.
+    * Output: keys…, n, share, weight. */
+  def temperatureWeights(docs: DataFrame, keys: Seq[String],
+      tau: Double): DataFrame = {
+    require(tau >= 0, "tau must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(w))
+      .withColumn("q", pow(col("n") / col("total"), tau))
+      .withColumn("z", sum("q").over(w))
+      .select(keys.map(col) :+ col("n") :+
+        round(col("q") / col("z"), 6).as("share") :+
+        round(col("q") / col("z") * col("total") / col("n"), 6).as("weight"): _*)
+  }
+
   /** Shard-count sizing for the sharded-window operators (corpusShuffle,
     * packSequences): a shard is ONE reducer's worth of rows — a window
     * partition is a single unsplittable task, so the shard count must

@@ -36,6 +36,26 @@ class MixSpec extends SparkSpec {
     assert(copies.toSeq == Seq(1, 2))
   }
 
+  test("temperatureWeights: tau=1 is natural sampling, tau=0 equalizes domains") {
+    val skewed = ((1L to 90L).map(i => (i, "en", "a")) ++
+      (91L to 100L).map(i => (i, "fr", "b"))).toDF("doc_id", "lang", "source")
+    val natural = Mix.temperatureWeights(skewed, Seq("lang", "source"), tau = 1.0)
+      .select("weight").as[Double].collect()
+    assert(natural.forall(_ == 1.0))
+    val equal = Mix.temperatureWeights(skewed, Seq("lang", "source"), tau = 0.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("share"), r.getAs[Double]("weight")))).toMap
+    assert(equal("en")._1 == 0.5 && equal("fr")._1 == 0.5)
+    // equalized weight = total / (ng * n): en 100/(2*90), fr 100/(2*10)
+    assert(math.abs(equal("en")._2 - 100.0 / 180) < 1e-6)
+    assert(math.abs(equal("fr")._2 - 100.0 / 20) < 1e-6)
+    // 0 < tau < 1 upsamples the tail without flattening the head
+    val half = Mix.temperatureWeights(skewed, Seq("lang", "source"), tau = 0.5)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("share")).toMap
+    assert(half("fr") > 0.1 && half("fr") < 0.5)
+    assert(half("en") > 0.5 && half("en") < 0.9)
+  }
+
   test("deriveShards scales with input and floors at minShards") {
     // small inputs stay on the documented floor (oracle-stable at gate SF)
     assert(Mix.deriveShards(0L) == 16)
