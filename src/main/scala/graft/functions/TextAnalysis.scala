@@ -63,7 +63,11 @@ object TextAnalysis {
       .join(docs.select(col("doc_id"), col(domainCol).as("domain")), "doc_id")
     val cutoffs = scored.groupBy("domain")
       .agg(round(expr(s"percentile(score, $p)"), 4).as("cutoff"))
-    scored.join(broadcast(cutoffs), "domain")
+      .withColumnRenamed("domain", "c_domain")
+    // Null-safe domain match: groupBy keeps a null domain as its own
+    // group, and a plain equi-join would silently drop those docs from
+    // the pruned corpus (the stay-visible rule of the quality filters).
+    scored.join(broadcast(cutoffs), col("domain") <=> col("c_domain"))
       .filter(col("score") >= col("cutoff"))
       .select(col("domain"), col("doc_id"), col("score"), col("cutoff"))
   }
@@ -360,7 +364,11 @@ object TextAnalysis {
       .filter(col("off") < budgetTokens)
       .select(col("domain"), col("bkt"), col("off"))
     val wIn = Window.partitionBy("domain", "bkt").orderBy("h")
-    base.join(broadcast(offsets), Seq("domain", "bkt"))
+    // No broadcast HINT: offsets is >= one row per domain, and a
+    // per-registrable-domain budget can make that millions of rows —
+    // AQE broadcasts it when it is actually small and falls back to a
+    // shuffled join (splittable, unlike a window) when it is not.
+    base.join(offsets, Seq("domain", "bkt"))
       .withColumn("cum", col("off") + sum("n_tok").over(wIn))
       .filter(col("cum") - col("n_tok") < budgetTokens)
       .select(col("domain"), col("doc_id"), col("n_tok"), col("cum"))

@@ -154,6 +154,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("qualityPrune keeps each domain's upper half, null domain included") {
+    // en: four docs with strictly increasing scores (longer + more
+    // stopwords => higher); null domain forms its own group and must
+    // not vanish through the cutoff join
+    val d = Seq(
+      (1L, "zz", "en"), (2L, "the data is in the table", "en"),
+      (3L, Seq.fill(20)("the and a of data").mkString(" "), "en"),
+      (4L, Seq.fill(30)("the and a of is in").mkString(" "), "en"),
+      (5L, "null domain doc", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.functions.TextAnalysis.qualityPrune(d, p = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L) && kept.contains(3L)) // upper half survives
+    assert(!kept.contains(1L))                     // bottom score pruned
+    assert(kept.contains(5L))                      // its own (single-doc) group
+  }
+
   test("tfidf ranks a document's rare term above corpus-wide terms") {
     val m = TextAnalysis.tfidf(docs(
       (1L, "shared shared unique"),
