@@ -143,6 +143,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2).getAs[Long]("last_bin") == 2L)
   }
 
+  test("packSequencesAuto derives the shard count from the chunk count") {
+    val chunks = (1L to 40L).map(i => (i, 0, 4L))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    // floor wins on small inputs: every shard id < minShards
+    val floored = TextAnalysis.packSequencesAuto(chunks, ctxTokens = 8,
+        rowsPerShard = 1000L, minShards = 4)
+      .select("shard").as[Long].collect().toSet
+    assert(floored.forall(_ < 4))
+    // past the floor the count is ceil(rows / rowsPerShard): 40/5 = 8
+    val scaled = TextAnalysis.packSequencesAuto(chunks, ctxTokens = 8,
+        rowsPerShard = 5L, minShards = 1)
+      .select("shard").as[Long].collect().toSet
+    assert(scaled.forall(_ < 8) && scaled.size > 4,
+      s"expected shards spread over 8 buckets, got $scaled")
+    // and the result is exactly packSequences at the derived count
+    val explicit = TextAnalysis.packSequences(chunks, ctxTokens = 8, shards = 8)
+    val auto = TextAnalysis.packSequencesAuto(chunks, ctxTokens = 8,
+      rowsPerShard = 5L, minShards = 1)
+    assert(auto.exceptAll(explicit).isEmpty && explicit.exceptAll(auto).isEmpty)
+  }
+
   test("tokenBudgetSample keeps the boundary-crossing doc, drops the rest") {
     // md5("1") < md5("2") < md5("3"), so the stream order is 1, 2, 3;
     // 5-token docs against an 8-token budget: 1 fits, 2 crosses (kept),
