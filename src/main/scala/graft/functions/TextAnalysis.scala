@@ -67,7 +67,9 @@ object TextAnalysis {
     // Null-safe domain match: groupBy keeps a null domain as its own
     // group, and a plain equi-join would silently drop those docs from
     // the pruned corpus (the stay-visible rule of the quality filters).
-    scored.join(broadcast(cutoffs), col("domain") <=> col("c_domain"))
+    // No broadcast HINT — cutoffs is one row per domain, and AQE
+    // broadcasts it only when the domain set is actually small.
+    scored.join(cutoffs, col("domain") <=> col("c_domain"))
       .filter(col("score") >= col("cutoff"))
       .select(col("domain"), col("doc_id"), col("score"), col("cutoff"))
   }
