@@ -522,6 +522,52 @@ object Ingest {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Online token-budget sampling — the streaming sibling of
+    * `TextAnalysis.tokenBudgetSample` (r51): per-domain cumulative
+    * token state lives in `flatMapGroupsWithState`, docs are accepted
+    * while the domain's budget has room (the boundary-crossing doc is
+    * kept — budgets are floors, same rule as batch), and everything
+    * after the budget closes is dropped with state GC-free (one Long
+    * per domain, the smallest possible keyed state). Within a
+    * micro-batch, a group's docs are walked in md5 order so a batch is
+    * internally deterministic; ACROSS batches, arrival order governs —
+    * feed batches in md5 order and the result equals the batch
+    * operator row-for-row (StreamingSpec STB law). Output rows:
+    * domain, doc_id, n_tok, cum. */
+  def tokenBudgetStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, outDir: String, checkpoint: String,
+      budgetTokens: Long, domainCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    val docs = spark.readStream.schema(docSchema).parquet(srcDir)
+      .select(col(domainCol).as("domain"), col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"),
+        md5(col(idCol).cast("string")).as("h"))
+      .as[(String, Long, Long, String)]
+    val accepted = docs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, it: Iterator[(String, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toVector.sortBy(_._4).flatMap { case (_, id, nTok, _) =>
+            if (cum >= budgetTokens) None
+            else { cum += nTok; Some((domain, id, nTok, cum)) }
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("domain", "doc_id", "n_tok", "cum")
+    val q = accepted.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** ST4: validation routing — future-dated events (reference injects
     * ~1%, polished_transactions.py:385-390) split from the clean
     * stream; the rejected side feeds a reconciliation sink. Returns

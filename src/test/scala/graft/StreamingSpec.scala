@@ -182,6 +182,36 @@ class StreamingSpec extends SparkSpec {
     assert(snap() == oracle())
   }
 
+  test("STB: streamed token-budget sampling equals batch r51 when batches arrive in md5 order") {
+    val docsDf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang").cache()
+    val budget = 500L
+    // split the corpus into two files along the md5 order (the order
+    // both the batch operator and the per-batch walk use), so stream
+    // arrival == batch walk order and the law is exact equality
+    val ordered = docsDf
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .orderBy("h")
+    val n = ordered.count()
+    val firstIds = ordered.limit((n / 2).toInt)
+      .select("doc_id").as[Long].collect().toSet
+    val src = tmp("stb-src"); val out = tmp("stb-out"); val ck = tmp("stb-ck")
+    val schema = docsDf.schema
+    docsDf.filter($"doc_id".isInCollection(firstIds))
+      .write.mode("append").parquet(src)
+    Ingest.tokenBudgetStream(spark, schema, src, out, ck, budget)
+    docsDf.filter(!$"doc_id".isInCollection(firstIds))
+      .write.mode("append").parquet(src)
+    Ingest.tokenBudgetStream(spark, schema, src, out, ck, budget)
+    val streamed = spark.read.parquet(out)
+      .select("domain", "doc_id", "n_tok", "cum")
+      .orderBy("domain", "cum").collect().toSeq
+    val batch = graft.functions.TextAnalysis.tokenBudgetSample(docsDf, budget)
+      .orderBy("domain", "cum").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("S13: kafka facade wires the connector name; env without the jar fails fast") {
     // The facade is compile-checked against the public Kafka source
     // options; this sandbox ships no spark-sql-kafka jar (SURVEY env
