@@ -79,4 +79,51 @@ object Skew {
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** WINDOW-side skew: deterministic "first ceil(frac·n) per stratum in
+    * md5 order" (the stratified-sampling keep rule, r46) without a
+    * per-stratum window — `row_number().over(partitionBy(stratum))`
+    * puts an entire stratum on ONE reducer (hash partitioning; AQE can
+    * split a skewed join partition but never a window partition), and a
+    * 5-value stratum column at 100 TB means 5 tasks for the corpus.
+    *
+    * Same two-pass bucketed prefix machinery as the token-budget
+    * sampler, counting rows instead of tokens: md5-PREFIX buckets are
+    * contiguous ranges of the (md5(key), key) sort order, so
+    *   1. per-(stratum, bucket) row counts (partial-aggregable groupBy),
+    *   2. a window over that tiny summary yields each bucket's starting
+    *      rank offset and the stratum total; buckets whose offset
+    *      already meets the keep threshold ceil(frac·n) are PRUNED
+    *      before any per-row work — at a 10% keep rate ~90% of every
+    *      stratum's buckets drop here,
+    *   3. within-bucket row_number + offset is the exact global rank.
+    * Row-identical to the naive window form for any bucket count
+    * (SkewSpec). Keeps all input columns. */
+  def stratifiedHead(df: DataFrame, stratumCol: String, keyCol: String,
+      frac: Double, buckets: Int = 256): DataFrame = {
+    require(frac >= 0 && frac <= 1, "frac must be in [0, 1]")
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__h", md5(col(keyCol).cast("string")))
+      .withColumn("__bkt", expr(
+        s"(CAST(conv(substring(__h, 1, 8), 16, 10) AS BIGINT) * $buckets)" +
+          " DIV 4294967296"))
+    val sums = base.groupBy(col(stratumCol).as("__s"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy("__s").orderBy("__bkt")
+    val offs = sums
+      .withColumn("__off", sum("__c").over(wOff) - col("__c"))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__s")))
+      .withColumn("__t", ceil(col("__n") * lit(frac)))
+      .filter(col("__off") < col("__t"))
+      .select(col("__s"), col("__bkt").as("__b2"), col("__off"), col("__t"))
+    val wIn = Window.partitionBy(stratumCol, "__bkt")
+      .orderBy(col("__h"), col(keyCol))
+    base.join(offs,
+        base(stratumCol) <=> offs("__s") && col("__bkt") === col("__b2"))
+      .withColumn("__rn", col("__off") + row_number().over(wIn))
+      .filter(col("__rn") <= col("__t"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

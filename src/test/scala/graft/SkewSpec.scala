@@ -52,6 +52,35 @@ class SkewSpec extends SparkSpec {
     assert(nBkt > 1)
   }
 
+  test("stratifiedHead equals the naive per-stratum window, bucket count free") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one stratum holds ~all rows — the shape where the naive window
+    // serializes the corpus onto one reducer
+    val df = ((1L to 1900L).map(i => (i, "hot")) ++
+      (1901L to 2000L).map(i => (i, "cold"))).toDF("k", "s")
+    def naive(frac: Double) = {
+      val w = Window.partitionBy("s")
+      df.withColumn("rn", row_number().over(
+          w.orderBy(md5($"k".cast("string")), $"k")))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter($"rn" <= ceil($"n" * lit(frac)))
+        .select("k", "s")
+    }
+    for (frac <- Seq(0.1, 0.33, 1.0); b <- Seq(1, 8, 256)) {
+      val fast = graft.operators.Skew.stratifiedHead(df, "s", "k", frac, buckets = b)
+        .select("k", "s")
+      assert(fast.exceptAll(naive(frac)).isEmpty &&
+        naive(frac).exceptAll(fast).isEmpty, s"frac=$frac buckets=$b")
+    }
+    // plan: the per-row window must carry the bucket in its partition
+    // spec; no window may partition by the stratum alone over row data
+    val plan = graft.operators.Skew.stratifiedHead(df, "s", "k", 0.1)
+      .queryExecution.optimizedPlan.toString
+    assert("windowspecdefinition\\(s#\\d+, __bkt#".r.findFirstIn(plan).isDefined, plan.take(400))
+    assert(!"windowspecdefinition\\(s#\\d+, __h#".r.findFirstIn(plan).isDefined)
+  }
+
   test("salted join equals plain join on a skewed fact table") {
     // 10 accounts over 20k rows -> every key is hot
     val tx = DataGen.transactions(spark, 10, 20000)
