@@ -265,6 +265,78 @@ object Multimodal {
       }
     }
 
+  /** Perceptual dHash over a decoded BMP: 9×8 nearest-neighbor
+    * grayscale grid, one bit per horizontal neighbor pair (left <
+    * right) → 64 bits. Robust to re-encoding, resizing, and small
+    * pixel noise — the standard image-dedup fingerprint. None for
+    * payloads the codec cannot decode. */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    decodeBmpPixels(payload).map { case (w, h, rgb) =>
+      val gx = 9; val gy = 8
+      val g = Array.ofDim[Int](gy, gx)
+      var y = 0
+      while (y < gy) {
+        val sy = math.min(h - 1, y * h / gy)
+        var x = 0
+        while (x < gx) {
+          val sx = math.min(w - 1, x * w / gx)
+          val p = (sy * w + sx) * 3
+          g(y)(x) = ((rgb(p) & 0xff) * 299 + (rgb(p + 1) & 0xff) * 587 +
+            (rgb(p + 2) & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L; var i = 0; var yy = 0
+      while (yy < gy) {
+        var xx = 0
+        while (xx < 8) {
+          if (g(yy)(xx) < g(yy)(xx + 1)) bits |= (1L << i)
+          i += 1; xx += 1
+        }
+        yy += 1
+      }
+      bits
+    }
+
+  /** One (doc_id, dhash) row per media row — null hash for payloads
+    * the codec cannot decode (kept visible, same rule as the quality
+    * filters). A narrow mapPartitions; no shuffle. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r => (r.doc_id, dHash64(r.payload))))
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Image-level near-dup pairs: hamming(dhash) <= maxDist, found by
+    * PIGEONHOLE blocking — the 64-bit hash splits into four 16-bit
+    * blocks, and any pair within distance 3 must agree on at least one
+    * block (4 blocks, ≤ 3 differing bits), so candidates come from a
+    * bucketed equi-join on (block index, block value), never an
+    * all-pairs scan. Hot buckets (e.g. a constant-color boilerplate
+    * image repeated corpus-wide) are capped by the same skew-safe
+    * `capBuckets` as text SimHash; the exact `bit_count(xor)` filter
+    * then prunes false candidates. maxDist > 3 weakens the pigeonhole
+    * guarantee (documented; raise blocks in that case).
+    * Output: d1, d2, dist. */
+  def nearDupImages(media: Dataset[MediaRow], maxDist: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    val hashes = imageHashes(media).filter(col("dhash").isNotNull)
+    val blocks = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
+          expr(s"(dhash >> ${b * 16}) & 65535").as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("dhash"), col("x.blk").as("blk"), col("x.bv").as("bv"))
+    val capped = Dedup.capBuckets(blocks, Seq("blk", "bv"), maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** REAL image resize: decode the BMP payload, nearest-neighbor
     * resample so the longest edge is `maxDim`, re-encode, and update
     * the metadata. A narrow mapPartitions (one "codec init" per

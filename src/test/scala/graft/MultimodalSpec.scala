@@ -118,4 +118,37 @@ class MultimodalSpec extends SparkSpec {
       Seq(Multimodal.MediaRow(2L, "txt".getBytes, "image", 9, 9, 0L)).toDS(), 2).head()
     assert(passthru.payload.toSeq == "txt".getBytes.toSeq)
   }
+
+  test("dHash near-dup: noisy copy pairs with the original, distinct image does not") {
+    // 32x16 gradient image — dHash bits follow the left<right comparisons
+    def gradient(tweak: Int): Array[Byte] = {
+      val rgb = new Array[Byte](32 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 32; c <- 0 until 3)
+        rgb((y * 32 + x) * 3 + c) = (x * 8 % 256).toByte
+      if (tweak > 0)  // small pixel noise, invisible to the 9x8 grid
+        for (i <- 0 until tweak) rgb(i * 97 % rgb.length) =
+          (rgb(i * 97 % rgb.length) + 3).toByte
+      rgb
+    }
+    val inverse = { // right-to-left gradient: every comparison flips
+      val rgb = new Array[Byte](32 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 32; c <- 0 until 3)
+        rgb((y * 32 + x) * 3 + c) = ((31 - x) * 8 % 256).toByte
+      rgb
+    }
+    val m = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeBmp(32, 16, gradient(0)), "image", 32, 16, 0L),
+      Multimodal.MediaRow(2L, Multimodal.encodeBmp(32, 16, gradient(5)), "image", 32, 16, 0L),
+      Multimodal.MediaRow(3L, Multimodal.encodeBmp(32, 16, inverse), "image", 32, 16, 0L),
+      Multimodal.MediaRow(4L, "not-an-image".getBytes, "image", 0, 0, 0L)).toDS()
+    // undecodable payload keeps its row with a null hash
+    val hashes = Multimodal.imageHashes(m).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(4L).isEmpty && hashes(1L).nonEmpty)
+    val pairs = Multimodal.nearDupImages(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"expected near-dup pair, got $pairs")
+    assert(pairs((1L, 2L)) <= 3)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
