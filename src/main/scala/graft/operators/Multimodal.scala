@@ -182,6 +182,102 @@ object Multimodal {
     b
   }
 
+  /** [[encodeWav]]'s explicit-samples sibling: PCM16 WAV from caller
+    * samples (interleaved if channels > 1). Fixture builder for
+    * envelope-level tests and the round-trip partner of
+    * [[decodeWavSamples]]. */
+  def encodeWavSamples(rate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0, "samples must cover whole frames")
+    val dataSize = samples.length * 2
+    val b = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes.copyToArray(b, 0); putLeU32(b, 4, 36L + dataSize)
+    "WAVE".getBytes.copyToArray(b, 8); "fmt ".getBytes.copyToArray(b, 12)
+    putLeU32(b, 16, 16L); putLeU16(b, 20, 1); putLeU16(b, 22, channels)
+    putLeU32(b, 24, rate.toLong); putLeU32(b, 28, rate.toLong * channels * 2)
+    putLeU16(b, 32, channels * 2); putLeU16(b, 34, 16)
+    "data".getBytes.copyToArray(b, 36); putLeU32(b, 40, dataSize.toLong)
+    var i = 0
+    while (i < samples.length) {
+      putLeU16(b, 44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** REAL PCM16 sample decode: locate the data chunk, reject non-16-bit
+    * payloads, mix interleaved channels to mono by averaging. Returns
+    * (sample rate, mono samples); None under the same reject-sink
+    * contract as [[parseWav]]. */
+  def decodeWavSamples(payload: Array[Byte]): Option[(Int, Array[Short])] =
+    parseWav(payload).filter(_._3 == 16).flatMap { case (rate, channels, _, _) =>
+      var off = 12L
+      var found: Option[(Int, Int)] = None
+      while (found.isEmpty && off + 8 <= payload.length) {
+        val o = off.toInt
+        val size = leU32(payload, o + 4)
+        if (size < 0 || off + 8 + size > payload.length) return None
+        if (tag(payload, o) == "data") found = Some((o + 8, size.toInt))
+        off += 8 + size + (size & 1)
+      }
+      found.map { case (dataOff, dataSize) =>
+        val nFrames = dataSize / (channels * 2)
+        val mono = new Array[Short](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L; var c = 0
+          while (c < channels) {
+            val v = leU16(payload, dataOff + (f * channels + c) * 2)
+            acc += v.toShort  // sign-extend the stored 16-bit value
+            c += 1
+          }
+          mono(f) = (acc / channels).toShort
+          f += 1
+        }
+        (rate, mono)
+      }
+    }
+
+  /** Perceptual audio hash (the dHash idea over time instead of space):
+    * the mono stream splits into 65 equal windows, one bit per adjacent
+    * window pair comparing RMS ENERGY (left < right) → 64 bits. Energy
+    * comparisons are gain-structure — not absolute-level — so
+    * re-encoded or slightly noisy copies collide. None for payloads
+    * the codec rejects or streams shorter than the window grid. */
+  def audioHash64(payload: Array[Byte]): Option[Long] =
+    decodeWavSamples(payload).collect { case (_, mono) if mono.length >= 65 =>
+      val win = 65
+      val e = new Array[Double](win)
+      var w = 0
+      while (w < win) {
+        val lo = (w.toLong * mono.length / win).toInt
+        val hi = ((w + 1).toLong * mono.length / win).toInt
+        var sum = 0.0; var i = lo
+        while (i < hi) { val v = mono(i).toDouble; sum += v * v; i += 1 }
+        e(w) = if (hi > lo) sum / (hi - lo) else 0.0
+        w += 1
+      }
+      var bits = 0L; var i = 0
+      while (i < 64) { if (e(i) < e(i + 1)) bits |= (1L << i); i += 1 }
+      bits
+    }
+
+  /** One (doc_id, ahash) row per media row — null for undecodable or
+    * too-short payloads (kept visible). Narrow map, no shuffle. */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r => (r.doc_id, audioHash64(r.payload))))
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Audio near-dup pairs: hamming(ahash) <= maxDist via the shared
+    * pigeonhole machinery ([[hammingPairs]]). Output: d1, d2, dist. */
+  def nearDupAudio(media: Dataset[MediaRow], maxDist: Int = 3,
+      maxBucket: Int = 100): DataFrame =
+    hammingPairs(audioHashes(media).withColumnRenamed("ahash", "h"),
+      maxDist, maxBucket)
+
   /** Typed WAV metadata extraction over a binary column — a narrow
     * mapPartitions; malformed payloads are dropped (route them via a
     * separate anti-join when a reject table is needed). */
@@ -321,18 +417,31 @@ object Multimodal {
     * guarantee (documented; raise blocks in that case).
     * Output: d1, d2, dist. */
   def nearDupImages(media: Dataset[MediaRow], maxDist: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
-    val hashes = imageHashes(media).filter(col("dhash").isNotNull)
-    val blocks = hashes.select(col("doc_id"), col("dhash"),
+      maxBucket: Int = 100): DataFrame =
+    hammingPairs(imageHashes(media).withColumnRenamed("dhash", "h"),
+      maxDist, maxBucket)
+
+  /** Shared pigeonhole candidate machinery for 64-bit perceptual
+    * hashes (`(doc_id, h)` input; null hashes dropped): any pair
+    * within hamming distance 3 agrees on at least one of the four
+    * 16-bit blocks, so candidates come from a bucketed equi-join on
+    * (block index, block value) — hot blocks capped by the same
+    * skew-safe `capBuckets` as text SimHash — and the exact
+    * `bit_count(xor)` filter prunes the rest. maxDist > 3 weakens the
+    * pigeonhole guarantee. Output: d1, d2, dist. */
+  private[operators] def hammingPairs(hashes: DataFrame, maxDist: Int,
+      maxBucket: Int): DataFrame = {
+    val nonNull = hashes.filter(col("h").isNotNull)
+    val blocks = nonNull.select(col("doc_id"), col("h"),
         explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
-          expr(s"(dhash >> ${b * 16}) & 65535").as("bv"))): _*)).as("x"))
-      .select(col("doc_id"), col("dhash"), col("x.blk").as("blk"), col("x.bv").as("bv"))
+          expr(s"(h >> ${b * 16}) & 65535").as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("h"), col("x.blk").as("blk"), col("x.bv").as("bv"))
     val capped = Dedup.capBuckets(blocks, Seq("blk", "bv"), maxBucket)
     capped.as("a").join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT)").as("dist"))
+        expr("CAST(bit_count(a.h ^ b.h) AS BIGINT)").as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

@@ -119,6 +119,39 @@ class MultimodalSpec extends SparkSpec {
     assert(passthru.payload.toSeq == "txt".getBytes.toSeq)
   }
 
+  test("audio hash near-dup: gain change collides, inverted envelope does not") {
+    // rising-loudness signal: window energies strictly increase
+    def ramp(gain: Double, noise: Int): Array[Short] =
+      Array.tabulate(6500) { i =>
+        val amp = (i / 6500.0) * 8000 * gain + noise * (i % 7)
+        (amp * (if (i % 2 == 0) 1 else -1)).toShort
+      }
+    val falling = Array.tabulate(6500) { i =>
+      val amp = ((6500 - i) / 6500.0) * 8000
+      (amp * (if (i % 2 == 0) 1 else -1)).toShort
+    }
+    val m = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeWavSamples(8000, 1, ramp(1.0, 0)), "audio", 0, 0, 0L),
+      Multimodal.MediaRow(2L, Multimodal.encodeWavSamples(8000, 1, ramp(0.5, 3)), "audio", 0, 0, 0L),
+      Multimodal.MediaRow(3L, Multimodal.encodeWavSamples(8000, 1, falling), "audio", 0, 0, 0L),
+      Multimodal.MediaRow(4L, "not-audio".getBytes, "audio", 0, 0, 0L)).toDS()
+    val hashes = Multimodal.audioHashes(m).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(4L).isEmpty && hashes(1L).nonEmpty)
+    val pairs = Multimodal.nearDupAudio(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // half the gain + small noise: same rising envelope → same hash
+    assert(pairs.contains((1L, 2L)), s"expected near-dup pair, got $pairs")
+    assert(pairs((1L, 2L)) <= 3)
+    // falling envelope flips every comparison: no block can agree
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // stereo mix-down: the same signal duplicated over 2 channels
+    // hashes identically to its mono form
+    val stereo = ramp(1.0, 0).flatMap(s => Seq(s, s))
+    val hs = Multimodal.audioHash64(Multimodal.encodeWavSamples(8000, 2, stereo))
+    assert(hs == hashes(1L))
+  }
+
   test("dHash near-dup: noisy copy pairs with the original, distinct image does not") {
     // 32x16 gradient image — dHash bits follow the left<right comparisons
     def gradient(tweak: Int): Array[Byte] = {
