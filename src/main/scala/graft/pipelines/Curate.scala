@@ -40,8 +40,16 @@ object Curate {
     val afterGate = gated.count()
     val deduped = Dedup.dedupCorpus(gated, jaccardThreshold)
     val afterDedup = deduped.count()
+    // The multi-consumer frames are CHECKPOINTED (dedupCorpus's
+    // components() has already set the checkpoint dir): pruned feeds
+    // four consumers and chunks two, and without truncation every
+    // stage count would re-run the whole upstream pipeline; a durable
+    // checkpoint (unlike persist) pins no executor memory and leaves
+    // nothing for the caller to unpersist — at 100 TB these are the
+    // natural between-stage tables anyway.
     val pruned = deduped.join(
       TextAnalysis.qualityPrune(deduped, pruneP).select("doc_id"), "doc_id")
+      .checkpoint()
     val afterPrune = pruned.count()
     val weights = Mix.temperatureWeights(pruned, Seq("lang", "source"), tau)
       .select(col("lang"), col("source"), col("weight"))
@@ -51,7 +59,7 @@ object Curate {
       .select((col("doc_id") * maxCopies + col("copy") - 1).as("doc_id"),
         col("text"))
     val resampledCopies = resampled.count()
-    val chunks = TextAnalysis.chunk(resampled, chunkTokens, overlap)
+    val chunks = TextAnalysis.chunk(resampled, chunkTokens, overlap).checkpoint()
     val nChunks = chunks.count()
     val shards = Mix.deriveShards(nChunks, rowsPerShard, minShards)
     val packed = TextAnalysis.packSequences(chunks, ctxTokens, shards)
