@@ -122,6 +122,88 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** S14: the Avro Schema (JSON text) of a Debezium envelope for
+    * `rowSchema` — before/after as nullable records, source.lsn, op,
+    * ts_ms. Shared by [[decodeAvroCdc]] and the specs' writer, so the
+    * wire contract has one home. Supported field types: long, int,
+    * double, boolean, string (nullable). */
+  def avroEnvelopeSchema(rowSchema: StructType): String = {
+    def avroType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case LongType    => "\"long\""
+      case IntegerType => "\"int\""
+      case DoubleType  => "\"double\""
+      case BooleanType => "\"boolean\""
+      case StringType  => "[\"null\", \"string\"]"
+      case other => throw new IllegalArgumentException(
+        s"avroEnvelopeSchema: unsupported field type $other")
+    }
+    val rowFields = rowSchema.fields
+      .map(f => s"""{"name": "${f.name}", "type": ${avroType(f.dataType)}}""")
+      .mkString(", ")
+    s"""{"type": "record", "name": "Envelope", "fields": [
+       |  {"name": "before", "type": ["null", {"type": "record", "name": "Row",
+       |    "fields": [$rowFields]}], "default": null},
+       |  {"name": "after", "type": ["null", "Row"], "default": null},
+       |  {"name": "source", "type": {"type": "record", "name": "Source",
+       |    "fields": [{"name": "lsn", "type": "long"}]}},
+       |  {"name": "op", "type": "string"},
+       |  {"name": "ts_ms", "type": ["null", "long"], "default": null}
+       |]}""".stripMargin
+  }
+
+  /** S14 at the wire level: decode a BINARY Avro Debezium envelope
+    * stream into the same (op, lsn, ts_ms, row) frame [[decodeCdc]]
+    * produces from JSON — everything downstream (upserts, dedup
+    * ingest, quality report) is envelope-format-agnostic from here.
+    *
+    * Built on the core Avro library (`avro-1.12.1` ships in
+    * `/opt/spark/jars`; only the `spark-avro` MODULE with `from_avro`
+    * is absent — SURVEY env facts), decoded in a narrow mapPartitions
+    * with one reader per partition. `confluentFraming` skips the
+    * 5-byte Confluent wire prefix (magic 0x0 + 4-byte schema id) that
+    * a schema-registry producer writes; the registry HTTP lookup
+    * itself is env-bound (zero egress) and the schema is supplied by
+    * the caller instead. */
+  def decodeAvroCdc(raw: DataFrame, rowSchema: StructType,
+      valueCol: String = "value", confluentFraming: Boolean = false): DataFrame = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val schemaJson = avroEnvelopeSchema(rowSchema)
+    val outSchema = StructType(Seq(
+      StructField("op", StringType), StructField("lsn", LongType),
+      StructField("ts_ms", LongType), StructField("row", rowSchema)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val fields = rowSchema.fields
+    raw.select(col(valueCol).cast("binary"))
+      .as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
+      .mapPartitions { it =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        it.map { bytes =>
+          val body =
+            if (confluentFraming) java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+            else bytes
+          val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(body, null)
+          val rec = reader.read(null, dec)
+          val op = rec.get("op").toString
+          val src = rec.get("source").asInstanceOf[GenericRecord]
+          val ts = rec.get("ts_ms").asInstanceOf[java.lang.Long]
+          val rowRec =
+            (if (op == "d") rec.get("before") else rec.get("after"))
+              .asInstanceOf[GenericRecord]
+          val rowStruct =
+            if (rowRec == null) null
+            else org.apache.spark.sql.Row(fields.map { f =>
+              rowRec.get(f.name) match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case v => v
+              }
+            }.toIndexedSeq: _*)
+          org.apache.spark.sql.Row(op, src.get("lsn").asInstanceOf[Long],
+            if (ts == null) null else ts.longValue(), rowStruct)
+        }
+      }(enc)
+  }
+
   /** ST3a: decode a raw JSON-line CDC stream into (op, lsn, ts_ms, row)
     * — deletes carry `before`, everything else `after`. */
   def decodeCdc(raw: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame = {

@@ -182,6 +182,55 @@ class StreamingSpec extends SparkSpec {
     assert(snap() == oracle())
   }
 
+  test("S14a: binary Avro Debezium envelopes decode to the same frame as JSON") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val schema = new org.apache.avro.Schema.Parser()
+      .parse(Ingest.avroEnvelopeSchema(rowSchema))
+    val rowType = schema.getField("before").schema.getTypes.get(1)
+    def envelope(op: String, id: Long, v: String, lsn: Long): Array[Byte] = {
+      val rec = new GenericData.Record(schema)
+      val row = new GenericData.Record(rowType)
+      row.put("id", id); row.put("v", v)
+      rec.put(if (op == "d") "before" else "after", row)
+      val src = new GenericData.Record(schema.getField("source").schema)
+      src.put("lsn", lsn)
+      rec.put("source", src); rec.put("op", op); rec.put("ts_ms", 1700000000000L + lsn)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+      enc.flush(); out.toByteArray
+    }
+    val payloads = Seq(
+      envelope("c", 1, "a", 1), envelope("u", 1, "a2", 2), envelope("d", 2, "x", 3))
+    val raw = payloads.map(Tuple1(_)).toDF("value")
+    val decoded = Ingest.decodeAvroCdc(raw, rowSchema)
+      .selectExpr("op", "lsn", "ts_ms", "row.id", "row.v")
+      .orderBy("lsn").collect().toSeq
+    // identical rows through the JSON path (the ST3 wire format)
+    def json(op: String, id: Long, v: String, lsn: Long): String =
+      s"""{"payload":{"op":"$op","before":${if (op == "d") s"""{"id":$id,"v":"$v"}""" else "null"},""" +
+        s""""after":${if (op != "d") s"""{"id":$id,"v":"$v"}""" else "null"},""" +
+        s""""source":{"lsn":$lsn},"ts_ms":${1700000000000L + lsn}}}"""
+    val viaJson = Ingest.decodeCdc(
+        Seq(json("c", 1, "a", 1), json("u", 1, "a2", 2), json("d", 2, "x", 3))
+          .toDF("value"), rowSchema)
+      .selectExpr("op", "lsn", "ts_ms", "row.id", "row.v")
+      .orderBy("lsn").collect().toSeq
+    assert(decoded == viaJson)
+    // Confluent wire framing: magic 0x0 + 4-byte schema id prefix
+    val framed = payloads.map(p => Tuple1(Array[Byte](0, 0, 0, 0, 42) ++ p)).toDF("value")
+    val viaFramed = Ingest.decodeAvroCdc(framed, rowSchema, confluentFraming = true)
+      .selectExpr("op", "lsn", "ts_ms", "row.id", "row.v")
+      .orderBy("lsn").collect().toSeq
+    assert(viaFramed == viaJson)
+    // and the keep-latest merge downstream behaves identically
+    val snap = Ingest.latestPerKey(Ingest.decodeAvroCdc(raw, rowSchema), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(snap == Seq((1L, "a2")))   // id 2's latest op is a delete
+  }
+
   test("STB: streamed token-budget sampling equals batch r51 when batches arrive in md5 order") {
     val docsDf = Tables.load(spark, sf, "documents")
       .select("doc_id", "text", "lang").cache()
