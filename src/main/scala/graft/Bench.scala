@@ -65,6 +65,14 @@ object Bench {
     // Dev-only: SPARK_GRAFT_ONLY=q01,p25 restricts the run for targeted
     // profiling; the driver never sets it, so round benches are full.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // Fail fast on a typo'd SPARK_GRAFT_ONLY: a name matching no query
+    // would otherwise be silently dropped (worst case the whole run
+    // filters to empty and the bench emits an empty result set).
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -106,6 +106,34 @@ object Dedup {
     withHalves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-doc collected shingle-hash arrays: (doc_id, ss, n) — what the
+    * candidate-verify stage joins ([[jaccardVerify]]). Arrays are
+    * bounded by document length, never corpus-sized. */
+  def shingleArrays(shingles: DataFrame): DataFrame =
+    shingles.groupBy("doc_id")
+      .agg(collect_list("shingle").as("ss"), count(lit(1)).as("n"))
+
+  /** [[minhashSignatures]] AND [[shingleArrays]] fused into ONE
+    * doc-keyed aggregation: (doc_id, h0..h{k-1}, ss, n). The whole
+    * MinHash pipeline needs exactly these two shapes — the signature
+    * stage reads h*, the Jaccard verify reads ss/n — and the split
+    * form shuffled the exploded (doc, shingle) table twice to get
+    * them. The h_j mins stay codegen'd hash-agg expressions (a
+    * narrow `transform`/`array_min` over collected arrays was
+    * measured SLOWER: HOF lambdas evaluate interpreted, ~16M evals at
+    * sf0.1); collect_list rides the same single shuffle. Signature
+    * longs are bit-equal to [[minhashSignatures]] (DedupSpec law). */
+  def docSignatures(shingles: DataFrame, k: Int = 16): DataFrame = {
+    val x = col("shingle")
+    val withHalves = shingles.select(col("doc_id"), x.as("shingle"),
+      shiftright(x, 30).as("xhi"), x.bitwiseAND(lit((1L << 30) - 1)).as("xlo"))
+    val aggs = (0 until k).map { j =>
+      val (a, b, c) = (minhashCoef(j, "a"), minhashCoef(j, "b"), minhashCoef(j, "c"))
+      min((lit(a) * col("xhi") + lit(b) * col("xlo") + lit(c)) % MinhashP).as(s"h$j")
+    } ++ Seq(collect_list("shingle").as("ss"), count(lit(1)).as("n"))
+    withHalves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH banding: band b's key is md5 of the delimiter-joined signature
     * rows in that band. Docs sharing any band key are candidate pairs. */
   def lshBands(sig: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
@@ -178,18 +206,7 @@ object Dedup {
         // form's two shuffles of the full (doc, shingle) table plus a
         // per-pair groupBy and two count joins (measured 2× slower at
         // sf0.1 with the identical result, r5).
-        val byDoc = shingles.groupBy("doc_id")
-          .agg(collect_list("shingle").as("ss"), count(lit(1)).as("n"))
-        c.join(byDoc.as("b1"), col("d1") === col("b1.doc_id"))
-          .join(byDoc.as("b2"), col("d2") === col("b2.doc_id"))
-          .select(col("d1"), col("d2"),
-            size(array_intersect(col("b1.ss"), col("b2.ss"))).cast("long").as("ninter"),
-            col("b1.n").as("n1"), col("b2.n").as("n2"))
-          // band-hash collisions can pair docs sharing no shingle;
-          // those were never emitted by the join-on-shingle form either
-          .filter(col("ninter") > 0)
-          .select(col("d1"), col("d2"),
-            (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
+        jaccardVerify(shingleArrays(shingles), c)
       case None =>
         // Exact quadratic baseline: inverted-index self-join
         // (∝ Σ per-shingle df²) — the oracle-shaped reference path.
@@ -203,6 +220,21 @@ object Dedup {
           .select(col("d1"), col("d2"),
             (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
     }
+
+  /** Candidate verify over a PRE-BUILT [[shingleArrays]] frame — the
+    * form that shares the arrays with the signature stage (cache
+    * `byDoc` once; signatures, and both sides of this join, read it). */
+  def jaccardVerify(byDoc: DataFrame, c: DataFrame): DataFrame =
+    c.join(byDoc.as("b1"), col("d1") === col("b1.doc_id"))
+      .join(byDoc.as("b2"), col("d2") === col("b2.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("b1.ss"), col("b2.ss"))).cast("long").as("ninter"),
+        col("b1.n").as("n1"), col("b2.n").as("n2"))
+      // band-hash collisions can pair docs sharing no shingle;
+      // those were never emitted by the join-on-shingle form either
+      .filter(col("ninter") > 0)
+      .select(col("d1"), col("d2"),
+        (col("ninter") / (col("n1") + col("n2") - col("ninter"))).as("jaccard"))
 
   /** Persist the MinHash/LSH band index for a corpus: one compact row
     * per (doc_id, band, bh). This is what makes dedup INCREMENTAL — a
@@ -420,7 +452,13 @@ object Dedup {
     * cached only while [[components]] materializes the verified pair
     * graph (its first checkpoint consumes every shingle-reading
     * branch), then released — the returned plan touches only `docs`
-    * and the checkpointed labels, so nothing stays pinned. */
+    * and the checkpointed labels, so nothing stays pinned.
+    * (The fused [[docSignatures]] intermediate was measured here and
+    * kept OUT: caching the narrow exploded table and paying two
+    * codegen'd aggregations ran ~0.5 s faster than caching the fused
+    * ObjectHashAggregate output at sf0.1 — see SCALE.md r6 notes; at
+    * 100 TB the sig shuffle after map-side combine is ~one row per
+    * doc, so the extra shuffle the fused form saves is negligible.) */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.5,
       maxBucket: Int = 100, idCol: String = "doc_id",
       textCol: String = "text", maxIter: Int = 20): DataFrame = {
@@ -592,7 +630,11 @@ object Dedup {
     val txt = coalesce(col(textCol), lit(""))
     val rawParas = when(col("txt").contains("\n\n"), split(col("txt"), "\n{2,}"))
       .otherwise(split(col("txt"), "\n"))
-    val paraSegs = filter(transform(rawParas, s => trim(s)), s => s =!= "")
+    // regexp trim, not trim(): trim() strips only ASCII spaces, so a
+    // tab/\r-only segment would survive as a "non-empty" passage,
+    // contradicting the whitespace-segments-dropped contract.
+    val paraSegs = filter(
+      transform(rawParas, s => regexp_replace(s, "^\\s+|\\s+$", "")), s => s =!= "")
     val pass = docs
       .select(col(idCol).as("doc_id"), txt.as("txt"),
         split(txt, " ").as("toks"))

@@ -103,6 +103,14 @@ object Skew {
       frac: Double, buckets: Int = 256): DataFrame = {
     require(frac >= 0 && frac <= 1, "frac must be in [0, 1]")
     require(buckets > 0, "buckets must be positive")
+    // The bookkeeping columns are added to the caller's frame; an input
+    // that already carries one of these names would be silently
+    // overwritten and then dropped by the final select — fail loudly
+    // instead (tokenBudgetSample avoids this by projecting into a
+    // fresh frame; here the full row must ride along to the output).
+    val reserved = Seq("__h", "__bkt", "__rn").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"stratifiedHead reserves column name(s) ${reserved.mkString(", ")}; rename them in the input")
     import org.apache.spark.sql.expressions.Window
     val base = df
       .withColumn("__h", md5(col(keyCol).cast("string")))

@@ -163,7 +163,14 @@ object Ingest {
     * 5-byte Confluent wire prefix (magic 0x0 + 4-byte schema id) that
     * a schema-registry producer writes; the registry HTTP lookup
     * itself is env-bound (zero egress) and the schema is supplied by
-    * the caller instead. */
+    * the caller instead.
+    *
+    * Poison pills: a corrupt/truncated payload (including a framed
+    * payload shorter than the 5-byte prefix) decodes to an all-null
+    * row — the same contract as [[decodeCdc]], where `from_json`
+    * nulls malformed rows — so one bad record can never fail the
+    * whole micro-batch. Callers route `op IS NULL` rows to a reject
+    * sink, as the upsert paths already do for future-dated events. */
   def decodeAvroCdc(raw: DataFrame, rowSchema: StructType,
       valueCol: String = "value", confluentFraming: Boolean = false): DataFrame = {
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
@@ -178,28 +185,38 @@ object Ingest {
       .mapPartitions { it =>
         val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
         val reader = new GenericDatumReader[GenericRecord](schema)
+        val nullRow = org.apache.spark.sql.Row(null, null, null, null)
         it.map { bytes =>
-          val body =
-            if (confluentFraming) java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
-            else bytes
-          val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(body, null)
-          val rec = reader.read(null, dec)
-          val op = rec.get("op").toString
-          val src = rec.get("source").asInstanceOf[GenericRecord]
-          val ts = rec.get("ts_ms").asInstanceOf[java.lang.Long]
-          val rowRec =
-            (if (op == "d") rec.get("before") else rec.get("after"))
-              .asInstanceOf[GenericRecord]
-          val rowStruct =
-            if (rowRec == null) null
-            else org.apache.spark.sql.Row(fields.map { f =>
-              rowRec.get(f.name) match {
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case v => v
-              }
-            }.toIndexedSeq: _*)
-          org.apache.spark.sql.Row(op, src.get("lsn").asInstanceOf[Long],
-            if (ts == null) null else ts.longValue(), rowStruct)
+          try {
+            if (bytes == null || (confluentFraming && bytes.length < 5)) nullRow
+            else {
+              val body =
+                if (confluentFraming) java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
+                else bytes
+              val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(body, null)
+              val rec = reader.read(null, dec)
+              val op = rec.get("op").toString
+              val src = rec.get("source").asInstanceOf[GenericRecord]
+              val ts = rec.get("ts_ms").asInstanceOf[java.lang.Long]
+              val rowRec =
+                (if (op == "d") rec.get("before") else rec.get("after"))
+                  .asInstanceOf[GenericRecord]
+              val rowStruct =
+                if (rowRec == null) null
+                else org.apache.spark.sql.Row(fields.map { f =>
+                  rowRec.get(f.name) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case v => v
+                  }
+                }.toIndexedSeq: _*)
+              org.apache.spark.sql.Row(op, src.get("lsn").asInstanceOf[Long],
+                if (ts == null) null else ts.longValue(), rowStruct)
+            }
+          } catch {
+            // Avro decode failures surface as IOException/AvroRuntime/
+            // IndexOutOfBounds depending on where the payload truncates.
+            case scala.util.control.NonFatal(_) => nullRow
+          }
         }
       }(enc)
   }
@@ -622,14 +639,20 @@ object Ingest {
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    // The id rides through the typed state machine as a STRING and is
+    // cast back to its native type on the way out: a long/int id
+    // round-trips exactly, and a non-numeric id (UUIDs etc.) survives
+    // where a blind cast-to-long would null it (batch
+    // tokenBudgetSample keeps the native type throughout).
+    val idType = docSchema(idCol).dataType
     val docs = spark.readStream.schema(docSchema).parquet(srcDir)
-      .select(col(domainCol).as("domain"), col(idCol).cast("long").as("doc_id"),
+      .select(col(domainCol).as("domain"), col(idCol).cast("string").as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("n_tok"),
         md5(col(idCol).cast("string")).as("h"))
-      .as[(String, Long, Long, String)]
+      .as[(String, String, Long, String)]
     val accepted = docs.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (domain: String, it: Iterator[(String, Long, Long, String)],
+        (domain: String, it: Iterator[(String, String, Long, String)],
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           var cum = state.getOption.getOrElse(0L)
           val out = it.toVector.sortBy(_._4).flatMap { case (_, id, nTok, _) =>
@@ -640,6 +663,7 @@ object Ingest {
           out.iterator
       }
       .toDF("domain", "doc_id", "n_tok", "cum")
+      .withColumn("doc_id", col("doc_id").cast(idType))
     val q = accepted.writeStream
       .format("parquet")
       .option("path", outDir)

@@ -40,6 +40,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("docSignatures h-columns are bit-equal to minhashSignatures; ss/n match shingleArrays") {
+    val d = docs((1L, "a b c d e f g"), (2L, "a b c d e f"), (3L, "q r s t u v w x"),
+      (4L, "lone pair of words plus more"), (5L, "a b c"))
+    val sh = Dedup.shingleHashes(d)
+    val hCols = (0 until 16).map(j => s"h$j")
+    val viaAgg = Dedup.minhashSignatures(sh, hashed = true)
+      .orderBy("doc_id").collect().toSeq
+    val fused = Dedup.docSignatures(sh)
+    val viaFused = fused.select(("doc_id" +: hCols).map(col): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaFused == viaAgg)
+    // ss is order-nondeterministic (collect_list) — compare as sets + n
+    val arrs = fused.select(col("doc_id"), col("ss"), col("n"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getLong(2))).toSeq
+    val plain = Dedup.shingleArrays(sh).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getLong(2))).toSeq
+    assert(arrs == plain)
+  }
+
+  test("jaccardVerify over shared arrays equals jaccardPairs over shingles") {
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e x"), (3L, "q r s t u v"))
+    val sh = Dedup.shingleHashes(d)
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+    val viaShingles = Dedup.jaccardPairs(sh, Some(cand))
+      .orderBy("d1", "d2").collect().toSeq
+    val viaArrays = Dedup.jaccardVerify(Dedup.shingleArrays(sh), cand)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(viaArrays == viaShingles)
+  }
+
   test("lshCandidates drops hot band buckets (boilerplate corpus stays sub-quadratic)") {
     // 250 docs sharing identical boilerplate collide on every band key;
     // uncapped that is 250*249/2 pairs from one bucket. The default cap
