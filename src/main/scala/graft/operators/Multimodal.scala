@@ -446,6 +446,67 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  // ---- Deterministic perceptual-dedup fixtures (oracle-checkable) ------
+
+  /** Deterministic 32×32 grayscale BMP for doc `id`: pixel value at
+    * row-major index idx is `((id/2)*31 + idx*7 + bump) % 256` with
+    * `bump = 64` on every 37th pixel of ODD docs — so docs 2k and 2k+1
+    * are planted near-duplicates whose dHashes differ in at most 3
+    * bits (the bump reaches exactly two of the 72 sampled grid cells,
+    * cells (0,0) and (2,1), which touch bits {0, 16, 17}).
+    * Grayscale pixels make the luma transform exact
+    * ((299v+587v+114v)/1000 = v), so a SQL oracle reproduces the hash
+    * from this closed form without running the codec — the codec side
+    * is proven by the encode/decode round-trip specs. */
+  def imageFixture(id: Long): Array[Byte] = {
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    var idx = 0
+    while (idx < w * h) {
+      val bump = if (id % 2 == 1 && idx % 37 == 0) 64 else 0
+      val v = (((id / 2) * 31 + idx * 7 + bump) % 256).toByte
+      rgb(3 * idx) = v; rgb(3 * idx + 1) = v; rgb(3 * idx + 2) = v
+      idx += 1
+    }
+    encodeBmp(w, h, rgb)
+  }
+
+  /** Deterministic 650-sample PCM16 mono WAV for doc `id`: sample i is
+    * `((id/2)*7 + i*13 + bump) % 128` with `bump = 60` on every 331st
+    * sample of ODD docs — planted near-dup pairs whose audioHash64
+    * differ in at most 3 bits (the bump lands in energy windows 0 and
+    * 33, touching bits {0, 32, 33}). 650 = 65 windows × 10 samples,
+    * so window energies are integer-sum comparable and a SQL oracle
+    * reproduces the hash exactly. */
+  def audioFixture(id: Long): Array[Byte] = {
+    val n = 650
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val bump = if (id % 2 == 1 && i % 331 == 0) 60 else 0
+      samples(i) = (((id / 2) * 7 + i * 13 + bump) % 128).toShort
+      i += 1
+    }
+    encodeWavSamples(8000, 1, samples)
+  }
+
+  /** The fixture corpora as media frames — the perceptual-dedup gate
+    * queries (p33/p34) hash these through the REAL codecs and the
+    * DuckDB oracle recomputes the same hashes from the closed form. */
+  def imageFixtures(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, imageFixture(id), "image", 32, 32, 0L))
+  }
+
+  def audioFixtures(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, audioFixture(id), "audio", 0, 0, 650L * 1000 / 8000))
+  }
+
   /** REAL image resize: decode the BMP payload, nearest-neighbor
     * resample so the longest edge is `maxDim`, re-encode, and update
     * the metadata. A narrow mapPartitions (one "codec init" per

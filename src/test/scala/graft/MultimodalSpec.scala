@@ -184,4 +184,23 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs((1L, 2L)) <= 3)
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
+    // the oracle-checked gate queries rely on the bump reaching only
+    // the documented grid cells / energy windows — pin that here so a
+    // fixture edit that breaks the pigeonhole bound fails fast
+    val ids = (0L until 20L).toDF("doc_id")
+    val imgPairs = Multimodal.nearDupImages(Multimodal.imageFixtures(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val audPairs = Multimodal.nearDupAudio(Multimodal.audioFixtures(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 10L).foreach { k =>
+      assert(imgPairs.contains((2 * k, 2 * k + 1)),
+        s"image pair ${2 * k}/${2 * k + 1} missing: $imgPairs")
+      assert(imgPairs((2 * k, 2 * k + 1)) <= 3)
+      assert(audPairs.contains((2 * k, 2 * k + 1)),
+        s"audio pair ${2 * k}/${2 * k + 1} missing: $audPairs")
+      assert(audPairs((2 * k, 2 * k + 1)) <= 3)
+    }
+  }
 }
