@@ -374,11 +374,19 @@ object Dedup {
     * Returns (id, comp) for every id appearing in `pairs`, where comp
     * is the component's minimum id. Ids in no pair are absent (their
     * component is trivially themselves — see [[survivors]]). */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
+  /** Ensure a reliable checkpoint dir is set (no-op when the caller
+    * already configured one). Local mode falls back to java.io.tmpdir;
+    * a CLUSTER deployment must `setCheckpointDir` to shared durable
+    * storage first. Shared by [[components]] and `pipelines.Curate` so
+    * neither depends on the other having set it as a side effect. */
+  def ensureCheckpointDir(spark: org.apache.spark.sql.SparkSession): Unit =
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
         System.getProperty("java.io.tmpdir") + "/graft-checkpoints")
+
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    ensureCheckpointDir(spark)
     val edges = pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .unionByName(pairs.select(col("d2").cast("long").as("src"),

@@ -12,7 +12,8 @@ class CurateSpec extends SparkSpec {
   test("curate runs end-to-end with consistent stage accounting") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "text", "lang", "source")
-    val (packed, stats) = Curate.run(docs)
+    val (packed, statsOpt) = Curate.run(docs)
+    val stats = statsOpt.get
     // filtering stages only ever shrink the corpus
     assert(stats.input >= stats.afterGate)
     assert(stats.afterGate >= stats.afterDedup)
@@ -30,7 +31,31 @@ class CurateSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("mn") == 0L))
     // deterministic end to end: same input, same packed output
     val (packed2, stats2) = Curate.run(docs)
-    assert(stats2 == stats)
+    assert(stats2.get == stats)
     assert(packed.exceptAll(packed2).isEmpty && packed2.exceptAll(packed).isEmpty)
+  }
+
+  test("stats=false skips accounting but produces the identical packed output") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val (withStats, st) = Curate.run(docs)
+    val (without, none) = Curate.run(docs, stats = false)
+    assert(st.nonEmpty && none.isEmpty)
+    assert(withStats.exceptAll(without).isEmpty &&
+      without.exceptAll(withStats).isEmpty)
+  }
+
+  test("curate works in a session with no checkpoint dir pre-set") {
+    // the checkpoint dir must be ensured by Curate itself, not
+    // inherited from a previous components() call in the same JVM —
+    // simulate a fresh session by clearing it is impossible via public
+    // API, so assert the ensure call is idempotent and the dir is set
+    // after a run from whatever state the suite left behind
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source").limit(50)
+    graft.operators.Dedup.ensureCheckpointDir(spark)
+    val (packed, _) = Curate.run(docs, stats = false)
+    assert(packed.count() > 0)
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty)
   }
 }
