@@ -498,6 +498,38 @@ object Dedup {
     tok.groupBy("doc_id").agg(sim.as("simhash"))
   }
 
+  /** [[simhash]] with PACKED vote counters: instead of 60 signed-sum
+    * aggregate buffers, 20 longs each carrying three 20-bit ONES
+    * counters (bit b set ⇔ 2·ones_b > n ⇔ the ±1 vote sum is
+    * positive — identical output, DedupSpec law). One third the
+    * aggregation state and per-row when-branches; the unpack runs on
+    * one row per doc. Counters overflow only past 2^20 (~1M) distinct
+    * tokens in one document — guarded with an explicit error, not
+    * silent corruption. */
+  def simhashPacked(docs: DataFrame, bits: Int = 60): DataFrame = {
+    require(bits % 3 == 0, "packed simhash needs bits divisible by 3")
+    val tok = tokens(docs)
+      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+    val aggs = (0 until bits by 3).map { g =>
+      val t0 = shiftright(col("h"), g).bitwiseAND(lit(1L))
+      val t1 = shiftright(col("h"), g + 1).bitwiseAND(lit(1L)) * lit(1L << 20)
+      val t2 = shiftright(col("h"), g + 2).bitwiseAND(lit(1L)) * lit(1L << 40)
+      sum(t0 + t1 + t2).as(s"p$g")
+    } :+ count(lit(1)).as("n")
+    val agged = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val mask = lit((1L << 20) - 1)
+    val sim = (0 until bits).map { b =>
+      val ones = shiftright(col(s"p${(b / 3) * 3}"), 20 * (b % 3)).bitwiseAND(mask)
+      when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged
+      .select(col("doc_id"),
+        when(col("n") < (1L << 20), sim)
+          .otherwise(raise_error(concat(lit("simhashPacked counter overflow: doc "),
+            col("doc_id"), lit(" has "), col("n"), lit(" distinct tokens (>= 2^20)"))))
+          .as("simhash"))
+  }
+
   /** Near-dup pairs with Hamming distance <= maxDist, found via the
     * pigeonhole blocking scheme: split the fingerprint into `blocks`
     * equal bit-blocks; any pair within maxDist <= blocks-1 must agree on

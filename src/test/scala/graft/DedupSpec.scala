@@ -95,6 +95,14 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
 
+  test("simhashPacked equals simhash row-for-row on the fixture corpus") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(200)
+    val plain = Dedup.simhash(d).orderBy("doc_id").collect().toSeq
+    val packed = Dedup.simhashPacked(d).orderBy("doc_id").collect().toSeq
+    assert(packed == plain)
+  }
+
   test("simhash: identical texts collide, near texts are close, far texts far") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog today again ok"),
