@@ -54,9 +54,12 @@ object Tables {
     * splits the read into `numPartitions` parallel range queries so a
     * big table arrives as a distributed scan, not one connection.
     *
-    * No database exists in this sandbox (and no driver jar), so this
-    * path is compile-checked only; behavior is the standard Spark JDBC
-    * DataSource contract.
+    * Exercised end-to-end against embedded Derby (JdbcSpec, r6 —
+    * Spark ships the Derby driver in its jars for the Hive
+    * metastore): JDBC write, partitioned 4-way range read,
+    * filter pushdown into the remote query all proven live. Against
+    * Postgres (the reference's transport) only the URL and driver
+    * class change.
     */
   def jdbc(spark: SparkSession, url: String, table: String,
       partitionColumn: Option[String] = None,
