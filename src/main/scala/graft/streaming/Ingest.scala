@@ -490,6 +490,36 @@ object Ingest {
     * within-batch survivor set. Per-batch cost ∝ batch size at any
     * corpus size; checkpointing makes the accept-or-drop decision
     * exactly-once across restarts. */
+  /** Read a batch_id=-partitioned stream-state dir restricted to
+    * batches EARLIER than `id` — the replay-idempotence backbone of
+    * every foreachBatch sink here: only earlier batches' partitions
+    * count (this batch's own partial output from a crashed attempt is
+    * invisible), so a checkpoint replay reproduces the original
+    * decision. A directory NOT in the batch_id= layout is rejected
+    * loudly: silently ignoring it would accept stale/duplicate state,
+    * and writing beside it corrupts the layout. Returns None when no
+    * earlier partition exists. */
+  private def earlierBatchPartitions(spark: SparkSession, path: String,
+      id: Long, what: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val entries =
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+      else Seq.empty
+    val foreign = entries.filterNot(_.startsWith("batch_id="))
+    require(foreign.isEmpty,
+      s"$what: $path is not a batch_id=-partitioned stream dir " +
+        s"(found ${foreign.take(3).mkString(", ")}); use a fresh path " +
+        "or rebuild in the streaming layout")
+    val earlier = entries.exists(n =>
+      n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < id)
+    if (earlier) Some(spark.read.parquet(path).filter(col("batch_id") < id))
+    else None
+  }
+
   def dedupIngestStream(spark: SparkSession, docSchema: StructType,
       srcDir: String, corpusDir: String, indexPath: String, checkpoint: String,
       maxBucket: Int = 100, maxFilesPerTrigger: Int = 1): Unit = {
@@ -499,31 +529,8 @@ object Ingest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        // "Index exists" must ignore this batch's own partial output
-        // from a crashed attempt — only EARLIER batches' partitions
-        // count, so a replay reproduces the original decision. An index
-        // NOT in the batch_id= layout (e.g. one built by writeBandIndex
-        // for batch use) is rejected loudly: silently ignoring it would
-        // accept duplicates, and writing beside it corrupts the layout.
-        val ip = new org.apache.hadoop.fs.Path(indexPath)
-        val entries =
-          if (fs.exists(ip))
-            fs.listStatus(ip).map(_.getPath.getName)
-              .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
-          else Seq.empty
-        val foreign = entries.filterNot(_.startsWith("batch_id="))
-        require(foreign.isEmpty,
-          s"dedupIngestStream: $indexPath is not a batch_id=-partitioned stream " +
-            s"index (found ${foreign.take(3).mkString(", ")}); use a fresh index " +
-            "path or rebuild the index in the streaming layout")
-        val earlier = entries.exists(n =>
-          n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < id)
-        val idx =
-          if (earlier) Some(batch.sparkSession.read.parquet(indexPath)
-            .filter(col("batch_id") < id))
-          else None
+        val idx = earlierBatchPartitions(batch.sparkSession, indexPath, id,
+          "dedupIngestStream index")
         val survivors = idx match {
           case Some(i) => graft.operators.Dedup.dedupAgainstIndexBands(batch, i, maxBucket)
           case None =>
@@ -545,6 +552,109 @@ object Ingest {
               graft.operators.Dedup.shingleHashes(kept), hashed = true))
             .write.mode("overwrite").parquet(s"$indexPath/batch_id=$id")
         } finally { kept.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The WHOLE incremental curation chain in one stream — gate →
+    * near-dup dedup against a persisted band index → per-domain
+    * token-budget sampling — i.e. `pipelines.Curate`'s front half run
+    * micro-batch by micro-batch with durable cross-batch state. Old
+    * batches' TEXT is never rescanned: the dedup state is the ~50-byte
+    * band index and the budget state is one (domain, cum) row per
+    * domain per batch.
+    *
+    * Stream == batch law (StreamingSpec SCC, ≥3 micro-batches + a
+    * restart): when files arrive in md5(doc_id) order, the accepted
+    * output equals the batch composition gate → `Dedup.survivors` →
+    * `tokenBudgetSample` over the whole corpus, row for row. Two
+    * orderings have to agree for that to be EXACT, and both are made
+    * md5-first: (a) the budget walk is md5 order within a batch and
+    * arrival order across batches — the batch operator's global md5
+    * walk, restricted per batch (same argument as the STB law); (b)
+    * dedup survivor selection keeps the MINIMUM id of a component, so
+    * docs are relabeled with their 60-bit md5-prefix (`sid`) as the
+    * dedup id: min-sid == first-in-md5-order == first-ARRIVED, which
+    * also satisfies `dedupAgainstIndexBands`' batch-ids-above-indexed
+    * precondition for every arrival prefix. The emitted rows carry the
+    * ORIGINAL doc_id.
+    *
+    * Exactly-once: all three sinks (accepted docs, band index, budget
+    * state) are per-batch OVERWRITE partitions; reads are restricted
+    * to batch_id < current, so checkpoint replay reproduces the
+    * original decision bit for bit. The per-batch budget window is
+    * micro-batch-local (bounded rows), never corpus-wide.
+    * Output rows: domain, doc_id, n_tok, cum. */
+  def curateIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, outDir: String, indexPath: String, stateDir: String,
+      checkpoint: String, budgetTokens: Long, domainCol: String = "lang",
+      maxBucket: Int = 100, maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.Dedup
+    import graft.functions.TextAnalysis
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        // 1. gate — batch-local narrow decision
+        val gated = batch.join(
+          TextAnalysis.qualityGate(batch).filter(col("kept")).select("doc_id"),
+          "doc_id")
+        // 2. dedup on the md5-prefix surrogate id (keep-first-arrived)
+        val relabeled = gated
+          .withColumn("orig_id", col("doc_id"))
+          .withColumn("doc_id",
+            conv(substring(md5(col("orig_id").cast("string")), 1, 15), 16, 10)
+              .cast("long"))
+        val idx = earlierBatchPartitions(ss, indexPath, id, "curateIngestStream index")
+        val survPlan = idx match {
+          case Some(i) => Dedup.dedupAgainstIndexBands(relabeled, i, maxBucket)
+          case None =>
+            val pairs = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
+              Dedup.shingleHashes(relabeled), hashed = true)), maxBucket)
+            Dedup.survivors(relabeled, pairs)
+        }
+        // Materialize eagerly before any sink mutates a dir the plans
+        // read (index for survivors, stateDir for the budget join).
+        val surv = survPlan.localCheckpoint(true)
+        try {
+          // 3. budget — md5 walk within the batch over prior state
+          val prior = earlierBatchPartitions(ss, stateDir, id, "curateIngestStream state")
+            .map(_.groupBy("domain")
+              .agg(max(struct(col("batch_id"), col("cum"))).as("m"))
+              .select(col("domain"), col("m.cum").as("prev")))
+          val w = Window.partitionBy("domain").orderBy("h", "doc_id")
+          val scored = surv.select(col(domainCol).as("domain"),
+              col("orig_id").as("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"),
+              md5(col("orig_id").cast("string")).as("h"))
+            .withColumn("cum0", sum("n_tok").over(w) - col("n_tok"))
+          val withPrev = prior match {
+            case Some(p) => scored.join(p, Seq("domain"), "left")
+              .withColumn("prev", coalesce(col("prev"), lit(0L)))
+            case None => scored.withColumn("prev", lit(0L))
+          }
+          val accepted = withPrev
+            .filter(col("prev") + col("cum0") < budgetTokens)
+            .select(col("domain"), col("doc_id"), col("n_tok"),
+              (col("prev") + col("cum0") + col("n_tok")).as("cum"))
+            .localCheckpoint(true)
+          try {
+            accepted.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+            accepted.groupBy("domain").agg(max("cum").as("cum"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
+            // the index carries ALL dedup survivors (budget-rejected
+            // docs still suppress future duplicates of themselves)
+            Dedup.lshBands(Dedup.minhashSignatures(
+                Dedup.shingleHashes(surv), hashed = true))
+              .write.mode("overwrite").parquet(s"$indexPath/batch_id=$id")
+          } finally { accepted.unpersist(); () }
+        } finally { surv.unpersist(); () }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

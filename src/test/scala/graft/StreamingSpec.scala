@@ -261,6 +261,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("SCC: streamed curation (gate -> dedup -> budget) equals the batch composition, 3 batches + restarts") {
+    import graft.operators.Dedup
+    import graft.functions.TextAnalysis
+    val docsDf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang").cache()
+    // plant exact duplicates under new ids so the dedup stage has
+    // cross-batch work to do (identical text -> same bands -> dropped
+    // wherever the original arrived first in md5 order)
+    val copies = docsDf.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text", $"lang")
+    val corpus = docsDf.unionByName(copies).cache()
+
+    // batch composition = the law's right-hand side: gate -> survivors
+    // on the md5-prefix surrogate id -> token budget over ORIGINAL ids
+    val gated = corpus.join(
+      TextAnalysis.qualityGate(corpus).filter($"kept").select("doc_id"), "doc_id")
+    val relabeled = gated.withColumn("orig_id", $"doc_id")
+      .withColumn("doc_id",
+        conv(substring(md5($"orig_id".cast("string")), 1, 15), 16, 10).cast("long"))
+    val pairs = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.shingleHashes(relabeled), hashed = true)))
+    val surv = Dedup.survivors(relabeled, pairs)
+      .select($"orig_id".as("doc_id"), $"text", $"lang")
+    // the budget is PER DOMAIN: set it to ~60% of the largest
+    // domain's surviving tokens so at least that domain CLOSES
+    // mid-stream (later batches must see the carried state, not just
+    // add to it)
+    val maxDomTok = surv.groupBy("lang")
+      .agg(sum(size(split($"text", " "))).as("t"))
+      .agg(max($"t")).as[Long].head()
+    val budget = maxDomTok * 6 / 10
+    val batchOut = TextAnalysis.tokenBudgetSample(surv, budget)
+      .orderBy("domain", "cum").collect().toSeq
+
+    // stream the same corpus in 3 md5-ordered single-file batches,
+    // each trigger a separate start/stop cycle on one checkpoint (so
+    // batches 2 and 3 are RESTARTS recovering index + budget state)
+    val ids = corpus.withColumn("h", md5($"doc_id".cast("string")))
+      .orderBy("h").select("doc_id").as[Long].collect()
+    val third = ids.length / 3
+    val slices = Seq(ids.take(third), ids.slice(third, 2 * third), ids.drop(2 * third))
+    val src = tmp("scc-src"); val out = tmp("scc-out"); val idxP = tmp("scc-idx")
+    val st = tmp("scc-state"); val ck = tmp("scc-ck")
+    slices.foreach { slice =>
+      corpus.filter($"doc_id".isInCollection(slice.toSeq))
+        .coalesce(1)  // ONE file per landing = one md5-contiguous batch
+        .write.mode("append").parquet(src)
+      Ingest.curateIngestStream(spark, corpus.schema, src, out, idxP, st, ck, budget)
+    }
+    val streamed = spark.read.parquet(out)
+      .select("domain", "doc_id", "n_tok", "cum")
+      .orderBy("domain", "cum").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batchOut)
+    // and the budget really closed before the corpus ran out
+    assert(streamed.size < surv.count())
+  }
+
   test("S13: kafka facade wires the connector name; env without the jar fails fast") {
     // The facade is compile-checked against the public Kafka source
     // options; this sandbox ships no spark-sql-kafka jar (SURVEY env
