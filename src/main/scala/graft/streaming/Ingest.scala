@@ -221,6 +221,97 @@ object Ingest {
       }(enc)
   }
 
+  /** Confluent Schema Registry CLIENT — the lookup the reference's
+    * compose stack provisions (docker-compose.yaml:81-84): fetch a
+    * subject's latest registered schema over the registry REST
+    * protocol (`GET /subjects/<subject>/versions/latest`, media type
+    * `application/vnd.schemaregistry.v1+json`). Built on the JDK
+    * HttpClient and the jackson that ships with Spark — no new
+    * dependency. Runs ON THE DRIVER at plan time (the standard Spark
+    * pattern: the frame's schema must be known before execution), so
+    * executors never talk to the registry. StreamingSpec S14r drives
+    * it against a live local HTTP server speaking the same protocol. */
+  def registryLatestSchema(registryUrl: String, subject: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"$registryUrl/subjects/$subject/versions/latest"))
+      .header("Accept", "application/vnd.schemaregistry.v1+json")
+      .GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"schema registry $registryUrl returned HTTP ${resp.statusCode()} for subject $subject")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+    require(node.hasNonNull("schema"),
+      s"schema registry response for $subject carries no schema field")
+    node.get("schema").asText()
+  }
+
+  /** By-id registry lookup (`GET /schemas/ids/<id>`) — the id is what
+    * the Confluent 5-byte wire prefix carries per record. */
+  def registrySchemaById(registryUrl: String, schemaId: Int): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"$registryUrl/schemas/ids/$schemaId"))
+      .header("Accept", "application/vnd.schemaregistry.v1+json")
+      .GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"schema registry $registryUrl returned HTTP ${resp.statusCode()} for schema id $schemaId")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+    require(node.hasNonNull("schema"),
+      s"schema registry response for id $schemaId carries no schema field")
+    node.get("schema").asText()
+  }
+
+  /** Spark row schema from a Debezium Avro ENVELOPE schema — the
+    * inverse of [[avroEnvelopeSchema]] for the supported primitive
+    * types (long/int/double/boolean, nullable string unions). Walks
+    * the `before` union's record with the real Avro schema API. */
+  def rowSchemaFromEnvelope(envelopeJson: String): StructType = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.Schema
+    val env = new Schema.Parser().parse(envelopeJson)
+    val before = env.getField("before").schema()
+    require(before.getType == Schema.Type.UNION,
+      "envelope.before must be a union(null, record)")
+    val row = before.getTypes.asScala.find(_.getType == Schema.Type.RECORD)
+      .getOrElse(throw new IllegalArgumentException(
+        "envelope.before union carries no record branch"))
+    StructType(row.getFields.asScala.map { f =>
+      val s = f.schema()
+      val branch =
+        if (s.getType == Schema.Type.UNION) {
+          val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+          require(nonNull.size == 1,
+            s"field ${f.name}: only (null, T) unions are supported")
+          nonNull.head
+        } else s
+      val dt = branch.getType match {
+        case Schema.Type.LONG    => LongType
+        case Schema.Type.INT     => IntegerType
+        case Schema.Type.DOUBLE  => DoubleType
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.STRING  => StringType
+        case other => throw new IllegalArgumentException(
+          s"field ${f.name}: unsupported Avro type $other")
+      }
+      // always nullable — the Spark reader convention (and the row
+      // side of a CDC envelope is null for the opposite op anyway)
+      StructField(f.name, dt, nullable = true)
+    }.toIndexedSeq)
+  }
+
+  /** S14 with NOTHING supplied by the caller: resolve the envelope
+    * schema from a live schema registry and decode the framed binary
+    * Avro stream — the full Confluent consumption path (registry
+    * lookup at plan time on the driver, per-record 5-byte-framed
+    * payload decode on the executors). */
+  def decodeAvroCdcRegistry(raw: DataFrame, registryUrl: String,
+      subject: String, valueCol: String = "value"): DataFrame =
+    decodeAvroCdc(raw,
+      rowSchemaFromEnvelope(registryLatestSchema(registryUrl, subject)),
+      valueCol, confluentFraming = true)
+
   /** ST3a: decode a raw JSON-line CDC stream into (op, lsn, ts_ms, row)
     * — deletes carry `before`, everything else `after`. */
   def decodeCdc(raw: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame = {

@@ -261,6 +261,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("S14r: live schema-registry lookup drives the framed Avro CDC decode end to end") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val envJson = Ingest.avroEnvelopeSchema(rowSchema)
+    // a REAL HTTP server speaking the Confluent registry REST protocol
+    // (JDK HttpServer on an ephemeral localhost port — the same wire
+    // shape docker-compose.yaml:81-84 provisions)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def regBody(extra: (String, Any)*): String = {
+      val n = mapper.createObjectNode()
+      extra.foreach {
+        case (k, v: Int) => n.put(k, v)
+        case (k, v: String) => n.put(k, v)
+        case (k, v) => n.put(k, v.toString)
+      }
+      n.put("schema", envJson).toString
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: String): Unit =
+      server.createContext(path, (x: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = body.getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type",
+          "application/vnd.schemaregistry.v1+json")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes); x.close()
+      })
+    serve("/subjects/cdc-value/versions/latest",
+      regBody("subject" -> "cdc-value", "version" -> 1, "id" -> 42))
+    serve("/schemas/ids/42", regBody())
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // the registry round-trips the schema and both lookup forms agree
+      assert(Ingest.rowSchemaFromEnvelope(
+        Ingest.registryLatestSchema(url, "cdc-value")) == rowSchema)
+      assert(Ingest.registrySchemaById(url, 42) == envJson)
+      // framed records decoded WITHOUT any caller-supplied schema...
+      val schema = new org.apache.avro.Schema.Parser().parse(envJson)
+      val rowType = schema.getField("before").schema.getTypes.get(1)
+      def envelope(op: String, id: Long, v: String, lsn: Long): Array[Byte] = {
+        val rec = new GenericData.Record(schema)
+        val row = new GenericData.Record(rowType)
+        row.put("id", id); row.put("v", v)
+        rec.put(if (op == "d") "before" else "after", row)
+        val src = new GenericData.Record(schema.getField("source").schema)
+        src.put("lsn", lsn)
+        rec.put("source", src); rec.put("op", op); rec.put("ts_ms", 1700000000000L + lsn)
+        val out = new java.io.ByteArrayOutputStream()
+        val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+        new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+        enc.flush(); out.toByteArray
+      }
+      val framed = Seq(
+          envelope("c", 1, "a", 1), envelope("u", 1, "a2", 2), envelope("d", 2, "x", 3))
+        .map(p => Tuple1(Array[Byte](0, 0, 0, 0, 42) ++ p)).toDF("value")
+      val viaRegistry = Ingest.decodeAvroCdcRegistry(framed, url, "cdc-value")
+        .selectExpr("op", "lsn", "ts_ms", "row.id", "row.v")
+        .orderBy("lsn").collect().toSeq
+      // ...equal the caller-schema path bit for bit
+      val viaCaller = Ingest.decodeAvroCdc(framed, rowSchema, confluentFraming = true)
+        .selectExpr("op", "lsn", "ts_ms", "row.id", "row.v")
+        .orderBy("lsn").collect().toSeq
+      assert(viaRegistry == viaCaller && viaRegistry.nonEmpty)
+      // a dead registry fails loudly at plan time, not mid-job
+      val e = intercept[Exception] {
+        Ingest.decodeAvroCdcRegistry(framed, url, "no-such-subject")
+      }
+      assert(e.getMessage.contains("404") || e.getMessage.contains("schema"),
+        e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("SCC: streamed curation (gate -> dedup -> budget) equals the batch composition, 3 batches + restarts") {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
