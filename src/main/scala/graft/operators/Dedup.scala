@@ -632,6 +632,64 @@ object Dedup {
       .withColumn("contaminated", col("n_flagged") > 0)
   }
 
+  /** Content-defined-chunking dedup — the DISTRIBUTED answer to
+    * suffix-array ExactSubstr dedup (Lee et al.'s deduplicate-text-
+    * datasets removes any ≥50-token span that appears verbatim
+    * elsewhere; suffix-array construction is single-node and was the
+    * one deliberately-out operator since r3). Fixed-window passage
+    * dedup ([[passageDedup]]) misses UNALIGNED copies — the same
+    * boilerplate starting at token 3 in one doc and token 40 in
+    * another lands in different windows. CDC fixes alignment by
+    * cutting chunk boundaries where `hash(token) % p == 0`: boundaries
+    * depend on CONTENT alone, so a duplicated span produces identical
+    * interior chunks at any offset, and keep-first chunk dedup removes
+    * them. A duplicated span of ≥ ~2p tokens contains a complete
+    * interior chunk with probability ≥ 1 − (1−1/p)^p ≈ 63%, rising
+    * geometrically with span length (the standard CDC trade — LBFS/
+    * rsync lineage; exactness for LONG spans, which is what matters:
+    * a 500-token boilerplate block survives with probability < 10⁻²⁰).
+    *
+    * Scale design (100 TB): boundary flags are a narrow map; chunk
+    * assignment is a per-document running sum (window keyed by doc_id
+    * — high cardinality, never corpus-wide); keep-first is the same
+    * OWNER AGGREGATION as [[passageDedup]] (map-side combine collapses
+    * a corpus-wide hot chunk before the shuffle, and the fan-back join
+    * is AQE-splittable).
+    * Output: doc_id, n_pass, n_kept, clean_text (kept chunks in
+    * order; every doc keeps its row — stay-visible rule). */
+  def cdcChunkDedup(docs: DataFrame, p: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(p > 0, "p must be positive")
+    val txt = coalesce(col(textCol), lit(""))
+    val tok = docs.select(col(idCol).as("doc_id"), posexplode(split(txt, " ")))
+      .withColumnRenamed("pos", "t_pos").withColumnRenamed("col", "tok")
+      .withColumn("b",
+        when(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % p === 0, 1)
+          .otherwise(0))
+    val wDoc = Window.partitionBy("doc_id").orderBy("t_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("c_idx", coalesce(sum("b").over(wDoc), lit(0)).cast("int"))
+      .groupBy("doc_id", "c_idx")
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(" +
+        "named_struct('p', t_pos, 't', tok))), s -> s.t))").as("chunk"))
+      .withColumn("ck", md5(col("chunk")))
+      // one exchange both owner-agg and fan-back reuse (capBuckets trick)
+      .repartition(col("ck"))
+    val owners = chunks.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("c_idx"))).as("own"))
+    chunks.join(owners.hint("shuffle_hash"), "ck")
+      .withColumn("kept",
+        col("doc_id") === col("own.doc_id") && col("c_idx") === col("own.c_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_pass"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(filter(array_sort(collect_list(" +
+          "named_struct('i', c_idx, 'c', CASE WHEN kept THEN chunk END))), " +
+          "s -> s.c IS NOT NULL), s -> s.c), ' ')").as("clean_text"))
+  }
+
   /** Passage-level exact dedup (the Dolma/RefinedWeb "paragraph dedup"
     * stage, with fixed-width token windows as the segmenter — this
     * corpus carries no newlines): split each doc into non-overlapping

@@ -248,6 +248,45 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 2)                        // every training doc reported
   }
 
+  test("cdcChunkDedup catches UNALIGNED verbatim spans that fixed windows miss") {
+    // the same 64-token boilerplate block at offset 0 in doc 1 and
+    // offset 5 in doc 2: fixed 16-token windows are misaligned across
+    // the two docs (every window of doc 2 differs), but content-
+    // defined boundaries cut the same chunks regardless of offset
+    val boiler = (1 to 64).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      (1L, boiler + " tail one"),
+      (2L, "p1 p2 p3 p4 p5 " + boiler + " other end"))
+    val cdc = Dedup.cdcChunkDedup(d).orderBy("doc_id").collect()
+    val fixed = Dedup.passageDedup(d).orderBy("doc_id").collect()
+    // doc 2 loses its interior boilerplate chunks under CDC...
+    val cdcDropped = cdc(1).getAs[Long]("n_pass") - cdc(1).getAs[Long]("n_kept")
+    assert(cdcDropped > 0, cdc.mkString(";"))
+    // ...while the misaligned fixed windows drop nothing from doc 2
+    val fixedDropped = fixed(1).getAs[Long]("n_pass") - fixed(1).getAs[Long]("n_kept")
+    assert(fixedDropped == 0, fixed.mkString(";"))
+    // doc 1 arrived first: keeps everything
+    assert(cdc(0).getAs[Long]("n_kept") == cdc(0).getAs[Long]("n_pass"))
+    // dropped chunks are really the shared content: doc 2's clean text
+    // still contains its unique tokens
+    val clean2 = cdc(1).getAs[String]("clean_text")
+    assert(clean2.contains("p1") && clean2.contains("other end"))
+  }
+
+  test("cdcChunkDedup: boundaries are content-defined and deterministic; empty docs stay visible") {
+    val d = docs((1L, "x y z"), (2L, "x y z"), (3L, ""))
+    val r = Dedup.cdcChunkDedup(d).orderBy("doc_id").collect()
+    // identical docs: first keeps all, second keeps none
+    assert(r(0).getAs[Long]("n_kept") == r(0).getAs[Long]("n_pass"))
+    assert(r(1).getAs[Long]("n_kept") == 0L)
+    assert(r(1).getAs[String]("clean_text") == "")
+    // empty doc keeps its row
+    assert(r(2).getAs[Long]("n_pass") == 1L)
+    // deterministic end to end
+    val r2 = Dedup.cdcChunkDedup(d).orderBy("doc_id").collect()
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("passageDedup drops repeated passages but keeps the rest of the doc") {
     // win=2 passages: doc1 = ["a b","c d"], doc2 = ["a b","x y"],
     // doc3 = ["a b","c d"] (fully boilerplate), doc4 = ["q r"].
