@@ -79,6 +79,15 @@ object Bpe {
       (pipes - words).cast("long").as("n_tok"))
   }
 
+  /** Encode: the ordered subword token array per document (word
+    * boundaries collapse — the `||` separators split to empty strings
+    * and are filtered). Narrow and codegen'd like [[tokenCounts]]. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      filter(split(applyMerges(col(textCol), merges), "\\|"),
+        t => t =!= "").as("toks"))
+
   /** Train `nMerges` BPE merges over the corpus: one corpus scan for
     * word frequencies, then per merge one pair-count aggregation over
     * the vocab and a single-row argmax (count desc, then (a, b)

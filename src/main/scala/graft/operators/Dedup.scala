@@ -180,13 +180,19 @@ object Dedup {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
-  def lshCandidates(bands: DataFrame, maxBucket: Int = 100): DataFrame = {
+  /** `dedup = false` skips the final distinct — correct ONLY when the
+    * consumer dedups itself (e.g. [[components]] distincts its edge
+    * union): docs sharing several band keys emit one pair per shared
+    * key, and a verify stage would emit duplicate output rows. Saves
+    * one full exchange+aggregate of the candidate pairs. */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = 100,
+      dedup: Boolean = true): DataFrame = {
     val capped = capBuckets(bands, Seq("band", "bh"), maxBucket)
-    capped.as("x").join(capped.as("y"),
+    val pairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Exact Jaccard over shingle sets for pairs sharing >= 1 shingle.

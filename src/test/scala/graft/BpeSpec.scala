@@ -82,6 +82,19 @@ class BpeSpec extends SparkSpec {
     assert(got.head._2 == 4L)
   }
 
+  test("encode emits the greedy token sequence; counts agree with tokenCounts") {
+    val docs = Seq((1L, "ababab zz"), (2L, "the theme")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("t", "h"), ("th", "e"))
+    val enc = Bpe.encode(docs, merges).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(enc == Seq(
+      1L -> Seq("abab", "ab", "z", "z"),
+      2L -> Seq("the", "the", "m", "e")))
+    val viaCount = Bpe.tokenCounts(docs, merges).orderBy("doc_id")
+      .select("n_tok").as[Long].collect().toSeq
+    assert(viaCount == enc.map(_._2.size.toLong))
+  }
+
   test("token counts under trained merges shrink monotonically with more merges") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text").limit(100)
     val m12 = Bpe.train(docs, 12)
