@@ -15,6 +15,10 @@ import graft.sources.Tables
 class JdbcSpec extends SparkSpec {
   import spark.implicits._
 
+  // keep Derby's log out of the repo cwd
+  System.setProperty("derby.stream.error.file",
+    java.nio.file.Files.createTempDirectory("derbylog").resolve("derby.log").toString)
+
   private def derbyUrl(name: String): String = {
     val dir = java.nio.file.Files.createTempDirectory("derby").toString
     s"jdbc:derby:$dir/$name;create=true"
