@@ -85,4 +85,31 @@ class PlanSpec extends SparkSpec {
     val nBounded = p.linesIterator.count(_.contains("LessThan(vec_id,500)"))
     assert(nBounded >= 2, s"both BNLJ branches must be bounded:\n$p")
   }
+
+  test("plan sweep: no query grows a cartesian shape outside the audited allowlist") {
+    // Every allowlisted BNLJ is a broadcast crossJoin against a
+    // provably tiny frame (a single query vector, <= 8 seeded
+    // centroids, or a one-row total) — audited r5/r6. Any OTHER query
+    // developing a CartesianProduct/BNLJ is a plan regression this
+    // catches corpus-wide. Swept at sf0.001 (GoldenSpec already
+    // executes every query there; shapes match the sf0.01 plans).
+    val allowed = Set(
+      "p05_embed_neardup",  // bounded all-pairs audit baseline (test above)
+      "p06_ann_brute", "p07_ann_ivf", "p19_ann_ivf_batch",   // query-vector / centroid broadcast
+      "p21_ann_quantized", "p25_kmeans_step", "p29_semdedup", // centroid / shortlist broadcast
+      "p32_unigram_lm",     // one-row corpus-total broadcast
+      "q32_cosine_topk",    // single query vector broadcast
+      "q42_quality_report") // one-row `now` frame
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allowed.contains(n) }
+      .flatMap { case (n, fn) =>
+        val df = fn(spark, "/root/testdata/sf0.001")
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(n)
+        else None
+      }
+    assert(offenders.isEmpty, s"new cartesian shapes in: $offenders")
+  }
 }
