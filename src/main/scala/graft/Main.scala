@@ -27,6 +27,10 @@ object Main {
         |  bronze <sfDir> <lakeRoot> <batchTs>
         |  northwind <outDir>
         |  dedup <sfDir> <outDir>
+        |  cdc-dedup <sfDir> <outDir>
+        |  curate <sfDir> <outDir>
+        |  curate-stream <srcDir> <outDir> <indexDir> <stateDir> <ck> <budgetTokens>
+        |  bpe-train <sfDir> <nMerges>
         |  quality-fixture [outDir]
         |  ivf-build <sfDir> <indexDir> <nCentroids>
         |  sql <sfDir> <statement>""".stripMargin)
@@ -73,6 +77,32 @@ object Main {
         graft.operators.Dedup.dedupCorpus(Tables.load(spark, sfDir, "documents"))
           .write.mode("overwrite").parquet(outDir)
         println(s"deduplicated corpus at $outDir")
+      case "cdc-dedup" :: sfDir :: outDir :: Nil =>
+        // Sub-document exact-substring dedup (content-defined chunks).
+        graft.operators.Dedup.cdcChunkDedup(Tables.load(spark, sfDir, "documents"))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"CDC-deduplicated corpus at $outDir")
+      case "curate" :: sfDir :: outDir :: Nil =>
+        // The whole curation pipeline: gate -> dedup -> prune ->
+        // resample -> pack, with stage accounting printed.
+        val (packed, stats) = graft.pipelines.Curate.run(
+          Tables.load(spark, sfDir, "documents")
+            .select("doc_id", "text", "lang", "source"))
+        packed.write.mode("overwrite").parquet(outDir)
+        println(s"curated corpus at $outDir; stats=${stats.get}")
+      case "curate-stream" :: srcDir :: outDir :: idx :: st :: ck :: budget :: Nil =>
+        // Incremental curation: drain newly-arrived document files
+        // through gate -> band-index dedup -> token budget.
+        val schema = spark.read.parquet(srcDir).schema
+        Ingest.curateIngestStream(spark, schema, srcDir, outDir, idx, st, ck,
+          budget.toLong)
+        println(s"curated stream drained: $srcDir -> $outDir (budget $budget tokens/domain)")
+      case "bpe-train" :: sfDir :: n :: Nil =>
+        val merges = graft.functions.Bpe.train(
+          Tables.load(spark, sfDir, "documents"), n.toInt)
+        merges.zipWithIndex.foreach { case ((a, b), i) =>
+          println(f"$i%3d  $a%-8s + $b%-8s -> ${a + b}")
+        }
       case "quality-fixture" :: rest if rest.lengthCompare(1) <= 0 =>
         // Explicit fixture materialization (q42's corpus) — queries only
         // READ the committed fixture; regeneration is this command.
