@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * Representation: a word's token sequence is its characters joined
   * with `|` (e.g. "the" → "t|h|e"); applying merge (a,b) rewrites
   * `|a|b|` → `|ab|` with sentinel pipes so a pair can never match
-  * across token or word boundaries, and single-pass left-to-right
-  * `replace` gives exactly BPE's greedy non-overlapping application.
-  * Literal `|` characters are stripped from input text up front (the
-  * delimiter must not occur in data; documented contract).
+  * across token or word boundaries; two replace passes per merge give
+  * canonical greedy application for distinct pairs and a documented
+  * deterministic variant for self-pairs on odd runs (see
+  * `applyOneFramed`). Literal `|` characters are stripped from input
+  * text up front (the delimiter must not occur in data; documented
+  * contract).
   *
   * Scale design (100 TB): the corpus is scanned ONCE for word
   * frequencies; every merge iteration is one partial-aggregable
@@ -50,10 +52,18 @@ object Bpe {
     * plain (regexp-free, codegen'd) replaces: a single left-to-right
     * pass misses every second occurrence of a consecutive run
     * (`|a|b|a|b|` — the shared delimiter is consumed by the first
-    * match), and after one pass no two remaining (a, b) pairs are
-    * adjacent, so the second pass catches exactly the rest — the
-    * result equals BPE's greedy non-overlapping application
-    * (BpeSpec proves it against a sequential reference incl. runs). */
+    * match), and the second pass catches the pairs the first pass
+    * separated. For DISTINCT pairs (a ≠ b) the result equals
+    * canonical greedy BPE. For SELF-pairs (a = b) on odd runs of
+    * length ≥ 5 the unmerged singleton lands mid-run instead of at
+    * the end (`aaaaa` → aa,a,aa where canonical gives aa,aa,a): the
+    * token COUNT of the merge itself is identical, the rule is
+    * deterministic, and both engines implement the same replace
+    * semantics so oracle parity is exact — but a LATER merge
+    * consuming the differently-placed singleton can diverge from a
+    * canonical-BPE tokenizer. BpeSpec pins both the distinct-pair
+    * equivalence and the self-pair placement against a sequential
+    * reference implementing this exact rule. */
   private def applyOneFramed(rep: Column, a: String, b: String): Column = {
     val pat = lit(s"|$a|$b|"); val rep2 = lit(s"|${a}${b}|")
     org.apache.spark.sql.functions.replace(

@@ -166,13 +166,19 @@ object Ingest {
     * the caller instead.
     *
     * Poison pills: a corrupt/truncated payload (including a framed
-    * payload shorter than the 5-byte prefix) decodes to an all-null
-    * row — the same contract as [[decodeCdc]], where `from_json`
-    * nulls malformed rows — so one bad record can never fail the
-    * whole micro-batch. Callers route `op IS NULL` rows to a reject
-    * sink, as the upsert paths already do for future-dated events. */
+    * payload shorter than the 5-byte prefix, or one whose embedded
+    * schema id differs from `expectedSchemaId` when given) decodes to
+    * an all-null row — the same contract as [[decodeCdc]], where
+    * `from_json` nulls malformed rows — so one bad record can never
+    * fail the whole micro-batch. Callers route `op IS NULL` rows to a
+    * reject sink, as the upsert paths already do for future-dated
+    * events — and should MONITOR the reject rate: a misconfigured
+    * stream (wrong schema, non-Avro topic) nulls every record, so the
+    * first decode failure per partition is also logged to make total
+    * failure distinguishable from occasional pills. */
   def decodeAvroCdc(raw: DataFrame, rowSchema: StructType,
-      valueCol: String = "value", confluentFraming: Boolean = false): DataFrame = {
+      valueCol: String = "value", confluentFraming: Boolean = false,
+      expectedSchemaId: Option[Int] = None): DataFrame = {
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
     val schemaJson = avroEnvelopeSchema(rowSchema)
     val outSchema = StructType(Seq(
@@ -186,9 +192,24 @@ object Ingest {
         val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
         val reader = new GenericDatumReader[GenericRecord](schema)
         val nullRow = org.apache.spark.sql.Row(null, null, null, null)
+        var loggedFirstFailure = false
+        def reject(reason: => String): org.apache.spark.sql.Row = {
+          if (!loggedFirstFailure) {
+            loggedFirstFailure = true
+            org.apache.logging.log4j.LogManager.getLogger("graft.streaming.Ingest")
+              .warn(s"decodeAvroCdc: first rejected record in partition: $reason " +
+                "(subsequent rejects in this partition are silent; monitor op IS NULL rates)")
+          }
+          nullRow
+        }
         it.map { bytes =>
           try {
-            if (bytes == null || (confluentFraming && bytes.length < 5)) nullRow
+            if (bytes == null) reject("null payload")
+            else if (confluentFraming && bytes.length < 5)
+              reject(s"framed payload shorter than 5 bytes (${bytes.length})")
+            else if (confluentFraming && expectedSchemaId.exists(_ != frameSchemaId(bytes)))
+              reject(s"schema id ${frameSchemaId(bytes)} != expected ${expectedSchemaId.get} " +
+                "(producer evolved the schema? re-resolve from the registry)")
             else {
               val body =
                 if (confluentFraming) java.util.Arrays.copyOfRange(bytes, 5, bytes.length)
@@ -215,11 +236,17 @@ object Ingest {
           } catch {
             // Avro decode failures surface as IOException/AvroRuntime/
             // IndexOutOfBounds depending on where the payload truncates.
-            case scala.util.control.NonFatal(_) => nullRow
+            case scala.util.control.NonFatal(e) =>
+              reject(s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         }
       }(enc)
   }
+
+  /** The big-endian schema id from a Confluent 5-byte wire prefix. */
+  private def frameSchemaId(bytes: Array[Byte]): Int =
+    ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
 
   /** Confluent Schema Registry CLIENT — the lookup the reference's
     * compose stack provisions (docker-compose.yaml:81-84): fetch a
@@ -231,37 +258,48 @@ object Ingest {
     * pattern: the frame's schema must be known before execution), so
     * executors never talk to the registry. StreamingSpec S14r drives
     * it against a live local HTTP server speaking the same protocol. */
-  def registryLatestSchema(registryUrl: String, subject: String): String = {
-    val client = java.net.http.HttpClient.newHttpClient()
+  /** Shared registry REST fetch: bounded timeouts (an unresponsive
+    * registry must fail the plan, not hang the driver forever), one
+    * place for status/shape validation. Returns the parsed response. */
+  private def fetchRegistry(registryUrl: String, path: String,
+      what: String): com.fasterxml.jackson.databind.JsonNode = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
     val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(s"$registryUrl/subjects/$subject/versions/latest"))
+      .uri(java.net.URI.create(s"$registryUrl$path"))
       .header("Accept", "application/vnd.schemaregistry.v1+json")
+      .timeout(java.time.Duration.ofSeconds(30))
       .GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
-      s"schema registry $registryUrl returned HTTP ${resp.statusCode()} for subject $subject")
+      s"schema registry $registryUrl returned HTTP ${resp.statusCode()} for $what")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
     require(node.hasNonNull("schema"),
-      s"schema registry response for $subject carries no schema field")
-    node.get("schema").asText()
+      s"schema registry response for $what carries no schema field")
+    node
+  }
+
+  def registryLatestSchema(registryUrl: String, subject: String): String =
+    fetchRegistry(registryUrl, s"/subjects/$subject/versions/latest",
+      s"subject $subject").get("schema").asText()
+
+  /** Latest schema AND its registry id — the id is what producers
+    * stamp into the Confluent wire prefix, so the decode path can
+    * reject records written under a DIFFERENT schema instead of
+    * misreading their bytes. */
+  def registryLatestSchemaWithId(registryUrl: String, subject: String): (Int, String) = {
+    val node = fetchRegistry(registryUrl, s"/subjects/$subject/versions/latest",
+      s"subject $subject")
+    require(node.hasNonNull("id"),
+      s"schema registry response for $subject carries no id field")
+    (node.get("id").asInt(), node.get("schema").asText())
   }
 
   /** By-id registry lookup (`GET /schemas/ids/<id>`) — the id is what
     * the Confluent 5-byte wire prefix carries per record. */
-  def registrySchemaById(registryUrl: String, schemaId: Int): String = {
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(s"$registryUrl/schemas/ids/$schemaId"))
-      .header("Accept", "application/vnd.schemaregistry.v1+json")
-      .GET().build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200,
-      s"schema registry $registryUrl returned HTTP ${resp.statusCode()} for schema id $schemaId")
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
-    require(node.hasNonNull("schema"),
-      s"schema registry response for id $schemaId carries no schema field")
-    node.get("schema").asText()
-  }
+  def registrySchemaById(registryUrl: String, schemaId: Int): String =
+    fetchRegistry(registryUrl, s"/schemas/ids/$schemaId",
+      s"schema id $schemaId").get("schema").asText()
 
   /** Spark row schema from a Debezium Avro ENVELOPE schema — the
     * inverse of [[avroEnvelopeSchema]] for the supported primitive
@@ -305,12 +343,18 @@ object Ingest {
     * schema from a live schema registry and decode the framed binary
     * Avro stream — the full Confluent consumption path (registry
     * lookup at plan time on the driver, per-record 5-byte-framed
-    * payload decode on the executors). */
+    * payload decode on the executors). The registry's schema ID is
+    * checked against each record's wire prefix: a record written
+    * under a DIFFERENT (older/newer) schema rejects to a null row
+    * instead of being misread against the wrong writer schema —
+    * binary Avro has no field tags, so a silent mismatch would
+    * produce garbage values, not errors. */
   def decodeAvroCdcRegistry(raw: DataFrame, registryUrl: String,
-      subject: String, valueCol: String = "value"): DataFrame =
-    decodeAvroCdc(raw,
-      rowSchemaFromEnvelope(registryLatestSchema(registryUrl, subject)),
-      valueCol, confluentFraming = true)
+      subject: String, valueCol: String = "value"): DataFrame = {
+    val (schemaId, schemaJson) = registryLatestSchemaWithId(registryUrl, subject)
+    decodeAvroCdc(raw, rowSchemaFromEnvelope(schemaJson),
+      valueCol, confluentFraming = true, expectedSchemaId = Some(schemaId))
+  }
 
   /** ST3a: decode a raw JSON-line CDC stream into (op, lsn, ts_ms, row)
     * — deletes carry `before`, everything else `after`. */

@@ -372,7 +372,8 @@ class AnnSpec extends SparkSpec {
     // nature — measured drop-recall 0.35; that is the documented
     // per-cluster locality trade, not a tuning regression.)
     val union = withPlantedCopies(embSf)
-    val exactDropped = Ann.nearDupPairs(union, topN = 550 * 549 / 2)
+    val nu = union.count().toInt
+    val exactDropped = Ann.nearDupPairs(union, topN = nu * (nu - 1) / 2)
       .filter(col("sim") >= 0.7).select("v2").as[Long].collect().toSet
     val dropped = Ann.semDedup(union, cents, simT = 0.7)
       .filter(!col("kept")).select("vec_id").as[Long].collect().toSet

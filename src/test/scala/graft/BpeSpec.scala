@@ -12,7 +12,30 @@ class BpeSpec extends SparkSpec {
   import spark.implicits._
 
   // ---- sequential reference --------------------------------------------
-  private def refApply(toks: Vector[String], m: (String, String)): Vector[String] = {
+  // One replace PASS over the framed string, in token terms: a match
+  // consumes its trailing boundary pipe, so the immediately-following
+  // token cannot START a match in the same pass (skip one extra).
+  private def passOnce(toks: Vector[String], m: (String, String)): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == m._1 && toks(i + 1) == m._2) {
+        out += (m._1 + m._2)
+        if (i + 2 < toks.length) { out += toks(i + 2); i += 3 } else i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toVector
+  }
+
+  // The operator's exact application rule: two passes per merge —
+  // canonical greedy for distinct pairs; for self-pairs on odd runs
+  // the singleton lands mid-run (documented in Bpe.applyOneFramed).
+  private def refApply(toks: Vector[String], m: (String, String)): Vector[String] =
+    passOnce(passOnce(toks, m), m)
+
+  // Canonical greedy BPE (the textbook rule) — used to PIN where the
+  // operator's rule agrees with it and where it deliberately differs.
+  private def canonicalApply(toks: Vector[String], m: (String, String)): Vector[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < toks.length) {
@@ -80,6 +103,26 @@ class BpeSpec extends SparkSpec {
     // spot-check the run semantics explicitly:
     // "ababab" -> (a,b): ab,ab,ab -> (ab,ab): abab,ab = 2 tokens, +2 for "zz"
     assert(got.head._2 == 4L)
+  }
+
+  test("distinct-pair merges equal canonical greedy BPE; self-pair odd runs pin the documented variant") {
+    // distinct pairs: the two-pass rule IS canonical greedy
+    for (word <- Seq("ababab", "abababab", "xabyabab", "abba")) {
+      val toks = word.map(_.toString).toVector
+      assert(refApply(toks, ("a", "b")) == canonicalApply(toks, ("a", "b")), word)
+    }
+    // engine matches the reference rule on a self-pair odd run...
+    val docs5 = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs5, Seq(("a", "a"))).select("toks")
+      .as[Seq[String]].head()
+    assert(enc == Seq("aa", "a", "aa"))   // the documented placement
+    // ...which differs from canonical (aa,aa,a) — same count for THIS
+    // merge; a later merge like (aa,aa) is where counts diverge
+    assert(canonicalApply("aaaaa".map(_.toString).toVector, ("a", "a"))
+      == Vector("aa", "aa", "a"))
+    val enc2 = Bpe.encode(docs5, Seq(("a", "a"), ("aa", "aa"))).select("toks")
+      .as[Seq[String]].head()
+    assert(enc2 == Seq("aa", "a", "aa"))  // no adjacent aa pair under our rule
   }
 
   test("encode emits the greedy token sequence; counts agree with tokenCounts") {

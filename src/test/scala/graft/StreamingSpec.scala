@@ -326,6 +326,16 @@ class StreamingSpec extends SparkSpec {
         .selectExpr("op", "lsn", "ts_ms", "row.id", "row.v")
         .orderBy("lsn").collect().toSeq
       assert(viaRegistry == viaCaller && viaRegistry.nonEmpty)
+      // a record stamped with a DIFFERENT schema id (evolved producer)
+      // rejects to a null row instead of being misread: binary Avro
+      // has no field tags, so decoding with the wrong writer schema
+      // would produce garbage values, not errors
+      val wrongId = Seq(envelope("c", 9, "z", 9))
+        .map(p => Tuple1(Array[Byte](0, 0, 0, 0, 41) ++ p)).toDF("value")
+      val mixed = framed.unionByName(wrongId)
+      val decoded = Ingest.decodeAvroCdcRegistry(mixed, url, "cdc-value")
+      assert(decoded.filter(col("op").isNull).count() == 1)
+      assert(decoded.filter(col("op").isNotNull).count() == 3)
       // a dead registry fails loudly at plan time, not mid-job
       val e = intercept[Exception] {
         Ingest.decodeAvroCdcRegistry(framed, url, "no-such-subject")
