@@ -665,6 +665,21 @@ object Dedup {
     * order; every doc keeps its row — stay-visible rule). */
   def cdcChunkDedup(docs: DataFrame, p: Int = 8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val chunks = cdcChunks(docs, p, idCol, textCol)
+      // one exchange both owner-agg and fan-back reuse (capBuckets trick)
+      .repartition(col("ck"))
+    val owners = chunks.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("c_idx"))).as("own"))
+    cdcReassemble(chunks.join(owners.hint("shuffle_hash"), "ck")
+      .withColumn("kept",
+        col("doc_id") === col("own.doc_id") && col("c_idx") === col("own.c_idx")))
+  }
+
+  /** The CDC chunk table of a corpus: (doc_id, c_idx, chunk, ck) with
+    * content-defined boundaries (see [[cdcChunkDedup]]). Shared by the
+    * one-shot and incremental forms. */
+  def cdcChunks(docs: DataFrame, p: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(p > 0, "p must be positive")
     val txt = coalesce(col(textCol), lit(""))
     val tok = docs.select(col(idCol).as("doc_id"), posexplode(split(txt, " ")))
@@ -674,26 +689,63 @@ object Dedup {
           .otherwise(0))
     val wDoc = Window.partitionBy("doc_id").orderBy("t_pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = tok
+    tok
       .withColumn("c_idx", coalesce(sum("b").over(wDoc), lit(0)).cast("int"))
       .groupBy("doc_id", "c_idx")
       .agg(expr("concat_ws(' ', transform(array_sort(collect_list(" +
         "named_struct('p', t_pos, 't', tok))), s -> s.t))").as("chunk"))
       .withColumn("ck", md5(col("chunk")))
-      // one exchange both owner-agg and fan-back reuse (capBuckets trick)
-      .repartition(col("ck"))
-    val owners = chunks.groupBy("ck")
-      .agg(min(struct(col("doc_id"), col("c_idx"))).as("own"))
-    chunks.join(owners.hint("shuffle_hash"), "ck")
-      .withColumn("kept",
-        col("doc_id") === col("own.doc_id") && col("c_idx") === col("own.c_idx"))
-      .groupBy("doc_id")
+  }
+
+  /** (doc_id, c_idx, chunk, kept) rows → the cdcChunkDedup output
+    * shape (doc_id, n_pass, n_kept, clean_text). */
+  private def cdcReassemble(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_pass"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         expr("array_join(transform(filter(array_sort(collect_list(" +
           "named_struct('i', c_idx, 'c', CASE WHEN kept THEN chunk END))), " +
           "s -> s.c IS NOT NULL), s -> s.c), ' ')").as("clean_text"))
+
+  /** Persist a corpus' chunk-hash index: ONE ~32-byte md5 row per
+    * distinct chunk — what makes CDC dedup INCREMENTAL (the exact
+    * analog of [[writeBandIndex]] for sub-document dedup). A later
+    * batch is deduped by chunking only ITS text and anti-joining this
+    * table; the old corpus is never rescanned. */
+  def writeChunkIndex(docs: DataFrame, path: String, p: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    cdcChunks(docs, p, idCol, textCol).select(col("ck")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's (post-dedup) chunk hashes to the index. */
+  def appendChunkIndex(docs: DataFrame, path: String, p: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    cdcChunks(docs, p, idCol, textCol).select(col("ck")).distinct()
+      .write.mode("append").parquet(path)
+
+  /** Incremental CDC dedup: a new batch against a persisted chunk
+    * index. A chunk is kept iff its hash is NOT in the index AND it is
+    * the batch-first occurrence. With batch doc ids above all indexed
+    * ids this equals [[cdcChunkDedup]] over old ∪ new restricted to
+    * the new batch (DedupSpec law). Accept the batch by appending its
+    * KEPT chunks via [[appendChunkIndex]] on the clean output — or all
+    * chunks: both keep future duplicates suppressed, the former keeps
+    * the index minimal. `chunkIndex` is the loaded (ck) frame so
+    * callers can filter a batch_id-partitioned layout first. */
+  def cdcDedupAgainstIndex(newDocs: DataFrame, chunkIndex: DataFrame,
+      p: Int = 8, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = cdcChunks(newDocs, p, idCol, textCol)
+      .repartition(col("ck"))
+    val owners = chunks.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("c_idx"))).as("own"))
+    val idx = chunkIndex.select(col("ck")).distinct()
+    cdcReassemble(chunks
+      .join(owners.hint("shuffle_hash"), "ck")
+      .join(idx.withColumn("seen", lit(true)).hint("shuffle_hash"), Seq("ck"), "left")
+      .withColumn("kept",
+        col("seen").isNull &&
+        col("doc_id") === col("own.doc_id") && col("c_idx") === col("own.c_idx")))
   }
 
   /** Passage-level exact dedup (the Dolma/RefinedWeb "paragraph dedup"

@@ -287,6 +287,37 @@ class DedupSpec extends SparkSpec {
     assert(r.toSeq == r2.toSeq)
   }
 
+  test("incremental CDC dedup vs a persisted chunk index equals the full recompute") {
+    val boiler = (1 to 48).map(i => s"c$i").mkString(" ")
+    val batch1 = docs(
+      (1L, boiler + " alpha beta"),
+      (2L, "plain old content with nothing shared"))
+    // batch 2 repeats batch 1's boilerplate at a different offset AND
+    // has a within-batch duplicate pair of its own
+    val batch2 = docs(
+      (10L, "lead in " + boiler + " trailing"),
+      (11L, "own dup segment " + (1 to 40).map(i => s"z$i").mkString(" ")),
+      (12L, "other prefix own dup segment " + (1 to 40).map(i => s"z$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("cdcidx").toString + "/idx"
+    Dedup.writeChunkIndex(batch1, dir)
+    val incr = Dedup.cdcDedupAgainstIndex(batch2,
+        spark.read.parquet(dir))
+      .orderBy("doc_id").collect().toSeq
+    // full recompute over old ∪ new, restricted to the new batch
+    val full = Dedup.cdcChunkDedup(batch1.unionByName(batch2))
+      .filter(col("doc_id") >= 10L).orderBy("doc_id").collect().toSeq
+    assert(incr == full, s"\nincr=$incr\nfull=$full")
+    // the boilerplate really was removed from doc 10 incrementally
+    val d10 = incr.head
+    assert(d10.getAs[Long]("n_kept") < d10.getAs[Long]("n_pass"))
+    // appending the accepted batch extends the index for a batch 3
+    Dedup.appendChunkIndex(batch2, dir)
+    val batch3 = docs((20L, "own dup segment " + (1 to 40).map(i => s"z$i").mkString(" ")))
+    val incr3 = Dedup.cdcDedupAgainstIndex(batch3, spark.read.parquet(dir))
+      .collect().head
+    assert(incr3.getAs[Long]("n_kept") < incr3.getAs[Long]("n_pass"))
+  }
+
   test("passageDedup drops repeated passages but keeps the rest of the doc") {
     // win=2 passages: doc1 = ["a b","c d"], doc2 = ["a b","x y"],
     // doc3 = ["a b","c d"] (fully boilerplate), doc4 = ["q r"].
