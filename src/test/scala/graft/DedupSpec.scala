@@ -332,6 +332,46 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((1L, 1L, "q r")))
   }
 
+  test("cdcChunkDedup matches a sequential reference on random colliding corpora") {
+    // Reference: chunk each doc at content-defined boundaries (a token
+    // ends a chunk iff its 32-bit md5-prefix % p == 0), then keep a
+    // chunk iff its text was never seen before, walking docs in id
+    // order. A tiny vocabulary forces collisions AND frequent
+    // boundaries (some vocab words hash to boundary tokens).
+    def boundary(tok: String, p: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % p == 0
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val p = 3
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 12L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = corpus.map { case (id, text) =>
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        text.split(" ", -1).foreach { t =>
+          cur += t
+          if (boundary(t, p)) { chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty }
+        }
+        if (cur.nonEmpty) chunks += cur.toSeq
+        val texts = chunks.map(_.mkString(" ")).toSeq
+        val kept = texts.filter(c => seen.add(c))
+        id -> ((texts.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.cdcChunkDedup(corpus.toDF("doc_id", "text"), p = p)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_pass"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("passageDedup matches a sequential reference on random colliding corpora") {
     // Reference implementation: walk docs in id order, keep a passage
     // iff its text was never seen before (corpus-wide first occurrence).
