@@ -21,7 +21,8 @@ import graft.operators.{Dedup, Mix}
 object Curate {
 
   final case class Stats(input: Long, afterGate: Long, afterDedup: Long,
-      afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int)
+      afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int,
+      afterSubdoc: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -40,15 +41,28 @@ object Curate {
       pruneP: Double = 0.25, tau: Double = 0.7, maxCopies: Int = 8,
       chunkTokens: Int = 32, overlap: Int = 8, ctxTokens: Int = 64,
       rowsPerShard: Long = 4000000L, minShards: Int = 4,
-      stats: Boolean = true): (DataFrame, Option[Stats]) = {
+      stats: Boolean = true, subdocDedup: Boolean = false): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
     val gated = docs.join(
       TextAnalysis.qualityGate(docs).filter(col("kept")).select("doc_id"), "doc_id")
     val afterGate = countIf(gated)
-    val deduped = Dedup.dedupCorpus(gated, jaccardThreshold)
-    val afterDedup = countIf(deduped)
+    val dedupedDocs = Dedup.dedupCorpus(gated, jaccardThreshold)
+    val afterDedup = countIf(dedupedDocs)
+    // Optional sub-document pass (the Dolma paragraph-level stage):
+    // content-defined-chunk dedup rewrites each surviving doc to its
+    // first-occurrence chunks; docs left EMPTY (every chunk seen
+    // elsewhere) drop — unlike the dedup REPORT queries, a curation
+    // output has no use for zero-token rows.
+    val deduped =
+      if (!subdocDedup) dedupedDocs
+      else dedupedDocs.drop("text")
+        .join(Dedup.cdcChunkDedup(dedupedDocs)
+          .filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+        .select(dedupedDocs.columns.map(col).toIndexedSeq: _*)
+    val afterSubdoc = if (subdocDedup) countIf(deduped) else -1L
     // The multi-consumer frames are CHECKPOINTED: pruned feeds four
     // consumers and chunks two, and without truncation every stage
     // count would re-run the whole upstream pipeline; a durable
@@ -73,7 +87,7 @@ object Curate {
     val packed = TextAnalysis.packSequences(chunks, ctxTokens, shards)
     val st =
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
-        resampledCopies, nChunks, shards))
+        resampledCopies, nChunks, shards, afterSubdoc))
       else None
     (packed, st)
   }

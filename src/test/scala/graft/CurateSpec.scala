@@ -8,6 +8,7 @@ import graft.sources.Tables
   * resample → pack flow over the fixture corpus, with per-stage row
   * accounting. */
 class CurateSpec extends SparkSpec {
+  import spark.implicits._
 
   test("curate runs end-to-end with consistent stage accounting") {
     val docs = Tables.load(spark, sf, "documents")
@@ -43,6 +44,29 @@ class CurateSpec extends SparkSpec {
     assert(st.nonEmpty && none.isEmpty)
     assert(withStats.exceptAll(without).isEmpty &&
       without.exceptAll(withStats).isEmpty)
+  }
+
+  test("subdocDedup stage removes cross-document boilerplate chunks") {
+    // stopword-rich text so the quality gate keeps every doc; the
+    // shared block is long enough for CDC (>= ~2p tokens) but small
+    // relative to each doc so DOC-level Jaccard stays under 0.5
+    val boiler = (1 to 40).map(i => s"the boiler$i of").mkString(" ")
+    def unique(tag: String) =
+      (1 to 16).map(i => s"the $tag$i of and").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${unique("alpha")}", "en", "web"),
+      (2L, s"${unique("beta")} $boiler ${unique("gamma")}", "en", "web"),
+      (3L, s"the completely separate document with enough of the words and to pass ${unique("delta")}", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (withSub, st) = Curate.run(docs, subdocDedup = true, pruneP = 0.0)
+    val (without, st0) = Curate.run(docs, subdocDedup = false, pruneP = 0.0)
+    // the sub-document stage is accounted and only ever shrinks
+    assert(st.get.afterSubdoc >= 0 && st.get.afterSubdoc <= st.get.afterDedup)
+    assert(st0.get.afterSubdoc == -1L)
+    // boilerplate removal shrinks the chunk stream feeding packing
+    assert(st.get.chunks < st0.get.chunks,
+      s"${st.get.chunks} vs ${st0.get.chunks}")
+    assert(withSub.count() > 0)
   }
 
   test("curate works in a session with no checkpoint dir pre-set") {
