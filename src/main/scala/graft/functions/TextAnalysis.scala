@@ -420,6 +420,57 @@ object TextAnalysis {
         round(col("s") / col("n_tok"), 6).as("score"))
   }
 
+  /** Interpolated bigram LM score — the step up from [[unigramScore]]
+    * toward the CCNet/KenLM perplexity filter: each in-document bigram
+    * (w1, w2) scores `lam * c(w1,w2)/c(w1,·) + (1-lam) * c(w2)/total`
+    * (Jelinek-Mercer interpolation with the corpus unigram as backoff,
+    * so unseen-context mass never zeroes a document), and a document's
+    * score is the mean over its bigram instances. Gibberish and
+    * shuffled-token text scores low even when its vocabulary is
+    * in-distribution — exactly what the unigram form cannot see.
+    * Linear probabilities, not log, for the same cross-engine reason
+    * as [[unigramScore]]: every step is one IEEE rounding of the same
+    * operand sequence in any engine, where `ln` differs in the last
+    * ulp. The per-doc fold runs in ascending order so the sum is
+    * reproducible and oracle-checkable.
+    *
+    * Scale design (100 TB): two narrow explodes (tokens, bigrams);
+    * corpus bigram counts, context counts, and unigram counts are all
+    * partial-aggregable groupBys keyed by (w1,w2) / w1 / token — never
+    * corpus-wide; the probability join is on those same keys; the
+    * one-row total broadcasts. Same shuffle shape as tf-idf.
+    * Documents with fewer than two tokens have no bigram and are
+    * absent. Output: doc_id, n_bi, score. */
+  def bigramScore(docs: DataFrame, lam: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lam >= 0 && lam <= 1, "interpolation weight must be in [0, 1]")
+    val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("cnt"))
+    val total = uni.agg(sum("cnt").cast("long").as("total"))
+    val tf = toks.filter(size(col("t")) >= 2)
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(t) - 1), " +
+          "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))) AS b")
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
+    val bc = tf.groupBy("w1", "w2").agg(sum("tf").cast("long").as("bc"))
+    val cc = bc.groupBy("w1").agg(sum("bc").cast("long").as("cc"))
+    tf.join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .join(uni.withColumnRenamed("token", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("double") *
+          (lit(lam) * col("bc") / col("cc") +
+            lit(1 - lam) * col("cnt") / col("total"))).as("w"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_bi"),
+        aggregate(sort_array(collect_list(col("w"))), lit(0d), _ + _).as("s"))
+      .select(col("doc_id"), col("n_bi"),
+        round(col("s") / col("n_bi"), 6).as("score"))
+  }
+
   /** Top-k distinguishing terms per document by tf-idf. The idf here is
     * the LINEAR inverse document frequency (score = tf / df): integer
     * division is IEEE-exact and bit-identical across engines, where

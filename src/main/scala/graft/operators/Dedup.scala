@@ -783,6 +783,20 @@ object Dedup {
     * Output: doc_id, n_pass, n_kept, clean_text. */
   def passageDedup(docs: DataFrame, win: Int = 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val pass = passageSegments(docs, win, idCol, textCol)
+    val owners = pass.groupBy("pk")
+      .agg(min(struct(col("doc_id"), col("p_idx"))).as("own"))
+    passageReassemble(pass.join(owners.hint("shuffle_hash"), "pk")
+      .withColumn("kept",
+        col("doc_id") === col("own.doc_id") && col("p_idx") === col("own.p_idx")))
+  }
+
+  /** The segmented passage table of a corpus: (doc_id, sep, p_idx,
+    * passage, pk), repartitioned by pk — the shared front half of
+    * [[passageDedup]] and [[stripBoilerplate]] (segmentation semantics
+    * documented on [[passageDedup]]). */
+  private def passageSegments(docs: DataFrame, win: Int, idCol: String,
+      textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
     val rawParas = when(col("txt").contains("\n\n"), split(col("txt"), "\n{2,}"))
       .otherwise(split(col("txt"), "\n"))
@@ -791,7 +805,7 @@ object Dedup {
     // contradicting the whitespace-segments-dropped contract.
     val paraSegs = filter(
       transform(rawParas, s => regexp_replace(s, "^\\s+|\\s+$", "")), s => s =!= "")
-    val pass = docs
+    docs
       .select(col(idCol).as("doc_id"), txt.as("txt"),
         split(txt, " ").as("toks"))
       .withColumn("segs",
@@ -811,17 +825,100 @@ object Dedup {
       // (a partial-agg exchange is not canonically equal to a row
       // exchange), measured +53% on p30. Same trick as capBuckets.
       .repartition(col("pk"))
-    val owners = pass.groupBy("pk")
-      .agg(min(struct(col("doc_id"), col("p_idx"))).as("own"))
-    pass.join(owners.hint("shuffle_hash"), "pk")
-      .withColumn("kept",
-        col("doc_id") === col("own.doc_id") && col("p_idx") === col("own.p_idx"))
-      .groupBy("doc_id")
+  }
+
+  /** (doc_id, sep, p_idx, passage, kept) rows → the passage-operator
+    * output shape (doc_id, n_pass, n_kept, clean_text). */
+  private def passageReassemble(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_pass"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         expr("array_join(transform(filter(array_sort(collect_list(" +
           "named_struct('i', p_idx, 'p', CASE WHEN kept THEN passage END))), " +
           "s -> s.p IS NOT NULL), s -> s.p), max(sep))").as("clean_text"))
+
+  /** Boilerplate removal — the RefinedWeb/Dolma line-dedup stage that
+    * [[passageDedup]] is NOT: a passage appearing in more than
+    * `maxDocs` DISTINCT documents (shared headers, footers, license
+    * blocks, navigation chrome) is removed from EVERY document,
+    * including the first — keep-first dedup instead keeps one copy and
+    * would leave the boilerplate in the corpus once per distinct
+    * passage. Segmentation is [[passageDedup]]'s (natural paragraphs
+    * when the text carries newlines, fixed `win`-token windows
+    * otherwise). A passage repeated within ONE doc is not boilerplate
+    * by this definition (df counts distinct docs); pair with
+    * [[passageDedup]] for intra-corpus dedup proper.
+    *
+    * Scale design (100 TB): the df count is a partial-aggregable
+    * groupBy over md5 keys (count_distinct(doc_id) expands per-key,
+    * never corpus-wide), reusing the one segment exchange; the
+    * boilerplate-key set fans back as an AQE-splittable join exactly
+    * like [[passageDedup]]'s owner join — no window anywhere. Every
+    * doc keeps its row (stay-visible rule; a doc that is pure
+    * boilerplate returns n_kept = 0 and empty clean_text).
+    * Output: doc_id, n_pass, n_kept, clean_text. */
+  def stripBoilerplate(docs: DataFrame, maxDocs: Int = 1, win: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val pass = passageSegments(docs, win, idCol, textCol)
+    val bp = pass.groupBy("pk")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocs)
+      .select(col("pk"))
+    passageReassemble(pass
+      .join(bp.withColumn("bp", lit(true)).hint("shuffle_hash"), Seq("pk"), "left")
+      .withColumn("kept", col("bp").isNull))
+  }
+
+  /** Cross-corpus near-dup dedup: screen a NEW corpus against a fixed
+    * REFERENCE corpus (dedup a fresh crawl against the training set
+    * already ingested, or against a held-out set — the batch sibling
+    * of the [[writeBandIndex]]/[[incrementalCandidates]] streaming
+    * path, with the verify stage included). A new doc is dropped iff
+    * it LSH-collides with a reference doc AND the exact shingle
+    * Jaccard reaches `threshold`. New-vs-new duplicates are NOT
+    * removed (that is [[dedupCorpus]]'s job); reference docs are never
+    * touched.
+    *
+    * Scale design (100 TB): both sides reduce to band rows
+    * (~4 × 50 B/doc); the candidate join is banded and per-side
+    * bucket-capped ([[capBuckets]] on each side before the equi-join,
+    * so a boilerplate band hot on EITHER side is dropped, and the
+    * join itself is AQE-splittable); the verify joins per-doc shingle
+    * arrays (bounded by document length) onto candidates — work
+    * ∝ candidates × shingles/doc, the [[jaccardVerify]] shape. The
+    * match aggregation is doc-keyed. Every new doc keeps its row.
+    * Output: doc_id, n_matches (distinct reference docs matched at
+    * >= threshold), kept = (n_matches == 0). */
+  def dedupAgainst(newDocs: DataFrame, refDocs: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shN = shingleHashes(newDocs, idCol = idCol, textCol = textCol)
+    val shR = shingleHashes(refDocs, idCol = idCol, textCol = textCol)
+    val bN = capBuckets(lshBands(minhashSignatures(shN, hashed = true)),
+      Seq("band", "bh"), maxBucket)
+    val bR = capBuckets(lshBands(minhashSignatures(shR, hashed = true)),
+      Seq("band", "bh"), maxBucket)
+      .withColumnRenamed("doc_id", "r_id")
+    val cand = bN.join(bR, Seq("band", "bh"))
+      .select(col("doc_id").as("d1"), col("r_id").as("d2")).distinct()
+    // Two-sided jaccardVerify: each side joins its OWN array table, so
+    // overlapping id VALUES between the corpora never cross-join.
+    val matches = cand
+      .join(shingleArrays(shN).as("b1"), col("d1") === col("b1.doc_id"))
+      .join(shingleArrays(shR).as("b2"), col("d2") === col("b2.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("b1.ss"), col("b2.ss"))).cast("long").as("ninter"),
+        col("b1.n").as("n1"), col("b2.n").as("n2"))
+      .filter(col("ninter") > 0)
+      .filter(col("ninter") / (col("n1") + col("n2") - col("ninter")) >= threshold)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("kept", col("n_matches") === 0L)
   }
 }

@@ -332,6 +332,51 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((1L, 1L, "q r")))
   }
 
+  test("stripBoilerplate removes over-shared passages from EVERY doc, unlike keep-first") {
+    // win=2 passages: "a b" in docs 1,2,3 (df=3); "c d" in docs 1,3
+    // (df=2); "x y" and "q r" unique.
+    val d = docs((1L, "a b c d"), (2L, "a b x y"), (3L, "a b c d"), (4L, "q r"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pass"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))))
+      .toMap
+    val got = shape(Dedup.stripBoilerplate(d, maxDocs = 1, win = 2))
+    assert(got(1L) == ((2L, 0L, "")))           // even the FIRST copy dies
+    assert(got(2L) == ((2L, 1L, "x y")))
+    assert(got(3L) == ((2L, 0L, "")))
+    assert(got(4L) == ((1L, 1L, "q r")))
+    // keep-first passageDedup keeps doc1 whole — the two operators differ
+    assert(shape(Dedup.passageDedup(d, win = 2))(1L) == ((2L, 2L, "a b c d")))
+    // maxDocs=2 tolerates the df=2 passage but still kills the df=3 one
+    assert(shape(Dedup.stripBoilerplate(d, maxDocs = 2, win = 2))(1L) ==
+      ((2L, 1L, "c d")))
+  }
+
+  test("stripBoilerplate: intra-doc repetition is not boilerplate (df counts docs)") {
+    val got = Dedup.stripBoilerplate(docs((5L, "p q p q")), win = 2).collect().head
+    assert(got.getAs[Long]("n_pass") == 2L && got.getAs[Long]("n_kept") == 2L)
+    assert(got.getAs[String]("clean_text") == "p q p q")
+  }
+
+  test("dedupAgainst drops verified cross-corpus near-dups only") {
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textC = "entirely different vocabulary with no overlap at all in any shingle here"
+    val ref = docs((100L, textA), (101L, "reference only filler words one two three four five"))
+    val nw = docs(
+      (1L, textA),                                  // exact copy of ref 100 → dropped
+      (2L, textC),                                  // disjoint → kept
+      (4L, textC),                                  // dup of ANOTHER NEW doc → kept (not cross)
+      (100L, "shares an id value with the reference but no content whatsoever"))
+    val got = Dedup.dedupAgainst(nw, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Boolean]("kept")))).toMap
+    assert(got(1L)._1 >= 1L && !got(1L)._2)
+    assert(got(2L) == ((0L, true)))
+    assert(got(4L) == ((0L, true)))                 // new-vs-new is p20's job
+    assert(got(100L) == ((0L, true)))               // id collision never cross-joins
+    assert(got.size == 4)                           // stay-visible: every new doc reports
+  }
+
   test("cdcChunkDedup matches a sequential reference on random colliding corpora") {
     // Reference: chunk each doc at content-defined boundaries (a token
     // ends a chunk iff its 32-bit md5-prefix % p == 0), then keep a

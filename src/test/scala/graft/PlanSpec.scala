@@ -98,6 +98,7 @@ class PlanSpec extends SparkSpec {
       "p06_ann_brute", "p07_ann_ivf", "p19_ann_ivf_batch",   // query-vector / centroid broadcast
       "p21_ann_quantized", "p25_kmeans_step", "p29_semdedup", // centroid / shortlist broadcast
       "p32_unigram_lm",     // one-row corpus-total broadcast
+      "p37_bigram_lm",      // one-row corpus-total broadcast (same shape as p32)
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

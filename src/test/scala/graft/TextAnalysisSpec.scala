@@ -223,4 +223,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L) == ((4L, 0.5)))     // mean p = 4/8
     assert(m(2L) == ((4L, 0.125)))   // mean p = 1/8
   }
+
+  test("bigramScore: interpolated probabilities match the hand computation") {
+    // Corpus: doc1 "a b a b", doc2 "a c", doc3 "solo". Unigrams
+    // a:3 b:2 c:1 solo:1 (total 7 — the sub-2-token doc contributes no
+    // bigram but its tokens DO count in the backoff distribution).
+    // Bigrams (a,b):2 (b,a):1 (a,c):1; contexts a:3 b:1.
+    val m = TextAnalysis.bigramScore(docs(
+      (1L, "a b a b"),
+      (2L, "a c"),
+      (3L, "solo")))                 // <2 tokens → absent from output
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bi"), r.getAs[Double]("score")))).toMap
+    val pab = 0.75 * 2 / 3 + 0.25 * 2 / 7   // p(b|a)
+    val pba = 0.75 * 1 / 1 + 0.25 * 3 / 7   // p(a|b)
+    val pac = 0.75 * 1 / 3 + 0.25 * 1 / 7   // p(c|a)
+    assert(m.keySet == Set(1L, 2L))
+    assert(m(1L)._1 == 3L && math.abs(m(1L)._2 - (2 * pab + pba) / 3) < 5e-7)
+    assert(m(2L)._1 == 1L && math.abs(m(2L)._2 - pac) < 5e-7)
+  }
+
+  test("bigramScore: natural word order outscores the same tokens shuffled") {
+    // Both docs draw from the same vocabulary with identical unigram
+    // counts, so unigramScore cannot separate them — but the corpus
+    // bigram "the cat" is frequent while the shuffled doc's bigrams
+    // are rare, and the bigram LM sees exactly that.
+    val base = (1 to 10).map(i => (i.toLong, "the cat sat here")) :+
+      (99L, "cat the here sat")
+    val m = TextAnalysis.bigramScore(base.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(m(1L) > m(99L))
+  }
 }
