@@ -9,9 +9,11 @@ import graft.operators.{Dedup, Mix}
   * composition a user of the reference's medallion flow would run to
   * turn a raw document corpus into packed training sequences:
   *
-  *   quality gate → near-dup dedup (LSH + components survivors) →
-  *   per-domain score pruning → temperature-mixture resampling →
-  *   chunk → pack.
+  *   quality gate → [boilerplate removal] → near-dup dedup (LSH +
+  *   components survivors) → [sub-document CDC dedup] → per-domain
+  *   score pruning → temperature-mixture resampling → chunk → pack
+  *
+  * (bracketed stages optional).
   *
   * Every stage is one of the library's oracle-checked/spec-proven
   * operators with its own scale design (see SCALE.md); this object
@@ -22,7 +24,7 @@ object Curate {
 
   final case class Stats(input: Long, afterGate: Long, afterDedup: Long,
       afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int,
-      afterSubdoc: Long = -1L)
+      afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -41,13 +43,29 @@ object Curate {
       pruneP: Double = 0.25, tau: Double = 0.7, maxCopies: Int = 8,
       chunkTokens: Int = 32, overlap: Int = 8, ctxTokens: Int = 64,
       rowsPerShard: Long = 4000000L, minShards: Int = 4,
-      stats: Boolean = true, subdocDedup: Boolean = false): (DataFrame, Option[Stats]) = {
+      stats: Boolean = true, subdocDedup: Boolean = false,
+      boilerplateMaxDocs: Option[Int] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
-    val gated = docs.join(
+    val gatedRaw = docs.join(
       TextAnalysis.qualityGate(docs).filter(col("kept")).select("doc_id"), "doc_id")
-    val afterGate = countIf(gated)
+    val afterGate = countIf(gatedRaw)
+    // Optional boilerplate pass (the RefinedWeb line-dedup stage),
+    // BEFORE doc-level dedup: a shared header/footer inflates the
+    // Jaccard between otherwise-distinct docs, so stripping it first
+    // keeps the near-dup stage from merging docs that only share
+    // chrome. Docs reduced to nothing drop (curation output has no
+    // use for zero-token rows).
+    val gated = boilerplateMaxDocs match {
+      case None => gatedRaw
+      case Some(m) => gatedRaw.drop("text")
+        .join(Dedup.stripBoilerplate(gatedRaw, m)
+          .filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+        .select(gatedRaw.columns.map(col).toIndexedSeq: _*)
+    }
+    val afterBoilerplate = if (boilerplateMaxDocs.isDefined) countIf(gated) else -1L
     val dedupedDocs = Dedup.dedupCorpus(gated, jaccardThreshold)
     val afterDedup = countIf(dedupedDocs)
     // Optional sub-document pass (the Dolma paragraph-level stage):
@@ -87,7 +105,7 @@ object Curate {
     val packed = TextAnalysis.packSequences(chunks, ctxTokens, shards)
     val st =
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
-        resampledCopies, nChunks, shards, afterSubdoc))
+        resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate))
       else None
     (packed, st)
   }

@@ -69,6 +69,27 @@ class CurateSpec extends SparkSpec {
     assert(withSub.count() > 0)
   }
 
+  test("boilerplate stage strips over-shared passages before doc-level dedup") {
+    // Three otherwise-distinct docs share a 32-token header; win=16
+    // segmentation puts it in two header-aligned passages per doc.
+    // With the stage on, the shared header dies in EVERY doc (96 → 64
+    // tokens: 4 → 3 chunks per doc at stride 24); the unique bodies
+    // survive. Stopword-rich so the gate keeps everything.
+    val header = (1 to 16).map(i => s"the nav$i").mkString(" ")
+    def body(tag: String) = (1 to 16).map(i => s"the $tag$i of and").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header ${body("alpha")}", "en", "web"),
+      (2L, s"$header ${body("beta")}", "en", "web"),
+      (3L, s"$header ${body("gamma")}", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (withBp, st) = Curate.run(docs, boilerplateMaxDocs = Some(1), pruneP = 0.0)
+    val (without, st0) = Curate.run(docs, pruneP = 0.0)
+    assert(st.get.afterBoilerplate >= 0 && st0.get.afterBoilerplate == -1L)
+    // the stripped corpus feeds fewer tokens into packing
+    assert(st.get.chunks < st0.get.chunks, s"${st.get.chunks} vs ${st0.get.chunks}")
+    assert(withBp.count() > 0)
+  }
+
   test("curate works in a session with no checkpoint dir pre-set") {
     // the checkpoint dir must be ensured by Curate itself, not
     // inherited from a previous components() call in the same JVM —
