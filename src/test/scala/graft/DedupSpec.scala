@@ -442,6 +442,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate matches a sequential reference on random colliding corpora") {
+    // Reference: count distinct docs per passage text; keep a passage
+    // iff its df <= maxDocs. Tiny vocabulary forces heavy collisions,
+    // so most passages are boilerplate by the df > 1 rule.
+    val rnd = new scala.util.Random(1234)
+    val vocab = Seq("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 12L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val win = 2
+      val maxDocs = 1 + rnd.nextInt(2)
+      def passages(text: String) =
+        text.split(" ").grouped(win).map(_.mkString(" ")).toSeq
+      val df = corpus.flatMap { case (id, t) => passages(t).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = corpus.map { case (id, text) =>
+        val ps = passages(text)
+        val kept = ps.filter(p => df(p) <= maxDocs)
+        id -> ((ps.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.stripBoilerplate(corpus.toDF("doc_id", "text"),
+          maxDocs = maxDocs, win = win)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_pass"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(got == expected, s"trial $trial maxDocs=$maxDocs: $got vs $expected")
+    }
+  }
+
   test("contaminationBloom never misses a true hit and bounds false positives") {
     // train: 3 docs sharing 5-grams with the eval doc, 197 clean docs
     // with disjoint vocabulary (no shingle overlap possible)

@@ -243,6 +243,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L)._1 == 1L && math.abs(m(2L)._2 - pac) < 5e-7)
   }
 
+  test("bigramScore matches a sequential reference bit-for-bit on random corpora") {
+    // Reference replays the operator's exact double-arithmetic
+    // sequence: w = tf * (0.75*bc/cc + 0.25*cnt/total), per-doc sum in
+    // ascending order from 0.0, ROUND(6) = HALF_UP on the shortest
+    // decimal repr (BigDecimal.valueOf) — so equality is ==, no
+    // tolerance.
+    val rnd = new scala.util.Random(99)
+    val vocab = Seq("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 10L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+      val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = toks.map(_._2.size.toLong).sum
+      val docBi = toks.map { case (id, t) =>
+        id -> t.zip(t.tail).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }.toMap
+      val bc = docBi.values.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val cc = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val expected = docBi.map { case (id, bis) =>
+        val ws = bis.map { case ((w1, w2), tf) =>
+          tf.toDouble * (0.75 * bc((w1, w2)) / cc(w1) + 0.25 * uni(w2) / total)
+        }.toSeq.sorted
+        val s = ws.foldLeft(0.0)(_ + _)
+        val nBi = bis.values.sum
+        id -> ((nBi, java.math.BigDecimal.valueOf(s / nBi)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue))
+      }
+      val got = TextAnalysis.bigramScore(corpus.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bi"), r.getAs[Double]("score")))).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("bigramScore: natural word order outscores the same tokens shuffled") {
     // Both docs draw from the same vocabulary with identical unigram
     // counts, so unigramScore cannot separate them — but the corpus
