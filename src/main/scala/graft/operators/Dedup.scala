@@ -871,6 +871,56 @@ object Dedup {
       .withColumn("kept", col("bp").isNull))
   }
 
+  /** Persist a corpus' passage document-frequency index: one
+    * (pk, df) row per distinct passage — what makes
+    * [[stripBoilerplate]] INCREMENTAL (the analog of
+    * [[writeBandIndex]] / [[writeChunkIndex]] for the boilerplate
+    * stage). Unlike those set-membership indexes this one carries a
+    * COUNT, because boilerplate-ness is a threshold on corpus-wide
+    * df: a later batch adds its own per-passage df on top. */
+  def writePassageIndex(docs: DataFrame, path: String, win: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    passageSegments(docs, win, idCol, textCol)
+      .groupBy("pk").agg(count_distinct(col("doc_id")).cast("long").as("df"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's passage dfs to the index (same layout;
+    * readers must SUM df per pk — [[stripBoilerplateAgainstIndex]]
+    * does). */
+  def appendPassageIndex(docs: DataFrame, path: String, win: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    passageSegments(docs, win, idCol, textCol)
+      .groupBy("pk").agg(count_distinct(col("doc_id")).cast("long").as("df"))
+      .write.mode("append").parquet(path)
+
+  /** Incremental [[stripBoilerplate]]: screen a NEW batch with df =
+    * (indexed df) + (batch df) per passage, so a passage crossing the
+    * threshold only once the batch's own copies are counted IS
+    * stripped. For batch docs this equals the one-shot
+    * `stripBoilerplate(old ∪ new)` restricted to the batch (DedupSpec
+    * law) — the old corpus' emitted text is NOT rewritten
+    * retroactively (forward-only screening, the standard streaming-
+    * curation trade; re-run the batch form for a retroactive pass).
+    * `passageIndex` is the loaded (pk, df) frame so callers can
+    * filter a partitioned layout first; old text is never rescanned.
+    * Work: the batch's segments + a join against ~32-byte index rows
+    * (partial-aggregated per pk on both sides). */
+  def stripBoilerplateAgainstIndex(newDocs: DataFrame, passageIndex: DataFrame,
+      maxDocs: Int = 1, win: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val pass = passageSegments(newDocs, win, idCol, textCol)
+    val batchDf = pass.groupBy("pk")
+      .agg(count_distinct(col("doc_id")).cast("long").as("bdf"))
+    val idxDf = passageIndex.groupBy("pk").agg(sum("df").cast("long").as("idf"))
+    val bp = batchDf.join(idxDf, Seq("pk"), "left")
+      .filter(col("bdf") + coalesce(col("idf"), lit(0L)) > maxDocs)
+      .select(col("pk"))
+    passageReassemble(pass
+      .join(bp.withColumn("bp", lit(true)).hint("shuffle_hash"), Seq("pk"), "left")
+      .withColumn("kept", col("bp").isNull))
+  }
+
   /** Cross-corpus near-dup dedup: screen a NEW corpus against a fixed
     * REFERENCE corpus (dedup a fresh crawl against the training set
     * already ingested, or against a held-out set — the batch sibling

@@ -472,6 +472,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplateAgainstIndex equals the one-shot form over old ∪ new") {
+    // Old corpus: "a b" appears in docs 1 and 2. New batch: "a b"
+    // appears once more (crosses maxDocs=2 only with the index's df
+    // counted in), "c d" is new-batch-only boilerplate across two new
+    // docs at maxDocs=1, "x y" unique.
+    val dir = java.nio.file.Files.createTempDirectory("passage-idx").toString
+    val old = docs((1L, "a b q q"), (2L, "a b r r"), (3L, "s s t t"))
+    val batch = docs((10L, "a b x y"), (11L, "c d u u"), (12L, "c d v v"))
+    for (maxDocs <- Seq(1, 2)) {
+      Dedup.writePassageIndex(old, dir, win = 2)
+      val incr = Dedup.stripBoilerplateAgainstIndex(batch,
+          spark.read.parquet(dir), maxDocs = maxDocs, win = 2)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val full = Dedup.stripBoilerplate(old.unionByName(batch), maxDocs = maxDocs,
+          win = 2)
+        .filter(col("doc_id") >= 10L)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(incr == full, s"maxDocs=$maxDocs: $incr vs $full")
+    }
+    // threshold-crossing sanity at maxDocs=2: "a b" has old-df 2, so
+    // the batch copy is stripped ONLY because the index df counts in
+    val incr2 = Dedup.stripBoilerplateAgainstIndex(batch,
+        spark.read.parquet(dir), maxDocs = 2, win = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(incr2(10L) == "x y")
+    assert(incr2(11L) == "c d u u")   // batch df 2 <= maxDocs 2 → kept
+    // accepting the batch: append its dfs, then a re-ingested copy of
+    // the batch sees the higher combined counts
+    Dedup.appendPassageIndex(batch, dir, win = 2)
+    val batch2 = docs((20L, "c d w w"))
+    val after = Dedup.stripBoilerplateAgainstIndex(batch2,
+        spark.read.parquet(dir), maxDocs = 2, win = 2).collect().head
+    assert(after.getAs[String]("clean_text") == "w w")   // df 2+1 > 2 now
+  }
+
   test("contaminationBloom never misses a true hit and bounds false positives") {
     // train: 3 docs sharing 5-grams with the eval doc, 197 clean docs
     // with disjoint vocabulary (no shingle overlap possible)
