@@ -901,6 +901,11 @@ object Dedup {
     * law) — the old corpus' emitted text is NOT rewritten
     * retroactively (forward-only screening, the standard streaming-
     * curation trade; re-run the batch form for a retroactive pass).
+    * Like [[cdcDedupAgainstIndex]], the law requires batch doc ids
+    * DISTINCT from every indexed id and each batch appended at most
+    * once — a replayed batch (or an id re-ingest) double-counts its
+    * own docs in df and over-strips; filter a batch_id-partitioned
+    * index layout before loading to replay idempotently.
     * `passageIndex` is the loaded (pk, df) frame so callers can
     * filter a partitioned layout first; old text is never rescanned.
     * Work: the batch's segments + a join against ~32-byte index rows
@@ -944,20 +949,28 @@ object Dedup {
   def dedupAgainst(newDocs: DataFrame, refDocs: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = 100,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shN = shingleHashes(newDocs, idCol = idCol, textCol = textCol)
-    val shR = shingleHashes(refDocs, idCol = idCol, textCol = textCol)
-    val bN = capBuckets(lshBands(minhashSignatures(shN, hashed = true)),
-      Seq("band", "bh"), maxBucket)
-    val bR = capBuckets(lshBands(minhashSignatures(shR, hashed = true)),
-      Seq("band", "bh"), maxBucket)
+    // ONE fused doc-keyed aggregation per side (signatures + shingle
+    // arrays together): the banding branch and the verify branch then
+    // share the single explode+shuffle through exchange reuse, where
+    // separate minhashSignatures/shingleArrays aggregations would
+    // rescan and re-shuffle the exploded shingle table twice per
+    // corpus (the measured-2x-slower split form p02 documents; no
+    // scoped persist is possible here because the output is
+    // corpus-sized and lazy).
+    val dN = docSignatures(shingleHashes(newDocs, idCol = idCol, textCol = textCol))
+    val dR = docSignatures(shingleHashes(refDocs, idCol = idCol, textCol = textCol))
+    val bN = capBuckets(lshBands(dN), Seq("band", "bh"), maxBucket)
+    val bR = capBuckets(lshBands(dR), Seq("band", "bh"), maxBucket)
       .withColumnRenamed("doc_id", "r_id")
     val cand = bN.join(bR, Seq("band", "bh"))
       .select(col("doc_id").as("d1"), col("r_id").as("d2")).distinct()
     // Two-sided jaccardVerify: each side joins its OWN array table, so
     // overlapping id VALUES between the corpora never cross-join.
     val matches = cand
-      .join(shingleArrays(shN).as("b1"), col("d1") === col("b1.doc_id"))
-      .join(shingleArrays(shR).as("b2"), col("d2") === col("b2.doc_id"))
+      .join(dN.select(col("doc_id"), col("ss"), col("n")).as("b1"),
+        col("d1") === col("b1.doc_id"))
+      .join(dR.select(col("doc_id"), col("ss"), col("n")).as("b2"),
+        col("d2") === col("b2.doc_id"))
       .select(col("d1"), col("d2"),
         size(array_intersect(col("b1.ss"), col("b2.ss"))).cast("long").as("ninter"),
         col("b1.n").as("n1"), col("b2.n").as("n2"))

@@ -59,11 +59,19 @@ object Curate {
     // use for zero-token rows).
     val gated = boilerplateMaxDocs match {
       case None => gatedRaw
-      case Some(m) => gatedRaw.drop("text")
-        .join(Dedup.stripBoilerplate(gatedRaw, m)
-          .filter(col("clean_text") =!= "")
-          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
-        .select(gatedRaw.columns.map(col).toIndexedSeq: _*)
+      case Some(m) =>
+        // Multi-consumer frames are CHECKPOINTED (file invariant):
+        // gatedRaw feeds both sides of the strip join (the gate's two
+        // text passes would otherwise run twice per action), and the
+        // stripped frame feeds the accounting count plus the whole
+        // dedup stage.
+        val g = gatedRaw.checkpoint()
+        g.drop("text")
+          .join(Dedup.stripBoilerplate(g, m)
+            .filter(col("clean_text") =!= "")
+            .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+          .select(g.columns.map(col).toIndexedSeq: _*)
+          .checkpoint()
     }
     val afterBoilerplate = if (boilerplateMaxDocs.isDefined) countIf(gated) else -1L
     val dedupedDocs = Dedup.dedupCorpus(gated, jaccardThreshold)
