@@ -27,6 +27,8 @@ object Main {
         |  bronze <sfDir> <lakeRoot> <batchTs>
         |  northwind <outDir>
         |  dedup <sfDir> <outDir>
+        |  dedup-against <newDir> <refDir> <outDir>
+        |  strip-boilerplate <sfDir> <outDir> [maxDocs]
         |  cdc-dedup <sfDir> <outDir>
         |  curate <sfDir> <outDir>
         |  curate-stream <srcDir> <outDir> <indexDir> <stateDir> <ck> <budgetTokens>
@@ -77,6 +79,21 @@ object Main {
         graft.operators.Dedup.dedupCorpus(Tables.load(spark, sfDir, "documents"))
           .write.mode("overwrite").parquet(outDir)
         println(s"deduplicated corpus at $outDir")
+      case "dedup-against" :: newDir :: refDir :: outDir :: Nil =>
+        // Cross-corpus screen: keep new-corpus docs with no verified
+        // near-dup in the reference corpus (kept column reports all).
+        graft.operators.Dedup.dedupAgainst(
+            Tables.load(spark, newDir, "documents"),
+            Tables.load(spark, refDir, "documents"))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"cross-corpus screen report at $outDir")
+      case "strip-boilerplate" :: sfDir :: outDir :: rest if rest.size <= 1 =>
+        // Remove passages shared by more than maxDocs distinct docs.
+        val maxDocs = rest.headOption.map(_.toInt).getOrElse(1)
+        graft.operators.Dedup.stripBoilerplate(
+            Tables.load(spark, sfDir, "documents"), maxDocs)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"boilerplate-stripped corpus at $outDir (maxDocs=$maxDocs)")
       case "cdc-dedup" :: sfDir :: outDir :: Nil =>
         // Sub-document exact-substring dedup (content-defined chunks).
         graft.operators.Dedup.cdcChunkDedup(Tables.load(spark, sfDir, "documents"))
