@@ -721,13 +721,31 @@ object Ingest {
     * to batch_id < current, so checkpoint replay reproduces the
     * original decision bit for bit. The per-batch budget window is
     * micro-batch-local (bounded rows), never corpus-wide.
+    *
+    * Optional boilerplate stage (`boilerplateMaxDocs` + a
+    * `passageIndexPath`): between gate and dedup, each batch is
+    * screened with [[graft.operators.Dedup.stripBoilerplateAgainstIndex]]
+    * against the passage-df index of every EARLIER batch's gated text
+    * (the batch Curate ordering — shared chrome must not inflate
+    * near-dup Jaccard). Per batch the stripped text equals the
+    * one-shot `stripBoilerplate(gated prefix ∪ batch)` restricted to
+    * the batch (the index law); earlier batches' emitted text is not
+    * rewritten when a passage later crosses the threshold
+    * (forward-only screening, as documented on the index operator).
+    * Docs stripped to empty text drop. The index sink is a per-batch
+    * OVERWRITE partition like the other three, so replay decisions
+    * are reproduced exactly.
     * Output rows: domain, doc_id, n_tok, cum. */
   def curateIngestStream(spark: SparkSession, docSchema: StructType,
       srcDir: String, outDir: String, indexPath: String, stateDir: String,
       checkpoint: String, budgetTokens: Long, domainCol: String = "lang",
-      maxBucket: Int = 100, maxFilesPerTrigger: Int = 1): Unit = {
+      maxBucket: Int = 100, maxFilesPerTrigger: Int = 1,
+      boilerplateMaxDocs: Option[Int] = None,
+      passageIndexPath: String = ""): Unit = {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
+    require(boilerplateMaxDocs.isEmpty || passageIndexPath.nonEmpty,
+      "boilerplateMaxDocs needs a passageIndexPath for cross-batch dfs")
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -739,8 +757,26 @@ object Ingest {
         val gated = batch.join(
           TextAnalysis.qualityGate(batch).filter(col("kept")).select("doc_id"),
           "doc_id")
+        // 1b. optional boilerplate strip vs the earlier batches' dfs.
+        // Materialized EAGERLY when on: the strip plan reads
+        // passageIndexPath and the index sink below mutates it.
+        val curated = boilerplateMaxDocs match {
+          case None => gated
+          case Some(m) =>
+            val pIdx = earlierBatchPartitions(ss, passageIndexPath, id,
+              "curateIngestStream passage index")
+            val report = pIdx match {
+              case Some(i) => Dedup.stripBoilerplateAgainstIndex(gated, i, m)
+              case None    => Dedup.stripBoilerplate(gated, m)
+            }
+            gated.drop("text")
+              .join(report.filter(col("clean_text") =!= "")
+                .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+              .select(gated.columns.map(col).toIndexedSeq: _*)
+              .localCheckpoint(true)
+        }
         // 2. dedup on the md5-prefix surrogate id (keep-first-arrived)
-        val relabeled = gated
+        val relabeled = curated
           .withColumn("orig_id", col("doc_id"))
           .withColumn("doc_id",
             conv(substring(md5(col("orig_id").cast("string")), 1, 15), 16, 10)
@@ -788,8 +824,17 @@ object Ingest {
             Dedup.lshBands(Dedup.minhashSignatures(
                 Dedup.shingleHashes(surv), hashed = true))
               .write.mode("overwrite").parquet(s"$indexPath/batch_id=$id")
+            // passage dfs of the batch's GATED (pre-strip) text — the
+            // one-shot law segments every doc's original gated text,
+            // so that is what later batches must count against
+            if (boilerplateMaxDocs.isDefined)
+              Dedup.writePassageIndex(gated, s"$passageIndexPath/batch_id=$id")
           } finally { accepted.unpersist(); () }
-        } finally { surv.unpersist(); () }
+        } finally {
+          surv.unpersist()
+          if (boilerplateMaxDocs.isDefined) curated.unpersist()
+          ()
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -403,6 +403,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size < surv.count())
   }
 
+  test("SCB: streamed curation boilerplate stage obeys the per-batch passage-index law") {
+    import graft.operators.Dedup
+    import graft.functions.TextAnalysis
+    // Shared 16-token header H: df=1 in batch 1 (kept for doc A),
+    // crosses maxDocs=1 in batch 2 (stripped from B and C — the index
+    // df of 1 plus the batch's own 2), stays boilerplate in batch 3.
+    // A's batch-1 output must NOT be rewritten (forward-only).
+    val header = (1 to 8).map(i => s"the nav$i").mkString(" ")
+    def body(tag: String) = (1 to 16).map(i => s"the $tag$i of and").mkString(" ")
+    val batches = Seq(
+      Seq((1L, s"$header ${body("alpha")}", "en"), (2L, body("echo"), "en")),
+      Seq((3L, s"$header ${body("beta")}", "en"), (4L, s"$header ${body("gamma")}", "en")),
+      Seq((5L, s"$header ${body("delta")}", "en")))
+    val all = batches.flatten.toDF("doc_id", "text", "lang")
+    // precondition: the gate keeps every planted doc (else the law's
+    // prefix corpus below would diverge from what the stream gates)
+    assert(TextAnalysis.qualityGate(all).filter(!$"kept").count() == 0)
+
+    val src = tmp("scb-src"); val out = tmp("scb-out"); val idxP = tmp("scb-idx")
+    val st = tmp("scb-state"); val ck = tmp("scb-ck"); val pIdx = tmp("scb-pidx")
+    batches.foreach { b =>
+      b.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("append").parquet(src)
+      Ingest.curateIngestStream(spark, all.schema, src, out, idxP, st, ck,
+        budgetTokens = 1000000L, boilerplateMaxDocs = Some(1),
+        passageIndexPath = pIdx)
+    }
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    // expected: per batch, the ONE-SHOT stripBoilerplate over the
+    // gated prefix ∪ batch, restricted to the batch (the index law),
+    // with emptied docs dropped
+    val expected = batches.zipWithIndex.flatMap { case (b, i) =>
+      val prefix = batches.take(i + 1).flatten.toDF("doc_id", "text", "lang")
+      val ids = b.map(_._1).toSet
+      Dedup.stripBoilerplate(prefix).collect()
+        .filter(r => ids.contains(r.getAs[Long]("doc_id")))
+        .filter(_.getAs[String]("clean_text") != "")
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("clean_text").split(" ").length.toLong)
+    }.toMap
+    assert(streamed == expected, s"$streamed vs $expected")
+    // the header survived for A (batch-1 df was 1) and died for B/C/D
+    assert(streamed(1L) == 80L && Seq(3L, 4L, 5L).forall(streamed(_) == 64L))
+    assert(streamed(2L) == 64L)
+    // three per-batch passage-index partitions landed
+    assert(new java.io.File(pIdx).listFiles().count(_.getName.startsWith("batch_id=")) == 3)
+  }
+
   test("S13: kafka facade wires the connector name; env without the jar fails fast") {
     // The facade is compile-checked against the public Kafka source
     // options; this sandbox ships no spark-sql-kafka jar (SURVEY env
