@@ -403,10 +403,18 @@ object Dedup {
     // pair and star components (the dominant near-dup shapes) are
     // already converged at init, so they cost one confirming round
     // instead of two.
+    // No checkpoint on the seed: its lineage is ONE aggregation over
+    // the already-checkpointed edges, so the two iteration-1 consumers
+    // re-derive it from the checkpoint cheaply. Measured r6 at sf0.1
+    // (isolated, interleaved with baseline to control host drift):
+    // p18 3.1-3.6 s vs 3.9-4.2 s with the seed checkpoint; p20 within
+    // the noise band either way. At cluster scale it removes one
+    // durable (id, comp) table write per dedup with identical failure
+    // recovery, since the seed is deterministic from the checkpointed
+    // edges.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
-      .checkpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
