@@ -734,7 +734,10 @@ object Ingest {
     * (forward-only screening, as documented on the index operator).
     * Docs stripped to empty text drop. The index sink is a per-batch
     * OVERWRITE partition like the other three, so replay decisions
-    * are reproduced exactly.
+    * are reproduced exactly. The stage must be on from the stream's
+    * FIRST batch: at batch id > 0 a passage index with no earlier
+    * partitions throws (mid-stream enablement or a wrong/cleared
+    * path would silently break the df law otherwise).
     * Output rows: domain, doc_id, n_tok, cum. */
   def curateIngestStream(spark: SparkSession, docSchema: StructType,
       srcDir: String, outDir: String, indexPath: String, stateDir: String,
@@ -754,9 +757,17 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val ss = batch.sparkSession
         // 1. gate — batch-local narrow decision
-        val gated = batch.join(
+        val gatedRaw = batch.join(
           TextAnalysis.qualityGate(batch).filter(col("kept")).select("doc_id"),
           "doc_id")
+        // With the boilerplate stage on, gated has three consumers —
+        // the strip report's segment pass, the text-restore join side,
+        // and the passage-index sink — so checkpoint it (same file
+        // invariant as Curate's gatedRaw); otherwise the gate's two
+        // text passes re-run for each consumer.
+        val gated =
+          if (boilerplateMaxDocs.isDefined) gatedRaw.localCheckpoint(true)
+          else gatedRaw
         // 1b. optional boilerplate strip vs the earlier batches' dfs.
         // Materialized EAGERLY when on: the strip plan reads
         // passageIndexPath and the index sink below mutates it.
@@ -767,7 +778,22 @@ object Ingest {
               "curateIngestStream passage index")
             val report = pIdx match {
               case Some(i) => Dedup.stripBoilerplateAgainstIndex(gated, i, m)
-              case None    => Dedup.stripBoilerplate(gated, m)
+              case None =>
+                // Only the stream's FIRST batch may screen batch-
+                // locally (there are no earlier dfs by definition).
+                // At id > 0 a missing index means the stage was
+                // enabled mid-stream or the path is wrong/cleared —
+                // either way the cross-batch df law cannot hold, and
+                // degrading silently would keep corpus-wide
+                // boilerplate. Fail loudly (repo convention).
+                require(id == 0L,
+                  s"curateIngestStream: boilerplate stage is on but " +
+                    s"$passageIndexPath has no batch_id < $id partitions; " +
+                    "the cross-batch passage-df law cannot hold (stage " +
+                    "enabled mid-stream, or wrong/cleared index path). " +
+                    "Restart from a fresh checkpoint with the stage on, " +
+                    "or restore the index.")
+                Dedup.stripBoilerplate(gated, m)
             }
             gated.drop("text")
               .join(report.filter(col("clean_text") =!= "")
@@ -832,7 +858,7 @@ object Ingest {
           } finally { accepted.unpersist(); () }
         } finally {
           surv.unpersist()
-          if (boilerplateMaxDocs.isDefined) curated.unpersist()
+          if (boilerplateMaxDocs.isDefined) { curated.unpersist(); gated.unpersist() }
           ()
         }
       }

@@ -452,6 +452,30 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(pIdx).listFiles().count(_.getName.startsWith("batch_id=")) == 3)
   }
 
+  test("SCBe: enabling the boilerplate stage mid-stream fails loudly") {
+    // Batch 1 runs with the stage OFF, so no passage-index partition
+    // lands; turning the stage on for batch 2 cannot satisfy the
+    // cross-batch df law (batch 1's gated text was never indexed) and
+    // must throw instead of silently screening batch-locally.
+    val b1 = Seq((1L, (1 to 24).map(i => s"the word$i of and").mkString(" "), "en"))
+    val b2 = Seq((2L, (1 to 24).map(i => s"the term$i of and").mkString(" "), "en"))
+    val all = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    val src = tmp("scbe-src"); val out = tmp("scbe-out"); val idxP = tmp("scbe-idx")
+    val st = tmp("scbe-state"); val ck = tmp("scbe-ck"); val pIdx = tmp("scbe-pidx")
+    b1.toDF("doc_id", "text", "lang").coalesce(1).write.mode("append").parquet(src)
+    Ingest.curateIngestStream(spark, all.schema, src, out, idxP, st, ck,
+      budgetTokens = 1000000L)
+    b2.toDF("doc_id", "text", "lang").coalesce(1).write.mode("append").parquet(src)
+    val e = intercept[Exception] {
+      Ingest.curateIngestStream(spark, all.schema, src, out, idxP, st, ck,
+        budgetTokens = 1000000L, boilerplateMaxDocs = Some(1),
+        passageIndexPath = pIdx)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cross-batch passage-df law")), messages(e))
+  }
+
   test("S13: kafka facade wires the connector name; env without the jar fails fast") {
     // The facade is compile-checked against the public Kafka source
     // options; this sandbox ships no spark-sql-kafka jar (SURVEY env
