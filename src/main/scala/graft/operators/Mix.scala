@@ -109,4 +109,43 @@ object Mix {
   def corpusShuffleAuto(docs: DataFrame, rowsPerShard: Long = 4000000L,
       minShards: Int = 256, idCol: String = "doc_id"): DataFrame =
     corpusShuffle(docs, deriveShards(docs.count(), rowsPerShard, minShards), idCol)
+
+  /** Deterministic hash-based train/val/test assignment: a doc's split
+    * is the interval of the cumulative fractions that contains its
+    * md5-uniform bucket, so membership is a pure function of the id —
+    * stable across reruns, cluster layouts, and corpus growth (a doc
+    * never migrates when OTHER docs arrive or leave, unlike
+    * row_number- or RNG-based splits). The salt keeps the bucket
+    * independent of the other md5-keyed operators (resample's "rs:"
+    * uniform, the shuffle/budget orders).
+    *
+    * Scale: a narrow per-row expression — no shuffle, no state, and
+    * the added column participates in partition pruning when the
+    * output is written partitioned by split. Fractions are quantized
+    * to `buckets` (default 1/10000) and must land on whole buckets so
+    * the realized share is exact, not a rounding surprise.
+    * Output: the input columns + `split`. */
+  def hashSplit(docs: DataFrame, splits: Seq[(String, Double)],
+      idCol: String = "doc_id", buckets: Int = 10000): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1 (got ${splits.map(_._2).sum})")
+    splits.foreach { case (name, f) =>
+      val c = f * buckets
+      require(math.abs(c - math.round(c).toDouble) < 1e-6,
+        s"fraction $f of split '$name' is not a whole number of 1/$buckets buckets")
+    }
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * buckets) }.tail
+    val b = conv(substring(
+        md5(concat(lit("sp:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long") % buckets
+    val assigned = splits.indices.tail.foldLeft(
+        when(b < bounds.head, splits.head._1)) { (e, i) =>
+      e.when(b < bounds(i), splits(i)._1)
+    }
+    docs.withColumn("split", assigned)
+  }
 }

@@ -62,6 +62,34 @@ object Quality {
       .select("id1", "id2", "dist")
   }
 
+  /** Snapshot diff between two corpus versions: one row per doc whose
+    * content differs between `old` and `curr` — `added` (id only in
+    * curr), `removed` (only in old), `changed` (in both, content hash
+    * differs). Unchanged docs emit nothing. This is the audit
+    * primitive behind incremental work: what must be re-embedded,
+    * re-deduped, or re-trained after a corpus refresh.
+    *
+    * Scale: each side reduces to (id, md5(content)) BEFORE the join —
+    * ~50 B/doc no matter how large the text — so the full-outer
+    * equi-join shuffles only those compact rows (AQE-splittable, no
+    * window, no driver state). `contentCols` are concat_ws-joined with
+    * an unlikely separator; both engines skip nulls there, so a null
+    * column equals an absent one.
+    * Output: idCol, status ∈ {added, removed, changed}. */
+  def corpusDiff(old: DataFrame, curr: DataFrame, idCol: String = "doc_id",
+      contentCols: Seq[String] = Seq("text")): DataFrame = {
+    def hashed(df: DataFrame, suffix: String) = df.select(
+      col(idCol).as(s"id$suffix"),
+      md5(concat_ws("\u0001", contentCols.map(col): _*)).as(s"h$suffix"))
+    hashed(old, "a").join(hashed(curr, "b"),
+        col("ida") === col("idb"), "full_outer")
+      .filter(col("ida").isNull || col("idb").isNull || col("ha") =!= col("hb"))
+      .select(coalesce(col("ida"), col("idb")).as(idCol),
+        when(col("ida").isNull, "added")
+          .when(col("idb").isNull, "removed")
+          .otherwise("changed").as("status"))
+  }
+
   /** Negative balances (issue #4). */
   def negativeBalances(accounts: DataFrame): DataFrame =
     accounts.filter(col("balance") < 0)

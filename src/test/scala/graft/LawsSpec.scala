@@ -106,4 +106,22 @@ class LawsSpec extends SparkSpec {
     val maxDiff = joined.agg(max(abs($"total" - $"run"))).head().getDouble(0)
     assert(maxDiff < 1e-6)
   }
+
+  test("corpusDiff: set-arithmetic laws on planted snapshots") {
+    import graft.operators.Quality
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "two"), (3L, "THREE"), (5L, "five"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = Quality.corpusDiff(a, b)
+      .as[(Long, String)].collect().toMap
+    // added = B \ A keys, removed = A \ B keys, changed = hash mismatch;
+    // unchanged docs (2, and the null-text 4) emit nothing
+    assert(got == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+    // identity: diff(A, A) is empty
+    assert(Quality.corpusDiff(a, a).isEmpty)
+    // antisymmetry: swapping snapshots swaps added <-> removed
+    val rev = Quality.corpusDiff(b, a).as[(Long, String)].collect().toMap
+    assert(rev == Map(1L -> "added", 3L -> "changed", 5L -> "removed"))
+  }
 }

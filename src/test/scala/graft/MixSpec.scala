@@ -102,4 +102,47 @@ class MixSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(got(_) == 4L)) // capped, not 1000
     assert(!got.contains(10L))                   // weight 0 drops the domain
   }
+
+  test("hashSplit: exact partition, binomial shares, stable under corpus change") {
+    val docs = (1L to 4000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Mix.hashSplit(docs, splits).cache()
+    // every row lands in exactly one split (withColumn preserves rows)
+    val counts = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 4000L && counts.keySet == Set("train", "val", "test"))
+    // realized shares within 4-sigma binomial bounds of the fractions
+    for ((name, f) <- splits) {
+      val sigma = math.sqrt(4000 * f * (1 - f))
+      assert(math.abs(counts(name) - 4000 * f) <= 4 * sigma,
+        s"$name: ${counts(name)} vs ${4000 * f} ± ${4 * sigma}")
+    }
+    // membership is a pure function of the id: dropping half the corpus
+    // moves no surviving doc (row_number/RNG splits fail exactly this)
+    val full = got.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val half = Mix.hashSplit(docs.filter($"doc_id" % 2 === 0), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.nonEmpty && half.forall { case (id, s) => full(id) == s })
+    // closed-form replication of the bucket for one doc, like u(id)
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sp:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 10000
+    }
+    val expected5 =
+      if (bucket(5L) < 8000) "train" else if (bucket(5L) < 9000) "val" else "test"
+    assert(full(5L) == expected5)
+    got.unpersist()
+  }
+
+  test("hashSplit rejects malformed split vectors") {
+    val docs = (1L to 10L).toDF("doc_id")
+    intercept[IllegalArgumentException](
+      Mix.hashSplit(docs, Seq("a" -> 0.5, "b" -> 0.4)))         // sum != 1
+    intercept[IllegalArgumentException](
+      Mix.hashSplit(docs, Seq("a" -> 0.33333, "b" -> 0.66667))) // not whole buckets
+    intercept[IllegalArgumentException](
+      Mix.hashSplit(docs, Seq("a" -> 0.5, "a" -> 0.5)))         // duplicate name
+    intercept[IllegalArgumentException](
+      Mix.hashSplit(docs, Seq.empty))                           // empty
+  }
 }
