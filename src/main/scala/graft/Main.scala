@@ -35,6 +35,8 @@ object Main {
         |  bpe-train <sfDir> <nMerges>
         |  quality-fixture [outDir]
         |  ivf-build <sfDir> <indexDir> <nCentroids>
+        |  hash-split <sfDir> <outDir> [train,val,test fracs e.g. 0.8,0.1,0.1]
+        |  corpus-diff <oldDir> <newDir> <outDir>
         |  sql <sfDir> <statement>""".stripMargin)
     sys.exit(2)
   }
@@ -134,6 +136,24 @@ object Main {
           "only SELECT statements are accepted")
         Tables.registerAll(spark, sfDir)
         spark.sql(stmt).show(100, truncate = false)
+      case "hash-split" :: sfDir :: outDir :: rest if rest.size <= 1 =>
+        // Deterministic train/val/test assignment, written partitioned
+        // by split so downstream readers prune to their slice.
+        val fracs = rest.headOption.getOrElse("0.8,0.1,0.1")
+          .split(',').map(_.trim.toDouble)
+        require(fracs.length == 3, "expected three fractions train,val,test")
+        graft.operators.Mix.hashSplit(
+            Tables.load(spark, sfDir, "documents"),
+            Seq("train", "val", "test").zip(fracs.toSeq))
+          .write.mode("overwrite").partitionBy("split").parquet(outDir)
+        println(s"split corpus at $outDir (${fracs.mkString("/")}, partitioned by split)")
+      case "corpus-diff" :: oldDir :: newDir :: outDir :: Nil =>
+        // Snapshot audit: docs added/removed/changed between versions.
+        graft.operators.Quality.corpusDiff(
+            Tables.load(spark, oldDir, "documents"),
+            Tables.load(spark, newDir, "documents"))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"corpus diff report at $outDir")
       case "ivf-build" :: sfDir :: indexDir :: k :: Nil =>
         val emb = Tables.load(spark, sfDir, "embeddings")
         graft.operators.Ann.writeIvfIndex(emb,
