@@ -163,4 +163,97 @@ object DataGen {
       when(isCirc, tsAt(pairSec)).otherwise(tsAt(baseSec)).as("created_at"))
       .withColumn("updated_at", col("created_at"))
   }
+
+  /** Shared boilerplate paragraph planted on ~10% of documents — the
+    * [[graft.operators.Dedup.stripBoilerplate]] target. */
+  val BoilerPara: String =
+    "subscribe to our newsletter for updates and follow us on social media"
+
+  /** Deterministic LLM-corpus generator with the same schema as the
+    * driver's `documents` table (doc_id, text, lang, source, n_chars)
+    * and PLANTED curation structure, so the dedup/curation stack can
+    * be exercised — and its recall asserted — at ANY scale:
+    *
+    *  - ~4% exact duplicates and ~4% near-duplicates (one word
+    *    substituted): both copy the base text of a hash-picked other
+    *    id (`ck`). Text is a pure function of `ck`, so same-ck docs
+    *    are bit-identical; a near-dup shares all but one of its
+    *    20-79 words (Jaccard >> 0.5).
+    *  - ~10% of content keys carry a shared boilerplate paragraph
+    *    prepended as its own `\n\n` segment (a function of `ck`, so
+    *    dup groups stay internally identical).
+    *  - Zipf-ish vocabulary (u^2.5 over 5000 stems) so shingle/token
+    *    frequencies are skewed like real text, not uniform.
+    *
+    * Like the OLTP generators, every column is a pure function of
+    * (seed, id) via murmur3 over `spark.range` — identical output for
+    * any partition count or cluster size, no data ever funnelled
+    * through the driver. This powers `tools.Stress` (gate-scale ×10,
+    * ×100 runs of the heavy operators); the driver's oracle queries
+    * keep reading the driver's own parquet, never this. */
+  def documents(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val ids = spark.range(n).toDF("doc_id")
+    val id = col("doc_id")
+    val du = u(id, seed, "dup")
+    // content key: exact dups (du<.04) and near-dups (.04<=du<.08)
+    // both read another id's base text
+    val ck = when(du < 0.08, pmod(hash(id, lit(seed), lit("pick")), lit(n)).cast("long"))
+      .otherwise(id)
+    val withCk = ids.select(id, ck.as("ck"), du.as("du"))
+    val ckc = col("ck")
+    val nWords = (pmod(hash(ckc, lit(seed), lit("len")), lit(60)) + lit(20)).cast("int")
+    // zipf-ish stem id: pow(u, 2.5) concentrates mass on small ids
+    val words = transform(sequence(lit(0), nWords - 1), i =>
+      concat(lit("w"), floor(pow(
+        pmod(hash(ckc, lit(seed), lit("w"), i), lit(1000000)).cast("double") / 1000000.0,
+        lit(2.5)) * 5000).cast("long")))
+    // near-dup: one hash-picked position rewritten to a word unique to
+    // THIS doc (function of id, not ck — the copy must differ)
+    val ndPos = pmod(hash(id, lit(seed), lit("ndpos")), nWords)
+    val wordsNd = when(col("du") >= 0.04 && col("du") < 0.08,
+        transform(words, (x, i) =>
+          when(i === ndPos, concat(lit("nd"), id)).otherwise(x)))
+      .otherwise(words)
+    val body = array_join(wordsNd, " ")
+    val text = when(u(ckc, seed, "bp") < 0.10,
+      concat(lit(BoilerPara), lit("\n\n"), body)).otherwise(body)
+    withCk.select(
+      id,
+      text.as("text"),
+      when(u(ckc, seed, "lang") < 0.44, "en")
+        .when(u(ckc, seed, "lang") < 0.57, "fr")
+        .when(u(ckc, seed, "lang") < 0.715, "es")
+        .when(u(ckc, seed, "lang") < 0.855, "de")
+        .otherwise("zh").as("lang"),
+      concat(lit("src"), pmod(hash(id, lit(seed), lit("src")), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Deterministic embedding generator matching the driver's
+    * `embeddings` schema (vec_id, embedding float[dim], label), with
+    * ~5% planted near-duplicate vectors: a dup copies a hash-picked
+    * other id's base vector and perturbs ONE coordinate by +0.01 —
+    * cosine ≈ 0.999, the [[graft.operators.Ann]] near-dup target.
+    * Pure function of (seed, id); partition-invariant. */
+  def embeddings(spark: SparkSession, n: Long, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ids = spark.range(n).toDF("vec_id")
+    val id = col("vec_id")
+    val du = u(id, seed, "vdup")
+    val ck = when(du < 0.05, pmod(hash(id, lit(seed), lit("vpick")), lit(n)).cast("long"))
+      .otherwise(id)
+    val withCk = ids.select(id, ck.as("ck"), du.as("du"))
+    val ckc = col("ck")
+    val base = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(hash(ckc, lit(seed), lit("e"), i), lit(2000001)).cast("double")
+        / 1000000.0 - 1.0) * 0.2)
+    val pPos = pmod(hash(id, lit(seed), lit("vpos")), lit(dim))
+    val emb = when(col("du") < 0.05,
+        transform(base, (x, i) => when(i === pPos, x + 0.01).otherwise(x)))
+      .otherwise(base)
+    withCk.select(
+      id,
+      emb.cast("array<float>").as("embedding"),
+      pmod(hash(ckc, lit(seed), lit("lbl")), lit(8)).cast("int").as("label"))
+  }
 }

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.functions.TextAnalysis
+import graft.gen.DataGen
+import graft.operators.{Ann, Dedup, Mix}
+import graft.pipelines.Curate
+
+/** Scale-stress harness: runs the heavy curation/dedup/ANN operators
+  * over a [[graft.gen.DataGen.documents]] corpus at 10×-100×+ the
+  * driver's gate scale, timing each and forcing full materialization
+  * through a parquet sink (a bare count() lets Catalyst prune the very
+  * columns the operator exists to compute).
+  *
+  * This answers the question the sf0.1 bench cannot: do the plans HOLD
+  * as n grows — near-linear stage time, no driver-side collapse, no
+  * OOM — not just "are they fast at toy scale". Timings here are
+  * single-run scaling-curve measurements (relative shape across n),
+  * not bench-grade numbers; see SCALE.md "Scale stress (r6)" for the
+  * recorded curves and protocol.
+  *
+  * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
+  *   ops default: gate,exact,boiler,budget,shuffle,dedup,annlsh,ivf,curate
+  * The generated corpus is cached under `baseDir/n<N>` and reused.
+  * Emits one final JSON line (stress protocol, parsed by nothing —
+  * recorded into SCALE.md by hand).
+  */
+object Stress {
+
+  private def fmt(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  val DefaultOps = Seq(
+    "gate", "exact", "boiler", "budget", "shuffle", "dedup", "annlsh", "ivf",
+    "curate")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
+    val n = args(0).toLong
+    val ops = if (args.length > 1) args(1).split(',').toSeq else DefaultOps
+    val unknown = ops.filterNot(DefaultOps.contains)
+    require(unknown.isEmpty, s"unknown ops: ${unknown.mkString(",")}")
+    val base = if (args.length > 2) args(2) else "/tmp/graft-stress"
+    val dir = s"$base/n$n"
+    val nEmb = math.max(n / 2, 1000L)
+
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = Sessions.local(cpus, appName = s"graft-stress-n$n")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // Generate once, reuse across runs: scans must come from parquet
+    // (columnar, statistics, realistic IO), not from the codegen'd
+    // generator expressions.
+    val docsPath = s"$dir/documents.parquet"
+    val embPath = s"$dir/embeddings.parquet"
+    val genTimes =
+      if (new java.io.File(docsPath).exists()) Map.empty[String, Double]
+      else {
+        val (_, td) = timed {
+          DataGen.documents(spark, n).write.mode("overwrite").parquet(docsPath)
+        }
+        val (_, te) = timed {
+          DataGen.embeddings(spark, nEmb).write.mode("overwrite").parquet(embPath)
+        }
+        System.err.println(s"[stress] generated n=$n docs ${fmt(td)}s, " +
+          s"nEmb=$nEmb emb ${fmt(te)}s")
+        Map("gen_docs" -> td, "gen_emb" -> te)
+      }
+    val docs = spark.read.parquet(docsPath)
+    val emb = spark.read.parquet(embPath)
+
+    // ~49.5 words/doc by construction; budget = roughly half the corpus
+    val budgetTokens = n * 25L
+
+    def mk(op: String): DataFrame = op match {
+      case "gate" => TextAnalysis.qualityGate(docs)
+      case "exact" => Dedup.exactKeepFirst(docs)
+      case "boiler" => Dedup.stripBoilerplate(docs, maxDocs = 100)
+      case "budget" => TextAnalysis.tokenBudgetSample(docs, budgetTokens)
+      case "shuffle" => Mix.corpusShuffleAuto(docs)
+      case "dedup" => Dedup.dedupCorpus(docs)
+      case "annlsh" => Ann.lshNearDup(emb)
+      case "ivf" =>
+        val k = math.max(4, math.sqrt(nEmb.toDouble).toInt)
+        val centroids = Ann.trainCentroids(emb, k, iters = 2)
+          .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+        val index = Ann.assignClusters(emb, centroids).join(emb, "vec_id")
+        val queries = emb.filter(col("vec_id") < 1000)
+        Ann.ivfSearchBatch(index, centroids, queries, k = 10, nprobe = 2)
+      case "curate" =>
+        Curate.run(docs, stats = false, boilerplateMaxDocs = Some(100))._1
+    }
+
+    val results = ops.map { op =>
+      val out = s"$dir/out_$op.parquet"
+      val (_, dt) = timed {
+        mk(op).write.mode("overwrite").parquet(out)
+      }
+      val rows = spark.read.parquet(out).count()
+      spark.catalog.clearCache()
+      System.err.println(s"[stress] $op ${fmt(dt)}s rows=$rows")
+      (op, dt, rows)
+    }
+
+    val gen = genTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val opsJson = results.map { case (op, dt, rows) =>
+      s""""$op":{"sec":${fmt(dt)},"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress","n":$n,"n_emb":$nEmb,"cpus":$cpus,""" +
+      s""""gen":$gen,"ops":$opsJson}""")
+    spark.stop()
+  }
+}
