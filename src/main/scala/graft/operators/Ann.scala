@@ -348,24 +348,38 @@ object Ann {
     e.withColumn("sk", sketch)
   }
 
-  /** Embedding near-dup via hyperplane LSH: candidates share an 8-bit
-    * sketch block (pigeonhole: any pair within Hamming 1 of the 16-bit
-    * sketch collides on a block), then exact cosine reranks. The
-    * LSH-bucketed scale path beside the IVF one.
+  /** Embedding near-dup via hyperplane LSH: candidates share a
+    * `planes.size / bands`-bit sketch block (pigeonhole: any pair
+    * within Hamming `bands - 1` of the full sketch collides on some
+    * block), then exact cosine reranks. The LSH-bucketed scale path
+    * beside the IVF one.
     *
     * `maxBucket` makes the "bucket-bound, never all-pairs" claim actually
     * hold: a correlated corpus (near-identical embeddings are exactly the
     * near-dup case) concentrates sketches into few buckets, and one
     * uncapped bucket of n vectors emits n²/2 pairs. Buckets larger than
     * `maxBucket` are dropped before the join — the same bounded-recall
-    * guard as [[graft.operators.Dedup.simhashPairs]]. */
+    * guard as [[graft.operators.Dedup.simhashPairs]].
+    *
+    * THE CAP AND THE KEY WIDTH MUST SCALE TOGETHER. The default 16
+    * planes / 2 bands gives 8-bit band keys — 256 buckets — so beyond
+    * ~`256 * maxBucket` vectors (~50k at the defaults) the AVERAGE
+    * bucket exceeds the cap, every bucket is dropped, and recall
+    * silently collapses to zero (caught live by `tools.Stress` at
+    * 250k vectors, r6). Corpus-scale callers use [[lshNearDupAuto]],
+    * which widens the band keys to hold the expected bucket size at
+    * ~`targetBucket` regardless of n. */
   def lshNearDup(emb: DataFrame, topN: Int = 20,
-      planes: Seq[Seq[Double]] = hyperplanes(), maxBucket: Int = 200): DataFrame = {
+      planes: Seq[Seq[Double]] = hyperplanes(), maxBucket: Int = 200,
+      bands: Int = 2): DataFrame = {
+    require(planes.size % bands == 0, "planes.size must be divisible by bands")
+    val w = planes.size / bands
+    require(w <= 62, "band key width must fit a long")
     val sk = hyperplaneSketch(emb, planes)
     val blocked = sk.select(col("vec_id"), col("emb"), col("nrm"), col("sk"),
-      explode(array((0 until 2).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("b"),
-          shiftright(col("sk"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))): _*)).as("x"))
+          shiftright(col("sk"), w * b).bitwiseAND(lit((1L << w) - 1)).as("bkey"))): _*)).as("x"))
       .select(col("vec_id"), col("emb"), col("nrm"),
         col("x.b").as("b"), col("x.bkey").as("bkey"))
     val capped = Dedup.capBuckets(blocked, Seq("b", "bkey"), maxBucket)
@@ -379,6 +393,25 @@ object Ann {
       .distinct()
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(topN)
+  }
+
+  /** [[lshNearDup]] with the band-key width derived from the corpus
+    * size: keys get `ceil(log2(n / targetBucket))` bits (clamped to
+    * [8, 24]), so the EXPECTED bucket holds ~`targetBucket` vectors at
+    * any n and the `maxBucket` cap once again only drops genuinely
+    * degenerate buckets instead of every bucket. Two bands are kept
+    * (Hamming-1 pigeonhole over the sketch); a near-exact duplicate
+    * pair (cosine ≥ ~0.99) flips each plane with probability
+    * `acos(cos)/π` ≈ 0.014, so P(some band identical) stays ≥ ~0.9
+    * even at 24-bit keys. Costs one `count()` of the embedding table
+    * (a metadata-cheap columnar count) to size the keys. */
+  def lshNearDupAuto(emb: DataFrame, topN: Int = 20, targetBucket: Int = 32,
+      maxBucket: Int = 200): DataFrame = {
+    val n = emb.count()
+    val bitsPerBand = math.min(24, math.max(8,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    lshNearDup(emb, topN, hyperplanes(2 * bitsPerBand, dim), maxBucket, bands = 2)
   }
 
   /** Embedding near-duplicate pairs: top-N all-pairs by cosine. The

@@ -565,6 +565,13 @@ object Dedup {
         struct(lit(k).as("blk"),
           shiftright(col("simhash"), k * w).bitwiseAND(lit((1L << w) - 1)).as("bkey"))): _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"), col("x.bkey").as("bkey"))
+    simhashBlockJoin(exploded, maxDist, maxBucket)
+  }
+
+  /** Shared candidate join for the simhash blocking schemes: cap hot
+    * buckets, equi-join on (blk, bkey), rerank by exact bit distance. */
+  private def simhashBlockJoin(exploded: DataFrame, maxDist: Int,
+      maxBucket: Int): DataFrame = {
     val blocked = capBuckets(exploded, Seq("blk", "bkey"), maxBucket)
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bkey") === col("y.bkey") &&
@@ -573,6 +580,58 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+  }
+
+  /** [[simhashPairs]] for CORPUS scale. Single-block keys have only
+    * `2^(bits/blocks)` bucket values per block (1024 at the 60/6
+    * defaults), so beyond ~`1024 * maxBucket` docs (~100k at the
+    * defaults) the AVERAGE bucket exceeds the cap, every bucket is
+    * dropped, and recall silently collapses to zero — the cap and the
+    * key width must scale together (the same defect tools.Stress
+    * caught live in lshNearDup at 250k vectors, r6).
+    *
+    * This variant keys candidates on ordered PAIRS of blocks (the
+    * Manku/Google multi-table construction): with `maxDist + 2`
+    * blocks, a pair within `maxDist` differs in at most `maxDist`
+    * blocks, so at least TWO blocks are untouched and some block-PAIR
+    * key matches — recall is the same pigeonhole guarantee. Key space
+    * grows from `2^w` to `2^(2w)` values per table (~65k at 60-bit /
+    * 7-block = 8-bit blocks), pushing the collapse point from ~100k
+    * docs to ~6.5M per 100-cap — and the doc-side cost is
+    * C(maxDist+2, 2) explode rows (21 at the defaults) vs `blocks`
+    * (6), a ~3.5× candidate-stage constant for unbounded corpus
+    * reach. [[simhashPairsAuto]] picks the scheme from the corpus
+    * size. Block pairs use only `blocks * w` of the `bits` (56 of 60
+    * at the defaults); the pigeonhole argument needs no more — at
+    * most maxDist of the COVERED blocks can change either way. */
+  def simhashPairsScaled(sim: DataFrame, maxDist: Int = 5,
+      bits: Int = 60, maxBucket: Int = 100): DataFrame = {
+    val blocks = maxDist + 2
+    val w = bits / blocks
+    require(w >= 4, s"simhashPairsScaled needs bits/(maxDist+2) >= 4 (got $w)")
+    def blockKey(k: Int) =
+      shiftright(col("simhash"), k * w).bitwiseAND(lit((1L << w) - 1))
+    val combos = for { i <- 0 until blocks; j <- i + 1 until blocks } yield
+      struct(lit(i * blocks + j).as("blk"),
+        (blockKey(i) * lit(1L << w) + blockKey(j)).as("bkey"))
+    val exploded = sim.select(col("doc_id"), col("simhash"),
+        explode(array(combos: _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.blk").as("blk"), col("x.bkey").as("bkey"))
+    simhashBlockJoin(exploded, maxDist, maxBucket)
+  }
+
+  /** Scheme selection by corpus size: single-block keys while the
+    * expected bucket is comfortably under the cap (cheaper candidate
+    * stage), block-pair keys beyond. The switch point `2^w * maxBucket
+    * / 4` keeps the expected single-block bucket ≤ maxBucket/4 — hot
+    * buckets run well above the average, so switching at the average
+    * would already be deep into recall loss. Costs one count(). */
+  def simhashPairsAuto(sim: DataFrame, maxDist: Int = 5,
+      blocks: Int = 6, bits: Int = 60, maxBucket: Int = 100): DataFrame = {
+    val w = bits / blocks
+    if (sim.count() <= (1L << w) * maxBucket / 4)
+      simhashPairs(sim, maxDist, blocks, bits, maxBucket)
+    else simhashPairsScaled(sim, maxDist, bits, maxBucket)
   }
 
   /** Benchmark decontamination: flag training documents that share word

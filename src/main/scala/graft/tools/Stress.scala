@@ -34,8 +34,8 @@ object Stress {
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   val DefaultOps = Seq(
-    "gate", "exact", "boiler", "budget", "shuffle", "dedup", "annlsh", "ivf",
-    "curate")
+    "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
+    "annlsh", "ivf", "curate")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -88,7 +88,8 @@ object Stress {
       case "budget" => TextAnalysis.tokenBudgetSample(docs, budgetTokens)
       case "shuffle" => Mix.corpusShuffleAuto(docs)
       case "dedup" => Dedup.dedupCorpus(docs)
-      case "annlsh" => Ann.lshNearDup(emb)
+      case "simhash" => Dedup.simhashPairsAuto(Dedup.simhashPacked(docs))
+      case "annlsh" => Ann.lshNearDupAuto(emb)
       case "ivf" =>
         val k = math.max(4, math.sqrt(nEmb.toDouble).toInt)
         val centroids = Ann.trainCentroids(emb, k, iters = 2)

@@ -68,4 +68,54 @@ class StressGenSpec extends SparkSpec {
     assert(top.forall(_.getAs[Double]("sim") > 0.99),
       s"min sim ${top.map(_.getAs[Double]("sim")).min}")
   }
+
+  test("the 8-bit-key recall cliff is real at 250k vectors and lshNearDupAuto clears it") {
+    // Hyperplane sketches of this corpus spread unevenly over the 256
+    // 8-bit band keys (measured min/max bucket 122/1473 at 150k — the
+    // planes are ±1, not orthogonal, so sketch bits correlate). At
+    // 250k vectors even the SMALLEST bucket (207) exceeds maxBucket
+    // 200: the default key width deterministically drops every bucket
+    // and returns nothing — the defect tools.Stress caught live. Auto
+    // widens the band keys with log2(n) and recovers the dups.
+    val big = DataGen.embeddings(spark, 250000).cache()
+    try {
+      assert(Ann.lshNearDup(big, topN = 50).isEmpty,
+        "expected the fixed-width path to collapse at this n (else the test scale is wrong)")
+      val top = Ann.lshNearDupAuto(big, topN = 50).collect()
+      assert(top.length == 50)
+      assert(top.forall(_.getAs[Double]("sim") > 0.99),
+        s"min sim ${top.map(_.getAs[Double]("sim")).min}")
+    } finally big.unpersist()
+  }
+
+  test("simhash block-pair keys: same pair set as single-block at small n, full recall at 150k where single-block collapses") {
+    import spark.implicits._
+    // law: both schemes guarantee every pair within maxDist when no
+    // bucket caps — the result SETS must be identical
+    val small = DataGen.documents(spark, 1500)
+    val sim = Dedup.simhashPacked(small).cache()
+    try {
+      val a = Dedup.simhashPairs(sim).select("d1", "d2", "dist").collect().toSet
+      val b = Dedup.simhashPairsScaled(sim).select("d1", "d2", "dist").collect().toSet
+      assert(a == b, s"single-block ${a.size} pairs vs block-pair ${b.size}")
+      assert(a.nonEmpty)
+    } finally sim.unpersist()
+    // scale: synthetic 60-bit fingerprints, uniform except 300 planted
+    // identical pairs (i, i + n). Single-block keys average 146 docs
+    // per 10-bit bucket at n=150k — over the cap, recall collapses;
+    // block-pair keys average ~2 per 16-bit bucket and find every
+    // planted pair.
+    val n = 150000L
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      pmod(hash(col("id"), lit("sim")), lit(1L << 60)).cast("long").as("simhash"))
+    val plants = spark.range(300).select((col("id") + n).as("doc_id"),
+      pmod(hash(col("id"), lit("sim")), lit(1L << 60)).cast("long").as("simhash"))
+    val fp = base.unionByName(plants)
+    val planted = spark.range(300)
+      .select(col("id").as("d1"), (col("id") + n).as("d2"))
+    val single = Dedup.simhashPairs(fp).join(planted, Seq("d1", "d2")).count()
+    val scaled = Dedup.simhashPairsScaled(fp).join(planted, Seq("d1", "d2")).count()
+    assert(single < 50, s"single-block found $single/300 — expected near-total collapse")
+    assert(scaled == 300, s"block-pair found only $scaled/300 planted pairs")
+  }
 }
