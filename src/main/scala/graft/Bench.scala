@@ -103,7 +103,10 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs","errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
     println(fullLine)
-    try {
+    // Only a FULL run may overwrite the recorded artifact: a targeted
+    // SPARK_GRAFT_ONLY profiling run would otherwise clobber the
+    // round's full-bench detail with a 3-query subset.
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }

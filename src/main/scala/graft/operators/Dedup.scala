@@ -488,9 +488,21 @@ object Dedup {
     sh.count()
     try {
       val bands = lshBands(minhashSignatures(sh, hashed = true))
+      // The verified pair graph is CHECKPOINTED before components():
+      // components reads its input twice (the undirected edge union),
+      // and the two references are joins past the last exchange, so
+      // ReuseExchange cannot collapse them — without this the whole
+      // candidate+verify stage runs twice into the edges checkpoint
+      // (measured at 500k docs: the one-plan form ran 2-4x the staged
+      // sum; see SCALE.md "Scale stress (r6)"). The checkpoint is
+      // ~16 bytes/pair — bounded by the verified candidate set, orders
+      // below the corpus — and durable, so the consumer's lineage
+      // starts here, not at the raw text.
+      ensureCheckpointDir(docs.sparkSession)
       val verified = jaccardPairs(sh, Some(lshCandidates(bands, maxBucket)))
         .filter(col("jaccard") >= threshold)
         .select(col("d1"), col("d2"))
+        .checkpoint()
       val comp = components(verified, maxIter)
       docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
         .filter(col("comp").isNull || col("comp") === col(idCol))
