@@ -332,8 +332,14 @@ object Dedup {
       maxBucket: Int = 100, idCol: String = "doc_id",
       textCol: String = "text", maxIter: Int = 20, k: Int = 16,
       bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    // cand feeds three consumers (newNew into components' edge union,
+    // oldMatched twice in the final joins); checkpointing runs the
+    // shingle/minhash/band/index-probe pipeline ONCE into a bounded
+    // (capped candidate pairs) durable table instead of once per read.
+    ensureCheckpointDir(newDocs.sparkSession)
     val cand = incrementalCandidatesBands(newDocs, indexBands, maxBucket, idCol,
       textCol, k, bands, rowsPerBand)
+      .checkpoint()
     val newNew = cand.filter(col("other_is_new"))
       .select(least(col("new_id"), col("other_id")).as("d1"),
         greatest(col("new_id"), col("other_id")).as("d2"))
@@ -393,10 +399,19 @@ object Dedup {
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     ensureCheckpointDir(spark)
+    // Both edge directions come from ONE read of `pairs` (explode of a
+    // 2-element array), not a self-union: a union's two branches sit
+    // past joins/aggregations where ReuseExchange cannot collapse
+    // them, so every caller's candidate pipeline would run once per
+    // branch (persisting instead pins the pairs but serializes a
+    // cache-materialization job that measured ~1 s slower on p18 at
+    // sf0.1 — the explode form is single-pass AND stays codegen'd).
     val edges = pairs
-      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
-      .unionByName(pairs.select(col("d2").cast("long").as("src"),
-        col("d1").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst")),
+        struct(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .checkpoint()
     // Seed labels one propagation ahead — comp0 = min(id, min neighbor):
