@@ -239,6 +239,15 @@ object Ann {
     for (_ <- 1 to iters) {
       val assign = assignClusters(emb,
         cents.select(col("c_id").as("vec_id"), col("cemb").as("embedding")))
+      // The k-row means are MATERIALIZED once per round (eager local
+      // checkpoint — one data-sized job, which is what Lloyd costs by
+      // definition). Left lazy, the two reads below plus the next
+      // round's assignment would each re-run the whole
+      // assign+aggregate, and the per-round lineage compounds —
+      // measured up to ~2^iters whole-pipeline recomputes at stress
+      // scale (SCALE.md "Scale stress (r6)"). On a cluster the k-row
+      // state would be a driver-side collect/broadcast; the local
+      // checkpoint is the DataFrame-shaped equivalent.
       val means = assign.join(emb, "vec_id")
         .select(col("c_id"), posexplode(asDouble(col("embedding"))))
         .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
@@ -247,10 +256,15 @@ object Ann {
         .groupBy("c_id")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
           .as("cemb"))
+        .localCheckpoint(true)
       // a centroid that attracted no vectors this round keeps its old
-      // position instead of silently vanishing (k must stay k)
+      // position instead of silently vanishing (k must stay k); pinned
+      // lazily so the k-row union/anti-join lineage never deepens
+      // across rounds (it materializes inside the next round's means
+      // job, or the caller's first action on the last round)
       cents = means.unionByName(
         cents.join(means.select("c_id"), Seq("c_id"), "left_anti"))
+        .localCheckpoint(false)
     }
     cents
   }
