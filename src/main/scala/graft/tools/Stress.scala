@@ -92,7 +92,9 @@ object Stress {
       case "annlsh" => Ann.lshNearDupAuto(emb)
       case "ivf" =>
         val k = math.max(4, math.sqrt(nEmb.toDouble).toInt)
-        val centroids = Ann.trainCentroids(emb, k, iters = 2)
+        val ivfIters = sys.env.get("SPARK_GRAFT_STRESS_IVF_ITERS")
+          .map(_.toInt).getOrElse(2)
+        val centroids = Ann.trainCentroids(emb, k, iters = ivfIters)
           .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
         val index = Ann.assignClusters(emb, centroids).join(emb, "vec_id")
         val queries = emb.filter(col("vec_id") < 1000)
