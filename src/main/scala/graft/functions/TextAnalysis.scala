@@ -495,4 +495,64 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("token"))))
       .filter(col("rk") <= k)
   }
+
+  /** The remaining Gopher repetition rules (Rae et al. 2021 §A1.1 —
+    * the filter family Dolma/RefinedWeb/FineWeb reuse), complementing
+    * [[repetition]]'s top-bigram fraction and distinct-token ratio:
+    *   dup_line_frac       — line instances beyond the first occurrence
+    *                         of each distinct line / total lines
+    *   dup_line_char_frac  — characters in those duplicate instances /
+    *                         total line characters
+    *   top{2,3,4}gram_char_frac — characters covered by the dominant
+    *     space-token n-gram: max over n-grams of count * len(gram),
+    *     over doc chars, capped at 1.0 (overlapping occurrences can
+    *     nominally cover more characters than the doc has).
+    * The max-coverage form is also the deterministic cross-engine
+    * tie-break for "most frequent n-gram".
+    *
+    * Scale shape: one line explode and one n-gram explode per n, each
+    * aggregated by the high-cardinality (doc, value) key then by doc —
+    * partial-aggregable, no windows, no corpus-wide state, so the
+    * whole operator is linear in corpus size and embarrassingly
+    * partitionable. Empty docs emit one zero-length line and 0.0
+    * everywhere (too-short is the length gate's verdict, as in
+    * [[qualityGate]]).
+    * Output: doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    * top2gram_char_frac, top3gram_char_frac, top4gram_char_frac. */
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val lineStats = base
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("line")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_lines"),
+        sum(col("cnt") - lit(1)).cast("long").as("n_dup"),
+        sum((col("cnt") - lit(1)) * col("len")).cast("long").as("dup_chars"),
+        sum(col("cnt") * col("len")).cast("long").as("line_chars"))
+      .select(col("doc_id"), col("n_lines"),
+        round(col("n_dup").cast("double") / col("n_lines"), 4).as("dup_line_frac"),
+        when(col("line_chars") > 0,
+            round(col("dup_chars").cast("double") / col("line_chars"), 4))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"))
+    def topNgram(n: Int): DataFrame = base
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), col("n_chars"), explode(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))"))
+        .as("g"))
+      .groupBy("doc_id", "g")
+      .agg(max("n_chars").as("n_chars"), count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(least(lit(1.0), round(
+          max(col("cnt") * length(col("g"))).cast("double") / max(col("n_chars")), 4))
+        .as(s"top${n}gram_char_frac"))
+    ns.foldLeft(lineStats) { (acc, n) =>
+      acc.join(topNgram(n), Seq("doc_id"), "left")
+        .withColumn(s"top${n}gram_char_frac",
+          coalesce(col(s"top${n}gram_char_frac"), lit(0.0)))
+    }
+  }
 }

@@ -17,20 +17,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md A). Spark's
-    * vectorized reader does not support nano timestamps directly; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as LongType
-    * nanos-since-epoch, which we convert losslessly (fixture data is
-    * micro-aligned; DuckDB's oracle reads the same values as
-    * TIMESTAMP micros) via integer division — never double division,
-    * which loses precision above 2^53 ns.
+  /** `events.ts` normalization shim. The driver's fixture generations
+    * have shipped two parquet flavors (FIXTURES.md A):
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader does not support
+    *    nano timestamps directly; with
+    *    `spark.sql.legacy.parquet.nanosAsLong` it surfaces as LongType
+    *    nanos-since-epoch, converted losslessly (fixture data is
+    *    micro-aligned) via integer division — never double division,
+    *    which loses precision above 2^53 ns.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-6 fixtures):
+    *    surfaces as TIMESTAMP_NTZ, cast to TIMESTAMP. Every graft
+    *    entry point pins the session timezone to UTC, so the cast is
+    *    value-preserving and DuckDB (which reads the same column as a
+    *    naive TIMESTAMP) sees identical wall-clock micros.
+    * Either way callers — and the streaming event-time paths, which
+    * reject TIMESTAMP_NTZ watermarks — always see TimestampType.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
     }
   }
 

@@ -124,6 +124,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L)._2 == 1.0)
   }
 
+  test("gopherRepetition: hand-computed line and n-gram coverage fractions") {
+    val r = TextAnalysis.gopherRepetition(docs(
+        (1L, "a b\na b\nc"),   // one duplicated line; 3-gram == whole doc
+        (2L, "x x x x"),       // overlapping dominant n-grams cap at 1.0
+        (3L, ""),              // empty doc: one zero-length line
+        (4L, "\n\n")))         // blank lines only: dup lines, zero chars
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_lines") == 3L)
+    assert(d1.getAs[Double]("dup_line_frac") == 0.3333)      // 1/3
+    assert(d1.getAs[Double]("dup_line_char_frac") == 0.4286) // 3/7
+    // tokens split on spaces only: ["a","b\na","b\nc"]; dominant
+    // 2-gram "b\na b\nc" covers 7 of 9 chars; the 3-gram is the doc
+    assert(d1.getAs[Double]("top2gram_char_frac") == 0.7778)
+    assert(d1.getAs[Double]("top3gram_char_frac") == 1.0)
+    assert(d1.getAs[Double]("top4gram_char_frac") == 0.0)    // no 4-gram
+    val d2 = r(2L)
+    assert(d2.getAs[Double]("dup_line_frac") == 0.0)
+    // "x x" occurs 3x: 9 covered chars in a 7-char doc -> capped
+    assert(d2.getAs[Double]("top2gram_char_frac") == 1.0)
+    assert(d2.getAs[Double]("top3gram_char_frac") == 1.0)
+    assert(d2.getAs[Double]("top4gram_char_frac") == 1.0)
+    val d3 = r(3L)
+    assert(d3.getAs[Long]("n_lines") == 1L)
+    assert(d3.getAs[Double]("dup_line_frac") == 0.0)
+    assert(d3.getAs[Double]("dup_line_char_frac") == 0.0)    // 0/0 guard
+    assert(d3.getAs[Double]("top2gram_char_frac") == 0.0)
+    val d4 = r(4L)
+    assert(d4.getAs[Long]("n_lines") == 3L)
+    assert(d4.getAs[Double]("dup_line_frac") == 0.6667)      // 2/3
+    assert(d4.getAs[Double]("dup_line_char_frac") == 0.0)    // zero line chars
+  }
+
   test("packSequences lays each shard's chunks into contiguous ctx-sized bins") {
     // one shard so the stream is a single deterministic sequence
     val chunks = Seq(
