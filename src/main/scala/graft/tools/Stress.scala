@@ -23,7 +23,8 @@ import graft.pipelines.Curate
   * recorded curves and protocol.
   *
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
-  *   ops default: gate,exact,boiler,budget,shuffle,dedup,annlsh,ivf,curate
+  *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
+  *   ivf,curate,passage,cdc,sem,bpe,gopher
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -35,7 +36,7 @@ object Stress {
 
   val DefaultOps = Seq(
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
-    "annlsh", "ivf", "curate")
+    "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -101,6 +102,20 @@ object Stress {
         Ann.ivfSearchBatch(index, centroids, queries, k = 10, nprobe = 2)
       case "curate" =>
         Curate.run(docs, stats = false, boilerplateMaxDocs = Some(100))._1
+      case "passage" => Dedup.passageDedup(docs)
+      case "cdc" => Dedup.cdcChunkDedup(docs)
+      case "sem" =>
+        val k = math.max(4, math.sqrt(nEmb.toDouble).toInt)
+        val centroids = Ann.trainCentroids(emb, k, iters = 2)
+          .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+        Ann.semDedup(emb, centroids)
+      case "bpe" =>
+        // Trainer (8 merges = 8 vocab-sized pair-count aggregations +
+        // 8 one-row argmaxes) runs inside the timed region by design:
+        // its scale shape — work ∝ VOCAB size, not corpus size, after
+        // the one corpus scan — is exactly what this harness checks.
+        graft.functions.Bpe.tokenCounts(docs, graft.functions.Bpe.train(docs, 8))
+      case "gopher" => TextAnalysis.gopherRepetition(docs)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see
