@@ -555,4 +555,130 @@ object TextAnalysis {
           coalesce(col(s"top${n}gram_char_frac"), lit(0.0)))
     }
   }
+
+  /** Feature columns for the learned quality filter — the default
+    * feature set of [[trainQualityLogreg]]/[[scoreQualityLogreg]]. */
+  val qualityFeatureCols: Seq[String] =
+    Seq("len_frac", "stop_ratio", "top_frac", "distinct_ratio")
+
+  /** Per-doc feature vector for the learned quality filter: the
+    * rounded, cross-engine-exact metrics the rule-based operators
+    * already emit — capped length fraction, stopword ratio, top-bigram
+    * fraction, distinct-token ratio. A doc with no bigrams has
+    * 0/0 = NaN top_frac in [[repetition]]; here it lands as 0.0 so the
+    * classifier sees a total function of the text.
+    * Output: doc_id, len_frac, stop_ratio, top_frac, distinct_ratio. */
+  def qualityFeatures(docs: DataFrame): DataFrame =
+    qualityScore(docs).select(col("doc_id"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 50), 4).as("len_frac"),
+        col("stop_ratio"))
+      .join(repetition(docs).select(col("doc_id"),
+        coalesce(nanvl(col("top_frac"), lit(0.0)), lit(0.0)).as("top_frac"),
+        col("distinct_ratio")), Seq("doc_id"))
+
+  /** Train a logistic-regression quality classifier (the GPT-3/
+    * FineWeb-style learned filter: a tiny model over cheap features,
+    * labels from a trusted seed — often the rule gate's own verdicts,
+    * i.e. distillation of [[qualityGate]] into a rankable score).
+    *
+    * IRLS / Newton-Raphson, the classic logistic-regression solver:
+    * each iteration is ONE partial-aggregable aggregation computing
+    * both the gradient (k+1 sums) and the Hessian (the (k+1)² matrix
+    * sum of p(1-p)·x·xᵀ — ~25 doubles for the default features), then
+    * a (k+1)×(k+1) solve on the driver. Converges in ~5-10 iterations
+    * where gradient descent needs thousands, so a 100 TB corpus pays
+    * ~8 data-sized jobs total; driver state is the weight vector plus
+    * one tiny matrix, the same bounded-driver-state shape as
+    * [[graft.operators.Ann.trainCentroids]]'s Lloyd loop. `ridge`
+    * regularizes the solve (and keeps perfectly-separable data from
+    * diverging). Aggregation sums are plain double sums (partition-
+    * order float jitter is statistically immaterial for training, the
+    * same accepted trade as k-means assignment); the SCORING path is
+    * the exact, oracle-checkable side.
+    * Returns weights (bias first, then `featureCols` order). */
+  def trainQualityLogreg(feats: DataFrame, labels: DataFrame,
+      featureCols: Seq[String] = qualityFeatureCols,
+      iters: Int = 12, ridge: Double = 1e-4, tol: Double = 1e-9): Seq[Double] = {
+    val k = featureCols.size + 1
+    val df = feats.join(labels, "doc_id")
+      .select(col("label").cast("double").as("y") +:
+        featureCols.map(c => col(c).cast("double").as(c)): _*)
+      .localCheckpoint(true)
+    require(df.head(1).nonEmpty, "trainQualityLogreg: empty training frame")
+    val xs: Seq[Column] = lit(1.0).cast("double") +: featureCols.map(col)
+    var w = Array.fill(k)(0.0)
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val z = featureCols.zipWithIndex
+        .map { case (c, i) => col(c) * lit(w(i + 1)) }
+        .foldLeft(lit(w(0)).cast("double"): Column)(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val s = p * (lit(1.0) - p)
+      // One aggregation: gradient g_i = Σ (y-p)·x_i, Hessian
+      // H_ij = Σ s·x_i·x_j (upper triangle only — symmetric).
+      val gAggs = xs.zipWithIndex.map { case (x, i) =>
+        sum((col("y") - p) * x).as(s"g$i") }
+      val hAggs = for (i <- 0 until k; j <- i until k) yield
+        sum(s * xs(i) * xs(j)).as(s"h${i}_$j")
+      val aggs = gAggs ++ hAggs
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val g = Array.tabulate(k)(i => row.getAs[Double](s"g$i") - ridge * w(i))
+      val h = Array.ofDim[Double](k, k)
+      for (i <- 0 until k; j <- i until k) {
+        val v = row.getAs[Double](s"h${i}_$j")
+        h(i)(j) = v; h(j)(i) = v
+      }
+      for (i <- 0 until k) h(i)(i) += ridge
+      val delta = solve(h, g)
+      for (i <- 0 until k) w(i) += delta(i)
+      done = delta.map(math.abs).max < tol
+      it += 1
+    }
+    w.toSeq
+  }
+
+  /** Gaussian elimination with partial pivoting for the tiny
+    * (k+1)×(k+1) Newton system — driver-side, k = feature count. */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until n) {
+      val piv = (c until n).maxBy(r => math.abs(a(r)(c)))
+      require(math.abs(a(piv)(c)) > 1e-300, "singular Newton system (all-constant feature?)")
+      val t = a(c); a(c) = a(piv); a(piv) = t
+      val tb = b(c); b(c) = b(piv); b(piv) = tb
+      for (r <- c + 1 until n) {
+        val f = a(r)(c) / a(c)(c)
+        for (cc <- c until n) a(r)(cc) -= f * a(c)(cc)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = b(r)
+      for (cc <- r + 1 until n) s -= a(r)(cc) * x(cc)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+
+  /** Apply trained quality-classifier weights: the raw linear logit
+    * w·x and the decision `kept` = logit > 0. Deliberately NO sigmoid
+    * on this path — exp is not correctly-rounded across engines, while
+    * the left-folded multiply-add chain over the rounded features is
+    * bit-identical (sigmoid is monotone, so ranking and the z=0
+    * decision boundary are unchanged). One narrow codegen'd projection.
+    * Output: doc_id, features…, logit, kept. */
+  def scoreQualityLogreg(feats: DataFrame, weights: Seq[Double],
+      featureCols: Seq[String] = qualityFeatureCols): DataFrame = {
+    require(weights.size == featureCols.size + 1,
+      s"weights size ${weights.size} != 1 + ${featureCols.size} features")
+    val z = featureCols.zip(weights.tail)
+      .map { case (c, wi) => col(c) * lit(wi) }
+      .foldLeft(lit(weights.head).cast("double"): Column)(_ + _)
+    feats.select(col("doc_id") +: featureCols.map(col) :+
+      round(z, 6).as("logit"): _*)
+      .withColumn("kept", col("logit") > 0)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -155,6 +156,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d4.getAs[Long]("n_lines") == 3L)
     assert(d4.getAs[Double]("dup_line_frac") == 0.6667)      // 2/3
     assert(d4.getAs[Double]("dup_line_char_frac") == 0.0)    // zero line chars
+  }
+
+  test("quality logreg separates planted spam from prose and distills the gate") {
+    val spam = (1L to 20L).map(i => (i, Seq.fill(30)("buy now").mkString(" ")))
+    val prose = (21L to 40L).map(i =>
+      (i, s"the report $i is in the table and a copy of the data is on file " +
+        s"with the notes from meeting $i and the summary that the team wrote"))
+    val d = docs(spam ++ prose: _*)
+    val feats = TextAnalysis.qualityFeatures(d)
+    import spark.implicits._
+    val labels = ((1L to 20L).map(_ -> 0) ++ (21L to 40L).map(_ -> 1))
+      .toDF("doc_id", "label")
+    val w = TextAnalysis.trainQualityLogreg(feats, labels)
+    assert(w.size == 5 && w.forall(v => !v.isNaN && !v.isInfinite))
+    val scored = TextAnalysis.scoreQualityLogreg(feats, w)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert((1L to 20L).forall(!scored(_)), "spam docs must score below 0")
+    assert((21L to 40L).forall(scored(_)), "prose docs must score above 0")
+    // Distillation: gate verdicts as labels; the 4-feature model must
+    // reproduce most of the rule gate it was distilled from.
+    val gateLabels = TextAnalysis.qualityGate(d)
+      .select(col("doc_id"), col("kept").cast("int").as("label"))
+    val w2 = TextAnalysis.trainQualityLogreg(feats, gateLabels)
+    val agree = TextAnalysis.scoreQualityLogreg(feats, w2)
+      .join(gateLabels, "doc_id")
+      .filter(col("kept") === (col("label") === 1)).count()
+    assert(agree >= 36, s"distilled classifier agrees on $agree/40 docs")
+  }
+
+  test("scoreQualityLogreg logit is the exact left-folded multiply-add chain") {
+    import spark.implicits._
+    val feats = Seq((1L, 0.5, 0.25, 0.1, 0.9))
+      .toDF("doc_id", "len_frac", "stop_ratio", "top_frac", "distinct_ratio")
+    val w = Seq(-1.0, 2.0, 4.0, -3.0, 0.5)
+    val got = TextAnalysis.scoreQualityLogreg(feats, w).collect().head
+    val expected = BigDecimal((((-1.0 + 2.0 * 0.5) + 4.0 * 0.25) + -3.0 * 0.1) + 0.5 * 0.9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("logit") == expected)
+    assert(got.getAs[Boolean]("kept"))
   }
 
   test("packSequences lays each shard's chunks into contiguous ctx-sized bins") {
