@@ -33,6 +33,7 @@ object Main {
         |  curate <sfDir> <outDir>
         |  curate-stream <srcDir> <outDir> <indexDir> <stateDir> <ck> <budgetTokens>
         |  bpe-train <sfDir> <nMerges>
+        |  quality-train <sfDir>
         |  quality-fixture [outDir]
         |  ivf-build <sfDir> <indexDir> <nCentroids>
         |  hash-split <sfDir> <outDir> [train,val,test fracs e.g. 0.8,0.1,0.1]
@@ -122,6 +123,23 @@ object Main {
         merges.zipWithIndex.foreach { case ((a, b), i) =>
           println(f"$i%3d  $a%-8s + $b%-8s -> ${a + b}")
         }
+      case "quality-train" :: sfDir :: Nil =>
+        // Distill the rule gate into the learned filter (the workflow
+        // that produced PipelineInventory.P41Weights) and report
+        // training-set agreement.
+        import org.apache.spark.sql.functions.{col => c}
+        val docs = Tables.load(spark, sfDir, "documents")
+        val feats = graft.functions.TextAnalysis.qualityFeatures(docs)
+        val labels = graft.functions.TextAnalysis.qualityGate(docs)
+          .select(c("doc_id"), c("kept").cast("int").as("label"))
+        val w = graft.functions.TextAnalysis.trainQualityLogreg(feats, labels)
+        println("weights (bias, " +
+          graft.functions.TextAnalysis.qualityFeatureCols.mkString(", ") + "):")
+        println(w.map(_.toString).mkString(", "))
+        val scored = graft.functions.TextAnalysis.scoreQualityLogreg(feats, w)
+          .join(labels, "doc_id")
+        val agree = scored.filter(c("kept") === (c("label") === 1)).count()
+        println(s"gate agreement: $agree/${scored.count()}")
       case "quality-fixture" :: rest if rest.lengthCompare(1) <= 0 =>
         // Explicit fixture materialization (q42's corpus) — queries only
         // READ the committed fixture; regeneration is this command.

@@ -36,7 +36,8 @@ object Stress {
 
   val DefaultOps = Seq(
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
-    "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher")
+    "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
+    "logreg")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -116,6 +117,15 @@ object Stress {
         // the one corpus scan — is exactly what this harness checks.
         graft.functions.Bpe.tokenCounts(docs, graft.functions.Bpe.train(docs, 8))
       case "gopher" => TextAnalysis.gopherRepetition(docs)
+      case "logreg" =>
+        // Feature computation + 12 IRLS iterations + exact scoring —
+        // the full distillation loop runs inside the timed region; the
+        // claim under test is "a fit costs ~a dozen data-sized jobs".
+        val feats = TextAnalysis.qualityFeatures(docs)
+        val labels = TextAnalysis.qualityGate(docs)
+          .select(col("doc_id"), col("kept").cast("int").as("label"))
+        val w = TextAnalysis.trainQualityLogreg(feats, labels)
+        TextAnalysis.scoreQualityLogreg(feats, w)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see
