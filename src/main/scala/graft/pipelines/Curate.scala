@@ -9,7 +9,8 @@ import graft.operators.{Dedup, Mix}
   * composition a user of the reference's medallion flow would run to
   * turn a raw document corpus into packed training sequences:
   *
-  *   quality gate → [boilerplate removal] → near-dup dedup (LSH +
+  *   quality gate (rule-based, or the learned filter when trained
+  *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
   *   components survivors) → [sub-document CDC dedup] → per-domain
   *   score pruning → temperature-mixture resampling → chunk → pack
   *
@@ -44,12 +45,21 @@ object Curate {
       chunkTokens: Int = 32, overlap: Int = 8, ctxTokens: Int = 64,
       rowsPerShard: Long = 4000000L, minShards: Int = 4,
       stats: Boolean = true, subdocDedup: Boolean = false,
-      boilerplateMaxDocs: Option[Int] = None): (DataFrame, Option[Stats]) = {
+      boilerplateMaxDocs: Option[Int] = None,
+      gateWeights: Option[Seq[Double]] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
-    val gatedRaw = docs.join(
-      TextAnalysis.qualityGate(docs).filter(col("kept")).select("doc_id"), "doc_id")
+    // The gate stage: the rule gate by default, or — when trained
+    // weights are supplied (TextAnalysis.trainQualityLogreg, typically
+    // distilled from the rule gate on a sample) — the learned filter's
+    // logit > 0 verdict. Same keep-or-drop contract either way.
+    val gateKept = gateWeights match {
+      case None => TextAnalysis.qualityGate(docs).filter(col("kept"))
+      case Some(w) => TextAnalysis.scoreQualityLogreg(
+        TextAnalysis.qualityFeatures(docs), w).filter(col("kept"))
+    }
+    val gatedRaw = docs.join(gateKept.select("doc_id"), "doc_id")
     val afterGate = countIf(gatedRaw)
     // Optional boilerplate pass (the RefinedWeb line-dedup stage),
     // BEFORE doc-level dedup: a shared header/footer inflates the

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
 import graft.pipelines.Curate
 import graft.sources.Tables
 
@@ -34,6 +35,31 @@ class CurateSpec extends SparkSpec {
     val (packed2, stats2) = Curate.run(docs)
     assert(stats2.get == stats)
     assert(packed.exceptAll(packed2).isEmpty && packed2.exceptAll(packed).isEmpty)
+  }
+
+  test("a perfectly-distilled learned gate reproduces the rule-gate pipeline") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val feats = TextAnalysis.qualityFeatures(docs)
+    val labels = TextAnalysis.qualityGate(docs)
+      .select(col("doc_id"), col("kept").cast("int").as("label"))
+    val w = TextAnalysis.trainQualityLogreg(feats, labels)
+    val learnedKept = TextAnalysis.scoreQualityLogreg(feats, w)
+      .select(col("doc_id"), col("kept"))
+    // The learned gate stage keeps exactly the classifier's verdicts
+    val (_, st) = Curate.run(docs, gateWeights = Some(w))
+    assert(st.get.afterGate == learnedKept.filter(col("kept")).count())
+    // and when distillation is perfect (verdicts identical to the rule
+    // gate's), the whole pipeline output is identical too.
+    val agree = learnedKept.join(labels, "doc_id")
+      .filter(col("kept") === (col("label") === 1)).count()
+    if (agree == st.get.input) {
+      val (ruleOut, _) = Curate.run(docs)
+      val (learnedOut, _) = Curate.run(docs, gateWeights = Some(w))
+      assert(ruleOut.exceptAll(learnedOut).isEmpty &&
+        learnedOut.exceptAll(ruleOut).isEmpty)
+    }
   }
 
   test("stats=false skips accounting but produces the identical packed output") {
