@@ -744,7 +744,8 @@ object Ingest {
       checkpoint: String, budgetTokens: Long, domainCol: String = "lang",
       maxBucket: Int = 100, maxFilesPerTrigger: Int = 1,
       boilerplateMaxDocs: Option[Int] = None,
-      passageIndexPath: String = ""): Unit = {
+      passageIndexPath: String = "",
+      gateWeights: Option[Seq[Double]] = None): Unit = {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
     require(boilerplateMaxDocs.isEmpty || passageIndexPath.nonEmpty,
@@ -756,10 +757,17 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val ss = batch.sparkSession
-        // 1. gate — batch-local narrow decision
-        val gatedRaw = batch.join(
-          TextAnalysis.qualityGate(batch).filter(col("kept")).select("doc_id"),
-          "doc_id")
+        // 1. gate — batch-local narrow decision either way: the rule
+        // gate, or (as in Curate.run) the learned filter's logit > 0
+        // verdict under fixed trained weights, which is a pure
+        // function of each doc's own text and so carries no
+        // cross-batch state to reconcile.
+        val gateKept = gateWeights match {
+          case None => TextAnalysis.qualityGate(batch).filter(col("kept"))
+          case Some(w) => TextAnalysis.scoreQualityLogreg(
+            TextAnalysis.qualityFeatures(batch), w).filter(col("kept"))
+        }
+        val gatedRaw = batch.join(gateKept.select("doc_id"), "doc_id")
         // With the boilerplate stage on, gated has three consumers —
         // the strip report's segment pass, the text-restore join side,
         // and the passage-index sink — so checkpoint it (same file

@@ -403,6 +403,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size < surv.count())
   }
 
+  test("SCCw: streamed curation with the learned gate equals the batch composition") {
+    import graft.operators.Dedup
+    import graft.functions.TextAnalysis
+    val corpus = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang").cache()
+    // weights distilled from the rule gate on this corpus — fixed for
+    // the whole stream, exactly how a production run ships them
+    val feats = TextAnalysis.qualityFeatures(corpus)
+    val labels = TextAnalysis.qualityGate(corpus)
+      .select($"doc_id", $"kept".cast("int").as("label"))
+    val w = TextAnalysis.trainQualityLogreg(feats, labels)
+    // batch composition with the SAME learned gate
+    val gated = corpus.join(TextAnalysis.scoreQualityLogreg(feats, w)
+      .filter($"kept").select("doc_id"), "doc_id")
+    val relabeled = gated.withColumn("orig_id", $"doc_id")
+      .withColumn("doc_id",
+        conv(substring(md5($"orig_id".cast("string")), 1, 15), 16, 10).cast("long"))
+    val pairs = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.shingleHashes(relabeled), hashed = true)))
+    val surv = Dedup.survivors(relabeled, pairs)
+      .select($"orig_id".as("doc_id"), $"text", $"lang")
+    val maxDomTok = surv.groupBy("lang")
+      .agg(sum(size(split($"text", " "))).as("t"))
+      .agg(max($"t")).as[Long].head()
+    val budget = maxDomTok * 6 / 10
+    val batchOut = TextAnalysis.tokenBudgetSample(surv, budget)
+      .orderBy("domain", "cum").collect().toSeq
+    // two md5-ordered batches through the stream, one restart
+    val ids = corpus.withColumn("h", md5($"doc_id".cast("string")))
+      .orderBy("h").select("doc_id").as[Long].collect()
+    val half = ids.length / 2
+    val slices = Seq(ids.take(half), ids.drop(half))
+    val src = tmp("sccw-src"); val out = tmp("sccw-out"); val idxP = tmp("sccw-idx")
+    val st = tmp("sccw-state"); val ck = tmp("sccw-ck")
+    slices.foreach { slice =>
+      corpus.filter($"doc_id".isInCollection(slice.toSeq))
+        .coalesce(1)
+        .write.mode("append").parquet(src)
+      Ingest.curateIngestStream(spark, corpus.schema, src, out, idxP, st, ck,
+        budget, gateWeights = Some(w))
+    }
+    val streamed = spark.read.parquet(out)
+      .select("domain", "doc_id", "n_tok", "cum")
+      .orderBy("domain", "cum").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batchOut)
+  }
+
   test("SCB: streamed curation boilerplate stage obeys the per-batch passage-index law") {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
