@@ -681,4 +681,33 @@ object TextAnalysis {
       round(z, 6).as("logit"): _*)
       .withColumn("kept", col("logit") > 0)
   }
+
+  /** Confusion-matrix evaluation of a binary keep/drop classifier
+    * against reference labels — the number that tunes the learned
+    * filter before it gates a corpus. ONE inner join on the doc id and
+    * ONE partial-aggregable aggregation to four counts; the derived
+    * ratios are driver-free column math over the 1-row frame.
+    * Undefined ratios (no positive predictions / no positive labels)
+    * are null, not 0 — silence would hide a degenerate classifier.
+    * Output (1 row): n, tp, fp, fn, tn, accuracy, precision, recall,
+    * f1 (ratios rounded to 4dp). */
+  def classifierMetrics(pred: DataFrame, labels: DataFrame,
+      predCol: String = "kept", labelCol: String = "label"): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val joined = pred.select(col("doc_id"), col(predCol).cast("boolean").as("p"))
+      .join(labels.select(col("doc_id"), (col(labelCol) === 1).as("y")), "doc_id")
+    def ratio(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 4))
+    joined.agg(
+        count(lit(1)).cast("long").as("n"),
+        cnt(col("p") && col("y")).as("tp"),
+        cnt(col("p") && !col("y")).as("fp"),
+        cnt(!col("p") && col("y")).as("fn"),
+        cnt(!col("p") && !col("y")).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp") + col("tn"), col("n")).as("accuracy"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -196,6 +196,27 @@ class TextAnalysisSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.getAs[Double]("logit") == expected)
     assert(got.getAs[Boolean]("kept"))
+  }
+
+  test("classifierMetrics: hand-computed confusion counts and ratios") {
+    import spark.implicits._
+    val pred = Seq((1L, true), (2L, true), (3L, false), (4L, false), (5L, true))
+      .toDF("doc_id", "kept")
+    val labels = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 0), (5L, 1))
+      .toDF("doc_id", "label")
+    val m = TextAnalysis.classifierMetrics(pred, labels).collect().head
+    assert(m.getAs[Long]("n") == 5L)
+    assert(m.getAs[Long]("tp") == 2L && m.getAs[Long]("fp") == 1L)
+    assert(m.getAs[Long]("fn") == 1L && m.getAs[Long]("tn") == 1L)
+    assert(m.getAs[Double]("accuracy") == 0.6)     // 3/5
+    assert(m.getAs[Double]("precision") == 0.6667) // 2/3
+    assert(m.getAs[Double]("recall") == 0.6667)    // 2/3
+    assert(m.getAs[Double]("f1") == 0.6667)        // 4/6
+    // degenerate: no positive predictions -> null precision, not 0
+    val none = TextAnalysis.classifierMetrics(
+      pred.withColumn("kept", lit(false)), labels).collect().head
+    assert(none.isNullAt(none.fieldIndex("precision")))
+    assert(none.getAs[Double]("recall") == 0.0)
   }
 
   test("packSequences lays each shard's chunks into contiguous ctx-sized bins") {
