@@ -36,6 +36,7 @@ object Main {
         |  quality-train <sfDir>
         |  quality-fixture [outDir]
         |  ivf-build <sfDir> <indexDir> <nCentroids>
+        |  pq-search <sfDir> <nQueries> <k>
         |  hash-split <sfDir> <outDir> [train,val,test fracs e.g. 0.8,0.1,0.1]
         |  corpus-diff <oldDir> <newDir> <outDir>
         |  sql <sfDir> <statement>""".stripMargin)
@@ -172,6 +173,14 @@ object Main {
             Tables.load(spark, newDir, "documents"))
           .write.mode("overwrite").parquet(outDir)
         println(s"corpus diff report at $outDir")
+      case "pq-search" :: sfDir :: nQueries :: k :: Nil =>
+        // Product-quantization ANN end to end: train codebooks, encode
+        // the corpus, ADC-search the first nQueries vectors.
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val queries = emb.filter(
+          org.apache.spark.sql.functions.col("vec_id") < nQueries.toLong)
+        graft.operators.Ann.pqTopK(emb, queries, k = k.toInt)
+          .orderBy("q_id", "rn").show(5 * k.toInt, truncate = false)
       case "ivf-build" :: sfDir :: indexDir :: k :: Nil =>
         val emb = Tables.load(spark, sfDir, "embeddings")
         graft.operators.Ann.writeIvfIndex(emb,

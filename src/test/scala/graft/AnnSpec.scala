@@ -310,10 +310,40 @@ class AnnSpec extends SparkSpec {
           .withColumn("q_id", lit(0L)).select("q_id", "vec_id"),
         exact.filter(col("q_id") === 0L))
       .agg(avg("recall")).head.getDouble(0)
+    // PQ's shape: ADC scan over trained codebooks at the shipped
+    // defaults (m=8, ksub=64, shortlist=80) — the random fixture is
+    // PQ's hostile case (no cluster structure), so this floor is the
+    // conservative one
+    val rPq = meanRecall(Ann.pqTopK(embSf, queries, k = 10))
     exact.unpersist()
     assert(rQuant >= 0.9, s"quantizedTopK recall@10 = $rQuant")
     assert(rIvf >= 0.9, s"ivfSearchBatch recall@10 = $rIvf")
     assert(rOne >= 0.9, s"ivfTopK recall@10 = $rOne")
+    assert(rPq >= 0.9, s"pqTopK recall@10 = $rPq")
+  }
+
+  test("pqTopK with a full-corpus shortlist reproduces bruteTopK exactly") {
+    val embSf = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(col("vec_id") < 120)
+    val queries = embSf.filter(col("vec_id") < 3)
+    val exact = Ann.bruteTopK(embSf, queries, k = 5).collect().toSet
+    // shortlist >= corpus: the ADC stage can drop nothing, so the
+    // exact re-rank decides everything
+    val full = Ann.pqTopK(embSf, queries, k = 5, shortlist = 200).collect().toSet
+    assert(full == exact)
+  }
+
+  test("pqTrain: m*ksub codebook rows of d/m dims; pqEncode one code per (vector, sub)") {
+    val embSf = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(col("vec_id") < 100)
+    val books = Ann.pqTrain(embSf, m = 4, ksub = 8, iters = 1)
+    val rows = books.collect()
+    assert(rows.length <= 4 * 8 && rows.length >= 4) // <= m*ksub (empty seeds possible)
+    assert(rows.forall(_.getAs[Seq[Double]]("cemb").size == 16)) // 64/4
+    val codes = Ann.pqEncode(embSf, books, m = 4)
+    assert(codes.count() == 100 * 4) // exactly one code per (vector, sub)
+    // encoding is deterministic
+    assert(codes.exceptAll(Ann.pqEncode(embSf, books, m = 4)).isEmpty)
   }
 
   /** 50 deterministic near-dup copies of the first 50 corpus vectors:
