@@ -37,7 +37,7 @@ object Stress {
   val DefaultOps = Seq(
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
-    "logreg", "pq")
+    "logreg", "pq", "ivfpq")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -130,6 +130,11 @@ object Stress {
         // train codebooks + encode + ADC search for 1000 queries — the
         // full PQ lifecycle inside the timed region
         Ann.pqTopK(emb, emb.filter(col("vec_id") < 1000), k = 10)
+      case "ivfpq" =>
+        // coarse train + residual codebooks + pruned ADC search; the
+        // kCoarse/nprobe ratio keeps ~1/4 of the codes scanned
+        Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 1000), k = 10,
+          kCoarse = 32, nprobe = 8)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see
