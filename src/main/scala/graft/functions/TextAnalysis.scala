@@ -566,15 +566,20 @@ object TextAnalysis {
     * already emit — capped length fraction, stopword ratio, top-bigram
     * fraction, distinct-token ratio. A doc with no bigrams has
     * 0/0 = NaN top_frac in [[repetition]]; here it lands as 0.0 so the
-    * classifier sees a total function of the text.
+    * classifier sees a total function of the text. Null text is
+    * normalized to "" first (the [[qualityGate]] guard) — without it
+    * `split(null)` drops the doc from BOTH legs and a null-text doc
+    * would silently vanish from the learned gate's audit trail.
     * Output: doc_id, len_frac, stop_ratio, top_frac, distinct_ratio. */
-  def qualityFeatures(docs: DataFrame): DataFrame =
-    qualityScore(docs).select(col("doc_id"),
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val total = docs.withColumn("text", coalesce(col("text"), lit("")))
+    qualityScore(total).select(col("doc_id"),
         round(least(lit(1.0), col("n_tokens").cast("double") / 50), 4).as("len_frac"),
         col("stop_ratio"))
-      .join(repetition(docs).select(col("doc_id"),
+      .join(repetition(total).select(col("doc_id"),
         coalesce(nanvl(col("top_frac"), lit(0.0)), lit(0.0)).as("top_frac"),
         col("distinct_ratio")), Seq("doc_id"))
+  }
 
   /** Train a logistic-regression quality classifier (the GPT-3/
     * FineWeb-style learned filter: a tiny model over cheap features,

@@ -511,12 +511,20 @@ object Ann {
   // Nearest Neighbor Search", TPAMI 2011) ───
 
   /** Exploded (vec_id, sub, sv) subvector frame: subspace s carries
-    * dims [s·d/m, (s+1)·d/m). Dimension must divide evenly by m
-    * (callers' responsibility; the 64-dim fixture with m ∈ {4,8,16}
-    * all qualify). One narrow map — no shuffle. */
+    * dims [s·d/m, (s+1)·d/m). Dimension must divide evenly by m — a
+    * non-divisible dim would silently TRUNCATE the trailing dims
+    * (integer division) and degrade recall with no error, so the
+    * contract is enforced fail-loud per row via `raise_error` (the
+    * 64-dim fixture with m ∈ {4,8,16} all qualify). One narrow map —
+    * no shuffle. */
   private def subvectors(emb: DataFrame, m: Int): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("dsub", (size(col("e")) / m).cast("int"))
+      .withColumn("dsub",
+        when(size(col("e")) % m === 0, size(col("e")) / m)
+          .otherwise(raise_error(concat(
+            lit(s"PQ: embedding dimension "), size(col("e")).cast("string"),
+            lit(s" is not divisible by m=$m — trailing dims would be dropped"))))
+          .cast("int"))
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, $m - 1), s -> " +
           "struct(s AS sub, slice(e, s * dsub + 1, dsub) AS sv))")).as("z"))

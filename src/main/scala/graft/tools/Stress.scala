@@ -24,7 +24,7 @@ import graft.pipelines.Curate
   *
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
-  *   ivf,curate,passage,cdc,sem,bpe,gopher
+  *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).

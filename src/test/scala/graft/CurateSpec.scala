@@ -52,14 +52,27 @@ class CurateSpec extends SparkSpec {
     assert(st.get.afterGate == learnedKept.filter(col("kept")).count())
     // and when distillation is perfect (verdicts identical to the rule
     // gate's), the whole pipeline output is identical too.
-    val agree = learnedKept.join(labels, "doc_id")
-      .filter(col("kept") === (col("label") === 1)).count()
-    if (agree == st.get.input) {
-      val (ruleOut, _) = Curate.run(docs)
-      val (learnedOut, _) = Curate.run(docs, gateWeights = Some(w))
-      assert(ruleOut.exceptAll(learnedOut).isEmpty &&
-        learnedOut.exceptAll(ruleOut).isEmpty)
-    }
+    val agreed = learnedKept.join(labels, "doc_id")
+      .filter(col("kept") === (col("label") === 1))
+      .select("doc_id")
+    val agree = agreed.count()
+    // Distillation is near-perfect but need not be exact on the
+    // driver's current fixture (the gate stopped being perfectly
+    // linearly separable in the 4 features when the corpus was
+    // regenerated — 498/500 as of r7). Two UNCONDITIONAL assertions
+    // replace the old if-perfect guard (which silently skipped the
+    // equivalence check the moment the fit was imperfect): a
+    // distillation-quality floor, and the equivalence law proven on
+    // the agreement corpus, where identical per-doc verdicts make the
+    // two pipelines equal BY CONSTRUCTION of the gates — any
+    // difference is a composition bug, not a fit artifact.
+    assert(agree * 100 >= st.get.input * 98,
+      s"learned gate agrees on $agree of ${st.get.input} docs — distillation regressed")
+    val agreeDocs = docs.join(agreed, "doc_id")
+    val (ruleOut, _) = Curate.run(agreeDocs)
+    val (learnedOut, _) = Curate.run(agreeDocs, gateWeights = Some(w))
+    assert(ruleOut.exceptAll(learnedOut).isEmpty &&
+      learnedOut.exceptAll(ruleOut).isEmpty)
   }
 
   test("stats=false skips accounting but produces the identical packed output") {
