@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Vectors._
@@ -544,9 +544,17 @@ object Ann {
     * window); empty centroids keep their position (the trainCentroids
     * pattern); per-iteration state is the m·ksub-row codebook,
     * localCheckpointed so lineage never compounds.
+    *
+    * `exactMeans` switches the centroid-mean aggregation from the
+    * plain associative `avg` (the scale path — partition-order float
+    * jitter in the last ulp, statistically immaterial for training)
+    * to an ORDERED fold over the collected values rounded to 6dp —
+    * bit-identical in any engine, the same oracle-exactness
+    * concession [[kmeansStep]] makes vs [[trainCentroids]]. The p43/
+    * p44 gate queries train with it; production trains without.
     * Output: sub, c_id, cemb — m·ksub rows. */
   def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 64,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, exactMeans: Boolean = false): DataFrame = {
     val sv = subvectors(emb, m).localCheckpoint(false)
     val seedIds = emb.select(col("vec_id"))
       .withColumn("h", md5(col("vec_id").cast("string")))
@@ -563,10 +571,16 @@ object Ann {
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id", "sub").orderBy(col("score").desc, col("c_id"))))
         .filter(col("rn") === 1)
+      val mv =
+        if (exactMeans)
+          round(expr(
+            "aggregate(sort_array(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+            / count(lit(1)), 6)
+        else avg(col("v"))
       val means = assigned
         .select(col("sub"), col("c_id"), posexplode(col("sv")).as(Seq("dim", "v")))
         .groupBy("sub", "c_id", "dim")
-        .agg(avg(col("v")).as("mv"))
+        .agg(mv.as("mv"))
         .groupBy("sub", "c_id")
         .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)")
           .as("cemb"))
@@ -616,12 +630,31 @@ object Ann {
     * Composes with [[recallAtK]]; AnnSpec pins the shipped defaults to
     * recall@10 ≥ 0.9 and proves a full-corpus shortlist reproduces
     * [[bruteTopK]] exactly.
+    *
+    * `books` supplies pre-trained codebooks (a [[pqTrain]] result —
+    * the production shape, where codebooks are trained once and
+    * reused per query batch); `None` trains on `emb` inline.
+    * `exactMeans` is [[pqTrain]]'s oracle-exactness switch (ignored
+    * when `books` is given).
     * Output: q_id, vec_id, sim, rn — the [[bruteTopK]] shape. */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int = 10, m: Int = 8,
-      ksub: Int = 64, iters: Int = 3, shortlist: Int = 80): DataFrame = {
-    val books = pqTrain(emb, m, ksub, iters).localCheckpoint(true)
+      ksub: Int = 64, iters: Int = 3, shortlist: Int = 80,
+      exactMeans: Boolean = false,
+      books0: Option[DataFrame] = None): DataFrame = {
+    val books = books0.getOrElse(
+      pqTrain(emb, m, ksub, iters, exactMeans).localCheckpoint(true))
     val codes = packedCodes(pqEncode(emb, books, m))
-    val lut = subvectors(queries, m)
+    rerankShortlist(emb, queries,
+      pqShortlist(codes, books, queries, m, shortlist), k)
+  }
+
+  /** (q_id, luts) — one nested ksub×m lookup table per query: for each
+    * subspace, the dot of the query's subvector with every codebook
+    * centroid, packed c_id-ordered then sub-ordered so the ADC chain
+    * can index positionally. Built on the tiny query side, broadcast
+    * by every consumer. */
+  private def pqLuts(queries: DataFrame, books: DataFrame, m: Int): DataFrame =
+    subvectors(queries, m)
       .join(broadcast(books), "sub")
       .select(col("vec_id").as("q_id"), col("sub"), col("c_id"),
         dot(col("sv"), col("cemb")).as("pdot"))
@@ -631,19 +664,30 @@ object Ann {
       .groupBy("q_id")
       .agg(expr("transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)")
         .as("luts"))
-    val adot = (0 until m).map(s =>
+
+  /** The ADC approximate dot: a STATIC chain of m codegen'd element_at
+    * lookups (see [[pqTopK]]'s anti-textbook note). Positional
+    * indexing is sound because every sub keeps the full contiguous
+    * 0..ksub-1 centroid range ([[pqTrain]] persists empty centroids). */
+  private def adcDot(m: Int): Column =
+    (0 until m).map(s =>
         element_at(element_at(col("luts"), s + 1),
           col("codes").getItem(s).cast("int") + 1))
       .reduce(_ + _)
-    val short = codes.crossJoin(broadcast(lut))
+
+  /** ADC candidate scan over packed codes: approximate-dot rank, top
+    * `shortlist` (q_id, vec_id) per query. `codes` is a (vec_id,
+    * codes[m]) frame — in-memory from [[pqEncode]] or read back from a
+    * [[writePqIndex]] path; the ONE scan definition shared by both. */
+  private def pqShortlist(codes: DataFrame, books: DataFrame,
+      queries: DataFrame, m: Int, shortlist: Int): DataFrame =
+    codes.crossJoin(broadcast(pqLuts(queries, books, m)))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(adot, 6).as("adot"))
+      .select(col("q_id"), col("vec_id"), round(adcDot(m), 6).as("adot"))
       .withColumn("qrn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adot").desc, col("vec_id"))))
       .filter(col("qrn") <= shortlist)
       .select("q_id", "vec_id")
-    rerankShortlist(emb, queries, short, k)
-  }
 
   /** Exact float-cosine re-rank of a (q_id, vec_id) shortlist — the
     * ONE definition shared by the PQ paths; zero norms rank null
@@ -686,59 +730,171 @@ object Ann {
     * Probing ALL clusters with a full shortlist reproduces
     * [[bruteTopK]] exactly (AnnSpec law); the shipped defaults carry
     * the same recall@10 ≥ 0.9 floor as the other approximate paths.
+    *
+    * `coarse0` supplies FIXED coarse centroids as a (vec_id,
+    * embedding) frame — the production shape (a deployed IVFPQ reuses
+    * one persisted coarse quantizer across ingests; re-training it
+    * per batch would reshuffle every partition) and the
+    * oracle-checkable one (p44 pins 8 corpus vectors); `None` trains
+    * `kCoarse` centroids inline. `books0` supplies pre-trained
+    * RESIDUAL codebooks (train on [[ivfPqResiduals]] output); `None`
+    * trains inline. `exactMeans` is [[pqTrain]]'s oracle-exactness
+    * switch for the residual codebooks.
     * Output: q_id, vec_id, sim, rn — the [[bruteTopK]] shape. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, k: Int = 10,
       kCoarse: Int = 16, nprobe: Int = 8, m: Int = 8, ksub: Int = 64,
-      iters: Int = 3, shortlist: Int = 80): DataFrame = {
-    val coarse = trainCentroids(emb, kCoarse, iters).localCheckpoint(true)
+      iters: Int = 3, shortlist: Int = 80, exactMeans: Boolean = false,
+      coarse0: Option[DataFrame] = None,
+      books0: Option[DataFrame] = None): DataFrame = {
+    val coarse = coarse0 match {
+      case Some(c) => c.select(col("vec_id").as("c_id"),
+        asDouble(col("embedding")).as("cemb"))
+      case None => trainCentroids(emb, kCoarse, iters).localCheckpoint(true)
+    }
+    val resid = ivfPqResiduals(emb, coarse).localCheckpoint(false)
+    val books = books0.getOrElse(
+      pqTrain(resid.drop("c_id"), m, ksub, iters, exactMeans)
+        .localCheckpoint(true))
+    val codes = packedCodes(pqEncode(resid, books, m))
+      .join(resid.select("vec_id", "c_id"), "vec_id")
+    rerankShortlist(emb, queries,
+      ivfPqShortlist(codes, coarse, books, queries, m, nprobe, shortlist), k)
+  }
+
+  /** Residual frame against FIXED coarse centroids (`coarse` is a
+    * (c_id, cemb) frame — [[trainCentroids]] output shape): each
+    * vector minus its cosine-nearest centroid, the input [[pqTrain]]
+    * trains IVFPQ codebooks on. One broadcast-centroid narrow map.
+    * Output: vec_id, c_id, embedding (the residual). */
+  def ivfPqResiduals(emb: DataFrame, coarse: DataFrame): DataFrame = {
     val cents = coarse.select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
     val ce = coarse.select(col("c_id"), asDouble(col("cemb")).as("ce"))
-    val assign = assignClusters(emb, cents)
-    val resid = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .join(assign, "vec_id")
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(assignClusters(emb, cents), "vec_id")
       .join(broadcast(ce), "c_id")
       .select(col("vec_id"), col("c_id"),
         zip_with(col("e"), col("ce"), (a, b) => a - b).as("embedding"))
-      .localCheckpoint(false)
-    val books = pqTrain(resid, m, ksub, iters).localCheckpoint(true)
-    val codes = packedCodes(pqEncode(resid, books, m))
-      .join(assign, "vec_id")
-    // Inner-product ADC over residual codes decomposes as
-    //   dot(q, v) ≈ dot(q, c_v) + dot(q, r̂_v)
-    // so the QUERY stays whole: one LUT per query against the residual
-    // codebooks (dot(q, r̂_v) via m lookups), plus a per-(query, probed
-    // cluster) scalar bias dot(q, c_v). Residualizing the query instead
-    // would drop the cross-cluster bias term — candidates from
-    // different probed clusters would rank on the wrong scale
-    // (measured: relative recall 0.72 → 0.98 with the bias form).
+  }
+
+  /** ADC candidate scan over coarse-partitioned residual codes.
+    *
+    * Inner-product ADC over residual codes decomposes as
+    *   dot(q, v) ≈ dot(q, c_v) + dot(q, r̂_v)
+    * so the QUERY stays whole: one LUT per query against the residual
+    * codebooks (dot(q, r̂_v) via m lookups), plus a per-(query, probed
+    * cluster) scalar bias dot(q, c_v). Residualizing the query instead
+    * would drop the cross-cluster bias term — candidates from
+    * different probed clusters would rank on the wrong scale
+    * (measured: relative recall 0.72 → 0.98 with the bias form).
+    *
+    * `codes` is a (vec_id, codes[m], c_id) frame — in-memory or read
+    * back from a [[writeIvfPqIndex]] path; the ONE scan definition
+    * shared by both. */
+  private def ivfPqShortlist(codes: DataFrame, coarse: DataFrame,
+      books: DataFrame, queries: DataFrame, m: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val cents = coarse.select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+    val ce = coarse.select(col("c_id"), asDouble(col("cemb")).as("ce"))
     val probed = probeRank(cents, queries, nprobe)
       .join(broadcast(ce), "c_id")
       .select(col("q_id").as("pq_id"), col("c_id").as("pc_id"),
         dot(col("qemb"), col("ce")).as("bias"))
-    val lutQ = subvectors(
-        queries.select(col("vec_id"), col("embedding")), m)
-      .join(broadcast(books), "sub")
-      .select(col("vec_id").as("q_id"), col("sub"), col("c_id"),
-        dot(col("sv"), col("cemb")).as("pdot"))
-      .groupBy(col("q_id"), col("sub"))
-      .agg(expr("transform(array_sort(collect_list(struct(c_id, pdot))), s -> s.pdot)")
-        .as("lut"))
-      .groupBy(col("q_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, lut))), s -> s.lut)")
-        .as("luts"))
-    val adot = (0 until m).map(s =>
-        element_at(element_at(col("luts"), s + 1),
-          col("codes").getItem(s).cast("int") + 1))
-      .reduce(_ + _) + col("bias")
-    val short = codes
+    val lutQ = pqLuts(queries.select(col("vec_id"), col("embedding")), books, m)
+    codes
       .join(broadcast(probed), codes("c_id") === col("pc_id"))
       .join(broadcast(lutQ), col("pq_id") === lutQ("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(adot, 6).as("adot"))
+      .select(col("q_id"), col("vec_id"),
+        round(adcDot(m) + col("bias"), 6).as("adot"))
       .withColumn("qrn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adot").desc, col("vec_id"))))
       .filter(col("qrn") <= shortlist)
       .select("q_id", "vec_id")
-    rerankShortlist(emb, queries, short, k)
+  }
+
+  // ─── Persisted PQ code indexes (parity with the IVF story:
+  // writeIvfIndex / appendIvfIndex / ivfSearchBatchIndex) ───
+
+  /** PQ write path: land the packed ~m-byte codes as the RESIDENT
+    * index — the candidate scan then reads ~8 bytes/vector from disk
+    * instead of the 256-byte float column, the 32× IO cut that is
+    * PQ's whole point at 100 TB. Codebooks are the caller's to keep
+    * (tiny — m·ksub rows; a plain `books.write.parquet` round-trips
+    * them losslessly, doubles are exact in parquet). Layout: (vec_id,
+    * codes[m]). */
+  def writePqIndex(emb: DataFrame, books: DataFrame, path: String,
+      m: Int = 8): Unit =
+    packedCodes(pqEncode(emb, books, m))
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental PQ ingest: encode ONLY the new batch against the
+    * index's (fixed) codebooks and append — the PQ sibling of
+    * [[appendIvfIndex]]. Existing codes are never rescanned or
+    * rewritten; cost per batch is one broadcast-codebook narrow map
+    * over the batch alone. Codebooks must be the ones the index was
+    * built with — retraining after drift is a full [[writePqIndex]].
+    * Plain append is at-least-once under caller retry (the
+    * [[appendIvfIndex]] caveat). */
+  def appendPqIndex(batch: DataFrame, books: DataFrame, path: String,
+      m: Int = 8): Unit =
+    packedCodes(pqEncode(batch, books, m))
+      .write.mode("append").parquet(path)
+
+  /** [[pqTopK]] over a persisted code index: the ADC scan reads the
+    * packed codes from `path`; only the `shortlist` winners touch the
+    * full float vectors in `emb` (the re-rank join). Row-identical to
+    * the in-memory path by construction — both run [[pqShortlist]].
+    * Output: q_id, vec_id, sim, rn. */
+  def pqSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      books: DataFrame, emb: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 8, shortlist: Int = 80): DataFrame =
+    rerankShortlist(emb, queries,
+      pqShortlist(spark.read.parquet(path), books, queries, m, shortlist), k)
+
+  /** IVFPQ write path: residual-encode against the fixed coarse
+    * centroids + codebooks and land the codes PARTITIONED BY the
+    * coarse cluster id — probing becomes directory pruning
+    * ([[writeIvfIndex]]'s story) AND each probed directory is ~8-byte
+    * codes, not floats: the two scale levers composed. Layout:
+    * (vec_id, codes[m]) under c_id= directories. */
+  def writeIvfPqIndex(emb: DataFrame, coarse: DataFrame, books: DataFrame,
+      path: String, m: Int = 8): Unit =
+    writeIvfPq(emb, coarse, books, path, m, "overwrite")
+
+  /** The ONE definition of the IVFPQ index layout (the [[writeIvf]]
+    * pattern): full build and batch append go through here. */
+  private def writeIvfPq(batch: DataFrame, coarse: DataFrame,
+      books: DataFrame, path: String, m: Int, mode: String): Unit = {
+    val resid = ivfPqResiduals(batch, coarse)
+    packedCodes(pqEncode(resid, books, m))
+      .join(resid.select("vec_id", "c_id"), "vec_id")
+      .write.partitionBy("c_id").mode(mode).parquet(path)
+  }
+
+  /** Incremental IVFPQ ingest: residual-encode ONLY the new batch
+    * (coarse centroids and codebooks fixed) and append into the
+    * partitioned code index. */
+  def appendIvfPqIndex(batch: DataFrame, coarse: DataFrame,
+      books: DataFrame, path: String, m: Int = 8): Unit =
+    writeIvfPq(batch, coarse, books, path, m, "append")
+
+  /** [[ivfPqTopK]] over a persisted code index. The union of probed
+    * clusters across the query batch is collected (the IVF routing
+    * table — bounded by #centroids, never data-sized) and applied as
+    * a STATIC partition predicate, so only probed cluster directories
+    * are listed and read ([[ivfSearchBatchIndex]]'s discipline); the
+    * ADC then ranks inside them and only shortlist winners touch the
+    * float vectors in `emb`. Output: q_id, vec_id, sim, rn. */
+  def ivfPqSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, coarse: DataFrame, books: DataFrame, emb: DataFrame,
+      queries: DataFrame, k: Int = 10, nprobe: Int = 8, m: Int = 8,
+      shortlist: Int = 80): DataFrame = {
+    val cents = coarse.select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+    val probedIds = probeRank(cents, queries, nprobe)
+      .select("c_id").distinct().collect().map(_.get(0)).toIndexedSeq
+    rerankShortlist(emb, queries,
+      ivfPqShortlist(
+        spark.read.parquet(path).where(col("c_id").isin(probedIds: _*)),
+        coarse, books, queries, m, nprobe, shortlist), k)
   }
 }

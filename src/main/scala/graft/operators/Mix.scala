@@ -148,4 +148,45 @@ object Mix {
     }
     docs.withColumn("split", assigned)
   }
+
+  /** Cross-split decontamination: [[hashSplit]] composed with
+    * [[Dedup.dedupAgainst]] — the leakage guard every training
+    * pipeline needs. After splitting, any TRAIN doc that is a
+    * near-duplicate of ANY held-out (val/test) doc — LSH band
+    * collision confirmed by exact shingle Jaccard >= `threshold` — is
+    * flagged `kept = false`, so evaluation on the held-out splits
+    * never scores text the model effectively trained on (the near-dup
+    * generalization of the exact-8-gram eval screen,
+    * `Dedup.contamination` / p26). Held-out docs are never dropped
+    * (the benchmark must stay intact); train-vs-train duplicates are
+    * [[Dedup.dedupCorpus]]'s job, not this one's.
+    *
+    * Scale (100 TB): the split column is a narrow per-row expression
+    * (recomputed per consumer rather than shuffled — it costs one md5
+    * per row); both corpus sides then reduce to banded ~50 B/doc rows
+    * with per-side bucket caps before the candidate equi-join, and
+    * the verify stage touches only candidates ([[Dedup.dedupAgainst]]'s
+    * shape). Membership stability is inherited from [[hashSplit]]: a
+    * doc's split — and therefore its contamination verdict against a
+    * FIXED held-out set — never changes when unrelated docs arrive.
+    * Output: doc_id, split, n_matches, kept — one row per input doc;
+    * `kept = false` only on contaminated train docs. */
+  def decontaminateSplits(docs: DataFrame, splits: Seq[(String, Double)],
+      trainSplit: String = "train", threshold: Double = 0.5,
+      maxBucket: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 10000): DataFrame = {
+    require(splits.exists(_._1 == trainSplit),
+      s"trainSplit '$trainSplit' is not among ${splits.map(_._1)}")
+    val sp = hashSplit(docs, splits, idCol, buckets)
+    val rep = Dedup.dedupAgainst(
+      sp.filter(col("split") === trainSplit),
+      sp.filter(col("split") =!= trainSplit),
+      threshold, maxBucket, idCol, textCol)
+    sp.select(col(idCol).as("doc_id"), col("split"))
+      .join(rep.select(col("doc_id"), col("n_matches"), col("kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
 }

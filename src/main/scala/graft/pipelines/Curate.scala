@@ -11,8 +11,9 @@ import graft.operators.{Dedup, Mix}
   *
   *   quality gate (rule-based, or the learned filter when trained
   *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
-  *   components survivors) → [sub-document CDC dedup] → per-domain
-  *   score pruning → temperature-mixture resampling → chunk → pack
+  *   components survivors) → [sub-document CDC dedup] →
+  *   [held-out decontamination] → per-domain score pruning →
+  *   temperature-mixture resampling → chunk → pack
   *
   * (bracketed stages optional).
   *
@@ -25,7 +26,8 @@ object Curate {
 
   final case class Stats(input: Long, afterGate: Long, afterDedup: Long,
       afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int,
-      afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L)
+      afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L,
+      afterDecontam: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -46,7 +48,8 @@ object Curate {
       rowsPerShard: Long = 4000000L, minShards: Int = 4,
       stats: Boolean = true, subdocDedup: Boolean = false,
       boilerplateMaxDocs: Option[Int] = None,
-      gateWeights: Option[Seq[Double]] = None): (DataFrame, Option[Stats]) = {
+      gateWeights: Option[Seq[Double]] = None,
+      decontaminate: Option[DataFrame] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
@@ -99,14 +102,29 @@ object Curate {
           .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
         .select(dedupedDocs.columns.map(col).toIndexedSeq: _*)
     val afterSubdoc = if (subdocDedup) countIf(deduped) else -1L
+    // Optional cross-corpus decontamination (the leakage guard): docs
+    // that near-dup-match the supplied HELD-OUT frame — LSH collision
+    // + Jaccard >= jaccardThreshold, Dedup.dedupAgainst — are dropped
+    // so evaluation on that frame never scores effectively-trained-on
+    // text. Runs AFTER internal dedup (the survivor set is what
+    // trains) and before pruning; the held-out frame itself is never
+    // touched. Callers splitting with Mix.hashSplit pass the val/test
+    // side here (or use Mix.decontaminateSplits for the report form).
+    val decont = decontaminate match {
+      case None => deduped
+      case Some(heldout) =>
+        deduped.join(Dedup.dedupAgainst(deduped, heldout, jaccardThreshold)
+          .filter(col("kept")).select("doc_id"), "doc_id")
+    }
+    val afterDecontam = if (decontaminate.isDefined) countIf(decont) else -1L
     // The multi-consumer frames are CHECKPOINTED: pruned feeds four
     // consumers and chunks two, and without truncation every stage
     // count would re-run the whole upstream pipeline; a durable
     // checkpoint (unlike persist) pins no executor memory and leaves
     // nothing for the caller to unpersist — at 100 TB these are the
     // natural between-stage tables anyway.
-    val pruned = deduped.join(
-      TextAnalysis.qualityPrune(deduped, pruneP).select("doc_id"), "doc_id")
+    val pruned = decont.join(
+      TextAnalysis.qualityPrune(decont, pruneP).select("doc_id"), "doc_id")
       .checkpoint()
     val afterPrune = countIf(pruned)
     val weights = Mix.temperatureWeights(pruned, Seq("lang", "source"), tau)
@@ -123,7 +141,8 @@ object Curate {
     val packed = TextAnalysis.packSequences(chunks, ctxTokens, shards)
     val st =
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
-        resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate))
+        resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
+        afterDecontam))
       else None
     (packed, st)
   }

@@ -44,6 +44,72 @@ object PipelineInventory {
     s"(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"
   }
 
+  /** DuckDB plain dot product with Spark's fold order (list_reduce's
+    * first-element start equals Spark's 0.0 init bit-for-bit: 0.0 + x
+    * is x in IEEE754). */
+  private def ddot(a: String, b: String): String =
+    s"list_reduce([$a[i]*$b[i] FOR i IN range(1, len($a)+1)], (p,q) -> p+q)"
+
+  /** The Ann.pqTrain(exactMeans)/pqEncode chain in DuckDB at the p43/
+    * p44 gate config (m=4, dsub=16, ksub=8, iters=1), parameterized by
+    * the subvector relation (`sv` over the corpus for p43, `rsv` over
+    * coarse residuals for p44; `svCte` is that relation's definition).
+    * Mirrors the Spark side stage for stage: md5-smallest seed ids →
+    * seed codebooks → one Lloyd iteration (L2 argmin via
+    * score = sv·c − |c|²/2 rounded 6dp with c_id tiebreak; ordered-
+    * fold means rounded 6dp; empty centroids keep their seed) → final
+    * argmin encode. Emits CTEs `seed bk0 … bk1 es enc`. */
+  private def pqOracleCtes(sv: String, svCte: String): String = {
+    def score(rel: String) =
+      rrepr(s"${ddot(s"$rel.sv", "b.cemb")} - ${ddot("b.cemb", "b.cemb")} / 2", 6)
+    s"""$svCte,
+       |sd0 AS (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM e ORDER BY h LIMIT 8),
+       |seed AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS c_id FROM sd0),
+       |bk0 AS (SELECT s.sub, sd.c_id, s.sv AS cemb
+       |        FROM $sv s JOIN seed sd ON s.vec_id = sd.vec_id),
+       |as1 AS (SELECT s.vec_id, s.sub, s.sv, b.c_id, ${score("s")} AS score
+       |        FROM $sv s JOIN bk0 b ON s.sub = b.sub),
+       |a1 AS (SELECT vec_id, sub, sv, c_id FROM (
+       |    SELECT z.*, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, c_id) AS rn
+       |    FROM as1 z) t WHERE rn = 1),
+       |x1 AS (SELECT sub, c_id, CAST(i - 1 AS INT) AS dim, sv[i] AS v
+       |       FROM a1, range(1, 17) r(i)),
+       |g1 AS (SELECT sub, c_id, dim,
+       |              ${rrepr("list_reduce(list_sort(list(v)), (p, q) -> p + q) / COUNT(*)", 6)} AS mv
+       |       FROM x1 GROUP BY sub, c_id, dim),
+       |bn AS (SELECT sub, c_id, list(mv ORDER BY dim) AS cemb FROM g1 GROUP BY sub, c_id),
+       |bk1 AS (SELECT * FROM bn
+       |        UNION ALL
+       |        SELECT b.* FROM bk0 b WHERE NOT EXISTS (
+       |          SELECT 1 FROM bn WHERE bn.sub = b.sub AND bn.c_id = b.c_id)),
+       |es AS (SELECT s.vec_id, s.sub, b.c_id, ${score("s")} AS score
+       |       FROM $sv s JOIN bk1 b ON s.sub = b.sub),
+       |enc AS (SELECT vec_id, sub, c_id FROM (
+       |    SELECT z.vec_id, z.sub, z.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY z.vec_id, z.sub ORDER BY z.score DESC, z.c_id) AS rn
+       |    FROM es z) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared p43/p44 tail: shortlist the top-20 ADC candidates per
+    * query, exact float-cosine re-rank (zero-norm guard → NULLS LAST,
+    * mirroring Ann.rerankShortlist), top-5. Consumes CTE `ad`
+    * (q_id, vec_id, adot). */
+  private val pqShortRerankSql: String =
+    s"""short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS qrn
+       |    FROM ad) t WHERE qrn <= 20),
+       |scored AS (SELECT sh.q_id, sh.vec_id,
+       |                  CASE WHEN ${dnorm2("x.emb")} * ${dnorm2("q.emb")} > 0
+       |                       THEN ${rrepr(dcos("x.emb", "q.emb"), 3)} END AS sim
+       |           FROM short sh JOIN e x ON sh.vec_id = x.vec_id
+       |           JOIN e q ON sh.q_id = q.vec_id)
+       |SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT q_id, vec_id, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
   /** Shared DuckDB CTEs: distinct word 3-shingles (pre-hashed to the
     * same 60-bit md5-derived int Dedup.shingleHashes emits) / tokens. */
   private val shCte =
@@ -1514,6 +1580,49 @@ object PipelineInventory {
               |LEFT JOIN m USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Cross-split decontamination: the r48 hash split composed with
+    // the p39 cross-corpus near-dup screen — train docs within LSH +
+    // Jaccard 0.5 of any val/test doc flagged kept=false (the leakage
+    // guard between splitting and training; held-out docs never
+    // dropped). Oracle = the r48 bucket CTE feeding the p39 chain.
+    QueryDef("p45_split_decontaminate",
+      (s, d) => Mix.decontaminateSplits(T(s, d, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id"),
+      Some(s"""WITH $mhCte,
+              |spl AS (SELECT doc_id,
+              |          CASE WHEN b < 8000 THEN 'train'
+              |               WHEN b < 9000 THEN 'val'
+              |               ELSE 'test' END AS split
+              |        FROM (SELECT doc_id,
+              |                ('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+              |              FROM documents)),
+              |bn AS (SELECT * FROM (
+              |    SELECT z.*, COUNT(*) OVER (PARTITION BY band, bh) AS bc
+              |    FROM bands z
+              |    WHERE z.doc_id IN (SELECT doc_id FROM spl WHERE split = 'train')) t
+              |  WHERE bc <= 100),
+              |br AS (SELECT * FROM (
+              |    SELECT z.*, COUNT(*) OVER (PARTITION BY band, bh) AS bc
+              |    FROM bands z
+              |    WHERE z.doc_id IN (SELECT doc_id FROM spl WHERE split <> 'train')) t
+              |  WHERE bc <= 100),
+              |cand AS (SELECT DISTINCT n.doc_id AS d1, r.doc_id AS d2
+              |         FROM bn n JOIN br r ON n.band = r.band AND n.bh = r.bh),
+              |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT c.d1, c.d2, COUNT(*) AS ninter
+              |          FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+              |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+              |          GROUP BY c.d1, c.d2),
+              |m AS (SELECT i.d1 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+              |      FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id JOIN cnt c2 ON i.d2 = c2.doc_id
+              |      WHERE i.ninter / (c1.n + c2.n - i.ninter) >= 0.5
+              |      GROUP BY i.d1)
+              |SELECT d.doc_id, d.split, COALESCE(m.n_matches, 0::BIGINT) AS n_matches,
+              |       m.n_matches IS NULL AS kept
+              |FROM spl d LEFT JOIN m USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Corpus snapshot diff (added/removed/changed docs between two
     // versions, derived deterministically from the same table: A drops
     // id % 7 == 0; B drops id % 5 == 0 and edits id % 11 == 0 texts).
@@ -1687,6 +1796,92 @@ object PipelineInventory {
            |  CASE WHEN tp * 2 + fp + fn > 0 THEN ${rrepr("CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)", 4)} END AS f1
            |FROM m""".stripMargin
       }),
+
+    // Product-quantized ANN, oracle-checked end to end: codebook
+    // TRAINING (one exact-means Lloyd iteration per subspace from
+    // md5-seeded corpus vectors), ENCODE (L2 argmin via the
+    // score = sv·c − |c|²/2 identity, 6dp + c_id tiebreak), the ADC
+    // approximate-dot candidate scan (m ordered lookups per pair,
+    // round 6), shortlist, and the exact float-cosine re-rank — every
+    // stage the production pqTopK runs, at a small fixed config
+    // (m=4, ksub=8, iters=1, 3 queries). exactMeans swaps the one
+    // non-deterministic aggregation (the centroid mean) for the
+    // kmeansStep-style ordered fold; everything else is the shipped
+    // code path.
+    QueryDef("p43_ann_pq",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.pqTopK(emb, emb.filter(col("vec_id") < 3), k = 5, m = 4,
+          ksub = 8, iters = 1, shortlist = 20, exactMeans = true)
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH $embCte,
+              |${pqOracleCtes("sv",
+                 s"sv AS (SELECT vec_id, r.sub, emb[(r.sub*16+1):(r.sub*16+16)] AS sv FROM e, range(0, 4) r(sub))")},
+              |lutp AS (SELECT s.vec_id AS q_id, s.sub, b.c_id,
+              |                ${ddot("s.sv", "b.cemb")} AS pdot
+              |         FROM sv s JOIN bk1 b ON s.sub = b.sub WHERE s.vec_id < 3),
+              |adp AS (SELECT l.q_id, en.vec_id, en.sub, l.pdot
+              |        FROM enc en JOIN lutp l ON en.sub = l.sub AND en.c_id = l.c_id
+              |        WHERE en.vec_id <> l.q_id),
+              |ad AS (SELECT q_id, vec_id,
+              |              ${rrepr("list_reduce(list(pdot ORDER BY sub), (p, q) -> p + q)", 6)} AS adot
+              |       FROM adp GROUP BY q_id, vec_id),
+              |$pqShortRerankSql""".stripMargin)),
+
+    // IVFPQ, oracle-checked end to end: cosine coarse assignment to 8
+    // FIXED centroids (the production shape — a deployed index reuses
+    // one persisted coarse quantizer), per-vector residuals, an
+    // exact-means residual-codebook Lloyd iteration, encode, then the
+    // bias-form inner-product ADC (dot(q,v) ≈ dot(q,c_v) + dot(q,r̂_v):
+    // residual lookups plus the per-(query, probed-cluster) scalar
+    // bias) over nprobe=2 probed clusters, shortlist, exact re-rank.
+    QueryDef("p44_ann_ivfpq",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+          nprobe = 2, m = 4, ksub = 8, iters = 1, shortlist = 20,
+          exactMeans = true, coarse0 = Some(emb.filter(col("vec_id") < 8)))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH $embCte,
+              |coarse AS (SELECT vec_id AS c_id, emb AS cemb FROM e WHERE vec_id < 8),
+              |acs AS (SELECT e.vec_id, c.c_id,
+              |               ${rrepr(dcos("e.emb", "c.cemb"), 6)} AS csim
+              |        FROM e, coarse c),
+              |cassign AS (SELECT vec_id, c_id FROM (
+              |    SELECT vec_id, c_id,
+              |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crn
+              |    FROM acs) t WHERE crn = 1),
+              |resid AS (SELECT e.vec_id, [e.emb[i] - c.cemb[i] FOR i IN range(1, 65)] AS emb
+              |          FROM e JOIN cassign a ON e.vec_id = a.vec_id
+              |          JOIN coarse c ON a.c_id = c.c_id),
+              |${pqOracleCtes("rsv",
+                 s"rsv AS (SELECT vec_id, r.sub, emb[(r.sub*16+1):(r.sub*16+16)] AS sv FROM resid, range(0, 4) r(sub))")},
+              |qsv AS (SELECT vec_id, r.sub, emb[(r.sub*16+1):(r.sub*16+16)] AS sv
+              |        FROM e, range(0, 4) r(sub) WHERE vec_id < 3),
+              |lutp AS (SELECT s.vec_id AS q_id, s.sub, b.c_id,
+              |                ${ddot("s.sv", "b.cemb")} AS pdot
+              |         FROM qsv s JOIN bk1 b ON s.sub = b.sub),
+              |qcs AS (SELECT q.vec_id AS q_id, c.c_id, q.emb AS qemb,
+              |               ${rrepr(dcos("q.emb", "c.cemb"), 6)} AS csim
+              |        FROM e q, coarse c WHERE q.vec_id < 3),
+              |probes AS (SELECT q_id, c_id, qemb FROM (
+              |    SELECT q_id, c_id, qemb,
+              |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, c_id) AS crn
+              |    FROM qcs) t WHERE crn <= 2),
+              |pb AS (SELECT p.q_id, p.c_id, ${ddot("p.qemb", "c.cemb")} AS bias
+              |       FROM probes p JOIN coarse c ON p.c_id = c.c_id),
+              |cand AS (SELECT p.q_id, p.bias, a.vec_id
+              |         FROM pb p JOIN cassign a ON a.c_id = p.c_id
+              |         WHERE a.vec_id <> p.q_id),
+              |adp AS (SELECT cd.q_id, cd.vec_id, cd.bias, en.sub, l.pdot
+              |        FROM cand cd JOIN enc en ON en.vec_id = cd.vec_id
+              |        JOIN lutp l ON l.q_id = cd.q_id AND l.sub = en.sub AND l.c_id = en.c_id),
+              |ad AS (SELECT q_id, vec_id,
+              |              ${rrepr("list_reduce(list(pdot ORDER BY sub), (p, q) -> p + q) + bias", 6)} AS adot
+              |       FROM adp GROUP BY q_id, vec_id, bias),
+              |$pqShortRerankSql""".stripMargin)),
 
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check).

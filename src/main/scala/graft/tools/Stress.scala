@@ -24,7 +24,7 @@ import graft.pipelines.Curate
   *
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
-  *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq
+  *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -37,7 +37,7 @@ object Stress {
   val DefaultOps = Seq(
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
-    "logreg", "pq", "ivfpq")
+    "logreg", "pq", "ivfpq", "pqidx")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -135,6 +135,15 @@ object Stress {
         // kCoarse/nprobe ratio keeps ~1/4 of the codes scanned
         Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 1000), k = 10,
           kCoarse = 32, nprobe = 8)
+      case "pqidx" =>
+        // the persisted-index lifecycle: train codebooks, land the
+        // packed code index, search FROM DISK — the ADC scan reads
+        // ~m bytes/vector instead of the float column (the IO shape
+        // the in-memory `pq` op cannot measure)
+        val books = Ann.pqTrain(emb).localCheckpoint(true)
+        Ann.writePqIndex(emb, books, s"$dir/pq_index.parquet")
+        Ann.pqSearchIndex(spark, s"$dir/pq_index.parquet", books, emb,
+          emb.filter(col("vec_id") < 1000), k = 10)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see

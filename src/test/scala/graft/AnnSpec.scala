@@ -439,4 +439,87 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9,
       s"semDedup drop recall = $recall (${dropped.size}/${exactDropped.size})")
   }
+
+  private def partFiles(root: String) = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+      .toMap
+  }
+
+  test("PQ code index: append == full rewrite, old files untouched; search == in-memory; books round-trip parquet") {
+    val embSf = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(col("vec_id") < 150)
+    val queries = embSf.filter(col("vec_id") < 3)
+    val books = Ann.pqTrain(embSf, m = 4, ksub = 8, iters = 1).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("pqi").toString
+    val full = java.nio.file.Files.createTempDirectory("pqf").toString
+    Ann.writePqIndex(embSf.filter(col("vec_id") < 100), books, dir, m = 4)
+    val before = partFiles(dir)
+    Ann.appendPqIndex(embSf.filter(col("vec_id") >= 100), books, dir, m = 4)
+    val after = partFiles(dir)
+    // append adds part files; every pre-existing file is untouched
+    assert(before.forall { case (p, t) => after.get(p).contains(t) })
+    assert(after.size > before.size)
+    // appended index holds exactly the one-shot index's codes
+    Ann.writePqIndex(embSf, books, full, m = 4)
+    def codes(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(codes(dir) == codes(full))
+    // search-from-index == in-memory pqTopK under the same codebooks
+    val viaIdx = Ann.pqSearchIndex(spark, dir, books, embSf, queries,
+      k = 5, m = 4, shortlist = 20).collect().map(_.toSeq).toSet
+    val inMem = Ann.pqTopK(embSf, queries, k = 5, m = 4, ksub = 8,
+      iters = 1, shortlist = 20, books0 = Some(books))
+      .collect().map(_.toSeq).toSet
+    assert(viaIdx == inMem)
+    // codebooks survive a parquet round-trip bit-for-bit: searching
+    // with re-read books is row-identical
+    val bdir = java.nio.file.Files.createTempDirectory("pqb").toString + "/books"
+    books.write.parquet(bdir)
+    val viaRead = Ann.pqSearchIndex(spark, dir, spark.read.parquet(bdir),
+      embSf, queries, k = 5, m = 4, shortlist = 20)
+      .collect().map(_.toSeq).toSet
+    assert(viaRead == inMem)
+  }
+
+  test("IVFPQ code index: partition-pruned search == in-memory ivfPqTopK; append == full rewrite") {
+    val embSf = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .filter(col("vec_id") < 150)
+    val queries = embSf.filter(col("vec_id") < 3)
+    val coarse0 = embSf.filter(col("vec_id") < 8)
+    val coarse = coarse0.select(col("vec_id").as("c_id"),
+      Vectors.asDouble(col("embedding")).as("cemb")).localCheckpoint(true)
+    val books = Ann.pqTrain(
+      Ann.ivfPqResiduals(embSf, coarse).drop("c_id"),
+      m = 4, ksub = 8, iters = 1).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqi").toString
+    val full = java.nio.file.Files.createTempDirectory("ivfpqf").toString
+    Ann.writeIvfPqIndex(embSf.filter(col("vec_id") < 100), coarse, books, dir, m = 4)
+    val before = partFiles(dir)
+    Ann.appendIvfPqIndex(embSf.filter(col("vec_id") >= 100), coarse, books, dir, m = 4)
+    val after = partFiles(dir)
+    assert(before.forall { case (p, t) => after.get(p).contains(t) })
+    assert(after.size > before.size)
+    Ann.writeIvfPqIndex(embSf, coarse, books, full, m = 4)
+    def codes(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("codes").cast("array<int>"), col("c_id"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(codes(dir) == codes(full))
+    // search over the partitioned code index == in-memory ivfPqTopK
+    // under the same coarse centroids + codebooks
+    val viaIdx = Ann.ivfPqSearchIndex(spark, dir, coarse, books, embSf,
+      queries, k = 5, nprobe = 2, m = 4, shortlist = 20)
+    val rowsIdx = viaIdx.collect().map(_.toSeq).toSet
+    val inMem = Ann.ivfPqTopK(embSf, queries, k = 5, nprobe = 2, m = 4,
+      ksub = 8, iters = 1, shortlist = 20, coarse0 = Some(coarse0),
+      books0 = Some(books)).collect().map(_.toSeq).toSet
+    assert(rowsIdx == inMem)
+    // the code scan reads only probed cluster directories (static
+    // partition predicate from the collected routing table)
+    val plan = viaIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*c_id".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
 }

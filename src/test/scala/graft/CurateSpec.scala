@@ -129,6 +129,46 @@ class CurateSpec extends SparkSpec {
     assert(withBp.count() > 0)
   }
 
+  test("decontaminate stage: held-out near-dups drop, accounting matches the operator, law holds") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    // Reconstruct the pipeline's pre-decontamination state (gate +
+    // dedup are deterministic, so this is exactly what the stage sees)
+    val gated = docs.join(
+      TextAnalysis.qualityGate(docs).filter(col("kept")).select("doc_id"), "doc_id")
+    val surv = graft.operators.Dedup.dedupCorpus(gated).cache()
+    // Held-out frame: exact copies of the two smallest survivor ids,
+    // offset so the id spaces are disjoint (Jaccard 1.0 -> always
+    // caught, no LSH luck involved)
+    val planted = surv.orderBy("doc_id").limit(2).cache()
+    val held = planted.withColumn("doc_id", col("doc_id") + 1000000L)
+    val (packed, stOpt) = Curate.run(docs, decontaminate = Some(held))
+    val st = stOpt.get
+    // the stage's accounting equals the operator applied to the
+    // reconstructed survivor set
+    val rep = graft.operators.Dedup.dedupAgainst(surv, held).cache()
+    assert(st.afterDedup == surv.count())
+    assert(st.afterDecontam == rep.filter(col("kept")).count())
+    // the planted originals are among the dropped
+    val droppedIds = rep.filter(!col("kept")).select("doc_id").as[Long].collect().toSet
+    val plantedIds = planted.select("doc_id").as[Long].collect().toSet
+    assert(plantedIds.subsetOf(droppedIds), s"$plantedIds not in $droppedIds")
+    // THE LAW: no surviving doc reaches the Jaccard threshold with any
+    // held-out doc — exact shingle check, not LSH
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val heldTexts = planted.select("text").as[String].collect().map(shingles)
+    val keptTexts = surv.join(rep.filter(col("kept")).select("doc_id"), "doc_id")
+      .select("text").as[String].collect()
+    for (t <- keptTexts; h <- heldTexts) {
+      val s = shingles(t)
+      val j = s.intersect(h).size.toDouble / math.max(1, s.union(h).size)
+      assert(j < 0.5, s"kept doc has exact Jaccard $j with a held-out doc")
+    }
+    assert(packed.count() > 0)
+    surv.unpersist(); planted.unpersist(); rep.unpersist()
+  }
+
   test("curate works in a session with no checkpoint dir pre-set") {
     // the checkpoint dir must be ensured by Curate itself, not
     // inherited from a previous components() call in the same JVM —

@@ -134,6 +134,51 @@ class MixSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("decontaminateSplits flags cross-split near-dups and never touches held-out docs") {
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sp:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 10000
+    }
+    def splitOf(id: Long) =
+      if (bucket(id) < 8000) "train" else if (bucket(id) < 9000) "val" else "test"
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ids = 1L to 200L
+    val trainId = ids.find(splitOf(_) == "train").get
+    val valId = ids.find(splitOf(_) == "val").get
+    // fully-distinct 8-word texts (no shared shingle anywhere), except
+    // one train doc planted as an EXACT copy of a val doc
+    def text(id: Long) = (0 until 8).map(j => s"w${id}x$j").mkString(" ")
+    val docs = ids.map(i =>
+      (i, if (i == trainId) text(valId) else text(i))).toDF("doc_id", "text")
+    val rep = Mix.decontaminateSplits(docs, splits).cache()
+    // one verdict row per input doc
+    assert(rep.count() == 200)
+    // the planted copy is flagged on the TRAIN side only
+    val r = rep.filter($"doc_id" === trainId).head
+    assert(r.getAs[String]("split") == "train")
+    assert(r.getAs[Long]("n_matches") >= 1 && !r.getAs[Boolean]("kept"))
+    // held-out docs — including the val original — are never flagged
+    assert(rep.filter($"split" =!= "train" && !$"kept").count() == 0)
+    // nothing else is flagged
+    assert(rep.filter(!$"kept").count() == 1)
+    // THE LAW: after dropping flagged docs, no surviving train doc
+    // reaches the Jaccard threshold with any held-out doc (exact
+    // brute-force check over 3-word shingle sets)
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = docs.as[(Long, String)].collect().toMap
+    val kept = rep.filter($"split" === "train" && $"kept")
+      .select("doc_id").as[Long].collect()
+    val heldIds = ids.filter(splitOf(_) != "train")
+    for (t <- kept; h <- heldIds) {
+      val (a, b) = (shingles(byId(t)), shingles(byId(h)))
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      assert(j < 0.5, s"kept train doc $t has Jaccard $j with held-out $h")
+    }
+    rep.unpersist()
+  }
+
   test("hashSplit rejects malformed split vectors") {
     val docs = (1L to 10L).toDF("doc_id")
     intercept[IllegalArgumentException](
