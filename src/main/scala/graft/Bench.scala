@@ -19,14 +19,15 @@ object Bench {
     * Extracted from main so the driver contract is spec-testable
     * without a SparkSession (BenchSpec). */
   private[graft] def compactLine(ok: Seq[(String, Double)], errSeq: Seq[String],
-      total: Double, runs: Int, sfLabel: String, budget: Int = 1800): String = {
+      total: Double, runs: Int, sfLabel: String, budget: Int = 1800,
+      loadStats: String = ""): String = {
     def render(qs: Seq[(String, Double)], omitted: Int,
         errNames: Seq[String], errOmitted: Int): String = {
       val m = qs.map { case (k, v) => s""""$k":${fmt2(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val es = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       val eo = if (errOmitted > 0) s""","errors_omitted":$errOmitted""" else ""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${ok.size},"runs":$runs,"errors":$es$eo$om,"queries":$m,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${ok.size},"runs":$runs,"errors":$es$eo$om$loadStats,"queries":$m,"sf":"$sfLabel"}"""
     }
     val bySlow = ok.sortBy(-_._2)
     var kq = ok.size
@@ -77,8 +78,18 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // Self-labelling (the Stress discipline, r7): this sandbox is a
+    // microVM with invisible neighbor load, and a driver-side run in a
+    // noise episode reads uniformly 2-4x the idle cost with zero code
+    // difference (r6 forensic). Recording the 1-min load average
+    // per query and every rep's raw time makes a noisy artifact carry
+    // its own evidence — a row with load >> a few is suspect, and
+    // divergent reps pinpoint the episode — instead of needing a
+    // SCALE.md postmortem.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = ordered.map { case (name, fn) =>
+      val load = osBean.getSystemLoadAverage
       val dts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -87,21 +98,27 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> dts.min
+      (name, dts, load)
     }
     // A throwing query contributes NOTHING to the total or the map: a
     // fast failure must not lower the headline number. Its name lands
     // in the "errors" list instead.
-    val ok = results.filterNot { case (name, _) => failed.contains(name) }
-    val total = ok.map(_._2).sum
+    val ok = results.filterNot { case (name, _, _) => failed.contains(name) }
+    val okMin = ok.map { case (name, dts, _) => name -> dts.min }
+    val total = okMin.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfLabel = new java.io.File(sfDir).getName
+    val loads = ok.map(_._3)
+    val loadStats = if (loads.isEmpty) "" else
+      s""","load":{"start":${fmt2(loads.head)},"mean":${fmt2(loads.sum / loads.size)},"max":${fmt2(loads.max)}}"""
 
     // Full-precision detail goes to a file (and an early stdout line);
     // the final stdout line is the compact driver-parsed form.
-    val fullQs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullQs = ok.map { case (name, dts, load) =>
+      s""""$name":{"sec":${dts.min},"reps":[${dts.mkString(",")}],"load":${fmt2(load)}}"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs","errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs; reps are raw times, load is the 1-min average sampled before each query","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""
     println(fullLine)
     // Only a FULL run may overwrite the recorded artifact: a targeted
     // SPARK_GRAFT_ONLY profiling run would otherwise clobber the
@@ -111,7 +128,8 @@ object Bench {
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
 
-    println(compactLine(ok, failed.toSeq, total, runs, sfLabel))
+    println(compactLine(okMin, failed.toSeq, total, runs, sfLabel,
+      loadStats = loadStats))
     spark.stop()
   }
 }

@@ -669,14 +669,18 @@ object TextAnalysis {
   }
 
   /** Apply trained quality-classifier weights: the raw linear logit
-    * w·x and the decision `kept` = logit > 0. Deliberately NO sigmoid
-    * on this path — exp is not correctly-rounded across engines, while
-    * the left-folded multiply-add chain over the rounded features is
-    * bit-identical (sigmoid is monotone, so ranking and the z=0
-    * decision boundary are unchanged). One narrow codegen'd projection.
-    * Output: doc_id, features…, logit, kept. */
+    * w·x and the decision `kept` = logit > `threshold`. Deliberately
+    * NO sigmoid on this path — exp is not correctly-rounded across
+    * engines, while the left-folded multiply-add chain over the
+    * rounded features is bit-identical (sigmoid is monotone, so
+    * ranking and any fixed decision boundary are unchanged). The
+    * default boundary is z = 0 (p(keep) = ½, the p41 oracle contract);
+    * a precision/recall-tuned deployment passes the
+    * [[sweepThreshold]]-selected cut instead. One narrow codegen'd
+    * projection. Output: doc_id, features…, logit, kept. */
   def scoreQualityLogreg(feats: DataFrame, weights: Seq[Double],
-      featureCols: Seq[String] = qualityFeatureCols): DataFrame = {
+      featureCols: Seq[String] = qualityFeatureCols,
+      threshold: Double = 0.0): DataFrame = {
     require(weights.size == featureCols.size + 1,
       s"weights size ${weights.size} != 1 + ${featureCols.size} features")
     val z = featureCols.zip(weights.tail)
@@ -684,7 +688,51 @@ object TextAnalysis {
       .foldLeft(lit(weights.head).cast("double"): Column)(_ + _)
     feats.select(col("doc_id") +: featureCols.map(col) :+
       round(z, 6).as("logit"): _*)
-      .withColumn("kept", col("logit") > 0)
+      .withColumn("kept", col("logit") > threshold)
+  }
+
+  /** F1-optimal decision threshold for the learned filter: sweep
+    * candidate cuts over a labeled (doc_id, logit) frame and return
+    * (threshold, f1) of the best.
+    *
+    * Candidates are the `grid` evenly-spaced logit percentiles plus
+    * the z = 0 default (so the sweep can only match-or-beat the
+    * shipped boundary on its own training frame). Cost is TWO
+    * aggregations regardless of grid size: one exact `percentile`
+    * call for the candidate cuts, then one pass computing tp and
+    * predicted-positive counts for EVERY candidate simultaneously
+    * (2·grid+1 counters — bounded driver state). The exact
+    * prefix-sum alternative (sort by logit, cumulative tp) needs a
+    * corpus-wide ordering — one reducer at 100 TB — and is
+    * deliberately not used; at extreme scale swap the exact
+    * percentile for `approx_percentile` (the candidate GRID moves
+    * slightly; the one-pass sweep is unchanged). Ties break toward
+    * the smallest threshold (keep more). F1 here is unrounded driver
+    * math: 2·tp / (pp + pos). */
+  def sweepThreshold(scored: DataFrame, labels: DataFrame, grid: Int = 99,
+      labelCol: String = "label"): (Double, Double) = {
+    val j = scored.select(col("doc_id"), col("logit"))
+      .join(labels.select(col("doc_id"), (col(labelCol) === 1).as("y")), "doc_id")
+      .select(col("logit"), col("y"))
+    val qs = (1 to grid).map(_.toDouble / (grid + 1))
+    val pRow = j.agg(expr(
+        s"percentile(logit, array(${qs.mkString(",")}))").as("p")).head
+    require(!pRow.isNullAt(0),
+      "sweepThreshold: no labeled rows (scored ⋈ labels is empty)")
+    val cand0 = pRow.getSeq[Double](0)
+    val cands = (cand0 :+ 0.0).distinct.sorted
+    val aggs = cands.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("logit") > t && col("y"), 1L).otherwise(0L)).as(s"tp$i"),
+      sum(when(col("logit") > t, 1L).otherwise(0L)).as(s"pp$i")) } :+
+      sum(when(col("y"), 1L).otherwise(0L)).as("pos")
+    val r = j.agg(aggs.head, aggs.tail: _*).head
+    val pos = r.getAs[Long]("pos")
+    cands.zipWithIndex.map { case (t, i) =>
+      val tp = r.getAs[Long](s"tp$i")
+      val pp = r.getAs[Long](s"pp$i")
+      val f1 = if (pp + pos == 0L) 0.0 else 2.0 * tp / (pp + pos)
+      (t, f1)
+    }.maxBy { case (t, f1) => (f1, -t) }
   }
 
   /** Confusion-matrix evaluation of a binary keep/drop classifier

@@ -12,8 +12,9 @@ import graft.operators.{Dedup, Mix}
   *   quality gate (rule-based, or the learned filter when trained
   *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
   *   components survivors) → [sub-document CDC dedup] →
-  *   [held-out decontamination] → per-domain score pruning →
-  *   temperature-mixture resampling → chunk → pack
+  *   [held-out decontamination] → [semantic dedup] →
+  *   per-domain score pruning → temperature-mixture resampling →
+  *   chunk → pack
   *
   * (bracketed stages optional).
   *
@@ -27,7 +28,7 @@ object Curate {
   final case class Stats(input: Long, afterGate: Long, afterDedup: Long,
       afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int,
       afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L,
-      afterDecontam: Long = -1L)
+      afterDecontam: Long = -1L, afterSemDedup: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -49,7 +50,8 @@ object Curate {
       stats: Boolean = true, subdocDedup: Boolean = false,
       boilerplateMaxDocs: Option[Int] = None,
       gateWeights: Option[Seq[Double]] = None,
-      decontaminate: Option[DataFrame] = None): (DataFrame, Option[Stats]) = {
+      decontaminate: Option[DataFrame] = None,
+      semDedup: Option[(DataFrame, Int)] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
@@ -117,14 +119,39 @@ object Curate {
           .filter(col("kept")).select("doc_id"), "doc_id")
     }
     val afterDecontam = if (decontaminate.isDefined) countIf(decont) else -1L
+    // Optional SEMANTIC dedup (SemDeDup): `semDedup = Some((emb, k))`
+    // supplies a (vec_id, embedding) frame keyed by doc_id and a
+    // centroid count; within each of the k trained clusters, docs
+    // whose embedding cosine to a lower-id cluster-mate reaches
+    // Ann.semDedup's threshold drop. Embeddings are restricted to the
+    // docs ALIVE at this stage (the dedup judges the corpus as it
+    // stands), and docs with no embedding row are kept — absence of a
+    // vector is not evidence of redundancy. NOT part of the streamed
+    // chain (curateIngestStream): centroid training is an iterative
+    // whole-corpus batch job, and the within-cluster pair rule needs
+    // each cluster's full membership — per-cluster state a stream
+    // would have to hold unbounded; the production pattern is batch
+    // re-clustering on a cadence, streaming everything else.
+    val semmed = semDedup match {
+      case None => decont
+      case Some((emb, k)) =>
+        val alive = emb.join(
+          decont.select(col("doc_id").as("vec_id")), "vec_id")
+        val cents = graft.operators.Ann.trainCentroids(alive, k)
+          .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+        val dropped = graft.operators.Ann.semDedup(alive, cents)
+          .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+        decont.join(dropped, Seq("doc_id"), "left_anti")
+    }
+    val afterSemDedup = if (semDedup.isDefined) countIf(semmed) else -1L
     // The multi-consumer frames are CHECKPOINTED: pruned feeds four
     // consumers and chunks two, and without truncation every stage
     // count would re-run the whole upstream pipeline; a durable
     // checkpoint (unlike persist) pins no executor memory and leaves
     // nothing for the caller to unpersist — at 100 TB these are the
     // natural between-stage tables anyway.
-    val pruned = decont.join(
-      TextAnalysis.qualityPrune(decont, pruneP).select("doc_id"), "doc_id")
+    val pruned = semmed.join(
+      TextAnalysis.qualityPrune(semmed, pruneP).select("doc_id"), "doc_id")
       .checkpoint()
     val afterPrune = countIf(pruned)
     val weights = Mix.temperatureWeights(pruned, Seq("lang", "source"), tau)
@@ -142,7 +169,7 @@ object Curate {
     val st =
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
-        afterDecontam))
+        afterDecontam, afterSemDedup))
       else None
     (packed, st)
   }

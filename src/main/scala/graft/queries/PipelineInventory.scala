@@ -301,17 +301,19 @@ object PipelineInventory {
         // fused docSignatures frame carries the minhash signatures
         // (bands select h*) AND the per-doc shingle arrays both sides
         // of the Jaccard verify join read — the split form shuffled
-        // the exploded shingle table twice. withCached materializes
-        // byDoc/bands eagerly (racing branches would duplicate the
-        // upstream work) and unpersists before returning.
+        // the exploded shingle table twice. The plan is fully LAZY:
+        // all three consumers of the byDoc aggregate (the band explode
+        // and both verify sides) are served by ReusedExchange inside
+        // the one action, so the aggregation runs once with ZERO cache
+        // machinery — the r6 withCached(byDoc, bands) form paid ~1.8 s
+        // of cache build + cached-read at sf0.1 for work exchange
+        // reuse gets free (measured 3.75 → 1.95 s min-of-4, r7;
+        // reuse plan-asserted in PlanSpec).
         val byDoc = Dedup.docSignatures(Dedup.shingleHashes(T(s, d, "documents")))
-        val bands = Dedup.lshBands(byDoc)
-        Caching.withCached(byDoc, bands) {
-          Dedup.jaccardVerify(byDoc, Dedup.lshCandidates(bands))
-            .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
-            .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-            .limit(100)
-        }
+        Dedup.jaccardVerify(byDoc, Dedup.lshCandidates(Dedup.lshBands(byDoc)))
+          .select(col("d1"), col("d2"), round(col("jaccard"), 3).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+          .limit(100)
       },
       Some(s"""WITH $mhCte,
               |bandc AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY band, bh) AS bc

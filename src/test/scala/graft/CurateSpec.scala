@@ -169,6 +169,39 @@ class CurateSpec extends SparkSpec {
     surv.unpersist(); planted.unpersist(); rep.unpersist()
   }
 
+  test("semDedup stage drops within-cluster semantic near-dups; embedding-less docs are kept") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val emb = Tables.load(spark, sf, "embeddings")
+    // reconstruct the stage's input (gate + dedup, both deterministic)
+    val gated = docs.join(
+      TextAnalysis.qualityGate(docs).filter(col("kept")).select("doc_id"), "doc_id")
+    val surv = graft.operators.Dedup.dedupCorpus(gated).cache()
+    val ids = surv.orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    val (a, b) = (ids(0), ids(1))
+    // plant: survivor b's embedding becomes an exact copy of a's —
+    // same vector -> same cluster -> the higher id drops
+    val embA = emb.filter(col("vec_id") === a)
+      .head.getAs[scala.collection.Seq[Float]]("embedding")
+    val emb2 = emb.withColumn("embedding",
+      when(col("vec_id") === b, typedLit(embA.toSeq)).otherwise(col("embedding")))
+    val (packed, stOpt) = Curate.run(docs, semDedup = Some((emb2, 8)))
+    val st = stOpt.get
+    // independent recompute of the stage (same operators, same input)
+    val alive = emb2.join(surv.select(col("doc_id").as("vec_id")), "vec_id")
+    val cents = graft.operators.Ann.trainCentroids(alive, 8)
+      .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+    val dropped = graft.operators.Ann.semDedup(alive, cents)
+      .filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(dropped.contains(b) && !dropped.contains(a),
+      s"planted pair ($a kept, $b dropped) expected; dropped = $dropped")
+    // accounting: only docs the operator dropped leave the corpus —
+    // docs without an embedding row are untouched by construction
+    assert(st.afterSemDedup == st.afterDedup - dropped.size)
+    assert(st.afterSemDedup >= 0 && packed.count() > 0)
+    surv.unpersist()
+  }
+
   test("curate works in a session with no checkpoint dir pre-set") {
     // the checkpoint dir must be ensured by Curate itself, not
     // inherited from a previous components() call in the same JVM —

@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpec {
     assert(codegenWithDot, p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("p02's byDoc aggregation is computed once: ReusedExchange serves the other consumers") {
+    // The minhash pipeline consumes the fused doc-keyed aggregate from
+    // three plan branches (band explode + both Jaccard-verify sides).
+    // The query is deliberately cache-free: exchange reuse must serve
+    // the duplicates, or the aggregation re-runs per branch (the
+    // regression this asserts against — and the r6 persist() form this
+    // replaced paid ~1.8 s of cache machinery at sf0.1 for the same
+    // sharing).
+    val p = executedPlan("p02_minhash_lsh_pairs")
+    assert(p.contains("ReusedExchange"), p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("no gate query carries an UNBOUNDED nested-loop/cartesian join") {
     // The exact all-pairs baseline (p05) is allowed only over a
     // deterministic bounded slice: any BroadcastNestedLoopJoin or
@@ -99,6 +111,10 @@ class PlanSpec extends SparkSpec {
       "p21_ann_quantized", "p25_kmeans_step", "p29_semdedup", // centroid / shortlist broadcast
       "p32_unigram_lm",     // one-row corpus-total broadcast
       "p37_bigram_lm",      // one-row corpus-total broadcast (same shape as p32)
+      "p43_ann_pq",         // ADC scan: broadcast per-query LUT crossJoin
+                            // (3 query rows; the pqTopK plan shape)
+      "p44_ann_ivfpq",      // probe/LUT broadcasts over <= 8 coarse
+                            // centroids + 3 queries (ivfPqTopK shape)
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -386,4 +386,28 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     assert(m(1L) > m(99L))
   }
+
+  test("sweepThreshold beats the z=0 boundary on a skew-calibrated corpus") {
+    // Planted skew: every positive's logit sits in (-2, -1.02) and
+    // every negative's below -4.5 — the shipped z = 0 cut predicts
+    // NOTHING positive (tp = 0, F1 = 0), while a clean separating cut
+    // exists near -4. The sweep must find one.
+    val scored = ((1 to 50).map(i => (i.toLong, -1.0 - i * 0.02)) ++
+      (51 to 200).map(i => (i.toLong, -4.0 - i * 0.01)))
+      .toDF("doc_id", "logit")
+    val labels = (1 to 200).map(i => (i.toLong, if (i <= 50) 1 else 0))
+      .toDF("doc_id", "label")
+    val (t, f1) = TextAnalysis.sweepThreshold(scored, labels)
+    assert(f1 == 1.0, s"expected a perfect separating cut, got f1=$f1 at t=$t")
+    assert(t > -4.5 && t <= -2.0, s"threshold $t outside the separating gap")
+    // z=0 on the same frame scores F1 = 0 — the sweep strictly wins
+    // (2*tp / (pp + pos) with tp = pp = 0)
+    // and the tuned threshold flows through the scoring path
+    val feats = Seq((1L, 0.9, 0.0, 0.0, 0.0), (2L, 0.1, 0.0, 0.0, 0.0))
+      .toDF("doc_id", "len_frac", "stop_ratio", "top_frac", "distinct_ratio")
+    val kept = TextAnalysis.scoreQualityLogreg(
+        feats, Seq(0.0, 1.0, 0.0, 0.0, 0.0), threshold = 0.5)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(kept(1L) && !kept(2L))
+  }
 }
