@@ -641,8 +641,11 @@ object Ann {
       ksub: Int = 64, iters: Int = 3, shortlist: Int = 80,
       exactMeans: Boolean = false,
       books0: Option[DataFrame] = None): DataFrame = {
-    val books = books0.getOrElse(
-      pqTrain(emb, m, ksub, iters, exactMeans).localCheckpoint(true))
+    // no extra checkpoint: pqTrain's result is already (lazily)
+    // localCheckpointed — the first consumer materializes it, the
+    // second reuses the checkpoint RDD; an eager wrap here was one
+    // whole redundant job (~0.3 s at sf0.1, r7)
+    val books = books0.getOrElse(pqTrain(emb, m, ksub, iters, exactMeans))
     val codes = packedCodes(pqEncode(emb, books, m))
     rerankShortlist(emb, queries,
       pqShortlist(codes, books, queries, m, shortlist), k)
@@ -753,8 +756,7 @@ object Ann {
     }
     val resid = ivfPqResiduals(emb, coarse).localCheckpoint(false)
     val books = books0.getOrElse(
-      pqTrain(resid.drop("c_id"), m, ksub, iters, exactMeans)
-        .localCheckpoint(true))
+      pqTrain(resid.drop("c_id"), m, ksub, iters, exactMeans))
     val codes = packedCodes(pqEncode(resid, books, m))
       .join(resid.select("vec_id", "c_id"), "vec_id")
     rerankShortlist(emb, queries,
@@ -824,8 +826,16 @@ object Ann {
     * codes[m]). */
   def writePqIndex(emb: DataFrame, books: DataFrame, path: String,
       m: Int = 8): Unit =
-    packedCodes(pqEncode(emb, books, m))
-      .write.mode("overwrite").parquet(path)
+    writePq(emb, books, path, m, "overwrite")
+
+  /** The ONE definition of the flat PQ index layout (the [[writeIvf]]
+    * pattern): full build, batch append, and the streaming per-batch
+    * writer ([[graft.streaming.Ingest.pqIngestStream]]) all go
+    * through here. */
+  private[graft] def writePq(batch: DataFrame, books: DataFrame,
+      path: String, m: Int, mode: String): Unit =
+    packedCodes(pqEncode(batch, books, m))
+      .write.mode(mode).parquet(path)
 
   /** Incremental PQ ingest: encode ONLY the new batch against the
     * index's (fixed) codebooks and append — the PQ sibling of
@@ -837,8 +847,7 @@ object Ann {
     * [[appendIvfIndex]] caveat). */
   def appendPqIndex(batch: DataFrame, books: DataFrame, path: String,
       m: Int = 8): Unit =
-    packedCodes(pqEncode(batch, books, m))
-      .write.mode("append").parquet(path)
+    writePq(batch, books, path, m, "append")
 
   /** [[pqTopK]] over a persisted code index: the ADC scan reads the
     * packed codes from `path`; only the `shortlist` winners touch the
@@ -862,8 +871,9 @@ object Ann {
     writeIvfPq(emb, coarse, books, path, m, "overwrite")
 
   /** The ONE definition of the IVFPQ index layout (the [[writeIvf]]
-    * pattern): full build and batch append go through here. */
-  private def writeIvfPq(batch: DataFrame, coarse: DataFrame,
+    * pattern): full build, batch append, and the streaming per-batch
+    * writer all go through here. */
+  private[graft] def writeIvfPq(batch: DataFrame, coarse: DataFrame,
       books: DataFrame, path: String, m: Int, mode: String): Unit = {
     val resid = ivfPqResiduals(batch, coarse)
     packedCodes(pqEncode(resid, books, m))

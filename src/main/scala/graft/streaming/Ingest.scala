@@ -936,6 +936,45 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming PQ-code ingest: each micro-batch of embeddings is
+    * encoded against the index's FIXED codebooks (broadcast narrow
+    * map over the batch alone — old vectors never rescanned or
+    * re-encoded) and lands as a per-batch-id OVERWRITE partition, so
+    * checkpoint replay after a crash re-lands identical files instead
+    * of doubling rows (the [[vectorIngestStream]] layout;
+    * `Ann.appendPqIndex` is the at-least-once batch sibling). With
+    * `coarse` supplied the batch is RESIDUAL-encoded and each batch
+    * partition is further partitioned by the coarse cluster id, so
+    * `Ann.ivfPqSearchIndex`'s c_id pruning works across every batch
+    * directory; without it the flat `Ann.pqSearchIndex` layout lands.
+    * Codebooks (and coarse centroids) must be the ones the index was
+    * built with — re-training after drift is a full
+    * `Ann.writePqIndex`/`writeIvfPqIndex`. */
+  def pqIngestStream(spark: SparkSession, vecSchema: StructType,
+      srcDir: String, indexPath: String, books: DataFrame,
+      checkpoint: String, coarse: Option[DataFrame] = None, m: Int = 8,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        coarse match {
+          case None =>
+            graft.operators.Ann.writePq(batch, books,
+              s"$indexPath/batch_id=$id", m, "overwrite")
+          case Some(c) =>
+            graft.operators.Ann.writeIvfPq(batch, c, books,
+              s"$indexPath/batch_id=$id", m, "overwrite")
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** T4/T5: bounded-state streaming dedup — duplicates dropped while
     * their event time is within the watermark, after which state is
     * GC'd (Spark 4's dropDuplicatesWithinWatermark; the exact-unbounded

@@ -648,6 +648,60 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 5)
   }
 
+  test("STP: streamed PQ-code ingest equals the batch index; IVFPQ layout prunes across batches") {
+    import graft.operators.Ann
+    import graft.functions.Vectors
+    val src = tmp("stp-src"); val ck = tmp("stp-ck")
+    val idx = src + "-idx"
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val b1 = emb.filter($"vec_id" < 60)
+    val b2 = emb.filter($"vec_id" >= 60 && $"vec_id" < 120)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    val all = emb.filter($"vec_id" < 120)
+    val books = Ann.pqTrain(all, m = 4, ksub = 8, iters = 1).localCheckpoint(true)
+    Ingest.pqIngestStream(spark, b1.schema, src, idx, books, ck, m = 4)
+    val streamed = spark.read.parquet(idx)
+    assert(streamed.select("batch_id").distinct().count() == 2)
+    // the streamed layout holds exactly the one-shot batch index's codes
+    val full = tmp("stp-full") + "-w"
+    Ann.writePqIndex(all, books, full, m = 4)
+    def codes(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(codes(idx) == codes(full))
+    // search over the streamed root == search over the batch index
+    val queries = all.filter($"vec_id" < 3)
+    def top(p: String) = Ann.pqSearchIndex(spark, p, books, all, queries,
+      k = 5, m = 4, shortlist = 20).collect().map(_.toSeq).toSet
+    assert(top(idx) == top(full))
+    // restart on the same checkpoint: nothing new, nothing doubled
+    Ingest.pqIngestStream(spark, b1.schema, src, idx, books, ck, m = 4)
+    assert(spark.read.parquet(idx).count() == 120)
+    // IVFPQ form: residual codes under batch_id=/c_id= directories,
+    // cluster pruning intact across every batch partition
+    val ck2 = tmp("stp-ck2"); val idx2 = src + "-idx2"
+    val coarse = all.filter($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), Vectors.asDouble($"embedding").as("cemb"))
+      .localCheckpoint(true)
+    val rbooks = Ann.pqTrain(Ann.ivfPqResiduals(all, coarse).drop("c_id"),
+      m = 4, ksub = 8, iters = 1).localCheckpoint(true)
+    Ingest.pqIngestStream(spark, b1.schema, src, idx2, rbooks, ck2,
+      coarse = Some(coarse), m = 4)
+    val viaIdx = Ann.ivfPqSearchIndex(spark, idx2, coarse, rbooks, all,
+      queries, k = 5, nprobe = 2, m = 4, shortlist = 20)
+    val rows = viaIdx.collect().map(_.toSeq).toSet
+    val fullIvf = tmp("stp-fullivf") + "-w"
+    Ann.writeIvfPqIndex(all, coarse, rbooks, fullIvf, m = 4)
+    assert(rows == Ann.ivfPqSearchIndex(spark, fullIvf, coarse, rbooks, all,
+      queries, k = 5, nprobe = 2, m = 4, shortlist = 20)
+      .collect().map(_.toSeq).toSet)
+    val plan = viaIdx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*c_id".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+  }
+
   test("STQ: streamed quality report equals the batch report per micro-batch") {
     val src = tmp("stq-src"); val gold = tmp("stq-gold"); val ck = tmp("stq-ck")
     val cust = graft.gen.DataGen.customers(spark, 200)
