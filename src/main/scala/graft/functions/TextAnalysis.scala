@@ -496,6 +496,67 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** BM25 retrieval over the corpus (Robertson–Spärck Jones; the
+    * Okapi k1/b form every lexical search engine ships): score each
+    * (query, doc) pair
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` over the
+    * query's distinct tokens and return the top-k docs per query —
+    * the sparse, exact-match complement to the ANN stack's dense
+    * retrieval (hybrid search = this ∪ `Ann.bruteTopK`-family results).
+    * `idf(t) = ln((N−df+0.5)/(df+0.5)+1)` (the +1 floor keeps idf
+    * non-negative on stopword-frequency tokens).
+    *
+    * Scale design (100 TB): the inverted-index shape without building
+    * an index — tf is a (doc, token)-keyed partial agg, df/idf a
+    * token-keyed partial agg, and the scoring join is TOKEN-keyed, so
+    * only postings matching a query token ever move (the query token
+    * set is the broadcast side). The per-(query, doc) sum and the
+    * per-query top-k window partition by q_id — each query's candidate
+    * set is its postings union, never the corpus. Self-matches (a
+    * query drawn from the corpus finding its own doc) are excluded,
+    * mirroring the ANN operators.
+    *
+    * Determinism: idf's `ln` is rounded at 6dp straight off an
+    * exact-int IEEE op chain (df-distinct inputs only); every other
+    * step — the k1/b term, avgdl — is the identical IEEE operand
+    * sequence in any engine; per-pair terms are 6dp-rounded and summed
+    * with the ascending sorted fold.
+    * Output: q_id, doc_id, score, rn (1..k per query). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text", qidCol: String = "q_id",
+      qtextCol: String = "qtext"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum("dl").cast("long").as("tot"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(st))
+      .select(col("token"), round(log(
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
+        .as("idf"))
+    val qt = queries.select(col(qidCol).as("q_id"),
+        explode(split(col(qtextCol), " ")).as("token"))
+      .distinct()
+    val avgdl = col("tot").cast("double") / col("n")
+    val term = round(col("idf") * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))), 6)
+    tf.join(broadcast(qt), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(idf, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("q_id"), col("doc_id"), term.as("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(round(aggregate(sort_array(collect_list(col("term"))), lit(0d), _ + _), 6)
+        .as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+  }
+
   /** The remaining Gopher repetition rules (Rae et al. 2021 §A1.1 —
     * the filter family Dolma/RefinedWeb/FineWeb reuse), complementing
     * [[repetition]]'s top-bigram fraction and distinct-token ratio:

@@ -149,6 +149,102 @@ object Mix {
     docs.withColumn("split", assigned)
   }
 
+  /** Hashed n-gram features for [[dsirScores]]: word unigrams + bigrams
+    * hashed into `buckets` through the same md5-derived 60-bit integer
+    * as the dedup shingles, counted WITH multiplicity (the bag-of-
+    * hashed-ngrams representation of Xie et al.'s DSIR). One narrow
+    * explode; the feature space is `buckets`-sized regardless of
+    * vocabulary, which is the whole point — the downstream model state
+    * is O(buckets), never O(vocab). Output: doc_id, bucket, c. */
+  private[graft] def ngramBuckets(docs: DataFrame, buckets: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t"))
+    t.select(col("doc_id"), explode(concat(col("t"),
+        expr("transform(sequence(1, greatest(size(t) - 1, 0))," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          % buckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** DSIR importance scores (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score a RAW corpus by how target-like each doc
+    * is under two bag-of-hashed-ngram unigram models. Each doc's score
+    * is the log-likelihood ratio
+    * `Σ_b c_b · ln( p_target(b) / p_raw(b) )` with add-one smoothing,
+    * where b ranges over the doc's hashed unigram+bigram buckets —
+    * positive means the target model explains the doc better than the
+    * raw model.
+    *
+    * Cross-engine determinism: the per-bucket probability ratio is
+    * built from exact integer counts with single IEEE divisions, the
+    * `ln` is rounded to 6dp immediately (the one transcendental — at
+    * most `buckets` distinct inputs, each validated bit-stable against
+    * the oracle engine), each doc term `c_b · lr_b` is one exact-
+    * operand IEEE product, and the per-doc sum runs as an ascending
+    * sorted fold (the [[graft.functions.TextAnalysis.unigramScore]]
+    * discipline).
+    *
+    * Scale design (100 TB): both bucket-count model fits are partial-
+    * aggregable groupBys onto `buckets` rows (map-side combine crushes
+    * hot buckets); the log-ratio table is buckets-sized and BROADCAST
+    * onto the per-doc features; the only corpus-keyed shuffle is the
+    * per-doc aggregation itself. The target corpus is typically small
+    * (a quality reference like Wikipedia) but nothing here requires it.
+    * Output: doc_id, n_grams, logw. */
+  def dsirScores(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val fr = ngramBuckets(raw, buckets, idCol, textCol)
+    val ft = ngramBuckets(target, buckets, idCol, textCol)
+    val bt = ft.groupBy("bucket").agg(sum("c").cast("long").as("ct"))
+    val br = fr.groupBy("bucket").agg(sum("c").cast("long").as("cr"))
+    val nt = bt.agg(sum("ct").cast("long").as("nt"))
+    val nr = br.agg(sum("cr").cast("long").as("nr"))
+    // p_t/p_r as two exact-int divisions then one more — the identical
+    // IEEE operand sequence in any engine (products like (ct+1)*(nr+k)
+    // would leave double-exact range on a real corpus; ratios never do).
+    val lr = br.join(bt, Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) /
+            ((col("cr") + 1).cast("double") / (col("nr") + buckets))), 6).as("lr"))
+    fr.join(broadcast(lr), "bucket")
+      .select(col("doc_id"), col("c"), (col("c").cast("double") * col("lr")).as("term"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_grams"),
+        aggregate(sort_array(collect_list(col("term"))), lit(0d), _ + _).as("s"))
+      .select(col("doc_id"), col("n_grams"), round(col("s"), 6).as("logw"))
+  }
+
+  /** DSIR selection: draw the `n` most target-like docs by Gumbel
+    * top-k over the [[dsirScores]] log-weights — the without-
+    * replacement sampling ∝ importance weight the paper prescribes,
+    * derandomized: each doc's Gumbel perturbation
+    * `g = −ln(−ln(u))` uses the md5-uniform `u` of its OWN id (salt
+    * "gk:"), so the selection is a pure function of the corpus —
+    * reproducible, oracle-checkable, and stable under partitioning.
+    * The top-n itself is a TakeOrdered (per-partition heads, never a
+    * global sort). Output: doc_id, logw, key, rn — ordered by rank. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
+      buckets: Int = 4096, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (conv(substring(
+        md5(concat(lit("gk:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000).cast("double")
+    val keyed = dsirScores(raw, target, buckets, idCol, textCol)
+      .withColumn("key",
+        col("logw") + round(-log(-log((u + 0.5) / 1000000.0)), 6))
+      .orderBy(col("key").desc, col("doc_id")).limit(n)
+    keyed.select(col("doc_id"), col("logw"), col("key"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("key").desc, col("doc_id"))).as("rn"))
+  }
+
   /** Cross-split decontamination: [[hashSplit]] composed with
     * [[Dedup.dedupAgainst]] — the leakage guard every training
     * pipeline needs. After splitting, any TRAIN doc that is a

@@ -1625,6 +1625,96 @@ object PipelineInventory {
               |FROM spl d LEFT JOIN m USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR data selection (Xie et al. 2023): rank the raw corpus by the
+    // hashed-ngram log-likelihood ratio against a target model (here:
+    // the English subset as the "quality reference"), then draw the
+    // top-50 by derandomized Gumbel top-k — importance resampling
+    // without replacement as a pure function of the corpus. The one
+    // transcendental (ln) is rounded at 6dp straight off exact-int
+    // ratios (≤ buckets distinct inputs, bit-stable across engines on
+    // the fixture — validated at every SF); everything downstream is
+    // exact-operand IEEE arithmetic with a sorted per-doc fold.
+    QueryDef("p46_dsir_select",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Mix.dsirSelect(docs, docs.filter(col("lang") === "en"), n = 50)
+          .orderBy("rn")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |g AS (SELECT doc_id,
+              |        unnest(list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS g
+              |      FROM toks),
+              |fb AS (SELECT doc_id,
+              |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket,
+              |         CAST(COUNT(*) AS BIGINT) AS c
+              |       FROM g GROUP BY doc_id, bucket),
+              |bt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS ct
+              |       FROM fb WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+              |       GROUP BY bucket),
+              |br AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cr FROM fb GROUP BY bucket),
+              |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM bt),
+              |nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM br),
+              |lr AS (SELECT br.bucket,
+              |         ${rrepr("ln(((COALESCE(bt.ct, 0) + 1)::DOUBLE / (nt.nt + 4096)) / ((br.cr + 1)::DOUBLE / (nr.nr + 4096)))", 6)} AS lr
+              |       FROM br LEFT JOIN bt USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+              |sc AS (SELECT f.doc_id, CAST(SUM(f.c) AS BIGINT) AS n_grams,
+              |         ${rrepr("list_reduce(list_sort(list(f.c * lr.lr)), (x, y) -> x + y)", 6)} AS logw
+              |       FROM fb f JOIN lr USING (bucket) GROUP BY f.doc_id),
+              |keyed AS (SELECT doc_id, logw,
+              |            logw + ${rrepr("-ln(-ln(((('0x' || substr(md5('gk:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) + 0.5) / 1000000.0))", 6)} AS key
+              |          FROM sc)
+              |SELECT doc_id, logw, key, CAST(rn AS INT) AS rn FROM (
+              |  SELECT doc_id, logw, key,
+              |         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rn
+              |  FROM keyed) z
+              |WHERE rn <= 50 ORDER BY rn""".stripMargin)),
+
+    // BM25 lexical retrieval (Okapi k1/b form): top-10 corpus docs per
+    // query (queries = docs 0..2 as their own text, self-matches
+    // excluded) — the sparse complement to the dense ANN stack. The
+    // scoring join is token-keyed (inverted-index shape: only postings
+    // matching a query token move); idf's ln is 6dp-rounded off an
+    // exact-int chain; the k1/b term is the identical IEEE operand
+    // sequence in both engines; per-pair sums are sorted folds.
+    QueryDef("p47_bm25", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.bm25TopK(docs,
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("q_id"), col("text").as("qtext")),
+            k = 10)
+          .orderBy("q_id", "rn")
+      }},
+      {
+        val (k1, b) = (1.2, 0.75)
+        val (k1p1, omb) = (k1 + 1, 1 - b)
+        Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                |            FROM documents),
+                |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                |       FROM tok GROUP BY doc_id, token),
+                |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+                |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+                |idf AS (SELECT token,
+                |          ${rrepr("ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)", 6)} AS idf
+                |        FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                |              FROM tf GROUP BY token) d CROSS JOIN st),
+                |qt AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 3),
+                |tm AS (SELECT q.q_id, t.doc_id,
+                |         ${rrepr(s"i.idf * (t.tf * $k1p1) / (t.tf + $k1 * ($omb + $b * (d2.dl / (st.tot::DOUBLE / st.n))))", 6)} AS term
+                |       FROM tf t JOIN qt q USING (token)
+                |       JOIN idf i ON i.token = t.token
+                |       JOIN dl d2 ON d2.doc_id = t.doc_id CROSS JOIN st
+                |       WHERE t.doc_id <> q.q_id),
+                |sc AS (SELECT q_id, doc_id,
+                |         ${rrepr("list_reduce(list_sort(list(term)), (x, y) -> x + y)", 6)} AS score
+                |       FROM tm GROUP BY q_id, doc_id)
+                |SELECT q_id, doc_id, score, CAST(rn AS INT) AS rn FROM (
+                |  SELECT q_id, doc_id, score,
+                |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+                |  FROM sc) z
+                |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
+      }),
+
     // Corpus snapshot diff (added/removed/changed docs between two
     // versions, derived deterministically from the same table: A drops
     // id % 7 == 0; B drops id % 5 == 0 and edits id % 11 == 0 texts).

@@ -179,6 +179,34 @@ class MixSpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("dsirScores ranks target-like docs above off-distribution docs") {
+    val target = (1L to 20L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val inDist = (100L to 109L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val outDist = (200L to 209L).map(i => (i, "zz qq ww ee rr tt yy uu"))
+    val raw = (inDist ++ outDist).toDF("doc_id", "text")
+    val sc = Mix.dsirScores(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc.size == 20)
+    val worstIn = inDist.map(d => sc(d._1)).min
+    val bestOut = outDist.map(d => sc(d._1)).max
+    assert(worstIn > bestOut,
+      s"in-distribution floor $worstIn must beat out-of-distribution ceiling $bestOut")
+    // the LLR sign convention: target-vocab docs positive, alien negative
+    assert(worstIn > 0 && bestOut < 0)
+
+    // selection is a pure function of the corpus: same rows at any
+    // partitioning, ranks 1..n, and (here) exactly the in-dist half
+    val sel = Mix.dsirSelect(raw, target, n = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(sel.map(_._2).sorted.toSeq == (1 to 10))
+    assert(sel.map(_._1).toSet == inDist.map(_._1).toSet)
+    val selRep = Mix.dsirSelect(raw.repartition(13), target, n = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(selRep.sortBy(_._2).toSeq == sel.sortBy(_._2).toSeq)
+  }
+
   test("hashSplit rejects malformed split vectors") {
     val docs = (1L to 10L).toDF("doc_id")
     intercept[IllegalArgumentException](

@@ -410,4 +410,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
     assert(kept(1L) && !kept(2L))
   }
+
+  test("bm25TopK: rare-term match outranks common-term match, self excluded") {
+    // "zebra" appears in exactly one corpus doc; "the" is everywhere.
+    val corpus = docs(
+      (1L, "the zebra query text"),
+      (2L, "the zebra runs far"),       // rare-term match
+      (3L, "the the the the the"),      // common-term-only match
+      (4L, "unrelated words entirely"),
+      (5L, "the quick brown fox"))
+    val queries = Seq((1L, "the zebra query text")).toDF("q_id", "qtext")
+    val hits = TextAnalysis.bm25TopK(corpus, queries, k = 10)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn"), r.getAs[Double]("score")))
+    // the query doc itself never appears
+    assert(!hits.exists(_._1 == 1L))
+    // the zebra doc wins; scores strictly ordered with rn
+    assert(hits.head._1 == 2L)
+    assert(hits.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // only docs sharing at least one query token are candidates
+    assert(!hits.exists(_._1 == 4L))
+
+    // ranking is a pure function of the corpus: stable under repartition
+    val again = TextAnalysis.bm25TopK(corpus.repartition(7), queries, k = 10)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn"), r.getAs[Double]("score")))
+    assert(again.toSeq == hits.toSeq)
+  }
 }
