@@ -60,6 +60,43 @@ object Ann {
       .select(col("vec_id"), col("c_id"))
   }
 
+  /** Cluster-balanced (diversity) sampling: assign every vector to its
+    * nearest centroid, then keep ~`perCluster` vectors from EACH
+    * cluster — uniform coverage of the embedding space instead of the
+    * head-cluster dominance a plain uniform sample gives (the
+    * cluster-balanced selection step of diversity-aware data curation;
+    * SemDeDup's sampling-side sibling).
+    *
+    * The per-cluster draw is derandomized: vector v is kept iff its
+    * md5-uniform bucket (salt "cs:") falls below
+    * `min(buckets, perCluster·buckets DIV csz)` — integer arithmetic
+    * end to end, so membership is a pure function of (corpus, v) and
+    * the realized count concentrates on perCluster without any
+    * per-cluster sort or exact-k pass (binomial jitter, same contract
+    * as the seeded corpus samples). A doc never flips in or out when
+    * OTHER clusters change; it can only flip if its own cluster's size
+    * changes — the correct dependency for a balanced sample.
+    *
+    * Scale shape: one broadcast-centroid assignment (narrow map + a
+    * per-vector argmax window keyed by vec_id), a k-row size
+    * aggregation broadcast back, then a narrow filter — no
+    * corpus-keyed shuffle beyond the assignment itself.
+    * Output: vec_id, c_id, kept. */
+  def clusterSample(emb: DataFrame, centroids: DataFrame, perCluster: Int,
+      buckets: Int = 10000, salt: String = "cs:"): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val assign = assignClusters(emb, centroids)
+    val sz = assign.groupBy("c_id").agg(count(lit(1)).cast("long").as("csz"))
+      .select(col("c_id"), least(lit(buckets.toLong),
+        expr(s"${perCluster.toLong * buckets} DIV csz")).as("__t"))
+    val bucket = conv(substring(
+        md5(concat(lit(salt), col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % buckets
+    assign.join(broadcast(sz), "c_id")
+      .select(col("vec_id"), col("c_id"), (bucket < col("__t")).as("kept"))
+  }
+
   /** IVF search for one query id: scan only the query's cluster.
     * Output: vec_id, sim ordered best-first. */
   def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int = 10,

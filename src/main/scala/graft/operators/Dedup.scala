@@ -496,6 +496,68 @@ object Dedup {
       .filter(col("comp").isNull || col("comp") === col(idCol))
       .drop("comp")
 
+  /** Survivor selection with a QUALITY policy: like [[survivors]], but
+    * each near-dup component keeps its highest-scoring doc (tiebreak:
+    * lowest id) instead of blindly keeping the lowest id — the
+    * production rule when duplicates differ in extraction quality (a
+    * clean article vs its boilerplate-ridden mirror: min-id keeps
+    * whichever was crawled first; this keeps the better one).
+    * `scores` must carry `idCol` + `scoreCol` and cover every doc —
+    * docs without a score row are dropped from the output (and from
+    * winner contention), so feed a total scorer
+    * ([[graft.functions.TextAnalysis.qualityScore]] over non-null text,
+    * or `qualityFeatures`' coalesced form).
+    *
+    * Scale shape: [[components]] as usual, then ONE comp-keyed
+    * partial-aggregable `min(struct(-score, id))` picks each
+    * component's winner — no window, no per-component sort, so a
+    * pathological million-copy cluster costs its share of one groupBy.
+    * Output: idCol, comp, score, keep — one row per scored doc. */
+  def survivorsByScore(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "score",
+      maxIter: Int = 20): DataFrame = {
+    val lab = docs.select(col(idCol))
+      .join(components(pairs, maxIter).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
+    val sc = scores.select(col(idCol), col(scoreCol).cast("double").as("__s"))
+    val win = lab.join(sc, idCol)
+      .groupBy("comp")
+      .agg(min(struct((-col("__s")).as("ns"), col(idCol).as("id"))).as("w"))
+      .select(col("comp"), col("w.id").as("__winner"))
+    lab.join(sc, Seq(idCol))
+      .join(win, Seq("comp"), "left")
+      .select(col(idCol), col("comp"), col("__s").as(scoreCol),
+        (col(idCol) === coalesce(col("__winner"), col(idCol))).as("keep"))
+  }
+
+  /** [[dedupCorpus]]'s pipeline with the [[survivorsByScore]] policy,
+    * returning the per-doc VERDICT frame instead of the surviving
+    * corpus (callers keep the accounting: comp label, score, keep).
+    * Same resource discipline as [[dedupCorpus]]: the shingle set is
+    * persisted only until the verified pair graph is checkpointed
+    * (both the band and verify branches read it), and the returned
+    * plan touches only `docs`, `scores`, and checkpointed labels.
+    * Output: idCol, comp, score, keep. */
+  def dedupCorpusByScore(docs: DataFrame, scores: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text",
+      scoreCol: String = "score", maxIter: Int = 20): DataFrame = {
+    val sh = shingleHashes(docs, idCol = idCol, textCol = textCol).persist()
+    sh.count()
+    try {
+      ensureCheckpointDir(docs.sparkSession)
+      val verified = jaccardPairs(sh,
+          Some(lshCandidates(lshBands(minhashSignatures(sh, hashed = true)), maxBucket)))
+        .filter(col("jaccard") >= threshold)
+        .select(col("d1"), col("d2"))
+        .checkpoint()
+      // components() runs (and checkpoints its labels) inside this
+      // call, so nothing in the returned plan reads the shingle cache.
+      survivorsByScore(docs, verified, scores, idCol, scoreCol, maxIter)
+    } finally sh.unpersist()
+  }
+
   /** The whole near-dup dedup pipeline as one call: shingle → minhash →
     * LSH candidates → exact-Jaccard verify at `threshold` → connected
     * components → one survivor per component. The shingle set is

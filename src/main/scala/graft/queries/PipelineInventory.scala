@@ -1669,6 +1669,90 @@ object PipelineInventory {
               |  FROM keyed) z
               |WHERE rn <= 50 ORDER BY rn""".stripMargin)),
 
+    // Cluster-balanced (diversity) sampling: ~30 vectors kept from
+    // EACH of the 8 clusters — uniform coverage of the embedding space
+    // instead of head-cluster dominance. The draw is integer-exact:
+    // keep iff md5-bucket < perCluster*buckets DIV cluster_size, so
+    // membership depends only on (own cluster size, own id).
+    QueryDef("p49_cluster_sample",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.clusterSample(emb, emb.filter(col("vec_id") < 8), perCluster = 30)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $embCte,
+              |c AS (SELECT vec_id AS c_id, emb AS cemb FROM e WHERE vec_id < 8),
+              |scored AS (SELECT e.vec_id, c.c_id,
+              |                  ${rrepr(dcos("e.emb", "c.cemb"), 6)} AS csim
+              |           FROM e, c),
+              |assign AS (SELECT vec_id, c_id FROM (
+              |    SELECT vec_id, c_id,
+              |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crn
+              |    FROM scored) t WHERE crn = 1),
+              |th AS (SELECT c_id, LEAST(10000, 300000 // COUNT(*)) AS t
+              |       FROM assign GROUP BY c_id)
+              |SELECT a.vec_id, a.c_id,
+              |       (('0x' || substr(md5('cs:' || CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 10000) < th.t AS kept
+              |FROM assign a JOIN th USING (c_id)
+              |ORDER BY a.vec_id""".stripMargin)),
+
+    // Quality-aware survivor selection: the p20 dedup chain (LSH
+    // candidates verified at Jaccard >= 0.5, connected components) but
+    // each near-dup cluster keeps its HIGHEST-quality doc (p09 score,
+    // tiebreak min id) instead of the lowest id — the production
+    // survivor rule when duplicates differ in extraction quality. One
+    // comp-keyed min(struct(-score, id)) picks winners; no window.
+    QueryDef("p48_quality_survivors",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.dedupCorpusByScore(docs,
+            TextAnalysis.qualityScore(docs).select("doc_id", "score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+        s"""WITH RECURSIVE $mhCte,
+           |bandc AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY band, bh) AS bc
+           |                         FROM bands z) t WHERE bc <= 100),
+           |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |         FROM bandc x JOIN bandc y
+           |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS ninter
+           |          FROM sh s1 JOIN sh s2
+           |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+           |          GROUP BY s1.doc_id, s2.doc_id),
+           |ver AS (SELECT c.d1, c.d2
+           |        FROM cand c
+           |        JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+           |        JOIN cnt c1 ON c.d1 = c1.doc_id
+           |        JOIN cnt c2 ON c.d2 = c2.doc_id
+           |        WHERE i.ninter / (c1.n + c2.n - i.ninter) >= 0.5),
+           |edges AS (SELECT d1 AS src, d2 AS dst FROM ver
+           |          UNION SELECT d2, d1 FROM ver),
+           |reach AS (SELECT src AS id, src AS comp FROM edges
+           |          UNION
+           |          SELECT e.dst AS id, r.comp FROM reach r
+           |          JOIN edges e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+           |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+           |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+           |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |        CAST(SUM(CASE WHEN token IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |        FROM tok GROUP BY doc_id),
+           |q AS (SELECT doc_id,
+           |  ${rrepr("LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50) * 0.5 + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5", 4)} AS score
+           |      FROM agg),
+           |win AS (SELECT comp, doc_id AS winner FROM (
+           |    SELECT l.comp, l.doc_id,
+           |           ROW_NUMBER() OVER (PARTITION BY l.comp ORDER BY q.score DESC, l.doc_id) AS rn
+           |    FROM lab l JOIN q USING (doc_id)) z WHERE rn = 1)
+           |SELECT l.doc_id, l.comp, q.score, l.doc_id = w.winner AS keep
+           |FROM lab l JOIN q USING (doc_id) JOIN win w USING (comp)
+           |ORDER BY l.doc_id""".stripMargin
+      }),
+
     // BM25 lexical retrieval (Okapi k1/b form): top-10 corpus docs per
     // query (queries = docs 0..2 as their own text, self-matches
     // excluded) — the sparse complement to the dense ANN stack. The

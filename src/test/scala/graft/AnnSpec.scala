@@ -522,4 +522,27 @@ class AnnSpec extends SparkSpec {
     val plan = viaIdx.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[.*c_id".r.findFirstIn(plan).isDefined, plan.take(1500))
   }
+
+  test("clusterSample: small clusters kept whole, big-cluster membership is the exact md5 rule") {
+    // two tight clusters: 40 vectors near (1,0), 5 near (0,1)
+    val a = (100L until 140L).map(i => (i, Seq(1f, 0.001f * (i % 7))))
+    val b = (200L until 205L).map(i => (i, Seq(0.001f * (i % 5), 1f)))
+    val cents = emb((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val out = Ann.clusterSample(emb((a ++ b): _*), cents, perCluster = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 45)
+    // assignment routes each block to its own centroid
+    assert(out.filter(_._1 < 200).forall(_._2 == 0L))
+    assert(out.filter(_._1 >= 200).forall(_._2 == 1L))
+    // perCluster >= cluster size → threshold caps → the whole cluster kept
+    assert(out.filter(_._1 >= 200).forall(_._3))
+    // 40-vector cluster: kept iff md5-bucket("cs:" + id) < 10*10000 DIV 40
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cs:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 10000
+    }
+    out.filter(_._1 < 200).foreach { case (id, _, kept) =>
+      assert(kept == (bucket(id) < 2500), s"vec $id bucket ${bucket(id)}") }
+  }
 }

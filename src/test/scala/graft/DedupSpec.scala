@@ -128,6 +128,27 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 42L))
   }
 
+  test("survivorsByScore keeps the best-quality doc per component, min id on ties") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (42L, "f"))
+    // component {1,2,3}: doc 2 scores highest → it survives, not min-id 1;
+    // component {10,11}: tied scores → min id 10 survives; 42 unpaired → kept
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (10L, 0.4), (11L, 0.4), (42L, 0.1)).toDF("doc_id", "score")
+    val out = Dedup.survivorsByScore(d, pairs, scores)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out.size == 6)
+    assert(out.filter(_._2._2).keySet == Set(2L, 10L, 42L))
+    assert(out(3L)._1 == 1L && out(42L)._1 == 42L) // comp labels: min id, self
+    // with uniform scores the policy degrades to survivors() exactly
+    val uniform = scores.withColumn("score", org.apache.spark.sql.functions.lit(1.0))
+    val keptU = Dedup.survivorsByScore(d, pairs, uniform)
+      .filter($"keep").select("doc_id").as[Long].collect().sorted
+    val keptMin = Dedup.survivors(d, pairs).select("doc_id").as[Long].collect().sorted
+    assert(keptU.toSeq == keptMin.toSeq)
+  }
+
   test("components: long path needs log-bounded rounds (path halving), no persisted RDD leak") {
     import spark.implicits._
     // A 64-node path graph has diameter 63; plain min-propagation needs
@@ -186,6 +207,28 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.dedupCorpus(d, threshold = 0.3)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 4L), s"kept=$kept")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
+  test("dedupCorpusByScore: quality flips the cluster winner; uniform scores reproduce dedupCorpus") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (4L, "completely different content all about database engines and columnar storage"))
+    // score doc 3 highest inside the {1,2,3} cluster → it wins, not min-id 1
+    val sc = Seq((1L, 0.1), (2L, 0.2), (3L, 0.9), (4L, 0.5)).toDF("doc_id", "score")
+    val out = Dedup.dedupCorpusByScore(d, sc, threshold = 0.3)
+    val kept = out.filter($"keep").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L), s"kept=$kept")
+    assert(out.count() == 4)
+    // uniform scores degrade to dedupCorpus's min-id survivors
+    val keptU = Dedup.dedupCorpusByScore(d, sc.withColumn("score", lit(1.0)),
+        threshold = 0.3)
+      .filter($"keep").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptU == Seq(1L, 4L))
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
   }
 
