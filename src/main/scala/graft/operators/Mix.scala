@@ -206,12 +206,20 @@ object Mix {
     // p_t/p_r as two exact-int divisions then one more — the identical
     // IEEE operand sequence in any engine (products like (ct+1)*(nr+k)
     // would leave double-exact range on a real corpus; ratios never do).
+    // The fitted model is MATERIALIZED before broadcasting
+    // (localCheckpoint — `buckets` rows, the collect-and-broadcast
+    // shape on a cluster): left lazy, the br/bt/nt/nr branches sit
+    // past aggregations where ReuseExchange cannot always serve them,
+    // and the gram pipeline re-runs once per reference — measured
+    // 32.7 s → 4.0 s at 20k docs (the trainCentroids lineage lesson,
+    // SCALE.md r6 §3).
     val lr = br.join(bt, Seq("bucket"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
       .select(col("bucket"),
         round(log(
           ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) /
             ((col("cr") + 1).cast("double") / (col("nr") + buckets))), 6).as("lr"))
+      .localCheckpoint(true)
     fr.join(broadcast(lr), "bucket")
       .select(col("doc_id"), col("c"), (col("c").cast("double") * col("lr")).as("term"))
       .groupBy("doc_id")

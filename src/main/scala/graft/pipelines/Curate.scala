@@ -13,6 +13,7 @@ import graft.operators.{Dedup, Mix}
   *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
   *   components survivors) → [sub-document CDC dedup] →
   *   [held-out decontamination] → [semantic dedup] →
+  *   [DSIR target-likeness selection] →
   *   per-domain score pruning → temperature-mixture resampling →
   *   chunk → pack
   *
@@ -28,7 +29,8 @@ object Curate {
   final case class Stats(input: Long, afterGate: Long, afterDedup: Long,
       afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int,
       afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L,
-      afterDecontam: Long = -1L, afterSemDedup: Long = -1L)
+      afterDecontam: Long = -1L, afterSemDedup: Long = -1L,
+      afterDsir: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -51,7 +53,9 @@ object Curate {
       boilerplateMaxDocs: Option[Int] = None,
       gateWeights: Option[Seq[Double]] = None,
       decontaminate: Option[DataFrame] = None,
-      semDedup: Option[(DataFrame, Int)] = None): (DataFrame, Option[Stats]) = {
+      semDedup: Option[(DataFrame, Int)] = None,
+      qualitySurvivors: Boolean = false,
+      dsir: Option[(DataFrame, Int)] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
@@ -89,7 +93,18 @@ object Curate {
           .checkpoint()
     }
     val afterBoilerplate = if (boilerplateMaxDocs.isDefined) countIf(gated) else -1L
-    val dedupedDocs = Dedup.dedupCorpus(gated, jaccardThreshold)
+    // Survivor policy: min-id by default; `qualitySurvivors = true`
+    // keeps each near-dup cluster's HIGHEST-quality doc instead
+    // (Dedup.dedupCorpusByScore over the p09 heuristic score) — same
+    // cluster structure, better survivors when duplicates differ in
+    // extraction quality.
+    val dedupedDocs =
+      if (!qualitySurvivors) Dedup.dedupCorpus(gated, jaccardThreshold)
+      else gated.join(
+        Dedup.dedupCorpusByScore(gated,
+            TextAnalysis.qualityScore(gated).select("doc_id", "score"),
+            jaccardThreshold)
+          .filter(col("keep")).select("doc_id"), "doc_id")
     val afterDedup = countIf(dedupedDocs)
     // Optional sub-document pass (the Dolma paragraph-level stage):
     // content-defined-chunk dedup rewrites each surviving doc to its
@@ -144,14 +159,28 @@ object Curate {
         decont.join(dropped, Seq("doc_id"), "left_anti")
     }
     val afterSemDedup = if (semDedup.isDefined) countIf(semmed) else -1L
+    // Optional DSIR selection (`dsir = Some((target, n))`): keep the n
+    // most target-like survivors by the hashed-ngram log-likelihood
+    // ratio with derandomized Gumbel top-k (Mix.dsirSelect) — the
+    // importance-resampling alternative to "keep everything that
+    // clears the bar". Runs on the DEDUPED corpus (selecting before
+    // dedup would spend the budget on duplicates) and before the
+    // per-domain prune, which then enforces domain balance within the
+    // selected set.
+    val selected = dsir match {
+      case None => semmed
+      case Some((target, n)) =>
+        semmed.join(Mix.dsirSelect(semmed, target, n).select("doc_id"), "doc_id")
+    }
+    val afterDsir = if (dsir.isDefined) countIf(selected) else -1L
     // The multi-consumer frames are CHECKPOINTED: pruned feeds four
     // consumers and chunks two, and without truncation every stage
     // count would re-run the whole upstream pipeline; a durable
     // checkpoint (unlike persist) pins no executor memory and leaves
     // nothing for the caller to unpersist — at 100 TB these are the
     // natural between-stage tables anyway.
-    val pruned = semmed.join(
-      TextAnalysis.qualityPrune(semmed, pruneP).select("doc_id"), "doc_id")
+    val pruned = selected.join(
+      TextAnalysis.qualityPrune(selected, pruneP).select("doc_id"), "doc_id")
       .checkpoint()
     val afterPrune = countIf(pruned)
     val weights = Mix.temperatureWeights(pruned, Seq("lang", "source"), tau)
@@ -169,7 +198,7 @@ object Curate {
     val st =
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
-        afterDecontam, afterSemDedup))
+        afterDecontam, afterSemDedup, afterDsir))
       else None
     (packed, st)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Ann, Dedup, Mix, Multimodal, Quality, Windows}
+import graft.operators.{Ann, Dedup, Mix, Multimodal, Quality, Retrieval, Windows}
 import graft.functions.TextAnalysis
 import graft.gen.DataGen
 
@@ -1796,6 +1796,69 @@ object PipelineInventory {
                 |  SELECT q_id, doc_id, score,
                 |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
                 |  FROM sc) z
+                |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
+      }),
+
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 list (p47)
+    // and the dense cosine list (p06 shape) fused per candidate as
+    // sum of 1/(60 + rank) — rank-based, so the incomparable score
+    // scales never need calibration. Every contribution is one IEEE
+    // division of exact ints; the per-candidate sum is a sorted fold.
+    QueryDef("p50_hybrid_rrf", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Retrieval.hybridTopK(docs, T(s, d, "embeddings"),
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("q_id"), col("text").as("qtext")),
+            k = 10)
+          .orderBy("q_id", "rn")
+      }},
+      {
+        val (k1, b) = (1.2, 0.75)
+        val (k1p1, omb) = (k1 + 1, 1 - b)
+        Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                |            FROM documents),
+                |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                |       FROM tok GROUP BY doc_id, token),
+                |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+                |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+                |idf AS (SELECT token,
+                |          ${rrepr("ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)", 6)} AS idf
+                |        FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                |              FROM tf GROUP BY token) d CROSS JOIN st),
+                |qt AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 3),
+                |tm AS (SELECT q.q_id, t.doc_id,
+                |         ${rrepr(s"i.idf * (t.tf * $k1p1) / (t.tf + $k1 * ($omb + $b * (d2.dl / (st.tot::DOUBLE / st.n))))", 6)} AS term
+                |       FROM tf t JOIN qt q USING (token)
+                |       JOIN idf i ON i.token = t.token
+                |       JOIN dl d2 ON d2.doc_id = t.doc_id CROSS JOIN st
+                |       WHERE t.doc_id <> q.q_id),
+                |lsc AS (SELECT q_id, doc_id,
+                |         ${rrepr("list_reduce(list_sort(list(term)), (x, y) -> x + y)", 6)} AS score
+                |       FROM tm GROUP BY q_id, doc_id),
+                |lexr AS (SELECT q_id, doc_id AS id, rn FROM (
+                |  SELECT q_id, doc_id,
+                |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+                |  FROM lsc) z WHERE rn <= 10),
+                |$embCte,
+                |dsc AS (SELECT q.vec_id AS q_id, x.vec_id AS id,
+                |               ${rrepr(dcos("x.emb", "q.emb"), 3)} AS sim
+                |        FROM e x, e q
+                |        WHERE q.vec_id < 3 AND x.vec_id <> q.vec_id),
+                |denr AS (SELECT q_id, id, rn FROM (
+                |  SELECT q_id, id,
+                |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rn
+                |  FROM dsc) z WHERE rn <= 10),
+                |u AS (SELECT q_id, id, 1.0 / (rn + 60) AS contrib FROM lexr
+                |      UNION ALL
+                |      SELECT q_id, id, 1.0 / (rn + 60) FROM denr),
+                |f AS (SELECT q_id, id,
+                |        ${rrepr("list_reduce(list_sort(list(contrib)), (x, y) -> x + y)", 6)} AS rrf
+                |      FROM u GROUP BY q_id, id)
+                |SELECT q_id, id, rrf, CAST(rn AS INT) AS rn FROM (
+                |  SELECT q_id, id, rrf,
+                |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, id) AS rn
+                |  FROM f) z
                 |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
       }),
 

@@ -24,7 +24,8 @@ import graft.pipelines.Curate
   *
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
-  *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx
+  *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
+  *   bm25,qsurv,csample
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -37,7 +38,7 @@ object Stress {
   val DefaultOps = Seq(
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
-    "logreg", "pq", "ivfpq", "pqidx")
+    "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -144,6 +145,28 @@ object Stress {
         Ann.writePqIndex(emb, books, s"$dir/pq_index.parquet")
         Ann.pqSearchIndex(spark, s"$dir/pq_index.parquet", books, emb,
           emb.filter(col("vec_id") < 1000), k = 10)
+      case "dsir" =>
+        // two bucket-model fits + the scored top-1000 selection; the
+        // target is the corpus's own lang=en slice (~a third of it)
+        Mix.dsirSelect(docs, docs.filter(col("lang") === "en"), n = 1000)
+      case "bm25" =>
+        // 8 queries against the full corpus: tf/df/idf fits plus the
+        // token-keyed postings join — work ∝ matched postings
+        TextAnalysis.bm25TopK(docs,
+          docs.filter(col("doc_id") < 8)
+            .select(col("doc_id").as("q_id"), col("text").as("qtext")), k = 10)
+      case "qsurv" =>
+        // the dedup chain with the quality survivor policy: adds one
+        // corpus-keyed score aggregation + a comp-keyed argmax over
+        // plain dedupCorpus — the delta vs the `dedup` row is the
+        // policy's price
+        Dedup.dedupCorpusByScore(docs,
+          TextAnalysis.qualityScore(docs).select("doc_id", "score"))
+      case "csample" =>
+        // balanced draw from sqrt(nEmb) seeded clusters: assignment is
+        // the dominant term, the threshold table is k rows
+        val k = math.max(4, math.sqrt(nEmb.toDouble).toInt)
+        Ann.clusterSample(emb, emb.filter(col("vec_id") < k), perCluster = 100)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see

@@ -202,6 +202,55 @@ class CurateSpec extends SparkSpec {
     surv.unpersist()
   }
 
+  test("qualitySurvivors keeps the higher-quality duplicate; default policy keeps min id") {
+    // docs 1,2: one near-dup cluster where the HIGHER id is the better
+    // doc (longer, more stopwords -> higher p09 score); doc 3 unrelated
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ") + " the is and of to"
+    val better = base + " the of and is to"
+    val filler = (1 to 40).map(i => s"zzz$i").mkString(" ") + " the is and of to"
+    val docs = Seq((1L, base, "en", "src0"), (2L, better, "en", "src0"),
+      (3L, filler, "en", "src1")).toDF("doc_id", "text", "lang", "source")
+    assert(TextAnalysis.qualityGate(docs).filter(col("kept")).count() == 3)
+    // operator level: the quality policy flips the winner to doc 2
+    val keepQ = graft.operators.Dedup.dedupCorpusByScore(docs,
+        TextAnalysis.qualityScore(docs).select("doc_id", "score"))
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(keepQ == Set(2L, 3L), s"keepQ=$keepQ")
+    val keepM = graft.operators.Dedup.dedupCorpus(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keepM == Set(1L, 3L))
+    // pipeline level: same cluster accounting, different packed stream
+    val (pq, stQ) = Curate.run(docs, qualitySurvivors = true, pruneP = 0.0, tau = 1.0)
+    val (pm, stM) = Curate.run(docs, pruneP = 0.0, tau = 1.0)
+    assert(stQ.get.afterDedup == 2 && stM.get.afterDedup == 2)
+    assert(pq.exceptAll(pm).count() > 0, "survivor flip must change the packed stream")
+  }
+
+  test("dsir stage keeps the n most target-like docs, with exact accounting") {
+    val stop = " the is and of to"
+    val tvoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val target = Seq((100L, tvoc + stop), (101L, tvoc + stop + " iota kappa"))
+      .toDF("doc_id", "text")
+    // 3 target-like docs, 3 alien docs — all clear the gate, none near-dup
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon one$stop", "en", "src0"),
+      (2L, s"beta gamma delta epsilon zeta two$stop", "en", "src0"),
+      (3L, s"gamma delta epsilon zeta eta three$stop", "en", "src1"),
+      (4L, s"qq ww ee rr tt uu$stop", "en", "src0"),
+      (5L, s"yy xx cc vv bb nn$stop", "en", "src1"),
+      (6L, s"mm ll kk jj hh gg$stop", "en", "src1")).toDF("doc_id", "text", "lang", "source")
+    assert(TextAnalysis.qualityGate(docs).filter(col("kept")).count() == 6)
+    val (_, st) = Curate.run(docs, dsir = Some((target, 3)), pruneP = 0.0, tau = 1.0)
+    assert(st.get.afterDedup == 6, st.get.toString)
+    assert(st.get.afterDsir == 3, st.get.toString)
+    // tau = 1 -> one copy per selected doc
+    assert(st.get.resampledCopies == 3)
+    // the selection is the operator's: the three target-vocab docs
+    val sel = graft.operators.Mix.dsirSelect(docs, target, 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L, 2L, 3L), s"sel=$sel")
+  }
+
   test("curate works in a session with no checkpoint dir pre-set") {
     // the checkpoint dir must be ensured by Curate itself, not
     // inherited from a previous components() call in the same JVM —

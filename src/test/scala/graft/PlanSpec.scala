@@ -86,6 +86,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("dsir: the log-ratio model is broadcast; selection is TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("p46_dsir_select")(spark, "/root/testdata/sf0.01")
+    // the buckets-sized lr table must carry the explicit broadcast hint
+    // (at 100 TB the corpus side dwarfs any auto-broadcast threshold)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint") &&
+      analyzed.toLowerCase.contains("broadcast"), analyzed.take(800))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("bm25: the query token set is broadcast onto the postings (token-keyed scoring join)") {
+    val df = SparkEntry.queries("p47_bm25")(spark, "/root/testdata/sf0.01")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint") &&
+      analyzed.toLowerCase.contains("broadcast"), analyzed.take(800))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("clusterSample: the k-row size table is broadcast (narrow keep filter)") {
+    val df = SparkEntry.queries("p49_cluster_sample")(spark, "/root/testdata/sf0.01")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint") &&
+      analyzed.toLowerCase.contains("broadcast"), analyzed.take(800))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("no gate query carries an UNBOUNDED nested-loop/cartesian join") {
     // The exact all-pairs baseline (p05) is allowed only over a
     // deterministic bounded slice: any BroadcastNestedLoopJoin or
@@ -115,6 +145,15 @@ class PlanSpec extends SparkSpec {
                             // (3 query rows; the pqTopK plan shape)
       "p44_ann_ivfpq",      // probe/LUT broadcasts over <= 8 coarse
                             // centroids + 3 queries (ivfPqTopK shape)
+      "p46_dsir_select",    // one-row gram-total broadcasts (nt, nr —
+                            // the p32 corpus-total shape, twice)
+      "p47_bm25",           // one-row corpus stats (N, total tokens)
+                            // broadcast into idf and the k1/b term
+      "p49_cluster_sample", // <= 8 centroid broadcast (assignClusters,
+                            // the p07/p29 shape)
+      "p50_hybrid_rrf",     // dense side = p06's 3-query-vector
+                            // broadcast; the fusion itself is a
+                            // bounded groupBy over 2×k×queries rows
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

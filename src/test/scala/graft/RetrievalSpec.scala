@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranked(rows: (Long, Long, Int)*) =
+    rows.toDF("q_id", "id", "rn")
+
+  test("rrfFuse: a candidate in both lists outranks single-list candidates; scores exact") {
+    val lex = ranked((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+    val den = ranked((0L, 10L, 1), (0L, 13L, 2))
+    val out = Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // id 10 is rank 1 in BOTH lists: rrf = 2/61 exactly (rounded 6dp)
+    assert(out.head._1 == 10L)
+    assert(out.head._2 == math.rint(2.0 / 61 * 1e6) / 1e6)
+    // dual-list always beats any single-list candidate here
+    assert(out.tail.forall(_._2 < out.head._2))
+    // single-list scores: 1/(60+rn), ties broken by id
+    val m = out.map(t => t._1 -> t._2).toMap
+    assert(m(11L) == math.rint(1.0 / 62 * 1e6) / 1e6)
+    assert(m(13L) == m(11L)) // same rank 2 in different lists → tie
+    val rnOf = out.map(t => t._1 -> t._3).toMap
+    assert(rnOf(11L) < rnOf(13L)) // tie → lower id first
+  }
+
+  test("rrfFuse caps at k per query and keeps queries independent") {
+    val lex = ranked((0L until 8L).map(i => (0L, 100L + i, i.toInt + 1)) ++
+      Seq((1L, 500L, 1)): _*)
+    val den = ranked((0L until 8L).map(i => (0L, 200L + i, i.toInt + 1)): _*)
+    val out = Retrieval.rrfFuse(Seq(lex, den), k = 5).collect()
+    val q0 = out.filter(_.getLong(0) == 0L)
+    assert(q0.length == 5 && q0.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+    val q1 = out.filter(_.getLong(0) == 1L)
+    assert(q1.length == 1 && q1.head.getLong(1) == 500L)
+  }
+
+  test("hybridTopK fuses the library's own BM25 and dense retrievers") {
+    val docs = Seq(
+      (0L, "the zebra query text example words"),
+      (1L, "the zebra runs far away today"),
+      (2L, "completely different tokens here now"),
+      (3L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.95f, 0.05f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = docs.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+    val out = Retrieval.hybridTopK(docs, emb, q, k = 3)
+      .orderBy("rn").collect().map(_.getLong(1))
+    // doc 1 is top in BOTH spaces (shares "zebra", nearest vector) →
+    // it must fuse to rank 1; the query doc itself never appears
+    assert(out.head == 1L, out.toSeq.toString)
+    assert(!out.contains(0L))
+  }
+}
