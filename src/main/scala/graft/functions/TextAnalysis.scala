@@ -526,20 +526,38 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text", qidCol: String = "q_id",
       qtextCol: String = "qtext"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+    val tf = bm25Postings(docs, idCol, textCol)
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).cast("long").as("n"),
       sum("dl").cast("long").as("tot"))
+    bm25Score(tf, dl, st,
+      queries.select(col(qidCol).as("q_id"),
+          explode(split(col(qtextCol), " ")).as("token"))
+        .distinct(), k, k1, b)
+  }
+
+  /** The (doc, token) term-frequency table — the postings relation
+    * both the index-free [[bm25TopK]] and the persisted index build
+    * from. */
+  private def bm25Postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Shared BM25 scoring tail over a postings relation (`tf`), the
+    * doc-length table, a 1-row (n, tot) stats frame, and the distinct
+    * (q_id, token) query set. `tf` may be pre-filtered to the query's
+    * tokens (the index path does): df per token over matched postings
+    * equals df over the full table for those tokens, so the scores
+    * are identical. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, st: DataFrame,
+      qt: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val idf = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
       .crossJoin(broadcast(st))
       .select(col("token"), round(log(
         (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6)
         .as("idf"))
-    val qt = queries.select(col(qidCol).as("q_id"),
-        explode(split(col(qtextCol), " ")).as("token"))
-      .distinct()
     val avgdl = col("tot").cast("double") / col("n")
     val term = round(col("idf") * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))), 6)
@@ -555,6 +573,62 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rn") <= k)
+  }
+
+  /** Persist the BM25 index: the postings RANGE-SORTED by token (so a
+    * query's In-filter prunes parquet row groups by token min/max —
+    * the lexical sibling of the IVF/PQ cluster-directory pruning),
+    * the per-doc length table, and a 1-row (n, tot) stats summary.
+    * The ONE layout definition shared by build and append. */
+  def writeBm25Index(docs: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    writeBm25(docs, path, "overwrite", idCol, textCol)
+
+  /** Incremental BM25 ingest: index ONLY the new batch and append —
+    * old part files are never rescanned or rewritten. Sound because
+    * every index component is additive over disjoint doc batches:
+    * postings and doclens rows union, df(token) is a row count over
+    * the union, and (n, tot) sum across the appended stats rows.
+    * Batches must carry NEW doc ids (same contract as
+    * [[graft.operators.Ann.appendIvfIndex]]); re-indexing changed
+    * docs is a rebuild. */
+  def appendBm25Index(batch: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    writeBm25(batch, path, "append", idCol, textCol)
+
+  private def writeBm25(docs: DataFrame, path: String, mode: String,
+      idCol: String, textCol: String): Unit = {
+    val tf = bm25Postings(docs, idCol, textCol)
+    tf.repartitionByRange(col("token")).sortWithinPartitions("token")
+      .write.mode(mode).parquet(s"$path/postings")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    dl.write.mode(mode).parquet(s"$path/doclens")
+    dl.agg(count(lit(1)).cast("long").as("n"), sum("dl").cast("long").as("tot"))
+      .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** Query a persisted BM25 index: collect the query token set to the
+    * driver (the routing table — bounded by the queries, never the
+    * corpus; the ivfSearchIndex pattern) and push it as an In-filter
+    * into the postings scan, so only matching row groups are read.
+    * df/idf come from the filtered postings (identical values for
+    * those tokens), (N, avgdl) from summing the appended stats rows.
+    * Row-identical to the index-free [[bm25TopK]] over the same
+    * corpus (spec law). */
+  def bm25SearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      qidCol: String = "q_id", qtextCol: String = "qtext"): DataFrame = {
+    val qt = queries.select(col(qidCol).as("q_id"),
+        explode(split(col(qtextCol), " ")).as("token"))
+      .distinct()
+    val qtokens = qt.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("token").isin(qtokens: _*))
+    val dl = spark.read.parquet(s"$path/doclens")
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n").cast("long").as("n"), sum("tot").cast("long").as("tot"))
+    bm25Score(post, dl, st, qt, k, k1, b)
   }
 
   /** The remaining Gopher repetition rules (Rae et al. 2021 §A1.1 —

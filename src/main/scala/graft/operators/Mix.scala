@@ -195,6 +195,23 @@ object Mix {
     * (a quality reference like Wikipedia) but nothing here requires it.
     * Output: doc_id, n_grams, logw. */
   def dsirScores(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    dsirScoreWith(raw, dsirModel(raw, target, buckets, idCol, textCol),
+      buckets, idCol, textCol)
+
+  /** Fit the DSIR bucket model: the per-bucket log-likelihood ratio
+    * table (bucket, lr) over the target and raw corpora. Fit ONCE
+    * (typically on a raw SAMPLE — the ratio estimates need counts,
+    * not the whole corpus), then [[dsirScoreWith]] applies it to any
+    * frame — the production split for scoring 100 TB, or a stream,
+    * against a fixed reference model. Returns a MATERIALIZED
+    * buckets-row frame (localCheckpoint — the collect-and-broadcast
+    * shape on a cluster): left lazy, the br/bt/nt/nr branches sit
+    * past aggregations where ReuseExchange cannot always serve them,
+    * and the gram pipeline re-runs once per reference — measured
+    * 32.7 s → 4.0 s at 20k docs (the trainCentroids lineage lesson,
+    * SCALE.md r6 §3). */
+  def dsirModel(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val fr = ngramBuckets(raw, buckets, idCol, textCol)
@@ -206,27 +223,30 @@ object Mix {
     // p_t/p_r as two exact-int divisions then one more — the identical
     // IEEE operand sequence in any engine (products like (ct+1)*(nr+k)
     // would leave double-exact range on a real corpus; ratios never do).
-    // The fitted model is MATERIALIZED before broadcasting
-    // (localCheckpoint — `buckets` rows, the collect-and-broadcast
-    // shape on a cluster): left lazy, the br/bt/nt/nr branches sit
-    // past aggregations where ReuseExchange cannot always serve them,
-    // and the gram pipeline re-runs once per reference — measured
-    // 32.7 s → 4.0 s at 20k docs (the trainCentroids lineage lesson,
-    // SCALE.md r6 §3).
-    val lr = br.join(bt, Seq("bucket"), "left")
+    br.join(bt, Seq("bucket"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
       .select(col("bucket"),
         round(log(
           ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + buckets)) /
             ((col("cr") + 1).cast("double") / (col("nr") + buckets))), 6).as("lr"))
       .localCheckpoint(true)
-    fr.join(broadcast(lr), "bucket")
+  }
+
+  /** Apply a fitted [[dsirModel]] to a frame: per-doc features joined
+    * against the broadcast model, one doc-keyed aggregation. Buckets
+    * absent from the model (grams never seen when fitting) contribute
+    * nothing — the add-one smoothing already priced unseen grams into
+    * the fit, and a score must not depend on which OTHER docs arrive
+    * alongside. Stateless per doc, so it streams as-is. */
+  def dsirScoreWith(docs: DataFrame, model: DataFrame, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ngramBuckets(docs, buckets, idCol, textCol)
+      .join(broadcast(model), "bucket")
       .select(col("doc_id"), col("c"), (col("c").cast("double") * col("lr")).as("term"))
       .groupBy("doc_id")
       .agg(sum("c").cast("long").as("n_grams"),
         aggregate(sort_array(collect_list(col("term"))), lit(0d), _ + _).as("s"))
       .select(col("doc_id"), col("n_grams"), round(col("s"), 6).as("logw"))
-  }
 
   /** DSIR selection: draw the `n` most target-like docs by Gumbel
     * top-k over the [[dsirScores]] log-weights — the without-

@@ -936,6 +936,37 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming DSIR scoring: each micro-batch of documents is scored
+    * against a FIXED fitted bucket model
+    * ([[graft.operators.Mix.dsirModel]], pre-materialized — fit once
+    * on a reference sample, apply forever) and lands as a per-batch-id
+    * OVERWRITE partition. The score is a pure function of
+    * (doc, model) — no cross-batch state at all — so streamed == batch
+    * BY CONSTRUCTION ([[graft.operators.Mix.dsirScoreWith]]'s
+    * contract; the spec still pins it), and checkpoint replay re-lands
+    * identical files instead of doubling rows (the
+    * [[vectorIngestStream]] layout). The TOP-N selection stays a batch
+    * job over the scored table: a stream cannot hold the global
+    * Gumbel-top-k frontier without reprocessing, and the scored
+    * parquet is the natural durable input to it. */
+  def dsirScoreStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, outDir: String, model: DataFrame, checkpoint: String,
+      buckets: Int = 4096, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Mix.dsirScoreWith(batch, model, buckets)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming PQ-code ingest: each micro-batch of embeddings is
     * encoded against the index's FIXED codebooks (broadcast narrow
     * map over the batch alone — old vectors never rescanned or

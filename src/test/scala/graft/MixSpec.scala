@@ -207,6 +207,23 @@ class MixSpec extends SparkSpec {
     assert(selRep.sortBy(_._2).toSeq == sel.sortBy(_._2).toSeq)
   }
 
+  test("dsirModel/dsirScoreWith: the fit-once-apply-anywhere split matches the fused form") {
+    val target = (1L to 10L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val raw = ((100L to 104L).map(i => (i, "alpha beta gamma xx")) ++
+      (200L to 204L).map(i => (i, "qq ww ee rr"))).toDF("doc_id", "text")
+    val model = Mix.dsirModel(raw, target)
+    val viaModel = Mix.dsirScoreWith(raw, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = Mix.dsirScores(raw, target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaModel == fused)
+    // a NEW doc (not in the fit) scores against the fixed model;
+    // grams the model never saw contribute nothing
+    val fresh = Seq((999L, "alpha beta zz-unseen")).toDF("doc_id", "text")
+    val s = Mix.dsirScoreWith(fresh, model).collect()
+    assert(s.length == 1 && s.head.getDouble(2) > 0) // target-vocab mass dominates
+  }
+
   test("hashSplit rejects malformed split vectors") {
     val docs = (1L to 10L).toDF("doc_id")
     intercept[IllegalArgumentException](

@@ -621,6 +621,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() == 3)
   }
 
+  test("STS: streamed DSIR scoring against a fixed model equals the batch scores, replay lands nothing twice") {
+    val src = tmp("sts-src"); val out = tmp("sts-out"); val ck = tmp("sts-ck")
+    val target = (1L to 10L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val fitRaw = Seq((900L, "alpha beta qq ww"), (901L, "ee rr tt yy"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Mix.dsirModel(fitRaw, target)
+    val b1 = Seq((100L, "alpha beta gamma one"), (101L, "qq ww ee two"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((102L, "beta gamma delta three")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.dsirScoreStream(spark, b1.schema, src, out, model, ck)
+    val streamed = spark.read.parquet(out)
+    assert(streamed.select("batch_id").distinct().count() == 2)
+    val batch = graft.operators.Mix.dsirScoreWith(b1.unionByName(b2), model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.select("doc_id", "n_grams", "logw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == batch)
+    // restart on the same checkpoint: nothing new, nothing doubled
+    Ingest.dsirScoreStream(spark, b1.schema, src, out, model, ck)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("STV: streamed vector ingest equals the batch-built IVF index, pruning intact") {
     val src = tmp("stv-src"); val ck = tmp("stv-ck")
     val idx = src + "-idx" // fresh path: the stream lays out batch_id= dirs

@@ -437,4 +437,45 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn"), r.getAs[Double]("score")))
     assert(again.toSeq == hits.toSeq)
   }
+
+  test("bm25 index: search-from-disk == index-free; append == rewrite, old files untouched") {
+    import java.nio.file.{Files, Paths}
+    val words = Seq("the", "zebra", "runs", "fast", "and", "slow", "fox", "dog",
+      "cat", "bird", "tree", "rock")
+    val corpus = (1L to 40L).map { i =>
+      (i, (0 until 8).map(j => words(((i * 7 + j * 3) % words.size).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq((0L, "zebra fox the tree")).toDF("q_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "doc_id", "score", "rn").collect().map(_.toSeq).toSet
+
+    val root = Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.writeBm25Index(corpus, root)
+    val free = rows(TextAnalysis.bm25TopK(corpus, queries, k = 5))
+    val idx = TextAnalysis.bm25SearchIndex(spark, root, queries, k = 5)
+    assert(rows(idx) == free)
+    // the driver-collected query token set becomes a pushed In-filter
+    // on the postings scan (row-group pruning via the token sort)
+    idx.collect()
+    val plan = idx.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[In\\(token".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.take(40).mkString("\n"))
+
+    // incremental: batch1 + append(batch2) == one-shot full index
+    val root2 = Files.createTempDirectory("bm25idx2").toString
+    TextAnalysis.writeBm25Index(corpus.filter($"doc_id" <= 20), root2)
+    def snapshot(): Map[String, Long] = {
+      val d = Paths.get(root2, "postings")
+      Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(f => f -> Files.size(Paths.get(f))).toMap
+    }
+    val before = snapshot()
+    TextAnalysis.appendBm25Index(corpus.filter($"doc_id" > 20), root2)
+    val after = snapshot()
+    assert(before.forall { case (f, sz) => after.get(f).contains(sz) },
+      "append must not rewrite existing postings files")
+    assert(after.size > before.size)
+    assert(rows(TextAnalysis.bm25SearchIndex(spark, root2, queries, k = 5)) == free)
+  }
 }
