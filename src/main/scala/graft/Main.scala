@@ -39,6 +39,10 @@ object Main {
         |  pq-search <sfDir> <nQueries> <k>
         |  hash-split <sfDir> <outDir> [train,val,test fracs e.g. 0.8,0.1,0.1]
         |  corpus-diff <oldDir> <newDir> <outDir>
+        |  dsir-select <sfDir> <outDir> <n> [targetLang]
+        |  bm25-index <sfDir> <indexDir>
+        |  bm25-search <sfDir> <indexDir> <nQueries> <k>
+        |  hybrid-search <sfDir> <nQueries> <k>
         |  sql <sfDir> <statement>""".stripMargin)
     sys.exit(2)
   }
@@ -173,6 +177,38 @@ object Main {
             Tables.load(spark, newDir, "documents"))
           .write.mode("overwrite").parquet(outDir)
         println(s"corpus diff report at $outDir")
+      case "dsir-select" :: sfDir :: outDir :: n :: rest if rest.size <= 1 =>
+        // DSIR data selection: the raw corpus scored against its own
+        // targetLang slice (default en), top-n written out.
+        val docs = Tables.load(spark, sfDir, "documents")
+        val lang = rest.headOption.getOrElse("en")
+        graft.operators.Mix.dsirSelect(docs,
+            docs.filter(org.apache.spark.sql.functions.col("lang") === lang),
+            n = n.toInt)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"top-$n DSIR selection (target lang=$lang) at $outDir")
+      case "bm25-index" :: sfDir :: indexDir :: Nil =>
+        graft.functions.TextAnalysis.writeBm25Index(
+          Tables.load(spark, sfDir, "documents"), indexDir)
+        println(s"BM25 index (token-sorted postings) at $indexDir")
+      case "bm25-search" :: sfDir :: indexDir :: nQueries :: k :: Nil =>
+        val docs = Tables.load(spark, sfDir, "documents")
+        val q = docs.filter(
+            org.apache.spark.sql.functions.col("doc_id") < nQueries.toLong)
+          .select(org.apache.spark.sql.functions.col("doc_id").as("q_id"),
+            org.apache.spark.sql.functions.col("text").as("qtext"))
+        graft.functions.TextAnalysis.bm25SearchIndex(spark, indexDir, q, k = k.toInt)
+          .orderBy("q_id", "rn").show(5 * k.toInt, truncate = false)
+      case "hybrid-search" :: sfDir :: nQueries :: k :: Nil =>
+        // BM25 ∪ dense cosine, fused by reciprocal rank.
+        val docs = Tables.load(spark, sfDir, "documents")
+        val q = docs.filter(
+            org.apache.spark.sql.functions.col("doc_id") < nQueries.toLong)
+          .select(org.apache.spark.sql.functions.col("doc_id").as("q_id"),
+            org.apache.spark.sql.functions.col("text").as("qtext"))
+        graft.operators.Retrieval.hybridTopK(docs,
+            Tables.load(spark, sfDir, "embeddings"), q, k = k.toInt)
+          .orderBy("q_id", "rn").show(5 * k.toInt, truncate = false)
       case "pq-search" :: sfDir :: nQueries :: k :: Nil =>
         // Product-quantization ANN end to end: train codebooks, encode
         // the corpus, ADC-search the first nQueries vectors.

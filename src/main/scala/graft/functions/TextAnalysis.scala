@@ -596,15 +596,23 @@ object TextAnalysis {
       textCol: String = "text"): Unit =
     writeBm25(batch, path, "append", idCol, textCol)
 
-  private def writeBm25(docs: DataFrame, path: String, mode: String,
-      idCol: String, textCol: String): Unit = {
+  /** One layout definition for all three index components. `sub`
+    * appends a component-relative subdirectory — the streamed ingest
+    * passes "batch_id=N" so each micro-batch is an OVERWRITE partition
+    * (idempotent replay); build/append pass "" (at-least-once under
+    * caller retry, like [[graft.operators.Ann.appendIvfIndex]]). The
+    * search path is layout-agnostic: partition discovery surfaces
+    * batch_id as just another column the scoring chain never selects. */
+  private[graft] def writeBm25(docs: DataFrame, path: String, mode: String,
+      idCol: String, textCol: String, sub: String = ""): Unit = {
+    val at = if (sub.isEmpty) "" else s"/$sub"
     val tf = bm25Postings(docs, idCol, textCol)
     tf.repartitionByRange(col("token")).sortWithinPartitions("token")
-      .write.mode(mode).parquet(s"$path/postings")
+      .write.mode(mode).parquet(s"$path/postings$at")
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
-    dl.write.mode(mode).parquet(s"$path/doclens")
+    dl.write.mode(mode).parquet(s"$path/doclens$at")
     dl.agg(count(lit(1)).cast("long").as("n"), sum("dl").cast("long").as("tot"))
-      .write.mode(mode).parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/stats$at")
   }
 
   /** Query a persisted BM25 index: collect the query token set to the

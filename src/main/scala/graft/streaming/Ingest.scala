@@ -967,6 +967,35 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming BM25 ingest: each micro-batch of documents is indexed
+    * alone (postings/doclens/stats are all ADDITIVE over disjoint doc
+    * batches — [[graft.functions.TextAnalysis.appendBm25Index]]'s
+    * argument) and lands as per-batch-id OVERWRITE partitions of each
+    * component, so checkpoint replay re-lands identical files instead
+    * of double-counting df and doc lengths — which a replayed plain
+    * append WOULD (unlike the dedup streams, a duplicated postings row
+    * corrupts scores silently rather than duplicating an output row).
+    * `bm25SearchIndex` over the streamed layout is row-identical to
+    * the one-shot batch index (spec law): partition discovery
+    * surfaces batch_id as a column the scoring chain never reads. */
+  def bm25IngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, indexPath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.functions.TextAnalysis.writeBm25(batch, indexPath, "overwrite",
+          "doc_id", "text", sub = s"batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming PQ-code ingest: each micro-batch of embeddings is
     * encoded against the index's FIXED codebooks (broadcast narrow
     * map over the batch alone — old vectors never rescanned or

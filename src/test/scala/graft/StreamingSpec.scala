@@ -645,6 +645,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("STB25: streamed BM25 ingest == one-shot batch index; replay never double-counts df") {
+    val src = tmp("stb25-src"); val idx = tmp("stb25-idx"); val ck = tmp("stb25-ck")
+    val b1 = Seq((1L, "the zebra runs far today"),
+      (2L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "the zebra sleeps near the tree")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.bm25IngestStream(spark, b1.schema, src, idx, ck)
+    val queries = Seq((0L, "zebra tree fox")).toDF("q_id", "qtext")
+    def rows(p: String) =
+      graft.functions.TextAnalysis.bm25SearchIndex(spark, p, queries, k = 5)
+        .select("q_id", "doc_id", "score", "rn").collect().map(_.toSeq).toSet
+    val full = tmp("stb25-full") + "-w"
+    graft.functions.TextAnalysis.writeBm25Index(b1.unionByName(b2), full)
+    assert(rows(idx) == rows(full))
+    // restart on the same checkpoint: df/doclens/stats unchanged —
+    // a replayed plain append would silently deflate every idf
+    Ingest.bm25IngestStream(spark, b1.schema, src, idx, ck)
+    assert(rows(idx) == rows(full))
+    assert(spark.read.parquet(s"$idx/stats").agg(
+      org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 3L)
+  }
+
   test("STV: streamed vector ingest equals the batch-built IVF index, pruning intact") {
     val src = tmp("stv-src"); val ck = tmp("stv-ck")
     val idx = src + "-idx" // fresh path: the stream lays out batch_id= dirs
