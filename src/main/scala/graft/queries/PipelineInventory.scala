@@ -1862,6 +1862,44 @@ object PipelineInventory {
                 |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
       }),
 
+    // Count-min sketch corpus summary: the 4×8192 n-gram frequency
+    // sketch (a ~256 KB artifact regardless of corpus size) answering
+    // point frequencies for doc 0-2's trigrams without rescanning
+    // text. Everything is md5-derived integer arithmetic — the sketch
+    // itself is hash-checkable cross-engine, collisions and all.
+    QueryDef("r57_ngram_cms",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val row = graft.functions.Sketch.ngramCms(docs, n = 3).head
+        val sk = row.getAs[scala.collection.Seq[Long]]("sketch").toSeq
+        graft.functions.Sketch.wordNgrams(docs.filter(col("doc_id") < 3), n = 3)
+          .select(col("gram")).distinct()
+          .select(col("gram"),
+            graft.functions.Sketch.cmsEstimate(sk, 4, 8192)(col("gram")).as("est"))
+          .orderBy("gram")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+             |                             FOR i IN range(1, len(t)-1)]) AS gram
+             |      FROM toks WHERE len(t) >= 3),
+             |h AS (SELECT gram,
+             |        ('0x' || substr(md5(gram), 1, 15))::BIGINT AS a,
+             |        ('0x' || substr(md5(gram), 16, 15))::BIGINT AS b
+             |      FROM g),
+             |cells AS (SELECT j.j * 8192 + (h.a + j.j * h.b) % 8192 AS cell
+             |          FROM h, range(0, 4) j(j)),
+             |cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS v FROM cells GROUP BY cell),
+             |q AS (SELECT DISTINCT gram FROM g WHERE doc_id < 3),
+             |qh AS (SELECT gram,
+             |         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS a,
+             |         ('0x' || substr(md5(gram), 16, 15))::BIGINT AS b
+             |       FROM q)
+             |SELECT qh.gram, CAST(MIN(COALESCE(c.v, 0)) AS BIGINT) AS est
+             |FROM qh CROSS JOIN range(0, 4) j(j)
+             |LEFT JOIN cnt c ON c.cell = j.j * 8192 + (qh.a + j.j * qh.b) % 8192
+             |GROUP BY qh.gram
+             |ORDER BY gram""".stripMargin)),
+
     // Corpus snapshot diff (added/removed/changed docs between two
     // versions, derived deterministically from the same table: A drops
     // id % 7 == 0; B drops id % 5 == 0 and edits id % 11 == 0 texts).
