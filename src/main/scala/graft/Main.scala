@@ -34,6 +34,7 @@ object Main {
         |  curate-stream <srcDir> <outDir> <indexDir> <stateDir> <ck> <budgetTokens>
         |  bpe-train <sfDir> <nMerges>
         |  quality-train <sfDir>
+        |  domain-train <sfDir>
         |  quality-fixture [outDir]
         |  ivf-build <sfDir> <indexDir> <nCentroids>
         |  pq-search <sfDir> <nQueries> <k>
@@ -145,6 +146,25 @@ object Main {
           .join(labels, "doc_id")
         val agree = scored.filter(c("kept") === (c("label") === 1)).count()
         println(s"gate agreement: $agree/${scored.count()}")
+      case "domain-train" :: sfDir :: Nil =>
+        // Fit the one-vs-rest domain classifier on the source column
+        // (the workflow that produced PipelineInventory.P51Weights)
+        // and report training-set argmax accuracy.
+        import org.apache.spark.sql.functions.{col => c}
+        val docs = Tables.load(spark, sfDir, "documents")
+        val feats = graft.functions.TextAnalysis.qualityFeatures(docs)
+        val labels = docs.select(c("doc_id"), c("source").as("domain"))
+        val w = graft.functions.TextAnalysis.trainDomainLogreg(feats, labels)
+        println("class weights (bias, " +
+          graft.functions.TextAnalysis.qualityFeatureCols.mkString(", ") + "):")
+        w.foreach { case (cls, ws) =>
+          println(s"  $cls: ${ws.map(_.toString).mkString(", ")}")
+        }
+        val scored = graft.functions.TextAnalysis.scoreDomains(feats, w)
+          .select(c("doc_id"), c("domain").as("pred"))
+          .join(docs.select(c("doc_id"), c("source")), "doc_id")
+        val right = scored.filter(c("pred") === c("source")).count()
+        println(s"argmax accuracy: $right/${scored.count()}")
       case "quality-fixture" :: rest if rest.lengthCompare(1) <= 0 =>
         // Explicit fixture materialization (q42's corpus) — queries only
         // READ the committed fixture; regeneration is this command.

@@ -1,6 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch over corpus grams — the mergeable bounded-memory
@@ -101,4 +104,115 @@ object Sketch {
   def ngramCms(docs: DataFrame, n: Int = 3, depth: Int = 4, width: Int = 8192,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     cmsBuild(wordNgrams(docs, n, idCol, textCol), depth = depth, width = width)
+
+  /** Misra-Gries frequent-items summary (Misra & Gries 1982; the
+    * amortized "frequent" variant): a counter map that never exceeds
+    * `budget` entries after compression. Compression subtracts the
+    * (budget+1)-th largest count from every entry and drops the
+    * non-positive ones — the same rule the MERGE uses, which is what
+    * makes per-partition summaries composable (Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012). Invariants, with N = stream
+    * length and S = sum of surviving counts:
+    *   count(t) − (N − S)/(budget+1) ≤ summary(t) ≤ count(t)
+    * so any token the summary MISSES has true count ≤ (N−S)/(budget+1)
+    * — a bound computable from the summary itself (tight form of the
+    * classic N/(budget+1)).
+    *
+    * Buffer grows to 2×budget between compressions so the O(buffer)
+    * compression cost amortizes to O(1)/row. The buffer is an opaque
+    * kryo blob (only ever shipped partition→reducer, ≤ 2·budget
+    * entries ≈ tens of KB); the OUTPUT is a plain map column. */
+  private final class MisraGries(budget: Int, out: Encoder[Map[String, Long]])
+      extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+
+    private def compress(m: mutable.HashMap[String, Long], cap: Int): Unit =
+      if (m.size > cap) {
+        val counts = m.values.toArray
+        java.util.Arrays.sort(counts)
+        val delta = counts(counts.length - (cap + 1)) // (cap+1)-th largest
+        m.filterInPlace((_, c) => c > delta)
+        m.mapValuesInPlace((_, c) => c - delta)
+      }
+
+    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    def reduce(b: mutable.HashMap[String, Long], t: String): mutable.HashMap[String, Long] = {
+      b.update(t, b.getOrElse(t, 0L) + 1L)
+      if (b.size > 2 * budget) compress(b, budget)
+      b
+    }
+    def merge(a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+      compress(a, budget)
+      a
+    }
+    def finish(b: mutable.HashMap[String, Long]): Map[String, Long] = {
+      compress(b, budget)
+      b.toMap
+    }
+    def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] = out
+  }
+
+  /** One pass over a 1-column token frame → (MG summary ≤ `budget`
+    * entries, total token count). Partial aggregation runs map-side
+    * (each task ships one ≤ budget-entry summary), so the only global
+    * state is the merged map — bounded regardless of vocabulary size,
+    * unlike a groupBy whose shuffle is |vocab|-sized. */
+  private[graft] def mgAggregate(toks: DataFrame, budget: Int,
+      tokenCol: String = "token"): (Map[String, Long], Long) = {
+    val sp = toks.sparkSession
+    val enc: Encoder[Map[String, Long]] = {
+      import sp.implicits._
+      implicitly[Encoder[Map[String, Long]]]
+    }
+    val mg = udaf(new MisraGries(budget, enc), Encoders.STRING)
+    val row = toks.agg(mg(col(tokenCol)).as("mg"), count(lit(1)).as("n")).head
+    (row.getAs[Map[String, Long]]("mg"), row.getAs[Long]("n"))
+  }
+
+  /** EXACT top-k most frequent tokens, computed the bounded-memory way:
+    * one MG pass yields ≤ `budget` candidate tokens (every token with
+    * count above the miss bound is guaranteed present), one filtered
+    * pass recounts ONLY the candidates exactly, and the result is
+    * certified complete when the k-th candidate count exceeds the miss
+    * bound (N − Σsummary)/(budget+1) — any token outside the candidate
+    * set counts at most that. If certification fails (near-flat
+    * distribution or an undersized budget), fall back to the exact
+    * |vocab|-shuffle groupBy, so the OUTPUT is exact top-k either way —
+    * the sketch only decides how much data moves. At 100 TB the
+    * certified path shuffles ≤ budget entries per task in pass 1 and
+    * only candidate-token instances (pre-combined map-side) in pass 2;
+    * the full vocabulary never rides an exchange.
+    * Ties break token-ascending. Output: token, cnt, rn — ordered. */
+  def heavyHitters(docs: DataFrame, k: Int = 20, budget: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(budget >= k, s"budget $budget must be at least k=$k")
+    val toks = docs.select(
+      explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+    val (cand, n) = mgAggregate(toks, budget)
+    val wTop = Window.orderBy(col("cnt").desc, col("token").asc)
+    // TakeOrderedAndProject trims to k DISTRIBUTED (per-partition heaps,
+    // k rows to the driver); the single-partition row_number window
+    // only ever sees those k rows.
+    def rank(counts: DataFrame): DataFrame = counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+      .withColumn("rn", row_number().over(wTop).cast("int"))
+      .orderBy("rn")
+    val missBound = (n - cand.values.sum).toDouble / (budget + 1)
+    val candTop = rank(
+      toks.filter(col("token").isInCollection(cand.keys.toSeq))
+        .groupBy("token").agg(count(lit(1)).as("cnt")))
+    val rows = candTop.collect()
+    val complete =
+      (rows.length == k && rows.last.getAs[Long]("cnt") > missBound) ||
+        (rows.length < k && missBound == 0.0) // summary holds the whole vocab
+    if (complete)
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), candTop.schema)
+    else rank(toks.groupBy("token").agg(count(lit(1)).as("cnt")))
+  }
 }

@@ -552,7 +552,24 @@ object TextAnalysis {
     * equals df over the full table for those tokens, so the scores
     * are identical. */
   private def bm25Score(tf: DataFrame, dl: DataFrame, st: DataFrame,
-      qt: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+      qt: DataFrame, k: Int, k1: Double, b: Double): DataFrame =
+    bm25TermsFor(tf, dl, st, qt, k1, b)
+      .groupBy("q_id", "doc_id")
+      .agg(round(aggregate(sort_array(collect_list(col("term"))), lit(0d), _ + _), 6)
+        .as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+
+  /** Per-(query, doc, token) BM25 term contributions (6dp-rounded) for
+    * a broadcastable (q_id, token, …) token-set frame — the shared
+    * core of [[bm25Score]] and the RM3 expansion leg. `carry` names
+    * extra `qset` columns to keep (RM3 carries the expansion weight).
+    * Joining the broadcast token set FIRST prunes the postings before
+    * the idf/doclen joins, so only matching postings ever move. */
+  private def bm25TermsFor(tf: DataFrame, dl: DataFrame, st: DataFrame,
+      qset: DataFrame, k1: Double, b: Double,
+      carry: Seq[String] = Nil): DataFrame = {
     val idf = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
       .crossJoin(broadcast(st))
       .select(col("token"), round(log(
@@ -561,18 +578,13 @@ object TextAnalysis {
     val avgdl = col("tot").cast("double") / col("n")
     val term = round(col("idf") * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))), 6)
-    tf.join(broadcast(qt), "token")
+    tf.join(broadcast(qset), "token")
       .filter(col("doc_id") =!= col("q_id"))
       .join(idf, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(st))
-      .select(col("q_id"), col("doc_id"), term.as("term"))
-      .groupBy("q_id", "doc_id")
-      .agg(round(aggregate(sort_array(collect_list(col("term"))), lit(0d), _ + _), 6)
-        .as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rn") <= k)
+      .select(Seq(col("q_id"), col("doc_id"), term.as("term")) ++
+        carry.map(col): _*)
   }
 
   /** Persist the BM25 index: the postings RANGE-SORTED by token (so a
@@ -637,6 +649,80 @@ object TextAnalysis {
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum("n").cast("long").as("n"), sum("tot").cast("long").as("tot"))
     bm25Score(post, dl, st, qt, k, k1, b)
+  }
+
+  /** BM25 + RM3 pseudo-relevance feedback (Lavrenko & Croft 2001;
+    * the Anserini-default expansion): run BM25, treat each query's
+    * top-`fb` docs as relevant, build the RM1 relevance model
+    * w(t) = Σ_d P(t|d)·score_d over feedback docs (P(t|d) = tf/dl),
+    * keep the top-`e` NEW terms (original query tokens are excluded —
+    * they already carry the α leg in full), normalize their weights to
+    * sum 1, and score final = α·bm25(q,d) + (1−α)·Σ_t wn_t·term(t,d).
+    * Docs reachable only through expansion terms enter the candidate
+    * set (the point of PRF: vocabulary-mismatch docs the literal query
+    * can never match), via the full-outer merge of the two legs.
+    *
+    * Scale shape: two passes of the [[bm25TopK]] token-keyed join —
+    * the expansion token set is (queries × e) rows, broadcast like the
+    * query set; the RM1 build joins postings to the (queries × fb)
+    * feedback docs on the DOC key. Every per-query frame is
+    * candidate-sized; nothing corpus-wide rides a window.
+    *
+    * Determinism: every intermediate (term, RM1 contribution, weight,
+    * normalized weight, leg sums, final) is 6dp-rounded off exact
+    * operand chains; all folds ascending-sorted; all ranks id/token
+    * tie-broken. Pass α with an exactly-representable complement
+    * (0.5, 0.25, …) when cross-engine bit-equality matters — `1 − α`
+    * is evaluated in IEEE once here and once in any oracle.
+    * Output: q_id, doc_id, score, rn (1..k per query). */
+  def rm3TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      fb: Int = 3, e: Int = 5, alpha: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text", qidCol: String = "q_id",
+      qtextCol: String = "qtext"): DataFrame = {
+    require(k >= 1 && fb >= 1 && e >= 1, "k, fb, e must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0, 1]")
+    val tf = bm25Postings(docs, idCol, textCol)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum("dl").cast("long").as("tot"))
+    val qt = queries.select(col(qidCol).as("q_id"),
+        explode(split(col(qtextCol), " ")).as("token"))
+      .distinct()
+    def fold(c: Column) =
+      round(aggregate(sort_array(collect_list(c)), lit(0d), _ + _), 6)
+    val basePairs = bm25TermsFor(tf, dl, st, qt, k1, b)
+      .groupBy("q_id", "doc_id").agg(fold(col("term")).as("base"))
+    val fbDocs = basePairs
+      .withColumn("frn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("base").desc, col("doc_id"))))
+      .filter(col("frn") <= fb)
+      .select(col("q_id"), col("doc_id"), col("base"))
+    val contrib = fbDocs.join(tf, "doc_id").join(dl, "doc_id")
+      .select(col("q_id"), col("token"),
+        round(col("tf").cast("double") / col("dl") * col("base"), 6).as("c"))
+    val w = contrib.join(qt, Seq("q_id", "token"), "left_anti")
+      .groupBy("q_id", "token").agg(fold(col("c")).as("w"))
+    val top = w.withColumn("ern", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("w").desc, col("token"))))
+      .filter(col("ern") <= e)
+      .select(col("q_id"), col("token"), col("w"))
+    val wsum = top.groupBy("q_id").agg(fold(col("w")).as("ws"))
+    val exp = top.join(wsum, "q_id")
+      .select(col("q_id"), col("token"),
+        when(col("ws") > 0, round(col("w") / col("ws"), 6))
+          .otherwise(lit(0.0)).as("wn"))
+    val expPairs = bm25TermsFor(tf, dl, st, exp, k1, b, carry = Seq("wn"))
+      .select(col("q_id"), col("doc_id"),
+        round(col("wn") * col("term"), 6).as("wterm"))
+      .groupBy("q_id", "doc_id").agg(fold(col("wterm")).as("exps"))
+    basePairs.join(expPairs, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        round(lit(alpha) * coalesce(col("base"), lit(0.0)) +
+          lit(1 - alpha) * coalesce(col("exps"), lit(0.0)), 6).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
   }
 
   /** The remaining Gopher repetition rules (Rae et al. 2021 §A1.1 —
@@ -876,6 +962,64 @@ object TextAnalysis {
       val f1 = if (pp + pos == 0L) 0.0 else 2.0 * tp / (pp + pos)
       (t, f1)
     }.maxBy { case (t, f1) => (f1, -t) }
+  }
+
+  /** One-vs-rest multiclass domain classifier (the data-mixing
+    * companion to the binary quality filter: CCNet/DoReMi-style
+    * pipelines tag every document with a source/domain so the mixer
+    * can reweight them). One independent [[trainQualityLogreg]] IRLS
+    * fit per class against the rest — k tiny binary models instead of
+    * a fused softmax Newton step, because the softmax Hessian is
+    * (k·(d+1))² while OvR keeps driver state at k separate
+    * (d+1)-vectors and the k fits are embarrassingly parallel across
+    * Spark jobs. Classes are the distinct `labelCol` values, sorted —
+    * the weight order is part of the model contract (argmax ties
+    * break toward the FIRST class).
+    * Returns (class, weights) sorted by class; weights bias-first. */
+  def trainDomainLogreg(feats: DataFrame, labels: DataFrame,
+      featureCols: Seq[String] = qualityFeatureCols,
+      iters: Int = 12, ridge: Double = 1e-4, tol: Double = 1e-9,
+      labelCol: String = "domain"): Seq[(String, Seq[Double])] = {
+    val classes = labels.select(col(labelCol).cast("string").as("c"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    require(classes.size >= 2, s"need at least 2 domain classes, got $classes")
+    classes.map { c =>
+      c -> trainQualityLogreg(feats,
+        labels.select(col("doc_id"),
+          (col(labelCol).cast("string") === c).cast("int").as("label")),
+        featureCols, iters, ridge, tol)
+    }
+  }
+
+  /** Apply one-vs-rest domain weights: per-class linear logits
+    * (rounded 6dp — the same sigmoid-free exact scoring path as
+    * [[scoreQualityLogreg]]; softmax is monotone per row, so argmax
+    * over logits IS argmax over class probabilities), then the winner
+    * by greatest logit with ties to the lexicographically smallest
+    * class. The argmax is a sorted fold over a k-element literal
+    * array — one narrow codegen'd projection, no explode/groupBy.
+    * Output: doc_id, features…, domain, logit (the winning logit). */
+  def scoreDomains(feats: DataFrame, weights: Seq[(String, Seq[Double])],
+      featureCols: Seq[String] = qualityFeatureCols): DataFrame = {
+    require(weights.nonEmpty, "scoreDomains: empty weight set")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "scoreDomains: duplicate class label")
+    weights.foreach { case (c, w) =>
+      require(w.size == featureCols.size + 1,
+        s"class $c: weights size ${w.size} != 1 + ${featureCols.size} features") }
+    val scored = weights.map { case (cls, w) =>
+      val z = featureCols.zip(w.tail)
+        .map { case (c, wi) => col(c) * lit(wi) }
+        .foldLeft(lit(w.head).cast("double"): Column)(_ + _)
+      val r = round(z, 6)
+      // struct sorts field-by-field: ascending (−logit, class) = logit
+      // descending, class ascending — the deterministic argmax.
+      struct((-r).as("neg"), lit(cls).as("domain"), r.as("logit"))
+    }
+    val best = element_at(sort_array(array(scored: _*)), 1)
+    feats.select(col("doc_id") +: featureCols.map(col) :+
+      best.getField("domain").as("domain") :+
+      best.getField("logit").as("logit"): _*)
   }
 
   /** Confusion-matrix evaluation of a binary keep/drop classifier

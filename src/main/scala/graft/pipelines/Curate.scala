@@ -202,4 +202,37 @@ object Curate {
       else None
     (packed, st)
   }
+
+  /** Data card for an audited run (the FineWeb/Dolma release-notes
+    * table): one row per EXECUTED stage, in pipeline order, with the
+    * row flow and drop fraction. Disabled optional stages (their Stats
+    * field is the -1 sentinel) are omitted, so rows_in always chains
+    * from the previous stage's rows_out. `resample` can amplify —
+    * rows_dropped/drop_frac go negative there by design. Driver-side
+    * arithmetic over the already-computed Stats: requires a
+    * `stats = true` run, costs nothing. */
+  def dataCard(spark: org.apache.spark.sql.SparkSession, st: Stats): DataFrame = {
+    require(st.input >= 0 && st.afterGate >= 0,
+      "dataCard needs Stats from a stats = true run")
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var prev = st.input
+    def stage(name: String, out: Long): Unit = if (out >= 0) {
+      stages += ((name, prev, out)); prev = out
+    }
+    stage("quality_gate", st.afterGate)
+    stage("boilerplate_strip", st.afterBoilerplate)
+    stage("near_dup_dedup", st.afterDedup)
+    stage("subdoc_cdc_dedup", st.afterSubdoc)
+    stage("decontaminate", st.afterDecontam)
+    stage("semantic_dedup", st.afterSemDedup)
+    stage("dsir_select", st.afterDsir)
+    stage("quality_prune", st.afterPrune)
+    stage("resample", st.resampledCopies)
+    stage("chunk", st.chunks)
+    import spark.implicits._
+    stages.toSeq.map { case (n, in, out) =>
+      (n, in, out, in - out,
+        if (in > 0) math.rint((in - out).toDouble / in * 10000) / 10000 else 0.0)
+    }.toDF("stage", "rows_in", "rows_out", "rows_dropped", "drop_frac")
+  }
 }

@@ -263,6 +263,35 @@ object PipelineInventory {
     -22.61508771007489, -0.4458694383231951, 462.5628522111789,
     -10.886630711456226, 0.8031261218744232)
 
+  /** One-vs-rest domain-classifier weights ((class, (bias, features…))
+    * per source, classes sorted) fit by TextAnalysis.trainDomainLogreg
+    * on the sf0.01 corpus's source column (`Main domain-train`). The
+    * synthetic sources are nearly feature-indistinguishable by design —
+    * what the oracle checks is the exact argmax SCORING contract
+    * (rounded logits, smallest-class ties), not the fit quality; the
+    * separability story is DomainLogregSpec's planted corpus. */
+  val P51Weights: Seq[(String, Seq[Double])] = Seq(
+    "src0" -> Seq(-4.352674413596613, 1.0487577359863876, 2.384960265103265, -14.516202765216672, 1.8787096499594067),
+    "src1" -> Seq(-3.1524596275417034, 2.4789010187718046, -29.19963312919148, 12.667243592618203, -2.056770798588665),
+    "src10" -> Seq(-2.8144639760261096, -0.7423091631038209, 9.04106781492837, -14.937535553116161, 0.9023150227196611),
+    "src11" -> Seq(-12.944193727685608, 7.589925671735276, -5.859451955620736, 2.7709629164906695, 7.438082626923663),
+    "src12" -> Seq(-4.809976089845422, 0.7860961729356755, 6.096071236575019, 14.046833349429212, 0.464822764321537),
+    "src13" -> Seq(1.8488930993990722, -3.0038486025330786, 8.290083676440217, -17.063955206605442, -4.560366898775276),
+    "src14" -> Seq(5.031927448828462, -5.152666942411208, -4.356265373940532, -10.041194792305888, -6.323211580666583),
+    "src15" -> Seq(-4.22503709624384, 0.34114141823792254, 6.261639999635636, 5.091446259390815, 0.7554642240619518),
+    "src16" -> Seq(1.789825892779884, -2.03556756081686, -21.958744850658693, 4.018139753602471, -4.291006452508469),
+    "src17" -> Seq(-10.450926016640963, 5.427524914061949, 0.017662245047150728, 37.19185349776518, 2.743490609542078),
+    "src18" -> Seq(-3.2813734859944246, 0.6397773498595922, -8.352713052607735, -3.3021760015698116, 0.83293583898415),
+    "src19" -> Seq(-4.715540096955824, -0.015614042487189774, 7.192749315670579, -10.387204596495849, 3.3053141431667243),
+    "src2" -> Seq(-2.4247824949530687, -0.7014619690139223, 10.374346840314207, -34.192347136688575, 1.2602464436461802),
+    "src3" -> Seq(-1.989127076584814, -0.7132217684055647, 2.7331828634779223, 4.47974548750233, -1.4553645671299422),
+    "src4" -> Seq(-2.991954269862982, 0.010128201238989535, -4.202007115410623, -14.325538946753245, 1.689790485739696),
+    "src5" -> Seq(-6.8191920132561785, 2.3164773969128785, 2.2089196211918156, 11.594545548711293, 2.671426103118045),
+    "src6" -> Seq(2.1299355768082187, -3.7934239063674187, -0.5505222744660556, -18.00811925191728, -2.5231788806467472),
+    "src7" -> Seq(-6.268428095805552, 2.6813106554536903, -1.736183704286271, -2.000797844797432, 2.5025501690601337),
+    "src8" -> Seq(-2.4374490464522114, -0.5720838909228972, -4.134199261881667, 9.295525645804185, -0.42180642611054814),
+    "src9" -> Seq(-2.402294149298202, -0.2255618472754291, 3.731274393196365, -2.5408816674001247, -1.0093597841121607))
+
   /** The shared pigeonhole hamming join (Multimodal.hammingPairs) in
     * SQL: 4×16-bit blocks, hot buckets capped at 100, exact
     * bit_count(xor) filter at distance 3. `>>` is arithmetic in both
@@ -2074,6 +2103,137 @@ object PipelineInventory {
            |FROM m""".stripMargin
       }),
 
+    // One-vs-rest domain classifier, applied: per-class linear logits
+    // under the distilled P51Weights (the same sigmoid-free exact
+    // scoring contract as p41 — softmax is monotone per row, so argmax
+    // over 6dp logits IS argmax over probabilities) and the argmax
+    // winner with ties to the smallest class label.
+    QueryDef("p51_domain_classifier",
+      (s, d) => TextAnalysis.scoreDomains(
+          TextAnalysis.qualityFeatures(T(s, d, "documents")), P51Weights)
+        .orderBy("doc_id"),
+      Some {
+        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+        val legs = P51Weights.map { case (cls, ws) =>
+          val Seq(w0, w1, w2, w3, w4) = ws.map(x => s"($x::DOUBLE)")
+          s"""SELECT doc_id, len_frac, stop_ratio, top_frac, distinct_ratio,
+             |  '$cls' AS domain,
+             |  ${rrepr(s"$w0 + $w1 * len_frac + $w2 * stop_ratio + $w3 * top_frac + $w4 * distinct_ratio", 6)} AS logit
+             |FROM f""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+           |qs AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |        CAST(SUM(CASE WHEN token IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           |        CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct
+           |       FROM tok GROUP BY doc_id),
+           |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+           |       FROM tk WHERE len(t) >= 2),
+           |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg),
+           |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           |               CAST(MAX(n) AS BIGINT) AS top_n
+           |        FROM c GROUP BY doc_id),
+           |f AS (SELECT q.doc_id,
+           |  ${rrepr("LEAST(1.0::DOUBLE, CAST(q.n_tokens AS DOUBLE) / 50)", 4)} AS len_frac,
+           |  ${rrepr("CAST(q.n_stop AS DOUBLE) / q.n_tokens", 4)} AS stop_ratio,
+           |  COALESCE(${rrepr("CAST(a.top_n AS DOUBLE) / a.n_bigrams", 4)}, 0.0::DOUBLE) AS top_frac,
+           |  ${rrepr("CAST(q.n_distinct AS DOUBLE) / q.n_tokens", 4)} AS distinct_ratio
+           |  FROM qs q LEFT JOIN agg a USING (doc_id)),
+           |lg AS ($legs)
+           |SELECT doc_id, len_frac, stop_ratio, top_frac, distinct_ratio, domain, logit
+           |FROM (SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY doc_id ORDER BY logit DESC, domain) AS drn
+           |      FROM lg) z
+           |WHERE drn = 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // BM25 + RM3 pseudo-relevance feedback: the p47 chain, then RM1
+    // expansion weights from each query's top-3 feedback docs
+    // (tf/dl × doc score, original query tokens excluded), top-5 new
+    // terms normalized to sum 1, and the final α-interpolated score
+    // over the UNION of the two candidate sets (a doc only expansion
+    // terms reach — the vocabulary-mismatch case PRF exists for — has
+    // no base leg; COALESCE gives it α·0). α = 0.5 so 1−α is exact in
+    // IEEE cross-engine.
+    QueryDef("p52_rm3_expansion", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.rm3TopK(docs,
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("q_id"), col("text").as("qtext")),
+            k = 10, fb = 3, e = 5, alpha = 0.5)
+          .orderBy("q_id", "rn")
+      }},
+      {
+        val (k1, b) = (1.2, 0.75)
+        val (k1p1, omb) = (k1 + 1, 1 - b)
+        val termF = s"i.idf * (t.tf * $k1p1) / (t.tf + $k1 * ($omb + $b * (d2.dl / (st.tot::DOUBLE / st.n))))"
+        Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                |            FROM documents),
+                |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                |       FROM tok GROUP BY doc_id, token),
+                |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+                |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+                |idf AS (SELECT token,
+                |          ${rrepr("ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)", 6)} AS idf
+                |        FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                |              FROM tf GROUP BY token) d CROSS JOIN st),
+                |qt AS (SELECT DISTINCT doc_id AS q_id, token FROM tok WHERE doc_id < 3),
+                |tm AS (SELECT q.q_id, t.doc_id,
+                |         ${rrepr(termF, 6)} AS term
+                |       FROM tf t JOIN qt q USING (token)
+                |       JOIN idf i ON i.token = t.token
+                |       JOIN dl d2 ON d2.doc_id = t.doc_id CROSS JOIN st
+                |       WHERE t.doc_id <> q.q_id),
+                |sc AS (SELECT q_id, doc_id,
+                |         ${rrepr("list_reduce(list_sort(list(term)), (x, y) -> x + y)", 6)} AS score
+                |       FROM tm GROUP BY q_id, doc_id),
+                |fbr AS (SELECT q_id, doc_id, score FROM (
+                |    SELECT q_id, doc_id, score,
+                |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS frn
+                |    FROM sc) z WHERE frn <= 3),
+                |ct AS (SELECT fb.q_id, t.token,
+                |         ${rrepr("CAST(t.tf AS DOUBLE) / d2.dl * fb.score", 6)} AS c
+                |       FROM fbr fb JOIN tf t ON t.doc_id = fb.doc_id
+                |       JOIN dl d2 ON d2.doc_id = fb.doc_id),
+                |cw AS (SELECT q_id, token,
+                |         ${rrepr("list_reduce(list_sort(list(c)), (x, y) -> x + y)", 6)} AS w
+                |       FROM ct c1
+                |       WHERE NOT EXISTS (SELECT 1 FROM qt q
+                |                         WHERE q.q_id = c1.q_id AND q.token = c1.token)
+                |       GROUP BY q_id, token),
+                |ex AS (SELECT q_id, token, w FROM (
+                |    SELECT q_id, token, w,
+                |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY w DESC, token) AS ern
+                |    FROM cw) z WHERE ern <= 5),
+                |ws AS (SELECT q_id,
+                |         ${rrepr("list_reduce(list_sort(list(w)), (x, y) -> x + y)", 6)} AS ws
+                |       FROM ex GROUP BY q_id),
+                |exn AS (SELECT e2.q_id, e2.token,
+                |          CASE WHEN s2.ws > 0 THEN ${rrepr("e2.w / s2.ws", 6)}
+                |               ELSE 0.0::DOUBLE END AS wn
+                |        FROM ex e2 JOIN ws s2 ON e2.q_id = s2.q_id),
+                |etm AS (SELECT x.q_id, t.doc_id,
+                |          ${rrepr(s"x.wn * ${rrepr(termF, 6)}", 6)} AS wterm
+                |        FROM tf t JOIN exn x ON x.token = t.token
+                |        JOIN idf i ON i.token = t.token
+                |        JOIN dl d2 ON d2.doc_id = t.doc_id CROSS JOIN st
+                |        WHERE t.doc_id <> x.q_id),
+                |esc AS (SELECT q_id, doc_id,
+                |          ${rrepr("list_reduce(list_sort(list(wterm)), (x, y) -> x + y)", 6)} AS exps
+                |        FROM etm GROUP BY q_id, doc_id),
+                |fin AS (SELECT COALESCE(s3.q_id, x.q_id) AS q_id,
+                |               COALESCE(s3.doc_id, x.doc_id) AS doc_id,
+                |          ${rrepr("0.5 * COALESCE(s3.score, 0.0) + 0.5 * COALESCE(x.exps, 0.0)", 6)} AS score
+                |        FROM sc s3 FULL JOIN esc x
+                |          ON s3.q_id = x.q_id AND s3.doc_id = x.doc_id)
+                |SELECT q_id, doc_id, score, CAST(rn AS INT) AS rn FROM (
+                |  SELECT q_id, doc_id, score,
+                |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+                |  FROM fin) z
+                |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
+      }),
+
     // Product-quantized ANN, oracle-checked end to end: codebook
     // TRAINING (one exact-means Lloyd iteration per subspace from
     // md5-seeded corpus vectors), ENCODE (L2 argmin via the
@@ -2159,6 +2319,27 @@ object PipelineInventory {
               |              ${rrepr("list_reduce(list(pdot ORDER BY sub), (p, q) -> p + q) + bias", 6)} AS adot
               |       FROM adp GROUP BY q_id, vec_id, bias),
               |$pqShortRerankSql""".stripMargin)),
+
+    // Heavy hitters: EXACT top-20 corpus tokens computed the
+    // bounded-memory way — a Misra-Gries summary pass (≤ budget
+    // counters per task, the whole vocabulary never rides a shuffle)
+    // nominates candidates, a filtered pass recounts them exactly, and
+    // the result self-certifies complete against the computable miss
+    // bound (N − Σsummary)/(budget+1). The OUTPUT is exact either way
+    // (a certification miss falls back to the vocab groupBy), which is
+    // what makes an approximate-sketch operator oracle-checkable: the
+    // oracle is the plain exact top-k.
+    QueryDef("r58_heavy_hitters",
+      (s, d) => graft.functions.Sketch.heavyHitters(
+        T(s, d, "documents"), k = 20, budget = 4096),
+      Some("""WITH tok AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS token
+             |            FROM documents),
+             |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+             |SELECT token, cnt, CAST(rn AS INT) AS rn FROM (
+             |  SELECT token, cnt,
+             |         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+             |  FROM c) z
+             |WHERE rn <= 20 ORDER BY rn""".stripMargin)),
 
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check).

@@ -134,6 +134,38 @@ object Lake {
     fs.delete(bak, true)
   }
 
+  /** Retention vacuum for the bronze layout: drop all but the newest
+    * `keepLast` `batch_ts=` partitions of `root/table`. The
+    * timestamped layout sorts lexically (ISO-ish batch ids), so
+    * "newest" is a directory-name sort — one namenode listing plus one
+    * recursive delete per expired partition; no data file is ever
+    * read. Incremental consumers are unaffected as long as their
+    * `sinceBatch` cursor is at or past the retention horizon (the
+    * standard retention-vs-replay contract — a consumer further behind
+    * has already lost its source and should re-bootstrap).
+    * Returns (kept, deleted) batch ids, both sorted ascending. */
+  def vacuumBronze(spark: SparkSession, root: String, table: String,
+      keepLast: Int): (Seq[String], Seq[String]) = {
+    require(keepLast >= 1, "keepLast must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val batches = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("batch_ts="))
+      .sortBy(_.getName)
+    val (keep, drop) = batches.splitAt(0.max(batches.size - keepLast)) match {
+      case (old, recent) => (recent, old)
+    }
+    drop.foreach { p =>
+      require(fs.delete(p, true), s"vacuumBronze: failed to delete $p")
+    }
+    def id(p: org.apache.hadoop.fs.Path) =
+      p.getName.stripPrefix("batch_ts=")
+    (keep.map(id), drop.map(id))
+  }
+
   /** S10: DDL string from a schema (SchemaLoader.generate_ddl analog). */
   def createTableDdl(table: String, schema: org.apache.spark.sql.types.StructType,
       location: Option[String] = None): String = {

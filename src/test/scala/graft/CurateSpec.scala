@@ -264,4 +264,48 @@ class CurateSpec extends SparkSpec {
     assert(packed.count() > 0)
     assert(spark.sparkContext.getCheckpointDir.nonEmpty)
   }
+
+  test("dataCard: one row per executed stage, flows chain, values match Stats") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val (_, stOpt) = Curate.run(docs)
+    val st = stOpt.get
+    val card = Curate.dataCard(spark, st).collect()
+    assert(card.map(_.getString(0)).toSeq ==
+      Seq("quality_gate", "near_dup_dedup", "quality_prune", "resample", "chunk"))
+    assert(card.head.getLong(1) == st.input)
+    card.toSeq.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(1).getLong(1) == w(0).getLong(2), "rows_in must chain")
+    }
+    val outOf = card.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(outOf("quality_gate") == st.afterGate)
+    assert(outOf("near_dup_dedup") == st.afterDedup)
+    assert(outOf("quality_prune") == st.afterPrune)
+    assert(outOf("resample") == st.resampledCopies)
+    assert(outOf("chunk") == st.chunks)
+  }
+
+  test("dataCard: optional stages appear in pipeline order; amplification goes negative") {
+    // dataCard is pure driver arithmetic over Stats — exercise the full
+    // stage set synthetically instead of paying an 8-stage run
+    val synth = Curate.Stats(input = 100, afterGate = 90, afterDedup = 70,
+      afterPrune = 50, resampledCopies = 120, chunks = 240, shards = 4,
+      afterSubdoc = 65, afterBoilerplate = 85, afterDecontam = 60,
+      afterSemDedup = 55, afterDsir = 52)
+    val card = Curate.dataCard(spark, synth).collect()
+    assert(card.map(_.getString(0)).toSeq == Seq(
+      "quality_gate", "boilerplate_strip", "near_dup_dedup",
+      "subdoc_cdc_dedup", "decontaminate", "semantic_dedup", "dsir_select",
+      "quality_prune", "resample", "chunk"))
+    card.toSeq.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(1).getLong(1) == w(0).getLong(2), "rows_in must chain")
+    }
+    val resample = card.find(_.getString(0) == "resample").get
+    assert(resample.getLong(3) == -70L) // 50 -> 120: amplification
+    assert(resample.getDouble(4) == -1.4)
+    intercept[IllegalArgumentException] {
+      Curate.dataCard(spark,
+        Curate.Stats(-1L, -1L, -1L, -1L, -1L, -1L, 0))
+    }
+  }
 }

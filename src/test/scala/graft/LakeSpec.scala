@@ -20,6 +20,26 @@ class LakeSpec extends SparkSpec {
     assert(!plan.contains("batch_ts = null"))
   }
 
+  test("vacuumBronze drops expired batch partitions; survivors read back intact") {
+    val root = Files.createTempDirectory("vac").toString
+    val ev = Tables.load(spark, sf, "events")
+    Lake.writeBronze(ev.filter(col("event_id") < 300), root, "events", "2024-01-01T00")
+    Lake.writeBronze(ev.filter(col("event_id") >= 300 && col("event_id") < 600),
+      root, "events", "2024-01-01T01")
+    Lake.writeBronze(ev.filter(col("event_id") >= 600), root, "events", "2024-01-01T02")
+    val (kept, deleted) = Lake.vacuumBronze(spark, root, "events", keepLast = 2)
+    assert(kept == Seq("2024-01-01T01", "2024-01-01T02"))
+    assert(deleted == Seq("2024-01-01T00"))
+    val back = Lake.readBronze(spark, root, "events")
+    assert(back.select(col("batch_ts").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("2024-01-01T01", "2024-01-01T02"))
+    assert(back.count() == ev.filter(col("event_id") >= 300).count())
+    // idempotent once within retention: nothing more is deleted
+    val (kept2, deleted2) = Lake.vacuumBronze(spark, root, "events", keepLast = 5)
+    assert(kept2 == kept && deleted2.isEmpty)
+  }
+
   test("clustered write produces disjoint per-file key ranges (file-skipping layout)") {
     val out = Files.createTempDirectory("clustered").toString
     val events = Tables.load(spark, sf, "events")

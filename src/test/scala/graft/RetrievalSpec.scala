@@ -58,4 +58,45 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head == 1L, out.toSeq.toString)
     assert(!out.contains(0L))
   }
+
+  test("rm3TopK: expansion recovers vocabulary-mismatch docs plain BM25 cannot reach") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (0L, "car engine automobile motor repair"),
+      (1L, "automobile motor maintenance guide"),
+      (2L, "automobile motor handbook pages"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val q = Seq((99L, "car engine")).toDF("q_id", "qtext")
+    val bm = TextAnalysis.bm25TopK(docs, q, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bm == Set(0L)) // the literal query only reaches doc 0
+    val rows = TextAnalysis.rm3TopK(docs, q, k = 5, fb = 2, e = 3, alpha = 0.5)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(rows.head._1 == 0L) // the literal match still wins
+    val ids = rows.map(_._1).toSet
+    assert(Set(1L, 2L).subsetOf(ids), s"expansion docs missing from $ids")
+    assert(rows.filter(t => t._1 == 1L || t._1 == 2L).forall(_._2 > 0))
+    // identical synonym-only docs tie on score; the id breaks the tie
+    val rnOf = rows.map(_._1).zipWithIndex.toMap
+    assert(rnOf(1L) < rnOf(2L))
+  }
+
+  test("rm3TopK at alpha = 1 degenerates to bm25TopK on the positive-score prefix") {
+    import graft.functions.TextAnalysis
+    val docs = (0L until 12L).map { i =>
+      (i, Seq("common", s"tok${i % 4}", s"tok${(i + 1) % 4}",
+        s"word$i", "filler").mkString(" "))
+    }.toDF("doc_id", "text")
+    val q = docs.filter($"doc_id" < 2)
+      .select($"doc_id".as("q_id"), $"text".as("qtext"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "doc_id", "score", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bm = key(TextAnalysis.bm25TopK(docs, q, k = 8))
+    val rm = key(TextAnalysis.rm3TopK(docs, q, k = 8, alpha = 1.0)
+      .filter($"score" > 0))
+    assert(rm == bm)
+  }
 }

@@ -73,4 +73,62 @@ class SketchSpec extends SparkSpec {
       .getAs[scala.collection.Seq[Long]]("sketch").toSeq
     assert(sk2 == sk)
   }
+
+  test("misra-gries summary obeys the frequency bounds and its computable miss bound") {
+    // heavy head + long flat tail, budget far under the vocabulary so
+    // compressions actually run (vocab 203 >> 2*budget)
+    val toks = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++
+      Seq.fill(150)("gamma") ++ (1 to 200).map(i => s"rare$i")
+    val df = scala.util.Random.shuffle(toks).toDF("token").repartition(5)
+    val (mg, n) = Sketch.mgAggregate(df, budget = 16)
+    assert(n == toks.size.toLong)
+    assert(mg.size <= 16)
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val miss = (n - mg.values.sum).toDouble / 17
+    mg.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overcounts")
+      assert(c >= exact(t) - miss, s"$t undercounts past the bound")
+    }
+    // every token the summary missed really is below the miss bound
+    exact.foreach { case (t, c) =>
+      if (!mg.contains(t)) assert(c <= miss, s"missed $t with count $c > $miss")
+    }
+    assert(mg.contains("alpha") && mg.contains("beta") && mg.contains("gamma"))
+  }
+
+  test("heavyHitters: exact top-k on a skewed corpus via the certified sketch path") {
+    val docs = (
+      Seq.fill(100)("alpha alpha alpha beta beta gamma") ++
+        (1 to 200).map(i => s"rare$i")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hh = Sketch.heavyHitters(docs, k = 3, budget = 16)
+    // certified path returns a driver-local frame (no scan in the plan)
+    assert(hh.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val rows = hh.collect().map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Int]("rn")))
+    assert(rows.toSeq == Seq(("alpha", 300L, 1), ("beta", 200L, 2), ("gamma", 100L, 3)))
+    // partition-invariant
+    val rows2 = Sketch.heavyHitters(docs.repartition(7), k = 3, budget = 16)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Int]("rn")))
+    assert(rows2.toSeq == rows.toSeq)
+  }
+
+  test("heavyHitters: flat distribution fails certification but stays exact via fallback") {
+    // 100 singletons, budget 8: the miss bound dwarfs every count, so
+    // the sketch cannot certify — the exact groupBy path must answer
+    val docs = (0L until 100L).map(i => (i, s"tok$i")).toDF("doc_id", "text")
+    val hh = Sketch.heavyHitters(docs, k = 3, budget = 8)
+    assert(!hh.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val rows = hh.collect().map(r => (r.getString(0), r.getAs[Long]("cnt")))
+    // all counts 1; ties break token-ascending (string order: tok0 < tok1 < tok10)
+    assert(rows.toSeq == Seq(("tok0", 1L), ("tok1", 1L), ("tok10", 1L)))
+  }
+
+  test("heavyHitters: whole small vocabulary certifies even below k results") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = Sketch.heavyHitters(docs, k = 10, budget = 16)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Int]("rn")))
+    assert(rows.toSeq == Seq(("a", 2L, 1), ("b", 2L, 2), ("c", 1L, 3)))
+  }
 }
