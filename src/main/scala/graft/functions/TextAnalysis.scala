@@ -674,6 +674,17 @@ object TextAnalysis {
     * tie-broken. Pass α with an exactly-representable complement
     * (0.5, 0.25, …) when cross-engine bit-equality matters — `1 − α`
     * is evaluated in IEEE once here and once in any oracle.
+    *
+    * The plan stays fully LAZY on purpose: it references the postings
+    * relation from six subtrees (base leg, feedback model, expansion
+    * leg, plus their idf/dl/stat joins — 34 nominal scans at sf0.01),
+    * but the exchanges are textually identical, so AQE's ReuseExchange
+    * serves them from one execution. A scoped persist of postings +
+    * doclens (the p02 alternative shape) was measured ~2x SLOWER at
+    * sf0.1 (3.06 s lazy vs 5.6-7.4 s persisted, interleaved same-load
+    * A/B): the cache materialization + InMemoryTableScan overhead
+    * exceeds what reuse already saves. Cross-RUN amortization is the
+    * persisted index ([[writeBm25Index]]), not an in-operator cache.
     * Output: q_id, doc_id, score, rn (1..k per query). */
   def rm3TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       fb: Int = 3, e: Int = 5, alpha: Double = 0.5,
