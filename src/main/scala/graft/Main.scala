@@ -116,6 +116,7 @@ object Main {
             .select("doc_id", "text", "lang", "source"))
         packed.write.mode("overwrite").parquet(outDir)
         println(s"curated corpus at $outDir; stats=${stats.get}")
+        graft.pipelines.Curate.dataCard(spark, stats.get).show(20, false)
       case "curate-stream" :: srcDir :: outDir :: idx :: st :: ck :: budget :: Nil =>
         // Incremental curation: drain newly-arrived document files
         // through gate -> band-index dedup -> token budget.

@@ -88,6 +88,16 @@ object Sketch {
       element_at(arr, (cell(gram, j, width) + 1).cast("int"))): _*)
   }
 
+  /** Assemble the corpus-lifetime sketch from a directory of landed
+    * per-batch sketch rows (the
+    * [[graft.streaming.Ingest.sketchIngestStream]] layout; the
+    * batch_id partition column is discovery metadata the merge never
+    * reads). Work is (batches × depth × width) cells — summary-sized,
+    * no document is ever rescanned. */
+  def readMergedCms(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    cmsMerge(spark.read.parquet(path).select("sketch", "depth", "width"))
+
   /** Word n-grams WITH multiplicity (the counting form — the dedup
     * shingle path is distinct-set semantics, this one is frequency
     * semantics). Output: doc_id, gram. */
@@ -155,21 +165,40 @@ object Sketch {
     def outputEncoder: Encoder[Map[String, Long]] = out
   }
 
-  /** One pass over a 1-column token frame → (MG summary ≤ `budget`
-    * entries, total token count). Partial aggregation runs map-side
-    * (each task ships one ≤ budget-entry summary), so the only global
-    * state is the merged map — bounded regardless of vocabulary size,
-    * unlike a groupBy whose shuffle is |vocab|-sized. */
-  private[graft] def mgAggregate(toks: DataFrame, budget: Int,
-      tokenCol: String = "token"): (Map[String, Long], Long) = {
+  private def tokens(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+
+  /** One pass over a 1-column token frame → a 1-row (mg, n, budget)
+    * frame. Partial aggregation runs map-side (each task ships one
+    * ≤ budget-entry summary), so the only global state is the merged
+    * map — bounded regardless of vocabulary size, unlike a groupBy
+    * whose shuffle is |vocab|-sized. */
+  private def mgAggFrame(toks: DataFrame, budget: Int): DataFrame = {
     val sp = toks.sparkSession
     val enc: Encoder[Map[String, Long]] = {
       import sp.implicits._
       implicitly[Encoder[Map[String, Long]]]
     }
     val mg = udaf(new MisraGries(budget, enc), Encoders.STRING)
-    val row = toks.agg(mg(col(tokenCol)).as("mg"), count(lit(1)).as("n")).head
+    toks.agg(mg(col("token")).as("mg"), count(lit(1)).as("n"))
+      .select(col("mg"), col("n"), lit(budget).as("budget"))
+  }
+
+  private[graft] def mgAggregate(toks: DataFrame,
+      budget: Int): (Map[String, Long], Long) = {
+    val row = mgAggFrame(toks, budget).head
     (row.getAs[Map[String, Long]]("mg"), row.getAs[Long]("n"))
+  }
+
+  /** The MG summary of a document corpus as a 1-row (mg, n, budget)
+    * frame — the landable per-ingest-batch artifact
+    * ([[graft.streaming.Ingest.mgIngestStream]] writes one per
+    * micro-batch; [[heavyHittersFromSummaries]] consumes them). */
+  def mgSummary(docs: DataFrame, budget: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    mgAggFrame(tokens(docs, textCol), budget)
   }
 
   /** EXACT top-k most frequent tokens, computed the bounded-memory way:
@@ -190,9 +219,18 @@ object Sketch {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1, "k must be positive")
     require(budget >= k, s"budget $budget must be at least k=$k")
-    val toks = docs.select(
-      explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+    val toks = tokens(docs, textCol)
     val (cand, n) = mgAggregate(toks, budget)
+    val missBound = (n - cand.values.sum).toDouble / (budget + 1)
+    certifiedTopK(toks, cand.keys.toSeq, missBound, k)
+  }
+
+  /** Shared recount + certification tail: exact counts over the
+    * candidate tokens, certified complete when the k-th count exceeds
+    * the miss bound (no excluded token can reach it); the exact
+    * |vocab|-shuffle groupBy answers otherwise. */
+  private def certifiedTopK(toks: DataFrame, cand: Seq[String],
+      missBound: Double, k: Int): DataFrame = {
     val wTop = Window.orderBy(col("cnt").desc, col("token").asc)
     // TakeOrderedAndProject trims to k DISTRIBUTED (per-partition heaps,
     // k rows to the driver); the single-partition row_number window
@@ -202,17 +240,49 @@ object Sketch {
       .limit(k)
       .withColumn("rn", row_number().over(wTop).cast("int"))
       .orderBy("rn")
-    val missBound = (n - cand.values.sum).toDouble / (budget + 1)
     val candTop = rank(
-      toks.filter(col("token").isInCollection(cand.keys.toSeq))
+      toks.filter(col("token").isInCollection(cand))
         .groupBy("token").agg(count(lit(1)).as("cnt")))
     val rows = candTop.collect()
     val complete =
       (rows.length == k && rows.last.getAs[Long]("cnt") > missBound) ||
         (rows.length < k && missBound == 0.0) // summary holds the whole vocab
     if (complete)
-      docs.sparkSession.createDataFrame(
+      toks.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), candTop.schema)
     else rank(toks.groupBy("token").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** EXACT top-k from landed per-batch MG summaries + ONE recount over
+    * the corpus — the incremental form of [[heavyHitters]]: summaries
+    * accumulate per ingest batch (streamed or appended), and the
+    * corpus-wide MG pass is never re-run.
+    *
+    * Merging keeps EVERY token in any summary with its summed count —
+    * a valid summary whose miss bound is the SUM of the per-batch
+    * bounds Σ_b (n_b − S_b)/(budget_b+1) (a token absent everywhere is
+    * below every per-batch bound). Candidates are then pruned by the
+    * exactness-preserving rule lb + missBound ≥ L (L = k-th largest
+    * summed lower bound): a pruned token's true count ≤ lb + missBound
+    * < L ≤ the k-th candidate's true count, so it cannot reach the
+    * top-k. The recount + certification tail is [[heavyHitters]]'s.
+    * Summary work is (batches × budget)-sized; only the single
+    * filtered recount touches the corpus. */
+  def heavyHittersFromSummaries(summaries: DataFrame, docs: DataFrame,
+      k: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val missRow = summaries.agg(sum(
+      (col("n") - expr("aggregate(map_values(mg), 0L, (a, x) -> a + x)"))
+        .cast("double") / (col("budget") + 1)).as("miss")).head
+    require(!missRow.isNullAt(0), "heavyHittersFromSummaries: no summary rows")
+    val missBound = missRow.getDouble(0)
+    val lbs = summaries.select(explode(col("mg")).as(Seq("token", "cnt")))
+      .groupBy("token").agg(sum("cnt").as("lb"))
+    val topLb = lbs.orderBy(col("lb").desc, col("token").asc).limit(k).collect()
+    val kthLb = if (topLb.length < k) 0L else topLb.last.getAs[Long]("lb")
+    val cand = lbs.filter(col("lb") + missBound >= kthLb)
+      .select("token").collect().map(_.getString(0)).toSeq
+    certifiedTopK(tokens(docs, textCol), cand, missBound, k)
   }
 }

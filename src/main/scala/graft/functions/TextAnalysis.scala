@@ -1033,6 +1033,33 @@ object TextAnalysis {
       best.getField("logit").as("logit"): _*)
   }
 
+  /** Calibration table for the learned filter: bin the scored logits
+    * at FIXED ascending cut points and report each bin's doc count and
+    * empirical keep-rate under the reference labels — the reliability
+    * curve that says whether "logit 2" actually means "more keepable
+    * than logit 0" before a tuned threshold ships. Fixed cuts (not
+    * ntile/percentile bins) on purpose: the bin of a doc is a pure
+    * function of its own logit — no corpus-wide ordering, one
+    * partial-aggregable pass — and bins stay comparable across corpora
+    * and over time. Bin i = first cut with logit <= cut, |cuts| = the
+    * overflow bin. Output: bin, n, keep_rate (4dp), ordered. */
+  def calibrationBins(scored: DataFrame, labels: DataFrame,
+      cuts: Seq[Double] = Seq(-4.0, -2.0, -1.0, 0.0, 1.0, 2.0, 4.0),
+      labelCol: String = "label"): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted, "cuts must be ascending")
+    val bin = cuts.zipWithIndex.foldRight(lit(cuts.size): Column) {
+      case ((c, i), acc) => when(col("logit") <= c, lit(i)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("logit"))
+      .join(labels.select(col("doc_id"),
+        (col(labelCol) === 1).cast("int").as("y")), "doc_id")
+      .withColumn("bin", bin.cast("int"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 4).as("keep_rate"))
+      .orderBy("bin")
+  }
+
   /** Confusion-matrix evaluation of a binary keep/drop classifier
     * against reference labels — the number that tunes the learned
     * filter before it gates a corpus. ONE inner join on the doc id and

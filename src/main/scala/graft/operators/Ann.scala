@@ -944,4 +944,31 @@ object Ann {
         spark.read.parquet(path).where(col("c_id").isin(probedIds: _*)),
         coarse, books, queries, m, nprobe, shortlist), k)
   }
+
+  /** Recall@k of an approximate ranked list against the exact one —
+    * the evaluation loop that tunes nprobe/shortlist/bands before an
+    * index configuration ships (the number every AnnSpec recall floor
+    * asserts, as a first-class operator). Both inputs are
+    * (qCol, idCol, rn) ranked frames — the shape every retrieval
+    * operator here emits; rows ranked past k are ignored, so full
+    * lists pass as-is. One inner join on the (query, candidate) key
+    * plus one per-query count: candidate-sized work, the corpus is
+    * never touched. Queries are taken from the EXACT side (an approx
+    * list that dropped a query entirely scores 0, not absent).
+    * Output: q_id, hits, recall (4dp), ordered by q_id. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      qCol: String = "q_id", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val a = approx.filter(col("rn") <= k)
+      .select(col(qCol).as("q_id"), col(idCol).as("id"))
+    val x = exact.filter(col("rn") <= k)
+      .select(col(qCol).as("q_id"), col(idCol).as("id"))
+    val hits = a.join(x, Seq("q_id", "id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    x.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / k, 4).as("recall"))
+      .orderBy("q_id")
+  }
 }

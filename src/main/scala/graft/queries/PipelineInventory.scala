@@ -2320,6 +2320,122 @@ object PipelineInventory {
               |       FROM adp GROUP BY q_id, vec_id, bias),
               |$pqShortRerankSql""".stripMargin)),
 
+    // Calibration curve of the learned filter: fixed logit-bin cuts
+    // (bin = pure function of the doc's own logit — no corpus-wide
+    // ordering) -> per-bin count + empirical keep-rate under the p31
+    // gate's labels. The p41 logit and p42 label CTEs, one grouping.
+    QueryDef("p54_calibration",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.calibrationBins(
+          TextAnalysis.scoreQualityLogreg(
+            TextAnalysis.qualityFeatures(docs), P41Weights),
+          TextAnalysis.qualityGate(docs)
+            .select(col("doc_id"), col("kept").cast("int").as("label")))
+      },
+      Some {
+        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+        val Seq(w0, w1, w2, w3, w4) = P41Weights.map(w => s"($w::DOUBLE)")
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val sums = langs.map { l =>
+          val sw = TextAnalysis.stopwords(l).map(x => s"'$x'").mkString(", ")
+          s"SUM(CASE WHEN token IN ($sw) THEN 1 ELSE 0 END) AS s_$l"
+        }.mkString(", ")
+        val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+        val cuts = Seq(-4, -2, -1, 0, 1, 2, 4)
+        val binCase = "CASE " + cuts.zipWithIndex
+          .map { case (c, i) => s"WHEN logit <= $c THEN $i" }
+          .mkString(" ") + s" ELSE ${cuts.size} END"
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+           |qs AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |        CAST(SUM(CASE WHEN token IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           |        CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+           |        $sums
+           |       FROM tok GROUP BY doc_id),
+           |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+           |       FROM tk WHERE len(t) >= 2),
+           |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg),
+           |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           |               CAST(MAX(n) AS BIGINT) AS top_n
+           |        FROM c GROUP BY doc_id),
+           |f AS (SELECT q.doc_id, q.n_tokens,
+           |  ${rrepr("CAST(q.n_stop AS DOUBLE) / q.n_tokens", 4)} AS stop_ratio,
+           |  ${rrepr("LEAST(1.0::DOUBLE, CAST(q.n_tokens AS DOUBLE) / 50)", 4)} AS len_frac,
+           |  COALESCE(${rrepr("CAST(a.top_n AS DOUBLE) / a.n_bigrams", 4)}, 0.0::DOUBLE) AS top_frac,
+           |  ${rrepr("CAST(q.n_distinct AS DOUBLE) / q.n_tokens", 4)} AS distinct_ratio,
+           |  CASE $pred ELSE 'und' END AS pred_lang,
+           |  CASE WHEN a.n_bigrams IS NULL
+           |       THEN TRUE ELSE ${rrepr("CAST(a.top_n AS DOUBLE) / a.n_bigrams", 4)} <= 0.5 END AS ok_rep
+           |  FROM qs q LEFT JOIN agg a USING (doc_id)),
+           |v AS (SELECT doc_id,
+           |  ${rrepr(s"$w0 + $w1 * len_frac + $w2 * stop_ratio + $w3 * top_frac + $w4 * distinct_ratio", 6)} AS logit,
+           |  (n_tokens >= 5 AND ok_rep AND stop_ratio >= 0.05 AND pred_lang = 'en') AS y
+           |  FROM f),
+           |b AS (SELECT $binCase AS bin, y FROM v)
+           |SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+           |  ${rrepr("CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS keep_rate
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+      }),
+
+    // Recall@k evaluation of the IVF search against the brute-force
+    // list (same queries, same k) — the ANN-tuning loop's number as a
+    // first-class operator. Both lists are deterministic, so the
+    // per-query hit counts and 4dp recalls hash cross-engine.
+    QueryDef("p53_ann_recall",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 8)
+        val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        val index = Ann.assignClusters(emb, centroids).join(emb, "vec_id")
+        Ann.recallAtK(
+          Ann.ivfSearchBatch(index, centroids, queries, k = 5, nprobe = 2),
+          Ann.bruteTopK(emb, queries, k = 5), k = 5)
+      },
+      Some(s"""WITH $embCte,
+              |c AS (SELECT vec_id AS c_id, emb AS cemb FROM e WHERE vec_id < 8),
+              |q AS (SELECT vec_id AS q_id, emb AS qemb FROM e
+              |      WHERE vec_id >= 8 AND vec_id < 13),
+              |ascored AS (SELECT e.vec_id, c.c_id,
+              |                   ${rrepr(dcos("e.emb", "c.cemb"), 6)} AS csim
+              |            FROM e, c),
+              |assign AS (SELECT vec_id, c_id FROM (
+              |    SELECT vec_id, c_id,
+              |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crn
+              |    FROM ascored) t WHERE crn = 1),
+              |qscored AS (SELECT q.q_id, c.c_id,
+              |                   ${rrepr(dcos("q.qemb", "c.cemb"), 6)} AS csim
+              |            FROM q, c),
+              |probes AS (SELECT q_id, c_id FROM (
+              |    SELECT q_id, c_id,
+              |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, c_id) AS crn
+              |    FROM qscored) t WHERE crn <= 2),
+              |scored AS (SELECT p.q_id, a.vec_id,
+              |                  ${rrepr(dcos("e.emb", "q.qemb"), 3)} AS sim
+              |           FROM probes p JOIN assign a ON a.c_id = p.c_id
+              |           JOIN e ON e.vec_id = a.vec_id
+              |           JOIN q ON q.q_id = p.q_id
+              |           WHERE a.vec_id <> p.q_id),
+              |apx AS (SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              |    FROM scored) t WHERE rn <= 5),
+              |bsc AS (SELECT q.q_id, x.vec_id,
+              |               ${rrepr(dcos("x.emb", "q.qemb"), 3)} AS sim
+              |        FROM e x, q WHERE x.vec_id <> q.q_id),
+              |bex AS (SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              |    FROM bsc) t WHERE rn <= 5),
+              |h AS (SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS hits
+              |      FROM apx a JOIN bex b ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+              |      GROUP BY a.q_id)
+              |SELECT qq.q_id, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+              |       ${rrepr("CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5", 4)} AS recall
+              |FROM (SELECT DISTINCT q_id FROM bex) qq LEFT JOIN h USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
+
     // Heavy hitters: EXACT top-20 corpus tokens computed the
     // bounded-memory way — a Misra-Gries summary pass (≤ budget
     // counters per task, the whole vocabulary never rides a shuffle)
@@ -2332,6 +2448,29 @@ object PipelineInventory {
     QueryDef("r58_heavy_hitters",
       (s, d) => graft.functions.Sketch.heavyHitters(
         T(s, d, "documents"), k = 20, budget = 4096),
+      Some("""WITH tok AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS token
+             |            FROM documents),
+             |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+             |SELECT token, cnt, CAST(rn AS INT) AS rn FROM (
+             |  SELECT token, cnt,
+             |         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+             |  FROM c) z
+             |WHERE rn <= 20 ORDER BY rn""".stripMargin)),
+
+    // Incremental heavy hitters: per-half MG summaries merged (the
+    // mergeable-summaries property), candidates pruned by the
+    // lb + missBound >= kth-lb exactness rule, ONE corpus recount.
+    // Same oracle as r58 — the incremental path must reproduce the
+    // exact top-k bit for bit.
+    QueryDef("r59_heavy_hitters_inc",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sums = graft.functions.Sketch
+          .mgSummary(docs.filter(col("doc_id") % 2 === 0))
+          .unionByName(graft.functions.Sketch
+            .mgSummary(docs.filter(col("doc_id") % 2 === 1)))
+        graft.functions.Sketch.heavyHittersFromSummaries(sums, docs, k = 20)
+      },
       Some("""WITH tok AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS token
              |            FROM documents),
              |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token)

@@ -996,6 +996,63 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming n-gram count-min-sketch ingest: each micro-batch is
+    * summarized ALONE into one depth×width sketch row (a few hundred
+    * KB regardless of batch bytes — the per-ingest-batch summary
+    * artifact [[graft.functions.Sketch]] promises) landed as a
+    * per-batch-id OVERWRITE partition, so checkpoint replay re-lands
+    * an identical row instead of double-counting grams. The
+    * corpus-lifetime sketch is assembled AT READ by
+    * [[graft.functions.Sketch.readMergedCms]] — exact, because
+    * cms(A ∪ B) == merge(cms(A), cms(B)) cell for cell (SketchSpec
+    * merge law), so the streamed composition is bit-identical to
+    * one-shot batch construction no matter how ingest was batched. */
+  def sketchIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, outDir: String, checkpoint: String, n: Int = 3,
+      depth: Int = 4, width: Int = 8192, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.functions.Sketch.ngramCms(batch, n, depth, width)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming Misra-Gries heavy-hitter summary ingest: each
+    * micro-batch lands its 1-row (mg, n, budget) token summary
+    * ([[graft.functions.Sketch.mgSummary]]) as a per-batch-id
+    * OVERWRITE partition — replay re-lands an identical row, never
+    * double-counts. MG summaries are mergeable (the PODS'12 property
+    * the operator's merge rule implements), so
+    * [[graft.functions.Sketch.heavyHittersFromSummaries]] over the
+    * landed rows + ONE corpus recount answers exact top-k without
+    * ever re-running the summary pass — the incremental sibling of
+    * [[sketchIngestStream]]'s CMS artifact. */
+  def mgIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, outDir: String, checkpoint: String,
+      budget: Int = 4096, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.functions.Sketch.mgSummary(batch, budget)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming PQ-code ingest: each micro-batch of embeddings is
     * encoded against the index's FIXED codebooks (broadcast narrow
     * map over the batch alone — old vectors never rescanned or

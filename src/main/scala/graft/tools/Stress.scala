@@ -25,7 +25,7 @@ import graft.pipelines.Curate
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
-  *   bm25,qsurv,csample
+  *   bm25,qsurv,csample,hh,rm3,domains
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -38,7 +38,8 @@ object Stress {
   val DefaultOps = Seq(
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
-    "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample")
+    "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
+    "hh", "rm3", "domains")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -167,6 +168,26 @@ object Stress {
         // the dominant term, the threshold table is k rows
         val k = math.max(4, math.sqrt(nEmb.toDouble).toInt)
         Ann.clusterSample(emb, emb.filter(col("vec_id") < k), perCluster = 100)
+      case "hh" =>
+        // MG candidate pass (bounded state per task) + filtered exact
+        // recount; the certified path lands a k-row local frame, so
+        // the timed cost IS the two corpus passes
+        graft.functions.Sketch.heavyHitters(docs, k = 20, budget = 4096)
+      case "rm3" =>
+        // the bm25 row's token-keyed join run twice (base + expansion)
+        // plus the feedback-doc postings join — work ∝ matched
+        // postings, both legs
+        TextAnalysis.rm3TopK(docs,
+          docs.filter(col("doc_id") < 8)
+            .select(col("doc_id").as("q_id"), col("text").as("qtext")), k = 10)
+      case "domains" =>
+        // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
+        // test is cost = |classes| x the logreg row's dozen data-sized
+        // jobs, with driver state still one tiny matrix at a time
+        val feats = TextAnalysis.qualityFeatures(docs)
+        val w = TextAnalysis.trainDomainLogreg(feats,
+          docs.select(col("doc_id"), col("source").as("domain")))
+        TextAnalysis.scoreDomains(feats, w)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see

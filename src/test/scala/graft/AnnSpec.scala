@@ -545,4 +545,23 @@ class AnnSpec extends SparkSpec {
     out.filter(_._1 < 200).foreach { case (id, _, kept) =>
       assert(kept == (bucket(id) < 2500), s"vec $id bucket ${bucket(id)}") }
   }
+
+  test("recallAtK: identity scores 1.0, planted misses score (k-m)/k, dropped query scores 0") {
+    val exact = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3), (1L, 23L, 4))
+      .toDF("q_id", "vec_id", "rn")
+    assert(Ann.recallAtK(exact, exact, k = 4).collect()
+      .forall(_.getDouble(2) == 1.0))
+    // approx for q0 misses 2 of 4; q1 is absent entirely (recall 0, not a dropped row)
+    val approx = Seq((0L, 10L, 1), (0L, 99L, 2), (0L, 12L, 3), (0L, 98L, 4))
+      .toDF("q_id", "vec_id", "rn")
+    val r = Ann.recallAtK(approx, exact, k = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((0L, 2L, 0.5), (1L, 0L, 0.0)))
+    // rows ranked past k are ignored on both sides
+    val withTail = approx.unionByName(
+      Seq((0L, 11L, 5)).toDF("q_id", "vec_id", "rn"))
+    assert(Ann.recallAtK(withTail, exact, k = 4)
+      .filter(col("q_id") === 0L).head.getLong(1) == 2L)
+  }
 }

@@ -107,6 +107,15 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("rm3: both scoring legs broadcast token sets onto the postings") {
+    val df = SparkEntry.queries("p52_rm3_expansion")(spark, "/root/testdata/sf0.01")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint") &&
+      analyzed.toLowerCase.contains("broadcast"), analyzed.take(800))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("clusterSample: the k-row size table is broadcast (narrow keep filter)") {
     val df = SparkEntry.queries("p49_cluster_sample")(spark, "/root/testdata/sf0.01")
     val analyzed = df.queryExecution.analyzed.toString
@@ -154,6 +163,11 @@ class PlanSpec extends SparkSpec {
       "p50_hybrid_rrf",     // dense side = p06's 3-query-vector
                             // broadcast; the fusion itself is a
                             // bounded groupBy over 2×k×queries rows
+      "p52_rm3_expansion",  // one-row corpus stats broadcast (the p47
+                            // shape), in BOTH scoring legs
+      "p53_ann_recall",     // composes p19's probe + p06's brute legs —
+                            // both sides' 5-query-vector broadcasts;
+                            // the recall join itself is k×queries rows
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

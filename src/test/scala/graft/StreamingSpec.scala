@@ -668,6 +668,58 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 3L)
   }
 
+  test("STCMS: streamed sketch ingest merges to the one-shot corpus sketch; replay lands nothing twice") {
+    val src = tmp("stcms-src"); val out = tmp("stcms-out"); val ck = tmp("stcms-ck")
+    val b1 = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat sat on a chair")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "dogs bark loudly at night")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.sketchIngestStream(spark, b1.schema, src, out, ck, width = 2048)
+    // one sketch row per micro-batch, summary-sized
+    assert(spark.read.parquet(out).count() == 2)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.head.getAs[scala.collection.Seq[Long]]("sketch").toSeq
+    val merged = sk(graft.functions.Sketch.readMergedCms(spark, out))
+    val oneShot = sk(graft.functions.Sketch.ngramCms(
+      b1.unionByName(b2), width = 2048))
+    assert(merged == oneShot) // streamed == batch, cell for cell
+    // restart on the same checkpoint: identical rows re-land, counts stable
+    Ingest.sketchIngestStream(spark, b1.schema, src, out, ck, width = 2048)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(sk(graft.functions.Sketch.readMergedCms(spark, out)) == oneShot)
+    // the merged sketch still answers exact point frequencies
+    val est = Seq("the cat sat").toDF("gram").select(
+      graft.functions.Sketch.cmsEstimate(merged, 4, 2048)($"gram").as("e"))
+      .head.getLong(0)
+    assert(est == 2L)
+  }
+
+  test("STHH: streamed MG summaries + one recount equal batch heavyHitters; replay stable") {
+    val src = tmp("sthh-src"); val out = tmp("sthh-out"); val ck = tmp("sthh-ck")
+    val b1 = (0L until 40L).map(i => (i, "alpha alpha beta " + s"rare$i"))
+      .toDF("doc_id", "text")
+    val b2 = (40L until 60L).map(i => (i, "alpha gamma " + s"rare$i"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.mgIngestStream(spark, b1.schema, src, out, ck, budget = 8)
+    assert(spark.read.parquet(out).count() == 2) // one summary row per batch
+    val corpus = spark.read.parquet(src)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Int]("rn"))).toSeq
+    val streamed = key(graft.functions.Sketch.heavyHittersFromSummaries(
+      spark.read.parquet(out), corpus, k = 3))
+    val batch = key(graft.functions.Sketch.heavyHitters(corpus, k = 3, budget = 8))
+    assert(streamed == batch)
+    assert(streamed.head._1 == "alpha" && streamed.head._2 == 100L)
+    // restart on the same checkpoint: identical summaries, same answer
+    Ingest.mgIngestStream(spark, b1.schema, src, out, ck, budget = 8)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(key(graft.functions.Sketch.heavyHittersFromSummaries(
+      spark.read.parquet(out), corpus, k = 3)) == batch)
+  }
+
   test("STV: streamed vector ingest equals the batch-built IVF index, pruning intact") {
     val src = tmp("stv-src"); val ck = tmp("stv-ck")
     val idx = src + "-idx" // fresh path: the stream lays out batch_id= dirs

@@ -478,4 +478,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(after.size > before.size)
     assert(rows(TextAnalysis.bm25SearchIndex(spark, root2, queries, k = 5)) == free)
   }
+
+  test("calibrationBins: fixed-cut bins count and rate correctly, with the overflow bin") {
+    val scored = Seq((1L, -5.0), (2L, -3.0), (3L, 0.5), (4L, 0.7), (5L, 9.0))
+      .toDF("doc_id", "logit")
+    val labels = Seq((1L, 0), (2L, 1), (3L, 1), (4L, 0), (5L, 1))
+      .toDF("doc_id", "label")
+    val rows = TextAnalysis.calibrationBins(scored, labels).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // cuts -4,-2,-1,0,1,2,4: -5 -> bin0; -3 -> bin1; 0.5, 0.7 -> bin4; 9 -> overflow bin7
+    assert(rows.toSeq == Seq((0, 1L, 0.0), (1, 1L, 1.0), (4, 2L, 0.5), (7, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrationBins(scored, labels, cuts = Seq(1.0, -1.0))
+    }
+  }
 }
