@@ -1033,6 +1033,19 @@ object TextAnalysis {
       best.getField("logit").as("logit"): _*)
   }
 
+  /** Text normalization — the zeroth stage of every curation pipeline:
+    * lowercase, control characters to spaces, whitespace runs
+    * collapsed to one space, trimmed. One codegen'd column expression
+    * (two regexp passes + lower + trim), applied before tokenizing
+    * operators so "Fast  CAR\tengine" and "fast car engine" share
+    * shingles, postings, and features. Deliberately ASCII-scoped:
+    * Unicode NFC has no builtin in either engine, so it stays outside
+    * the cross-engine-exact contract (a production deployment with
+    * ICU adds it as a separate, non-oracle stage). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f]", " "), " +", " "))
+
   /** Calibration table for the learned filter: bin the scored logits
     * at FIXED ascending cut points and report each bin's doc count and
     * empirical keep-rate under the reference labels — the reliability

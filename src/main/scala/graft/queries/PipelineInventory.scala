@@ -2320,6 +2320,26 @@ object PipelineInventory {
               |       FROM adp GROUP BY q_id, vec_id, bias),
               |$pqShortRerankSql""".stripMargin)),
 
+    // Text normalization (lower / strip control chars / collapse
+    // whitespace / trim) — the zeroth curation stage, as one codegen'd
+    // projection; token count measured on the normalized form.
+    QueryDef("r60_normalize",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .withColumn("n_tokens",
+          when(col("norm_text") === "", 0)
+            .otherwise(size(split(col("norm_text"), " "))).cast("int"))
+        .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+             |       ' +', ' ', 'g')) AS norm_text
+             |  FROM documents)
+             |SELECT doc_id, norm_text,
+             |  CAST(CASE WHEN norm_text = '' THEN 0
+             |            ELSE len(string_split(norm_text, ' ')) END AS INT) AS n_tokens
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // Calibration curve of the learned filter: fixed logit-bin cuts
     // (bin = pure function of the doc's own logit — no corpus-wide
     // ordering) -> per-bin count + empirical keep-rate under the p31

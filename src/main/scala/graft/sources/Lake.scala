@@ -35,14 +35,35 @@ object Lake {
       .save(s"$root/$table")
 
   /** Read the bronze table; `sinceBatch` prunes partitions at the
-    * source (the incremental-read path — check PushedFilters/
-    * PartitionFilters in explain). */
+    * source (the incremental-read path) and `asOfBatch` is the
+    * time-travel form — the table as it stood after that ingest batch,
+    * everything later pruned out. Both are partition-column predicates
+    * on the lexically-ordered batch_ts layout, so they prune
+    * DIRECTORIES (PartitionFilters in explain), never open a file
+    * outside the window; they compose to a half-open batch range. */
   def readBronze(spark: SparkSession, root: String, table: String,
-      sinceBatch: Option[String] = None, format: String = "parquet"): DataFrame = {
+      sinceBatch: Option[String] = None, format: String = "parquet",
+      asOfBatch: Option[String] = None): DataFrame = {
     val df = spark.read.format(format)
       .option("header", "true").option("inferSchema", "true")
       .load(s"$root/$table")
-    sinceBatch.fold(df)(b => df.filter(col("batch_ts") > lit(b)))
+    val lower = sinceBatch.fold(df)(b => df.filter(col("batch_ts") > lit(b)))
+    asOfBatch.fold(lower)(b => lower.filter(col("batch_ts") <= lit(b)))
+  }
+
+  /** Per-file statistics of a parquet table: rows plus min/max of
+    * `cols` for every physical file — the audit view of what row-group
+    * skipping has to work with (LakeSpec derives this inline to assert
+    * writeClustered's disjointness; this is that check productized).
+    * One scan, one file-keyed partial agg; no file is read twice. */
+  def fileStats(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      .orderBy("file")
   }
 
   /** Range-clustered write for file skipping: rows are range-partitioned

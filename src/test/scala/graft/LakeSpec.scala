@@ -40,6 +40,41 @@ class LakeSpec extends SparkSpec {
     assert(kept2 == kept && deleted2.isEmpty)
   }
 
+  test("asOfBatch time-travel reads the table as of an ingest batch; composes with sinceBatch") {
+    val root = Files.createTempDirectory("tt").toString
+    val ev = Tables.load(spark, sf, "events")
+    Lake.writeBronze(ev.filter(col("event_id") < 300), root, "events", "2024-01-01T00")
+    Lake.writeBronze(ev.filter(col("event_id") >= 300 && col("event_id") < 600),
+      root, "events", "2024-01-01T01")
+    Lake.writeBronze(ev.filter(col("event_id") >= 600), root, "events", "2024-01-01T02")
+    val asOf1 = Lake.readBronze(spark, root, "events",
+      asOfBatch = Some("2024-01-01T01"))
+    assert(asOf1.count() == ev.filter(col("event_id") < 600).count())
+    // since + asOf compose to the half-open batch window (01 only)
+    val window = Lake.readBronze(spark, root, "events",
+      sinceBatch = Some("2024-01-01T00"), asOfBatch = Some("2024-01-01T01"))
+    assert(window.count() ==
+      ev.filter(col("event_id") >= 300 && col("event_id") < 600).count())
+  }
+
+  test("fileStats reports per-file rows and min/max for skipping audits") {
+    val dir = Files.createTempDirectory("fs").toString + "/t"
+    val nation = Tables.load(spark, sf, "nation")
+    Lake.writeClustered(nation, dir, nFiles = 4, col("n_nationkey"))
+    val st = Lake.fileStats(spark, dir, Seq("n_nationkey")).collect()
+    assert(st.length == 4)
+    assert(st.map(_.getAs[Long]("rows")).sum == nation.count())
+    // the clustered layout's promise, read back from the stats table:
+    // per-file key ranges are disjoint
+    val ranges = st.map(r => (
+        r.getAs[Number]("min_n_nationkey").longValue,
+        r.getAs[Number]("max_n_nationkey").longValue))
+      .sortBy(_._1).toSeq
+    ranges.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(0)._2 < w(1)._1, s"overlap: $ranges")
+    }
+  }
+
   test("clustered write produces disjoint per-file key ranges (file-skipping layout)") {
     val out = Files.createTempDirectory("clustered").toString
     val events = Tables.load(spark, sf, "events")

@@ -492,4 +492,16 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.calibrationBins(scored, labels, cuts = Seq(1.0, -1.0))
     }
   }
+
+  test("normalizeText: lowercase, control chars out, whitespace collapsed, trimmed") {
+    val rows = Seq((1L, "  Fast\tCAR\n engine  "), (2L, "already clean"),
+      (3L, "\u0001\u0002"), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "fast car engine")
+    assert(rows(2L) == "already clean")
+    assert(rows(3L) == "")
+    assert(rows(4L) == "")
+  }
 }
