@@ -2320,6 +2320,56 @@ object PipelineInventory {
               |       FROM adp GROUP BY q_id, vec_id, bias),
               |$pqShortRerankSql""".stripMargin)),
 
+    // PageRank over a deterministic synthetic link graph on the
+    // documents table (two modular-arithmetic edge maps; src % 11 == 0
+    // rows dropped to plant dangling nodes). 3 power iterations at
+    // damping 0.5, every stage 9dp-rounded with sorted folds — the
+    // oracle unrolls the iterations as CTEs and must match bit for
+    // bit, dangling redistribution and all.
+    QueryDef("r61_pagerank", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val n = docs.count()
+        val e1 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        val e2 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst"))
+        graft.operators.Graph.pagerank(
+          e1.unionByName(e2)
+            .filter(col("src") =!= col("dst"))
+            .filter(col("src") % 11 =!= 0)
+            .distinct(),
+          iters = 3, damping = 0.5)
+      }},
+      Some {
+        def fold(c: String) =
+          rrepr(s"list_reduce(list_sort(list($c)), (x, y) -> x + y)", 9)
+        val iterCtes = (1 to 3).map { i =>
+          val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+          s"""dgl$i AS (SELECT ${fold("pr")} AS dm
+             |  FROM $prev p WHERE NOT EXISTS (SELECT 1 FROM deg g WHERE g.src = p.v)),
+             |c$i AS (SELECT e.dst AS v, ${rrepr("p.pr / g.deg", 9)} AS c
+             |  FROM ed e JOIN $prev p ON p.v = e.src JOIN deg g ON g.src = e.src),
+             |s$i AS (SELECT v, ${fold("c")} AS s FROM c$i GROUP BY v),
+             |pr$i AS (SELECT nd.v,
+             |  ${rrepr("(1 - 0.5) / cnt.n + 0.5 * (COALESCE(s.s, 0.0) + COALESCE(d.dm, 0.0) / cnt.n)", 9)} AS pr
+             |  FROM nodes nd CROSS JOIN cnt LEFT JOIN s$i s ON s.v = nd.v CROSS JOIN dgl$i d)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |ed AS (SELECT DISTINCT src, dst FROM (
+           |    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+           |    UNION ALL
+           |    SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn) z
+           |  WHERE src <> dst AND src % 11 <> 0),
+           |nodes AS (SELECT DISTINCT v FROM (
+           |    SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed) t),
+           |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+           |pr0 AS (SELECT v, 1.0 / cnt.n AS pr FROM nodes, cnt),
+           |$iterCtes
+           |SELECT v, pr FROM pr3 ORDER BY v""".stripMargin
+      }),
+
     // Text normalization (lower / strip control chars / collapse
     // whitespace / trim) — the zeroth curation stage, as one codegen'd
     // projection; token count measured on the normalized form.

@@ -25,7 +25,7 @@ import graft.pipelines.Curate
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
-  *   bm25,qsurv,csample,hh,rm3,domains
+  *   bm25,qsurv,csample,hh,rm3,domains,pagerank
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -39,7 +39,7 @@ object Stress {
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
-    "hh", "rm3", "domains")
+    "hh", "rm3", "domains", "pagerank")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -180,6 +180,19 @@ object Stress {
         TextAnalysis.rm3TopK(docs,
           docs.filter(col("doc_id") < 8)
             .select(col("doc_id").as("q_id"), col("text").as("qtext")), k = 10)
+      case "pagerank" =>
+        // 3 power iterations over a 2-out-degree modular graph on n
+        // nodes: per iteration one edge join + one dst-keyed agg +
+        // a 1-row dangling aggregate; localCheckpoint bounds lineage
+        val e1 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        val e2 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst"))
+        graft.operators.Graph.pagerank(
+          e1.unionByName(e2)
+            .filter(col("src") =!= col("dst"))
+            .filter(col("src") % 11 =!= 0).distinct(),
+          iters = 3, damping = 0.5)
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
