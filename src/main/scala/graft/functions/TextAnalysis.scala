@@ -1046,6 +1046,37 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[\\x00-\\x1f]", " "), " +", " "))
 
+  /** HTML → visible text — the extraction stage that precedes
+    * [[normalizeText]] for web-crawled corpora (the trafilatura/
+    * jusText role, reduced to its deterministic core): drop
+    * `<script>`/`<style>` blocks wholesale (their contents are code,
+    * not text), drop comments, replace every remaining tag with a
+    * space (so `</p><p>` word-separates rather than concatenates),
+    * decode the five ubiquitous named entities plus `&#39;`
+    * (`&amp;` LAST, so double-encoded text decodes one level, the
+    * standard behavior), and collapse whitespace. Case is preserved —
+    * extraction and normalization are separate stages.
+    *
+    * One codegen'd expression chain (regexp/replace only — no UDF), and
+    * every pattern is written in the common subset of Java regex and
+    * RE2 (inline `(?is)` flags, lazy `.*?`, no backreferences) so a
+    * DuckDB oracle can run the identical patterns. Null HTML stays
+    * null (pure column semantics; callers coalesce). Limitation,
+    * documented: an UNCLOSED `<script>`/`<style>` block falls through
+    * to the tag stripper and its code leaks as text — malformed pages
+    * are a quality-gate problem, not an extraction guarantee. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(html) { (c, t) =>
+      regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " ")
+    }
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!--.*?-->", " "), "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\x0b\\f]+", " "))
+  }
+
   /** Calibration table for the learned filter: bin the scored logits
     * at FIXED ascending cut points and report each bin's doc count and
     * empirical keep-rate under the reference labels — the reliability

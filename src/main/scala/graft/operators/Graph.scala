@@ -78,4 +78,64 @@ object Graph {
     }
     pr.orderBy("v")
   }
+
+  /** HITS hubs-and-authorities (Kleinberg) by power iteration:
+    *
+    *   a'(v) = Σ_{u→v} h(u)      h'(u) = Σ_{u→v} a(v)
+    *
+    * each half-step L1-normalized (scores sum to 1 — chosen over the
+    * textbook L2 norm because it needs no sqrt, keeping every number a
+    * rounded sum/quotient that reproduces bit-for-bit across engines).
+    * Complements [[pagerank]] as a curation signal: authorities are
+    * the pages good hubs point at — a link-quality prior that is NOT
+    * rank mass (a page linked once from a strong hub can out-rank a
+    * page linked often from weak ones).
+    *
+    * Scale shape: per iteration two src/dst-keyed joins + partial
+    * aggregations and two 1-row normalization totals;
+    * `localCheckpoint` bounds lineage per half-step. Determinism: the
+    * per-node sums and the totals are ascending sorted folds rounded
+    * 9dp, and each normalized score is a 9dp-rounded quotient of
+    * already-rounded terms — an oracle must unroll the same way. The
+    * totals use the same sorted-fold collect as [[pagerank]]'s
+    * dangling mass: exact cross-engine reproducibility costs one
+    * driver-sized array per iteration; a production deployment at
+    * billions of nodes swaps it for a plain `sum` and gives up the
+    * last ulp. Output: v, auth, hub (9dp), ordered by v. */
+  def hits(edges: DataFrame, iters: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "hits: empty edge set")
+    // L1-normalize a raw (v, s) score frame over the node set: nodes
+    // missing from `raw` (no in-/out-edges for this half-step) score 0.
+    def l1(raw: DataFrame): DataFrame = {
+      val t = raw.agg(fold9(col("s")).as("t")).head.getDouble(0)
+      nodes.join(raw, Seq("v"), "left")
+        .select(col("v"),
+          round(coalesce(col("s"), lit(0.0)) / t, 9).as("s"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("v"), (lit(1.0) / n).as("s"))
+      .localCheckpoint(true)
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = l1(e.join(hub.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), col("s"))
+        .groupBy("v").agg(fold9(col("s")).as("s")))
+      hub = l1(e.join(auth.withColumnRenamed("v", "dst"), "dst")
+        .select(col("src").as("v"), col("s"))
+        .groupBy("v").agg(fold9(col("s")).as("s")))
+    }
+    nodes
+      .join(auth.withColumnRenamed("s", "auth"), "v")
+      .join(hub.withColumnRenamed("s", "hub"), "v")
+      .orderBy("v")
+  }
 }

@@ -2370,6 +2370,57 @@ object PipelineInventory {
            |SELECT v, pr FROM pr3 ORDER BY v""".stripMargin
       }),
 
+    // HITS hubs/authorities on the same synthetic link graph as r61,
+    // L1-normalized half-steps (no sqrt — every number stays a rounded
+    // sorted-fold sum or quotient), 2 power iterations unrolled in the
+    // oracle as per-half-step CTEs that must match bit for bit.
+    QueryDef("r63_hits", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val n = docs.count()
+        val e1 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        val e2 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst"))
+        graft.operators.Graph.hits(
+          e1.unionByName(e2)
+            .filter(col("src") =!= col("dst"))
+            .filter(col("src") % 11 =!= 0)
+            .distinct(),
+          iters = 2)
+      }},
+      Some {
+        def fold(c: String) =
+          rrepr(s"list_reduce(list_sort(list($c)), (x, y) -> x + y)", 9)
+        val iterCtes = (1 to 2).map { i =>
+          val prevH = if (i == 1) "h0" else s"h${i - 1}"
+          s"""ar$i AS (SELECT e.dst AS v, ${fold("h.s")} AS s
+             |  FROM ed e JOIN $prevH h ON h.v = e.src GROUP BY e.dst),
+             |at$i AS (SELECT ${fold("s")} AS t FROM ar$i),
+             |a$i AS (SELECT nd.v, ${rrepr("COALESCE(r.s, 0.0) / t.t", 9)} AS s
+             |  FROM nodes nd CROSS JOIN at$i t LEFT JOIN ar$i r ON r.v = nd.v),
+             |hr$i AS (SELECT e.src AS v, ${fold("a.s")} AS s
+             |  FROM ed e JOIN a$i a ON a.v = e.dst GROUP BY e.src),
+             |ht$i AS (SELECT ${fold("s")} AS t FROM hr$i),
+             |h$i AS (SELECT nd.v, ${rrepr("COALESCE(r.s, 0.0) / t.t", 9)} AS s
+             |  FROM nodes nd CROSS JOIN ht$i t LEFT JOIN hr$i r ON r.v = nd.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |ed AS (SELECT DISTINCT src, dst FROM (
+           |    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+           |    UNION ALL
+           |    SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn) z
+           |  WHERE src <> dst AND src % 11 <> 0),
+           |nodes AS (SELECT DISTINCT v FROM (
+           |    SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed) t),
+           |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+           |h0 AS (SELECT v, 1.0 / cnt.n AS s FROM nodes, cnt),
+           |$iterCtes
+           |SELECT nd.v, a2.s AS auth, h2.s AS hub
+           |FROM nodes nd JOIN a2 ON a2.v = nd.v JOIN h2 ON h2.v = nd.v
+           |ORDER BY nd.v""".stripMargin
+      }),
+
     // Text normalization (lower / strip control chars / collapse
     // whitespace / trim) — the zeroth curation stage, as one codegen'd
     // projection; token count measured on the normalized form.
@@ -2389,6 +2440,51 @@ object PipelineInventory {
              |  CAST(CASE WHEN norm_text = '' THEN 0
              |            ELSE len(string_split(norm_text, ' ')) END AS INT) AS n_tokens
              |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // HTML -> visible text (TextAnalysis.htmlToText), the extraction
+    // stage BEFORE r60's normalization for web-crawled corpora. Each
+    // document is deterministically wrapped in an HTML page that plants
+    // every hazard the extractor must handle — a <script> whose code
+    // contains a bare '<', a <style> block, a comment, title/h1
+    // duplication, and entities including a double-encoded &amp;amp;
+    // (must decode exactly one level) — then extracted. Both engines
+    // run the IDENTICAL regex chain (common Java-regex/RE2 subset).
+    QueryDef("r62_html_extract",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val html = concat(
+          lit("<html><head><script type=\"text/javascript\">var hidden = 1 < 2;" +
+            "</script><style>p { color: #888; }</style><title>"),
+          col("source"),
+          lit("</title></head>\n<body>\t<h1>"), col("source"),
+          lit("</h1>\n<p>"), coalesce(col("text"), lit("")),
+          lit(" &amp;amp; x &lt; y &nbsp;&quot;q&quot; &#39;s&#39;</p>" +
+            "<!-- drop me -->\n</body></html>"))
+        docs.select(col("doc_id"),
+            TextAnalysis.htmlToText(html).as("extracted"))
+          .withColumn("n_chars_extracted",
+            length(col("extracted")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><script type="text/javascript">var hidden = 1 < 2;</script><style>p { color: #888; }</style><title>'
+             |  || source || '</title></head>' || chr(10) || '<body>' || chr(9) || '<h1>'
+             |  || source || '</h1>' || chr(10) || '<p>' || COALESCE(text, '')
+             |  || ' &amp;amp; x &lt; y &nbsp;&quot;q&quot; &#39;s&#39;</p><!-- drop me -->' || chr(10) || '</body></html>' AS html
+             |  FROM documents),
+             |x AS (SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]*>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             |    '[ \t\n\r\x0b\f]+', ' ', 'g')) AS extracted
+             |  FROM h)
+             |SELECT doc_id, extracted, CAST(len(extracted) AS BIGINT) AS n_chars_extracted
+             |FROM x ORDER BY doc_id""".stripMargin)),
 
     // Calibration curve of the learned filter: fixed logit-bin cuts
     // (bin = pure function of the doc's own logit — no corpus-wide

@@ -41,4 +41,46 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.pagerank(e, iters = 0) }
     intercept[IllegalArgumentException] { Graph.pagerank(e, damping = 1.0) }
   }
+
+  test("hits: pure star — the center is the sole authority, leaves split hub mass") {
+    val e = (1L to 5L).map(i => (i, 0L)).toDF("src", "dst")
+    val m = Graph.hits(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(0L)._1 == 1.0)           // all authority on the center
+    assert(m(0L)._2 == 0.0)           // the center points at nothing
+    (1L to 5L).foreach { v =>
+      assert(m(v)._1 == 0.0)          // leaves have no in-edges
+      assert(m(v)._2 == 0.2, m(v))    // hub mass splits evenly
+    }
+  }
+
+  test("hits: auth and hub each sum to ~1 on an arbitrary graph") {
+    val e = (0L until 40L).map(i => (i, (i * 7 + 3) % 40))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    val rows = Graph.hits(e, iters = 4).collect()
+    assert(math.abs(rows.map(_.getDouble(1)).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+  }
+
+  test("hits: a page linked once by a strong hub out-ranks one linked by weak hubs") {
+    // hub 0 points at {10, 11, 12} (strong hub: all its targets are
+    // also pointed at by everyone). Node 20 is linked ONCE, by hub 0's
+    // peer structure; nodes 1..3 are weak hubs pointing only at 21.
+    val strong = Seq((0L, 10L), (0L, 11L), (0L, 12L), (4L, 10L), (4L, 11L),
+      (4L, 12L), (0L, 20L))
+    val weak = Seq((1L, 21L), (2L, 21L), (3L, 21L))
+    val m = Graph.hits((strong ++ weak).toDF("src", "dst"), iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 20 is linked once (by the strong hub 0); 21 three times (by hubs
+    // that score ~0 because their only target is off the dense core)
+    assert(m(20L) > m(21L), m.toString)
+  }
+
+  test("hits: partition invariance") {
+    val e = (0L until 60L).map(i => (i, (i * 11 + 1) % 60))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    val a = Graph.hits(e, iters = 2).collect().toSeq
+    val b = Graph.hits(e.repartition(9), iters = 2).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -504,4 +504,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == "")
     assert(rows(4L) == "")
   }
+
+  test("htmlToText: tags stripped, blocks dropped, entities decoded once") {
+    val rows = Seq(
+      (1L, "<html><body><h1>Title</h1><p>one</p><p>two</p></body></html>"),
+      (2L, "<script>if (a < b) { x(); }</script>visible<style>p{color:red}</style>"),
+      (3L, "a<!-- secret -->b"),
+      (4L, "x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; &amp;amp; done"),
+      (5L, "  spaced\n\tout  "),
+      (6L, "<SCRIPT TYPE=\"module\">hidden</SCRIPT>kept"),
+      (7L, ""))
+      .toDF("doc_id", "html")
+      .select(col("doc_id"), TextAnalysis.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // adjacent block tags word-separate (</h1><p> becomes a space)
+    assert(rows(1L) == "Title one two")
+    // script/style contents are code, not text -- dropped wholesale,
+    // even with a bare '<' inside the script body
+    assert(rows(2L) == "visible")
+    assert(rows(3L) == "a b")
+    // one level of entity decoding: &amp;amp; -> &amp; stays literal
+    assert(rows(4L) == "x <tag> \"q\" 's' &amp; done")
+    assert(rows(5L) == "spaced out")
+    // (?i) covers shouting markup
+    assert(rows(6L) == "kept")
+    assert(rows(7L) == "")
+  }
+
+  test("htmlToText: null html stays null; composes with normalizeText") {
+    val df = Seq((1L, null: String), (2L, "<p>Mixed CASE</p>"))
+      .toDF("doc_id", "html")
+      .select(col("doc_id"),
+        TextAnalysis.htmlToText(col("html")).as("t"))
+    val m = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m(1L).isEmpty)
+    assert(m(2L).contains("Mixed CASE"))
+    val norm = df.select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().flatMap(r => Option(r.getString(0)))
+    assert(norm.toSeq == Seq("mixed case"))
+  }
 }
