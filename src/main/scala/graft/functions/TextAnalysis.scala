@@ -471,6 +471,40 @@ object TextAnalysis {
         round(col("s") / col("n_bi"), 6).as("score"))
   }
 
+  /** CCNet-style per-language LM bucketing (Wenzek et al. 2020): split
+    * each language's documents into head / middle / tail by their
+    * language-model score, so downstream mixing can keep the head,
+    * sample the middle, and drop or down-weight the tail. CCNet cuts
+    * on perplexity (lower = better); this engine's LM scores
+    * ([[unigramScore]]/[[bigramScore]]) are linear likelihoods
+    * (higher = better), so head = score at or above the language's
+    * `hi` percentile. Ties at a cut land in the better bucket.
+    *
+    * Scale shape, same as [[qualityPrune]]: the cut table is ONE
+    * partial-aggregable percentile aggregation (one row per language)
+    * joined back — bucketing is then a pure function of the doc's own
+    * score, with no per-language window or sort of the corpus. The
+    * null-safe join keeps unknown-language docs visible as their own
+    * group. Cuts and scores are 6dp-rounded, so buckets are
+    * deterministic cross-engine (exact percentile ↔ quantile_cont).
+    * Output: doc_id, lang, score, bucket. */
+  def ccnetBuckets(scored: DataFrame, langs: DataFrame,
+      lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      scoreCol: String = "score", langCol: String = "lang"): DataFrame = {
+    require(0 < lo && lo < hi && hi < 1, s"need 0 < lo < hi < 1, got ($lo, $hi)")
+    val j = scored.select(col("doc_id"), col(scoreCol).as("score"))
+      .join(langs.select(col("doc_id"), col(langCol).as("lang")), "doc_id")
+    val cuts = j.groupBy("lang").agg(
+        round(expr(s"percentile(score, $lo)"), 6).as("cut_lo"),
+        round(expr(s"percentile(score, $hi)"), 6).as("cut_hi"))
+      .withColumnRenamed("lang", "c_lang")
+    j.join(cuts, col("lang") <=> col("c_lang"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        when(col("score") >= col("cut_hi"), "head")
+          .when(col("score") >= col("cut_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Top-k distinguishing terms per document by tf-idf. The idf here is
     * the LINEAR inverse document frequency (score = tf / df): integer
     * division is IEEE-exact and bit-identical across engines, where

@@ -66,6 +66,54 @@ object Mix {
         round(col("q") / col("z") * col("total") / col("n"), 6).as("weight"): _*)
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, reduced to its
+    * data-engine core): domains where the stronger reference model
+    * improves most over the weak proxy — the highest per-domain mean
+    * EXCESS LOSS `max(loss − ref_loss, 0)` — get upweighted, because
+    * that is where more training data buys the most. One multiplicative-
+    * weights step from uniform,
+    *
+    *   α_i = (1/k)·(1 + η·excess_i),  w_i = (1−ε)·α_i/Σα + ε/k
+    *
+    * with ε the uniform smoothing that keeps every domain sampled.
+    * The textbook Hedge/Group-DRO update uses `exp(η·excess)`; this
+    * operator uses its standard linearization `1 + η·excess` because
+    * `exp` differs in the last ulp across libm implementations and
+    * would break the engine's bit-exact cross-engine contract (the
+    * same reason the LM scores are linear likelihoods, not log-probs).
+    * DoReMi's outer loop — retrain the proxy under the new weights,
+    * re-estimate losses, repeat — lives outside the engine; each pass
+    * calls this once with fresh losses.
+    *
+    * Scale shape: ONE partial-aggregable per-domain aggregation of the
+    * per-doc excess (sorted fold, 6dp), then everything else runs on
+    * the domain-sized summary (k and Σα are one-row sorted folds,
+    * broadcast back). `losses` carries one row per doc with `domainCol`,
+    * `lossCol`, `refCol`; docs scored by only one model should be
+    * dropped upstream. Output: domain, n, excess, weight (6dp). */
+  def doremiWeights(losses: DataFrame, domainCol: String = "lang",
+      eta: Double = 1.0, eps: Double = 0.1,
+      lossCol: String = "loss", refCol: String = "ref_loss"): DataFrame = {
+    require(eta > 0, s"eta $eta must be positive")
+    require(eps >= 0 && eps < 1, s"eps $eps outside [0, 1)")
+    val ex = losses.select(col(domainCol).as("domain"),
+      greatest(col(lossCol) - col(refCol), lit(0.0)).as("x"))
+    val dom = ex.groupBy("domain").agg(
+      count(lit(1)).as("n"),
+      round(aggregate(sort_array(collect_list(col("x"))), lit(0d), _ + _) /
+        count(lit(1)), 6).as("excess"))
+    val k = dom.agg(count(lit(1)).as("k"))
+    val withA = dom.crossJoin(broadcast(k))
+      .withColumn("a",
+        (lit(1.0) / col("k")) * (lit(1.0) + lit(eta) * col("excess")))
+    val z = withA.agg(
+      aggregate(sort_array(collect_list(col("a"))), lit(0d), _ + _).as("z"))
+    withA.crossJoin(broadcast(z))
+      .select(col("domain"), col("n"), col("excess"),
+        round(lit(1 - eps) * (col("a") / col("z")) + lit(eps) / col("k"), 6)
+          .as("weight"))
+  }
+
   /** Shard-count sizing for the sharded-window operators (corpusShuffle,
     * packSequences): a shard is ONE reducer's worth of rows — a window
     * partition is a single unsplittable task, so the shard count must

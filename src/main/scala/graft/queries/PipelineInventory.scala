@@ -1561,6 +1561,110 @@ object PipelineInventory {
               |SELECT doc_id, n_bi, ${rrepr("s / n_bi", 6)} AS score
               |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // DoReMi-style domain reweighting: per-doc excess loss = how much
+    // the bigram LM (reference) improves on the unigram LM (proxy),
+    // clipped at 0; per-domain mean excess -> one multiplicative-
+    // weights step from uniform with uniform smoothing. The oracle
+    // mirrors the Spark arithmetic stage for stage (tf-weighted
+    // distinct-pair folds, domain-sized sorted folds for k and Z).
+    QueryDef("p56_doremi_mix", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val uni = TextAnalysis.unigramScore(docs)
+          .select(col("doc_id"), (lit(1.0) - col("score")).as("loss"))
+        val bi = TextAnalysis.bigramScore(docs)
+          .select(col("doc_id"), (lit(1.0) - col("score")).as("ref_loss"))
+        Mix.doremiWeights(
+            uni.join(bi, "doc_id")
+              .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+            eta = 2.0)
+          .orderBy("domain")
+      }},
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+              |utf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              |        FROM tok GROUP BY doc_id, token),
+              |uuni AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM utf GROUP BY token),
+              |un AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uuni),
+              |uw AS (SELECT f.doc_id, f.tf, CAST(f.tf AS DOUBLE) * u.cnt / n.total AS w
+              |       FROM utf f JOIN uuni u USING (token) CROSS JOIN un n),
+              |usc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+              |               list_reduce(list_sort(list(w)), (x, y) -> x + y) AS s
+              |        FROM uw GROUP BY doc_id),
+              |ul AS (SELECT doc_id, 1.0 - ${rrepr("s / n_tok", 6)} AS loss FROM usc),
+              |bbi AS (SELECT doc_id,
+              |          unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+              |          unnest([t[i+1] FOR i IN range(1, len(t))]) AS w2
+              |        FROM t WHERE len(t) >= 2),
+              |btf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+              |        FROM bbi GROUP BY doc_id, w1, w2),
+              |bbc AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS bc FROM btf GROUP BY w1, w2),
+              |bcc AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS cc FROM bbc GROUP BY w1),
+              |bp AS (SELECT f.doc_id, f.tf,
+              |              f.tf * (0.75::DOUBLE * b.bc / c.cc + 0.25::DOUBLE * u.cnt / n.total) AS w
+              |       FROM btf f JOIN bbc b USING (w1, w2) JOIN bcc c USING (w1)
+              |       JOIN uuni u ON u.token = f.w2 CROSS JOIN un n),
+              |bsc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bi,
+              |               list_reduce(list_sort(list(w)), (x, y) -> x + y) AS s
+              |        FROM bp GROUP BY doc_id),
+              |bl AS (SELECT doc_id, 1.0 - ${rrepr("s / n_bi", 6)} AS ref_loss FROM bsc),
+              |x AS (SELECT d.lang AS domain, GREATEST(ul.loss - bl.ref_loss, 0.0) AS x
+              |      FROM ul JOIN bl USING (doc_id) JOIN documents d USING (doc_id)),
+              |dom AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+              |          ${rrepr("list_reduce(list_sort(list(x)), (p, q) -> p + q) / COUNT(*)", 6)} AS excess
+              |        FROM x GROUP BY domain),
+              |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dom),
+              |wa AS (SELECT dom.*, (1.0 / kk.k) * (1.0 + 2.0 * excess) AS a FROM dom, kk),
+              |zz AS (SELECT list_reduce(list_sort(list(a)), (p, q) -> p + q) AS z FROM wa)
+              |SELECT wa.domain, wa.n, wa.excess,
+              |       ${rrepr("0.9 * (wa.a / zz.z) + 0.1 / kk.k", 6)} AS weight
+              |FROM wa, zz, kk ORDER BY wa.domain""".stripMargin)),
+
+    // CCNet head/middle/tail bucketing: the p37 bigram LM score cut at
+    // each language's exact 1/3 and 2/3 percentiles (one percentile
+    // aggregation broadcast back; bucket = pure function of the doc's
+    // own score). Head = highest likelihood (lowest perplexity).
+    QueryDef("p55_ccnet_buckets", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.ccnetBuckets(
+            TextAnalysis.bigramScore(docs), docs)
+          .orderBy("doc_id")
+      }},
+      Some {
+        val (lo, hi) = (1.0 / 3, 2.0 / 3)
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+           |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+           |bi AS (SELECT doc_id,
+           |         unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+           |         unnest([t[i+1] FOR i IN range(1, len(t))]) AS w2
+           |       FROM t WHERE len(t) >= 2),
+           |tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM bi GROUP BY doc_id, w1, w2),
+           |bc AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS bc FROM tf GROUP BY w1, w2),
+           |cc AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS cc FROM bc GROUP BY w1),
+           |p AS (SELECT f.doc_id, f.tf,
+           |             f.tf * (0.75::DOUBLE * b.bc / c.cc + 0.25::DOUBLE * u.cnt / n.total) AS w
+           |      FROM tf f JOIN bc b USING (w1, w2) JOIN cc c USING (w1)
+           |      JOIN uni u ON u.token = f.w2 CROSS JOIN n),
+           |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bi,
+           |              list_reduce(list_sort(list(w)), (x, y) -> x + y) AS s
+           |       FROM p GROUP BY doc_id),
+           |scd AS (SELECT sc.doc_id, d.lang, ${rrepr("s / n_bi", 6)} AS score
+           |        FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+           |cut AS (SELECT lang, ${rrepr(s"quantile_cont(score, $lo)", 6)} AS cut_lo,
+           |               ${rrepr(s"quantile_cont(score, $hi)", 6)} AS cut_hi
+           |        FROM scd GROUP BY lang)
+           |SELECT s.doc_id, s.lang, s.score,
+           |       CASE WHEN s.score >= c.cut_hi THEN 'head'
+           |            WHEN s.score >= c.cut_lo THEN 'middle'
+           |            ELSE 'tail' END AS bucket
+           |FROM scd s JOIN cut c ON c.lang IS NOT DISTINCT FROM s.lang
+           |ORDER BY s.doc_id""".stripMargin
+      }),
+
     // Boilerplate removal (RefinedWeb/Dolma line-dedup semantics):
     // a passage in MORE THAN ONE distinct doc is removed from EVERY
     // doc — keep-first p30 instead leaves one copy in the corpus.

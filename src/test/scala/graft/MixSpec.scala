@@ -235,4 +235,28 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mix.hashSplit(docs, Seq.empty))                           // empty
   }
+
+  test("doremiWeights: high-excess domains upweight, weights sum to 1, eps floors") {
+    // en: excess 0.4 per doc; fr: 0.0 (ref beats proxy nowhere); de:
+    // negative raw excess clips to 0
+    val losses = Seq(
+      (1L, "en", 0.9, 0.5), (2L, "en", 0.8, 0.4),
+      (3L, "fr", 0.5, 0.5), (4L, "fr", 0.6, 0.6),
+      (5L, "de", 0.3, 0.7)).toDF("doc_id", "lang", "loss", "ref_loss")
+    val rows = Mix.doremiWeights(losses, eta = 1.0, eps = 0.1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows("en")._2 == 0.4)
+    assert(rows("fr")._2 == 0.0 && rows("de")._2 == 0.0)
+    assert(rows("en")._3 > rows("fr")._3, rows.toString)
+    // zero-excess domains keep the uniform-smoothed floor, not zero
+    assert(rows("de")._3 > 0.1 / 3)
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-5)
+    // eta scales the sharpening; eps=0 removes the floor
+    val sharp = Mix.doremiWeights(losses, eta = 10.0, eps = 0.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(sharp("en") > rows("en")._3)
+    intercept[IllegalArgumentException](Mix.doremiWeights(losses, eta = 0.0))
+    intercept[IllegalArgumentException](Mix.doremiWeights(losses, eps = 1.0))
+  }
 }

@@ -505,6 +505,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(4L) == "")
   }
 
+  test("ccnetBuckets: per-language thirds, ties to the better bucket, null lang visible") {
+    val scored = Seq((1L, 0.9), (2L, 0.6), (3L, 0.3), (4L, 0.8), (5L, 0.5),
+      (6L, 0.2), (7L, 0.7)).toDF("doc_id", "score")
+    val langs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"),
+      (5L, "de"), (6L, "de"), (7L, null: String)).toDF("doc_id", "lang")
+    val m = TextAnalysis.ccnetBuckets(scored, langs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // en cuts: p(1/3)=0.5, p(2/3)=0.7 over (0.3, 0.6, 0.9)
+    assert(m(1L) == "head" && m(2L) == "middle" && m(3L) == "tail")
+    assert(m(4L) == "head" && m(5L) == "middle" && m(6L) == "tail")
+    // a sole null-lang doc is its own percentile: boundary lands head
+    assert(m(7L) == "head")
+    // all-tied scores: every doc sits at both cuts -> all head
+    val tied = TextAnalysis.ccnetBuckets(
+      Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)).toDF("doc_id", "score"),
+      Seq((1L, "en"), (2L, "en"), (3L, "en")).toDF("doc_id", "lang"))
+      .collect().map(_.getString(3))
+    assert(tied.forall(_ == "head"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ccnetBuckets(scored, langs, lo = 0.5, hi = 0.5)
+    }
+  }
+
   test("htmlToText: tags stripped, blocks dropped, entities decoded once") {
     val rows = Seq(
       (1L, "<html><body><h1>Title</h1><p>one</p><p>two</p></body></html>"),
