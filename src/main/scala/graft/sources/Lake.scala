@@ -51,6 +51,52 @@ object Lake {
     asOfBatch.fold(lower)(b => lower.filter(col("batch_ts") <= lit(b)))
   }
 
+  /** JSONL corpus reader — the de-facto interchange format for
+    * web-scale text corpora (Dolma, RedPajama, FineWeb all ship as
+    * compressed JSONL shards). Contract choices, each load-bearing at
+    * 100 TB:
+    *  - EXPLICIT schema, never inference: schema inference is a whole
+    *    extra pass over the data, and on dirty corpora it silently
+    *    widens types per-run (a numeric id shard + a string id shard
+    *    infer differently on different days).
+    *  - PERMISSIVE with a corrupt-record column: a malformed line
+    *    lands intact in `corruptCol` with every data column null —
+    *    quarantined and auditable, neither dropped (DROPMALFORMED
+    *    hides data loss) nor fatal (FAILFAST kills a 10-hour job on
+    *    line 9 billion).
+    *  - Compression is per-file by extension (.gz/.zst). Gzip shards
+    *    are NOT splittable — one shard is one task, so the WRITER's
+    *    shard count ([[writeJsonl]] `numShards`) is the reader's
+    *    parallelism ceiling; shard accordingly upstream.
+    * Caveat (Spark rule): a query whose referenced columns are ONLY
+    * the corrupt column is disallowed on a raw JSON scan — select at
+    * least one data column alongside it (or cache first) when
+    * auditing the quarantine. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a '$corruptCol' column; pass corruptCol to rename")
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
+  /** JSONL corpus writer: `numShards` output files (the unit of
+    * downstream read parallelism — see [[readJsonl]]), round-robin
+    * repartitioned so shards are size-balanced regardless of upstream
+    * skew. Compression defaults to gzip for interchange compatibility. */
+  def writeJsonl(df: DataFrame, path: String, numShards: Int,
+      compression: String = "gzip"): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    df.repartition(numShards)
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .json(path)
+  }
+
   /** Per-file statistics of a parquet table: rows plus min/max of
     * `cols` for every physical file — the audit view of what row-group
     * skipping has to work with (LakeSpec derives this inline to assert
