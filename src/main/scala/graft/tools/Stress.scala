@@ -25,7 +25,7 @@ import graft.pipelines.Curate
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
-  *   bm25,qsurv,csample,hh,rm3,domains,pagerank
+  *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -39,7 +39,7 @@ object Stress {
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
-    "hh", "rm3", "domains", "pagerank")
+    "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -193,6 +193,39 @@ object Stress {
             .filter(col("src") =!= col("dst"))
             .filter(col("src") % 11 =!= 0).distinct(),
           iters = 3, damping = 0.5)
+      case "hits" =>
+        // 2 HITS iterations on the pagerank row's graph: four keyed
+        // joins/aggs + four 1-row normalization totals per round
+        val e1 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        val e2 = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst"))
+        graft.operators.Graph.hits(
+          e1.unionByName(e2)
+            .filter(col("src") =!= col("dst"))
+            .filter(col("src") % 11 =!= 0).distinct(),
+          iters = 2)
+      case "html" =>
+        // the zeroth web-curation stage: one codegen'd regexp chain
+        // over a synthetic page wrapping each doc — pure narrow map
+        TextAnalysis.stats(docs.select(col("doc_id"),
+          TextAnalysis.htmlToText(concat(
+            lit("<html><head><script>var x = 1 < 2;</script><title>t</title></head><body><p>"),
+            col("text"),
+            lit("</p><!-- c --></body></html>"))).as("text")))
+      case "ccnet" =>
+        // bigram LM fit + per-lang percentile cuts + bucket map; the
+        // delta vs a plain bigramScore run is the cut table's price
+        TextAnalysis.ccnetBuckets(TextAnalysis.bigramScore(docs), docs)
+      case "doremi" =>
+        // both LM fits + the domain-summary reweighting step; cost is
+        // dominated by the two scoring passes by design
+        val uni = TextAnalysis.unigramScore(docs)
+          .select(col("doc_id"), (lit(1.0) - col("score")).as("loss"))
+        val bi = TextAnalysis.bigramScore(docs)
+          .select(col("doc_id"), (lit(1.0) - col("score")).as("ref_loss"))
+        Mix.doremiWeights(uni.join(bi, "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
