@@ -9,6 +9,7 @@ import graft.operators.{Dedup, Mix}
   * composition a user of the reference's medallion flow would run to
   * turn a raw document corpus into packed training sequences:
   *
+  *   [HTML→text extraction] → [normalization] →
   *   quality gate (rule-based, or the learned filter when trained
   *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
   *   components survivors) → [sub-document CDC dedup] →
@@ -55,20 +56,33 @@ object Curate {
       decontaminate: Option[DataFrame] = None,
       semDedup: Option[(DataFrame, Int)] = None,
       qualitySurvivors: Boolean = false,
-      dsir: Option[(DataFrame, Int)] = None): (DataFrame, Option[Stats]) = {
+      dsir: Option[(DataFrame, Int)] = None,
+      extractHtml: Boolean = false,
+      normalize: Boolean = false): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
-    val input = countIf(docs)
+    // Zeroth stages, both narrow codegen'd projections folded into the
+    // first scan: HTML→text extraction for web-crawled input, then
+    // normalization so downstream shingles/features see canonical
+    // text. No rows drop here — a doc emptied by extraction is the
+    // quality gate's call, keeping stage accounting one-to-one.
+    val prepared0 =
+      if (!extractHtml) docs
+      else docs.withColumn("text", TextAnalysis.htmlToText(col("text")))
+    val docsP =
+      if (!normalize) prepared0
+      else prepared0.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    val input = countIf(docsP)
     // The gate stage: the rule gate by default, or — when trained
     // weights are supplied (TextAnalysis.trainQualityLogreg, typically
     // distilled from the rule gate on a sample) — the learned filter's
     // logit > 0 verdict. Same keep-or-drop contract either way.
     val gateKept = gateWeights match {
-      case None => TextAnalysis.qualityGate(docs).filter(col("kept"))
+      case None => TextAnalysis.qualityGate(docsP).filter(col("kept"))
       case Some(w) => TextAnalysis.scoreQualityLogreg(
-        TextAnalysis.qualityFeatures(docs), w).filter(col("kept"))
+        TextAnalysis.qualityFeatures(docsP), w).filter(col("kept"))
     }
-    val gatedRaw = docs.join(gateKept.select("doc_id"), "doc_id")
+    val gatedRaw = docsP.join(gateKept.select("doc_id"), "doc_id")
     val afterGate = countIf(gatedRaw)
     // Optional boilerplate pass (the RefinedWeb line-dedup stage),
     // BEFORE doc-level dedup: a shared header/footer inflates the

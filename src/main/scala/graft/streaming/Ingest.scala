@@ -745,7 +745,9 @@ object Ingest {
       maxBucket: Int = 100, maxFilesPerTrigger: Int = 1,
       boilerplateMaxDocs: Option[Int] = None,
       passageIndexPath: String = "",
-      gateWeights: Option[Seq[Double]] = None): Unit = {
+      gateWeights: Option[Seq[Double]] = None,
+      extractHtml: Boolean = false,
+      normalize: Boolean = false): Unit = {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
     require(boilerplateMaxDocs.isEmpty || passageIndexPath.nonEmpty,
@@ -755,7 +757,16 @@ object Ingest {
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batchRaw: DataFrame, id: Long) =>
+        // 0. optional zeroth stages, exactly as in Curate.run: both are
+        // pure per-row projections (no cross-batch state), so the
+        // stream==batch law extends to them for free.
+        val batch0 =
+          if (!extractHtml) batchRaw
+          else batchRaw.withColumn("text", TextAnalysis.htmlToText(col("text")))
+        val batch =
+          if (!normalize) batch0
+          else batch0.withColumn("text", TextAnalysis.normalizeText(col("text")))
         val ss = batch.sparkSession
         // 1. gate — batch-local narrow decision either way: the rule
         // gate, or (as in Curate.run) the learned filter's logit > 0

@@ -308,4 +308,29 @@ class CurateSpec extends SparkSpec {
         Curate.Stats(-1L, -1L, -1L, -1L, -1L, -1L, 0))
     }
   }
+
+  test("extractHtml/normalize stage law: wrapped corpus == pre-processed corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    // Wrap every doc in HTML chrome; running the pipeline with the
+    // extraction+normalization stages ON over the wrapped corpus must
+    // reproduce the run over the equivalent pre-processed corpus
+    // EXACTLY (stats and packed rows) — extraction is a stage, not a
+    // different pipeline.
+    val wrapped = docs.withColumn("text", concat(
+      lit("<html><head><style>p{}</style><title>T</title></head><body><p>"),
+      col("text"), lit("</p><!-- f --></body></html>")))
+    val preprocessed = wrapped.withColumn("text",
+      TextAnalysis.normalizeText(TextAnalysis.htmlToText(col("text"))))
+    // sanity: the chrome actually perturbs the text until extracted
+    assert(wrapped.filter(col("text").contains("<html>")).count() > 0)
+    val (packedA, stA) = Curate.run(wrapped, extractHtml = true, normalize = true)
+    val (packedB, stB) = Curate.run(preprocessed)
+    assert(stA.get == stB.get)
+    assert(packedA.exceptAll(packedB).isEmpty && packedB.exceptAll(packedA).isEmpty)
+    // and extraction really matters: the wrapped corpus WITHOUT the
+    // stage sees different text than the preprocessed one
+    assert(wrapped.select("text")
+      .exceptAll(preprocessed.select("text")).count() > 0)
+  }
 }

@@ -450,6 +450,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batchOut)
   }
 
+  test("SCCx: streamed curation with HTML extraction + normalization equals batch") {
+    import graft.operators.Dedup
+    import graft.functions.TextAnalysis
+    val raw = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang")
+    // wrap every doc in HTML chrome; the stream must extract it away
+    val corpus = raw.withColumn("text", concat(
+      lit("<html><head><title>T</title></head><body><p>"),
+      $"text", lit("</p><!-- f --></body></html>"))).cache()
+    // batch composition over the PRE-processed corpus (same chain as SCC)
+    val pre = corpus.withColumn("text",
+      TextAnalysis.normalizeText(TextAnalysis.htmlToText($"text")))
+    val gated = pre.join(TextAnalysis.qualityGate(pre)
+      .filter($"kept").select("doc_id"), "doc_id")
+    val relabeled = gated.withColumn("orig_id", $"doc_id")
+      .withColumn("doc_id",
+        conv(substring(md5($"orig_id".cast("string")), 1, 15), 16, 10).cast("long"))
+    val pairs = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.shingleHashes(relabeled), hashed = true)))
+    val surv = Dedup.survivors(relabeled, pairs)
+      .select($"orig_id".as("doc_id"), $"text", $"lang")
+    val maxDomTok = surv.groupBy("lang")
+      .agg(sum(size(split($"text", " "))).as("t"))
+      .agg(max($"t")).as[Long].head()
+    val budget = maxDomTok * 6 / 10
+    val batchOut = TextAnalysis.tokenBudgetSample(surv, budget)
+      .orderBy("domain", "cum").collect().toSeq
+    // two md5-ordered batches through the stream, one restart
+    val ids = corpus.withColumn("h", md5($"doc_id".cast("string")))
+      .orderBy("h").select("doc_id").as[Long].collect()
+    val half = ids.length / 2
+    val slices = Seq(ids.take(half), ids.drop(half))
+    val src = tmp("sccx-src"); val out = tmp("sccx-out"); val idxP = tmp("sccx-idx")
+    val st = tmp("sccx-state"); val ck = tmp("sccx-ck")
+    slices.foreach { slice =>
+      corpus.filter($"doc_id".isInCollection(slice.toSeq))
+        .coalesce(1)
+        .write.mode("append").parquet(src)
+      Ingest.curateIngestStream(spark, corpus.schema, src, out, idxP, st, ck,
+        budget, extractHtml = true, normalize = true)
+    }
+    val streamed = spark.read.parquet(out)
+      .select("domain", "doc_id", "n_tok", "cum")
+      .orderBy("domain", "cum").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batchOut)
+  }
+
   test("SCB: streamed curation boilerplate stage obeys the per-batch passage-index law") {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
