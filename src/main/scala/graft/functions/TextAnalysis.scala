@@ -505,6 +505,38 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Corpus diversity metrics: distinct-n (Li et al. 2016) at each
+    * requested n-gram size — total occurrences, unique grams, and
+    * their ratio. The standard one-look diagnosis of a corpus's
+    * repetitiveness (a synthetic or template-heavy corpus shows
+    * distinct-2/3 collapsing toward 0; natural text stays high), used
+    * to compare corpus versions across curation runs.
+    *
+    * Scale shape: one explode + one count-distinct aggregation per
+    * requested n — the distinct count is a hash partial aggregate
+    * keyed by the gram, never a sort; output is |ns| rows. Docs
+    * shorter than n contribute no n-grams at that size.
+    * Output: n, total, uniq, distinct_frac (6dp), ordered by n. */
+  def distinctNgrams(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+      textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
+      s"ns must be non-empty distinct positive sizes, got $ns")
+    val toks = docs.select(split(col(textCol), " ").as("t"))
+    ns.map { n =>
+      val grams =
+        if (n == 1) toks.select(explode(col("t")).as("g"))
+        else toks.filter(size(col("t")) >= n)
+          .selectExpr(s"explode(transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> array_join(slice(t, i, $n), ' '))) AS g")
+      grams.agg(count(lit(1)).cast("long").as("total"),
+          countDistinct(col("g")).cast("long").as("uniq"))
+        .select(lit(n).as("n"), col("total"), col("uniq"))
+    }.reduce(_ unionByName _)
+      .withColumn("distinct_frac",
+        when(col("total") > 0, round(col("uniq") / col("total"), 6)))
+      .orderBy("n")
+  }
+
   /** Top-k distinguishing terms per document by tf-idf. The idf here is
     * the LINEAR inverse document frequency (score = tf / df): integer
     * division is IEEE-exact and bit-identical across engines, where

@@ -765,6 +765,41 @@ object Dedup {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Eval-side contamination REPORT — the appendix table every model
+    * release publishes (GPT-3's "dirty eval examples" analysis): for
+    * each EVAL document, the fraction of its distinct n-grams that
+    * appear anywhere in the training corpus, plus the thresholded
+    * verdict. The complement of [[contamination]]: that one flags
+    * TRAIN docs for dropping; this one measures how compromised each
+    * eval EXAMPLE is, so benchmark numbers can be reported on the
+    * clean slice.
+    *
+    * Scale shape: the training side reduces to DISTINCT shingle
+    * hashes in its scan-side aggregation (8 bytes per unique n-gram,
+    * no text leaves the scan); the join is shingle-keyed against the
+    * (small) eval side, and the per-eval-doc counts partial-aggregate.
+    * Eval docs with fewer than `n` tokens have no n-grams and are
+    * absent — report them as unmeasurable upstream, not as clean.
+    * Output: doc_id, n_grams, n_hit, overlap_frac (4dp), contaminated. */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"threshold $threshold outside [0, 1]")
+    val trainSh = shingleHashes(docs, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    val evalSh = shingleHashes(evalDocs, n, idCol, textCol)
+    val perDoc = evalSh.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val hits = evalSh.join(trainSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hit"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_frac", round(col("n_hit") / col("n_grams"), 4))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
   /** [[contamination]] at the scale where even the eval set's DISTINCT
     * shingle table is too big to broadcast as rows: a Bloom filter over
     * the eval shingles replaces the broadcast join. The filter is built

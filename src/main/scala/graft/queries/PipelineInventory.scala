@@ -980,6 +980,57 @@ object PipelineInventory {
               |LEFT JOIN hits h ON h.doc_id = d.doc_id
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // Eval-side contamination report (the release-appendix table):
+    // fraction of each held-out doc's distinct 8-grams present in the
+    // train split, thresholded at 0.2. Complements p26 (train-side
+    // drop flags) — same shingle space, opposite direction.
+    QueryDef("p57_contamination_report",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.contaminationReport(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), n = 8, threshold = 0.2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${shCteN(8)},
+              |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+              |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+              |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              |       FROM ev GROUP BY doc_id),
+              |h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+              |      FROM ev JOIN tr USING (shingle) GROUP BY doc_id),
+              |r AS (SELECT pd.doc_id, pd.n_grams,
+              |             COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit
+              |      FROM pd LEFT JOIN h USING (doc_id)),
+              |f AS (SELECT r.*, ${rrepr("n_hit / n_grams", 4)} AS overlap_frac FROM r)
+              |SELECT doc_id, n_grams, n_hit, overlap_frac,
+              |       overlap_frac >= 0.2 AS contaminated
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Corpus diversity: distinct-n at n = 1, 2, 3 — total grams,
+    // unique grams, and the ratio. Three explode+count-distinct
+    // aggregations, |ns| output rows.
+    QueryDef("r64_distinct_ngrams",
+      (s, d) => TextAnalysis.distinctNgrams(T(s, d, "documents")),
+      Some(s"""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+              |g1 AS (SELECT unnest(t) AS g FROM t),
+              |a1 AS (SELECT 1 AS n, CAST(COUNT(*) AS BIGINT) AS total,
+              |              CAST(COUNT(DISTINCT g) AS BIGINT) AS uniq FROM g1),
+              |g2 AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+              |                      FOR i IN range(1, len(t))]) AS g
+              |       FROM t WHERE len(t) >= 2),
+              |a2 AS (SELECT 2 AS n, CAST(COUNT(*) AS BIGINT) AS total,
+              |              CAST(COUNT(DISTINCT g) AS BIGINT) AS uniq FROM g2),
+              |g3 AS (SELECT unnest([array_to_string(t[i:i+2], ' ')
+              |                      FOR i IN range(1, len(t)-1)]) AS g
+              |       FROM t WHERE len(t) >= 3),
+              |a3 AS (SELECT 3 AS n, CAST(COUNT(*) AS BIGINT) AS total,
+              |              CAST(COUNT(DISTINCT g) AS BIGINT) AS uniq FROM g3),
+              |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+              |      UNION ALL SELECT * FROM a3)
+              |SELECT n, total, uniq, ${rrepr("uniq / total", 6)} AS distinct_frac
+              |FROM u ORDER BY n""".stripMargin)),
+
     // Sequence packing: chunks concatenated per md5-shard in
     // (doc_id, chunk_idx) order, every 64 tokens of a shard's stream =
     // one training bin (concatenate-then-split; chunks may straddle

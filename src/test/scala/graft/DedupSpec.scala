@@ -291,6 +291,28 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 2)                        // every training doc reported
   }
 
+  test("contaminationReport measures per-EVAL-doc overlap fractions") {
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+    val eval = docs(
+      (100L, "alpha beta gamma delta epsilon zeta"), // verbatim copy: frac 1
+      (101L, "fresh words never seen in training"),  // clean: frac 0
+      (102L, "delta epsilon zeta seven eight nine"), // 1 of 4 3-grams hit
+      (103L, "too short"))                           // < n tokens: absent
+    val got = Dedup.contaminationReport(train, eval, n = 3, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(100L) == ((4L, 4L, 1.0, true)))
+    assert(got(101L) == ((4L, 0L, 0.0, false)))
+    assert(got(102L) == ((4L, 1L, 0.25, false)))
+    assert(!got.contains(103L))
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationReport(train, eval, threshold = 1.5)
+    }
+  }
+
   test("cdcChunkDedup catches UNALIGNED verbatim spans that fixed windows miss") {
     // the same 64-token boilerplate block at offset 0 in doc 1 and
     // offset 5 in doc 2: fixed 16-token windows are misaligned across

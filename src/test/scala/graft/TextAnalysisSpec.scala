@@ -505,6 +505,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(4L) == "")
   }
 
+  test("distinctNgrams: repetitive text collapses, diverse text stays high") {
+    val docs = Seq(
+      (1L, "a a a a"),            // 4 unigrams 1 uniq; 3 bigrams 1 uniq
+      (2L, "b c d"))              // 3 unigrams 3 uniq; 2 bigrams 2 uniq
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.distinctNgrams(docs, ns = Seq(1, 2)).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1) == ((7L, 4L, 0.571429)))
+    assert(m(2) == ((5L, 3L, 0.6)))
+    // a doc shorter than n contributes nothing at that size (the row
+    // reports 0 totals and a null ratio rather than disappearing)
+    val short = TextAnalysis.distinctNgrams(
+      Seq((1L, "solo")).toDF("doc_id", "text"), ns = Seq(3)).collect()
+    assert(short.length == 1 && short.head.getLong(1) == 0L &&
+      short.head.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.distinctNgrams(docs, ns = Seq(1, 1))
+    }
+  }
+
   test("ccnetBuckets: per-language thirds, ties to the better bucket, null lang visible") {
     val scored = Seq((1L, 0.9), (2L, 0.6), (3L, 0.3), (4L, 0.8), (5L, 0.5),
       (6L, 0.2), (7L, 0.7)).toDF("doc_id", "score")
