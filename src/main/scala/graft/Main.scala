@@ -40,6 +40,7 @@ object Main {
         |  pq-search <sfDir> <nQueries> <k>
         |  hash-split <sfDir> <outDir> [train,val,test fracs e.g. 0.8,0.1,0.1]
         |  corpus-diff <oldDir> <newDir> <outDir>
+        |  report <sfDir> <outDir>
         |  dsir-select <sfDir> <outDir> <n> [targetLang]
         |  bm25-index <sfDir> <indexDir>
         |  bm25-search <sfDir> <indexDir> <nQueries> <k>
@@ -198,6 +199,18 @@ object Main {
             Tables.load(spark, newDir, "documents"))
           .write.mode("overwrite").parquet(outDir)
         println(s"corpus diff report at $outDir")
+      case "report" :: sfDir :: outDir :: Nil =>
+        // Corpus audit bundle — the numbers a data card quotes:
+        // distinct-n diversity, exact top-20 tokens, and the
+        // (lang, source) mixture with natural shares.
+        val docs = Tables.load(spark, sfDir, "documents")
+        graft.functions.TextAnalysis.distinctNgrams(docs)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/diversity")
+        graft.functions.Sketch.heavyHitters(docs, k = 20, budget = 4096)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/heavy_hitters")
+        graft.operators.Mix.temperatureWeights(docs, Seq("lang", "source"), tau = 1.0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/mixture")
+        println(s"corpus report (diversity, heavy_hitters, mixture) at $outDir")
       case "dsir-select" :: sfDir :: outDir :: n :: rest if rest.size <= 1 =>
         // DSIR data selection: the raw corpus scored against its own
         // targetLang slice (default en), top-n written out.

@@ -14,7 +14,7 @@ import graft.operators.{Dedup, Mix}
   *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
   *   components survivors) → [sub-document CDC dedup] →
   *   [held-out decontamination] → [semantic dedup] →
-  *   [DSIR target-likeness selection] →
+  *   [DSIR target-likeness selection] → [CCNet LM tail drop] →
   *   per-domain score pruning → temperature-mixture resampling →
   *   chunk → pack
   *
@@ -31,7 +31,7 @@ object Curate {
       afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int,
       afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L,
       afterDecontam: Long = -1L, afterSemDedup: Long = -1L,
-      afterDsir: Long = -1L)
+      afterDsir: Long = -1L, afterCcnet: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -58,7 +58,8 @@ object Curate {
       qualitySurvivors: Boolean = false,
       dsir: Option[(DataFrame, Int)] = None,
       extractHtml: Boolean = false,
-      normalize: Boolean = false): (DataFrame, Option[Stats]) = {
+      normalize: Boolean = false,
+      ccnetTailDrop: Boolean = false): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     // Zeroth stages, both narrow codegen'd projections folded into the
@@ -187,14 +188,29 @@ object Curate {
         semmed.join(Mix.dsirSelect(semmed, target, n).select("doc_id"), "doc_id")
     }
     val afterDsir = if (dsir.isDefined) countIf(selected) else -1L
+    // Optional CCNet LM stage: score the SURVIVING corpus with the
+    // interpolated bigram LM (the model trains on exactly the docs
+    // that remain — CCNet's own order: dedup first, then perplexity),
+    // bucket per language at the exact 1/3-2/3 percentiles, and drop
+    // each language's tail third. Docs the LM cannot score (< 2
+    // tokens) are KEPT — absence of evidence, same principle as the
+    // semantic-dedup stage's missing embeddings.
+    val bucketed =
+      if (!ccnetTailDrop) selected
+      else selected.join(
+        TextAnalysis.ccnetBuckets(
+            TextAnalysis.bigramScore(selected), selected)
+          .filter(col("bucket") === "tail").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val afterCcnet = if (ccnetTailDrop) countIf(bucketed) else -1L
     // The multi-consumer frames are CHECKPOINTED: pruned feeds four
     // consumers and chunks two, and without truncation every stage
     // count would re-run the whole upstream pipeline; a durable
     // checkpoint (unlike persist) pins no executor memory and leaves
     // nothing for the caller to unpersist — at 100 TB these are the
     // natural between-stage tables anyway.
-    val pruned = selected.join(
-      TextAnalysis.qualityPrune(selected, pruneP).select("doc_id"), "doc_id")
+    val pruned = bucketed.join(
+      TextAnalysis.qualityPrune(bucketed, pruneP).select("doc_id"), "doc_id")
       .checkpoint()
     val afterPrune = countIf(pruned)
     val weights = Mix.temperatureWeights(pruned, Seq("lang", "source"), tau)
@@ -212,7 +228,7 @@ object Curate {
     val st =
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
-        afterDecontam, afterSemDedup, afterDsir))
+        afterDecontam, afterSemDedup, afterDsir, afterCcnet))
       else None
     (packed, st)
   }
@@ -240,6 +256,7 @@ object Curate {
     stage("decontaminate", st.afterDecontam)
     stage("semantic_dedup", st.afterSemDedup)
     stage("dsir_select", st.afterDsir)
+    stage("ccnet_tail_drop", st.afterCcnet)
     stage("quality_prune", st.afterPrune)
     stage("resample", st.resampledCopies)
     stage("chunk", st.chunks)

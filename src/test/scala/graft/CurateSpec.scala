@@ -309,6 +309,27 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("ccnetTailDrop stage drops each language's LM tail third with exact accounting") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val (_, stOpt) = Curate.run(docs, ccnetTailDrop = true)
+    val st = stOpt.get
+    // independent recompute of the stage (gate + dedup are
+    // deterministic, so the stage input reconstructs exactly)
+    val gated = docs.join(TextAnalysis.qualityGate(docs)
+      .filter(col("kept")).select("doc_id"), "doc_id")
+    val surv = graft.operators.Dedup.dedupCorpus(gated)
+    val tail = TextAnalysis.ccnetBuckets(
+        TextAnalysis.bigramScore(surv), surv)
+      .filter(col("bucket") === "tail")
+    assert(st.afterCcnet == st.afterDedup - tail.count())
+    assert(st.afterCcnet < st.afterDedup, "the stage must actually drop")
+    // the data card chains the stage between dedup and prune
+    val names = Curate.dataCard(spark, st).collect().map(_.getString(0)).toSeq
+    assert(names.indexOf("ccnet_tail_drop") > names.indexOf("near_dup_dedup"))
+    assert(names.indexOf("ccnet_tail_drop") < names.indexOf("quality_prune"))
+  }
+
   test("extractHtml/normalize stage law: wrapped corpus == pre-processed corpus") {
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "text", "lang", "source")

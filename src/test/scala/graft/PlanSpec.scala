@@ -125,6 +125,33 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("html extraction is a narrow codegen'd map: the only exchange is the output sort") {
+    val df = SparkEntry.queries("r62_html_extract")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as `*(n)` in the AQE-final plan string;
+    // the extraction Project must carry the star
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      p.linesIterator.take(30).mkString("\n"))
+    // the whole regexp/replace chain must fold into the scan's
+    // projection — any hash/shuffle exchange beyond the final orderBy's
+    // range partitioning means the stage stopped being a pure map
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("ReusedExchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      exchanges.mkString("\n"))
+  }
+
+  test("contamination report scans only doc_id and text") {
+    val p = executedPlan("p57_contamination_report")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("ccnet bucket cuts broadcast back onto the scored corpus") {
+    assert(executedPlan("p55_ccnet_buckets").contains("BroadcastHashJoin"))
+  }
+
   test("no gate query carries an UNBOUNDED nested-loop/cartesian join") {
     // The exact all-pairs baseline (p05) is allowed only over a
     // deterministic bounded slice: any BroadcastNestedLoopJoin or
@@ -168,6 +195,12 @@ class PlanSpec extends SparkSpec {
       "p53_ann_recall",     // composes p19's probe + p06's brute legs —
                             // both sides' 5-query-vector broadcasts;
                             // the recall join itself is k×queries rows
+      "p55_ccnet_buckets",  // bigramScore's one-row corpus-total
+                            // broadcast (the p37 shape); the cut join
+                            // itself is lang-keyed, not cartesian
+      "p56_doremi_mix",     // both LM one-row totals (p32+p37 shapes)
+                            // plus doremiWeights' one-row k and Z
+                            // broadcasts over the domain summary
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
