@@ -114,6 +114,25 @@ object Mix {
           .as("weight"))
   }
 
+  /** [[doremiWeights]] → the per-doc copy multipliers that realize the
+    * target distribution, in [[resampleByWeight]]'s input shape: a
+    * domain at natural share n_i/N targeted at share w_i needs each of
+    * its docs emitted w_i·N/n_i times in expectation (the same
+    * share-to-multiplier step [[temperatureWeights]] performs
+    * internally). One more one-row broadcast (the corpus total) over
+    * the domain summary; everything stays domain-sized.
+    * Output: domainCol, weight — feed straight into resampleByWeight
+    * with `keys = Seq(domainCol)`. */
+  def doremiCopyWeights(losses: DataFrame, domainCol: String = "lang",
+      eta: Double = 1.0, eps: Double = 0.1,
+      lossCol: String = "loss", refCol: String = "ref_loss"): DataFrame = {
+    val w = doremiWeights(losses, domainCol, eta, eps, lossCol, refCol)
+    val t = w.agg(sum("n").cast("long").as("t"))
+    w.crossJoin(broadcast(t))
+      .select(col("domain").as(domainCol),
+        round(col("weight") * col("t") / col("n"), 6).as("weight"))
+  }
+
   /** Shard-count sizing for the sharded-window operators (corpusShuffle,
     * packSequences): a shard is ONE reducer's worth of rows — a window
     * partition is a single unsplittable task, so the shard count must

@@ -35,6 +35,49 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** JSONL drop-directory ingest — the streamed form of
+    * [[graft.sources.Lake.readJsonl]]: shards landing in `srcDir`
+    * parse against the EXPLICIT schema; rows that parse land as
+    * parquet under `goodDir`, malformed lines land INTACT under
+    * `badDir` (raw line only — quarantined and replayable, never
+    * dropped). Both sinks use the batch_id= overwrite layout, so a
+    * checkpoint replay rewrites its own partition instead of
+    * duplicating rows (the exactly-once discipline of the other
+    * ingest streams). The batch is persisted across the two filtered
+    * writes — one parse pass, and it sidesteps Spark's
+    * corrupt-column-only query restriction on raw JSON scans. */
+  def jsonlIngestStream(spark: SparkSession, schema: StructType,
+      srcDir: String, goodDir: String, badDir: String, checkpoint: String,
+      corruptCol: String = "_corrupt_record",
+      maxFilesPerTrigger: Int = 0): Unit = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a '$corruptCol' column; pass corruptCol to rename")
+    val reader = spark.readStream
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+    val bounded =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val q = bounded.json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(col(corruptCol).isNull).drop(corruptCol)
+            .write.mode("overwrite").parquet(s"$goodDir/batch_id=$id")
+          b.filter(col(corruptCol).isNotNull)
+            .select(col(corruptCol).as("raw_line"))
+            .write.mode("overwrite").parquet(s"$badDir/batch_id=$id")
+        } finally b.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** ST2: tumbling-window counts with a late-data watermark — the
     * streaming form of batch Q28. Works on both streaming and batch
     * frames (the plan is identical; only the sink differs). */

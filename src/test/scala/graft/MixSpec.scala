@@ -259,4 +259,27 @@ class MixSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mix.doremiWeights(losses, eta = 0.0))
     intercept[IllegalArgumentException](Mix.doremiWeights(losses, eps = 1.0))
   }
+
+  test("doremiCopyWeights turns target shares into resampleByWeight multipliers") {
+    val losses = Seq(
+      (1L, "en", 0.9, 0.5), (2L, "en", 0.8, 0.4),
+      (3L, "fr", 0.5, 0.5), (4L, "fr", 0.6, 0.6),
+      (5L, "de", 0.3, 0.7)).toDF("doc_id", "lang", "loss", "ref_loss")
+    val shares = Mix.doremiWeights(losses).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val mult = Mix.doremiCopyWeights(losses).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact arithmetic: multiplier = share * N / n_i (6dp)
+    for ((d, (n, share)) <- shares)
+      assert(mult(d) == math.rint(share * 5 / n * 1e6) / 1e6, s"$d: $mult vs $shares")
+    // realized copies approximate the target: upweighted en multiplies
+    // above de's (same n would be needed for a strict per-domain
+    // ordering; here en out-multiplies the zero-excess 2-doc domain fr)
+    assert(mult("en") > mult("fr"))
+    // composes with resampleByWeight: expected copies = n_i * mult_i
+    val out = Mix.resampleByWeight(
+      losses.select("lang", "doc_id"), Mix.doremiCopyWeights(losses),
+      keys = Seq("lang"), maxCopies = 8)
+    assert(out.count() > 0)
+  }
 }

@@ -450,6 +450,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batchOut)
   }
 
+  test("JSONL ingest stream: good rows land, corrupt lines quarantine, replay is exactly-once") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = tmp("jst-src"); val good = tmp("jst-good")
+    val bad = tmp("jst-bad"); val ck = tmp("jst-ck")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    Files.writeString(java.nio.file.Paths.get(src, "a.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |not json at all
+        |{"doc_id": 2, "text": "beta"}
+        |""".stripMargin)
+    Ingest.jsonlIngestStream(spark, schema, src, good, bad, ck)
+    // second shard lands; the restarted stream processes ONLY it
+    Files.writeString(java.nio.file.Paths.get(src, "b.jsonl"),
+      """{"doc_id": 3, "text": "gamma"}
+        |{"doc_id": "bad type", "text": "delta"}
+        |""".stripMargin)
+    Ingest.jsonlIngestStream(spark, schema, src, good, bad, ck)
+    // and an idle restart is a no-op (exactly-once across replays)
+    Ingest.jsonlIngestStream(spark, schema, src, good, bad, ck)
+    val g = spark.read.parquet(good)
+    assert(g.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val q = spark.read.parquet(bad).select("raw_line").as[String].collect()
+    assert(q.length == 2)
+    assert(q.exists(_.contains("not json")) && q.exists(_.contains("bad type")))
+  }
+
   test("SCCx: streamed curation with HTML extraction + normalization equals batch") {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
