@@ -1127,10 +1127,13 @@ object TextAnalysis {
     * every pattern is written in the common subset of Java regex and
     * RE2 (inline `(?is)` flags, lazy `.*?`, no backreferences) so a
     * DuckDB oracle can run the identical patterns. Null HTML stays
-    * null (pure column semantics; callers coalesce). Limitation,
+    * null (pure column semantics; callers coalesce). Limitations,
     * documented: an UNCLOSED `<script>`/`<style>` block falls through
-    * to the tag stripper and its code leaks as text — malformed pages
-    * are a quality-gate problem, not an extraction guarantee. */
+    * to the tag stripper and its code leaks as text, and a bare `<`
+    * in PLAIN text swallows up to the next `>` as a pseudo-tag (the
+    * naive-stripper contract; well-formed pages escape it as `&lt;`)
+    * — malformed pages are a quality-gate problem, not an extraction
+    * guarantee. */
   def htmlToText(html: Column): Column = {
     val noBlocks = Seq("script", "style").foldLeft(html) { (c, t) =>
       regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " ")
