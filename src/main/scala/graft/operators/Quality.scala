@@ -12,6 +12,39 @@ import org.apache.spark.sql.expressions.Window
   */
 object Quality {
 
+  /** Host of a URL, by the conservative regex subset both Java regex
+    * and RE2 evaluate identically: `scheme://` followed by everything
+    * up to the first `/`, `?` or `#`, lowercased. Userinfo/port stay
+    * inside the host (strip downstream if needed); a non-URL string
+    * yields '' and groups visibly rather than erroring. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
+  /** Site-level quality prior (the RefinedWeb/C4 pattern: judge the
+    * HOST, not just the page — a spam site's every page inherits the
+    * site's reputation): per-host doc count and mean quality score,
+    * joined back onto every document. Feed any per-doc score
+    * (`TextAnalysis.qualityScore`, the learned filter's logit, an LM
+    * score); threshold or feature-ize `host_prior` downstream.
+    *
+    * Scale shape: ONE host-keyed partial-aggregable groupBy (the host
+    * table is sites-sized, far below the corpus) joined back host-
+    * keyed. The mean is a 6dp sorted fold for cross-engine parity.
+    * Docs absent from `scores` (unscoreable) are absent here too.
+    * Output: doc_id, host, score, n_docs, host_prior. */
+  def hostPrior(docs: DataFrame, scores: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val withHost = docs.select(col("doc_id"), urlHost(col(urlCol)).as("host"))
+      .join(scores.select(col("doc_id"), col("score")), "doc_id")
+    val prior = withHost.groupBy("host").agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      round(aggregate(sort_array(collect_list(col("score"))), lit(0d), _ + _) /
+        count(lit(1)), 6).as("host_prior"))
+    withHost.join(prior, "host")
+      .select(col("doc_id"), col("host"), col("score"),
+        col("n_docs"), col("host_prior"))
+  }
+
   /** Null-rate profile for the given columns (issue #2/#3). */
   def nullRates(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(count(lit(1)).as("n_rows"),

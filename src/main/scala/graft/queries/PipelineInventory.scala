@@ -2576,6 +2576,42 @@ object PipelineInventory {
            |ORDER BY nd.v""".stripMargin
       }),
 
+    // Site-level quality prior (RefinedWeb's judge-the-host pattern):
+    // synthetic URLs derived from (source, lang, doc_id), host
+    // extracted by the shared Java-regex/RE2 pattern, per-host mean
+    // p09 quality score joined back onto every doc.
+    QueryDef("r65_host_prior", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val withUrl = docs.select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/"),
+            col("lang"), lit("/"), col("doc_id")).as("url"))
+        graft.operators.Quality.hostPrior(withUrl,
+            TextAnalysis.qualityScore(docs))
+          .orderBy("doc_id")
+      }},
+      Some {
+        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |        CAST(SUM(CASE WHEN token IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |        FROM tok GROUP BY doc_id),
+           |sc AS (SELECT doc_id,
+           |  ${rrepr("LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50) * 0.5 + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5", 4)} AS score
+           |  FROM agg),
+           |u AS (SELECT d.doc_id,
+           |        lower(regexp_extract(
+           |          'https://' || d.source || '.example.com/' || d.lang || '/' || d.doc_id,
+           |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+           |        s.score
+           |      FROM documents d JOIN sc s USING (doc_id)),
+           |pr AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         ${rrepr("list_reduce(list_sort(list(score)), (x, y) -> x + y) / COUNT(*)", 6)} AS host_prior
+           |       FROM u GROUP BY host)
+           |SELECT u.doc_id, u.host, u.score, pr.n_docs, pr.host_prior
+           |FROM u JOIN pr USING (host) ORDER BY u.doc_id""".stripMargin
+      }),
+
     // Text normalization (lower / strip control chars / collapse
     // whitespace / trim) — the zeroth curation stage, as one codegen'd
     // projection; token count measured on the normalized form.

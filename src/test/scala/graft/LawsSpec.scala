@@ -124,4 +124,25 @@ class LawsSpec extends SparkSpec {
     val rev = Quality.corpusDiff(b, a).as[(Long, String)].collect().toMap
     assert(rev == Map(1L -> "added", 3L -> "changed", 5L -> "removed"))
   }
+
+  test("urlHost + hostPrior: host grouping, mean math, non-URL visibility") {
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "https://Spam.Example.com/a/1"),
+      (2L, "https://spam.example.com/b/2?q=x"),
+      (3L, "http://good.org:8080/page#frag"),
+      (4L, "not a url at all")).toDF("doc_id", "url")
+    val scores = Seq((1L, 0.2), (2L, 0.4), (3L, 0.9), (4L, 0.5))
+      .toDF("doc_id", "score")
+    val got = Quality.hostPrior(docs, scores).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // case-insensitive host grouping; query/fragment never leak in
+    assert(got(1L) == (("spam.example.com", 2L, 0.3)))
+    assert(got(2L)._1 == "spam.example.com")
+    // port stays inside the host (documented contract)
+    assert(got(3L) == (("good.org:8080", 1L, 0.9)))
+    // a non-URL groups under '' instead of vanishing or erroring
+    assert(got(4L) == (("", 1L, 0.5)))
+  }
 }
