@@ -20,6 +20,106 @@ object Quality {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
 
+  /** Canonical form of a URL — the key the first stage of every web
+    * curation pipeline dedups on (CCNet/RefinedWeb dedup by URL before
+    * ever touching content: a crawl revisits the same page under
+    * cosmetic URL variants far more often than distinct pages share
+    * text). Two URLs that differ only in scheme/host case, default
+    * port, userinfo, a fragment, a trailing slash, doubled path
+    * slashes, tracking parameters (utm_*, fbclid, gclid, msclkid) or
+    * query-parameter ORDER normalize to the same string.
+    *
+    * One narrow codegen'd projection — a chain of regexp rewrites in
+    * the RE2 ∩ Java-regex dialect (no lookaround, no backrefs in
+    * patterns), so the oracle engine reproduces it byte-for-byte.
+    * Deliberately NOT normalized: `www.` (www.foo.com and foo.com can
+    * serve different pages) and percent-encoding (decoding is
+    * charset-dependent). A string with no `scheme://` passes through
+    * unchanged — visible and groupable, never an error; null becomes
+    * '' upstream of the chain (a dedup key must not be null-dropped
+    * by the join back). */
+  def normalizeUrl(url: Column): Column = {
+    val u = trim(coalesce(url.cast("string"), lit("")))
+    // scheme://host[:port], lowercased, userinfo stripped, default
+    // ports dropped per scheme.
+    val sh0 = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    val sh1 = regexp_replace(sh0, "://[^/?#@]*@", "://")
+    val sh = regexp_replace(
+      regexp_replace(sh1, "^(http://[^/?#:]*):80$", "$1"),
+      "^(https://[^/?#:]*):443$", "$1")
+    // Everything after the authority, fragment dropped.
+    val rest = regexp_replace(
+      regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""), "#.*$", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/{2,}", "/"),
+      "/+$", "")
+    // Query: drop tracking params, then collapse the separator debris
+    // the removal leaves, then sort what survives so parameter order
+    // never splits a dedup group.
+    val q0 = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val q1 = regexp_replace(q0,
+      "(^|&)(utm_[^=&]*|fbclid|gclid|msclkid)(=[^&]*)?", "$1")
+    val q2 = regexp_replace(regexp_replace(q1, "&{2,}", "&"), "^&|&$", "")
+    val sortedQ = array_join(array_sort(split(q2, "&")), "&")
+    when(sh === "", u).otherwise(concat(sh, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
+  /** URL-level dedup: flag the first doc (min doc_id) per
+    * [[normalizeUrl]] key as the survivor. The flagged form (every
+    * row kept, `kept` boolean) rather than the filtered form because
+    * URL dedup is stage ONE of a cascade — downstream content dedup
+    * and the audit trail both want to see what was dropped and why.
+    *
+    * Scale: one url-keyed partial-aggregable groupBy onto a
+    * urls-sized owner table (far below corpus bytes — ~the line count
+    * of the crawl index), joined back url-keyed; no window, so a URL
+    * crawled a million times costs map-side combine, not a
+    * single-reducer sort. Output: doc_id, <urlCol>, norm_url, kept. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val n = docs.select(col(idCol).as("doc_id"), col(urlCol),
+      normalizeUrl(col(urlCol)).as("norm_url"))
+    val owner = n.groupBy("norm_url").agg(min("doc_id").as("__owner"))
+    n.join(owner, Seq("norm_url"))
+      .select(col("doc_id"), col(urlCol), col("norm_url"),
+        (col("doc_id") === col("__owner")).as("kept"))
+  }
+
+  /** Domain blocklist filter (the CCNet/RefinedWeb UT1-blocklist
+    * stage): a doc is blocked when its URL's host equals a blocklisted
+    * domain OR sits anywhere under one (`ads.example.com` blocks
+    * `x.ads.example.com` too). The flagged form — every doc kept with
+    * its verdict and the matched domain — because the blocklist stage
+    * opens the curation cascade and the audit trail wants the why.
+    *
+    * Mechanics: host (userinfo/port stripped) explodes into its
+    * dot-suffix chain (`a.b.c` → a.b.c, b.c, c — ≤ label-count rows,
+    * a constant ~6), which left-joins the BROADCAST blocklist (real
+    * blocklists are a few MB — driver-safe by construction); the
+    * per-doc min over matches keeps the verdict deterministic when
+    * several blocklisted ancestors match. No corpus-keyed shuffle
+    * beyond the doc-id re-group of the suffix rows.
+    * Output: doc_id, <urlCol>, host, matched (null when clean), kept. */
+  def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val host = regexp_replace(regexp_replace(urlHost(col(urlCol)),
+      "^[^/?#@]*@", ""), ":[0-9]*$", "")
+    val base = docs.select(col(idCol).as("doc_id"), col(urlCol),
+      host.as("host"))
+    val sufs = base
+      .select(col("doc_id"), split(col("host"), "\\.").as("p"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(p)), i -> " +
+          "array_join(slice(p, i, size(p) - i + 1), '.'))")).as("suf"))
+    val hits = sufs.join(broadcast(
+        blocklist.select(col("domain").as("suf"))), Seq("suf"))
+      .groupBy("doc_id").agg(min("suf").as("matched"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(urlCol), col("host"), col("matched"),
+        col("matched").isNull.as("kept"))
+  }
+
   /** Site-level quality prior (the RefinedWeb/C4 pattern: judge the
     * HOST, not just the page — a spam site's every page inherits the
     * site's reputation): per-host doc count and mean quality score,

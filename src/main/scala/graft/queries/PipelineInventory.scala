@@ -2837,6 +2837,107 @@ object PipelineInventory {
              |  FROM c) z
              |WHERE rn <= 20 ORDER BY rn""".stripMargin)),
 
+    // URL-level dedup (CCNet/RefinedWeb stage one — a crawl revisits
+    // pages under cosmetic URL variants): synthetic URLs derived from
+    // doc_id plant every variant class Quality.normalizeUrl folds
+    // (scheme/host case, default port, userinfo, doubled slashes,
+    // trailing slash, tracking params, parameter order, fragments);
+    // docs 2k and 2k+1 share a page when their decorations agree.
+    QueryDef("r66_url_dedup",
+      (s, d) => {
+        val pair = floor(col("doc_id") / 2).cast("long")
+        val url = concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(col("doc_id") % 11 === 0, lit("crawler@")).otherwise(lit("")),
+          lit("WWW"), (pair % 5).cast("string"), lit(".Example.com"),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("/p//")).otherwise(lit("/p/")),
+          pair.cast("string"),
+          when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when(col("doc_id") % 5 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+        Quality.urlDedup(T(s, d, "documents").select(col("doc_id"), url.as("url")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, doc_id // 2 AS pair FROM documents),
+             |raw AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+             |  (CASE WHEN doc_id % 11 = 0 THEN 'crawler@' ELSE '' END) ||
+             |  'WWW' || CAST(pair % 5 AS VARCHAR) || '.Example.com' ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 6 = 0 THEN '/p//' ELSE '/p/' END) ||
+             |  CAST(pair AS VARCHAR) ||
+             |  (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+             |        WHEN doc_id % 5 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+             |  FROM b),
+             |n0 AS (SELECT doc_id, url, trim(url) AS u FROM raw),
+             |n1 AS (SELECT *, lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS sh0 FROM n0),
+             |n2 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(sh0,
+             |         '://[^/?#@]*@', '://'),
+             |         '^(http://[^/?#:]*):80$', '\1'),
+             |         '^(https://[^/?#:]*):443$', '\1') AS sh FROM n1),
+             |n3 AS (SELECT *, regexp_replace(regexp_replace(u,
+             |         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '#.*$', '') AS rest FROM n2),
+             |n4 AS (SELECT *,
+             |         regexp_replace(regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+             |           '/{2,}', '/', 'g'), '/+$', '') AS path,
+             |         regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS q0 FROM n3),
+             |n5 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(q0,
+             |         '(^|&)(utm_[^=&]*|fbclid|gclid|msclkid)(=[^&]*)?', '\1', 'g'),
+             |         '&{2,}', '&', 'g'), '^&|&$', '', 'g') AS q2 FROM n4),
+             |n6 AS (SELECT doc_id, url,
+             |         CASE WHEN sh = '' THEN u ELSE sh || path ||
+             |           (CASE WHEN q2 = '' THEN ''
+             |                 ELSE '?' || array_to_string(list_sort(string_split(q2, '&')), '&') END)
+             |         END AS norm_url FROM n5),
+             |own AS (SELECT norm_url, MIN(doc_id) AS owner FROM n6 GROUP BY norm_url)
+             |SELECT n6.doc_id, n6.url, n6.norm_url, n6.doc_id = own.owner AS kept
+             |FROM n6 JOIN own USING (norm_url) ORDER BY n6.doc_id""".stripMargin)),
+
+    // Domain blocklist (the UT1-style stage): hosts derived from
+    // doc_id; doc_id%7==3 lands exactly on a blocklisted domain,
+    // doc_id%13==0 on a SUBDOMAIN of one (suffix matching), with
+    // userinfo/port decoration the host extraction must strip.
+    QueryDef("r67_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 9 === 0, lit("bot@")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("Sub.Ads.Example.com"))
+            .otherwise(concat(lit("www"), (col("doc_id") % 7).cast("string"),
+              lit(".example.com"))),
+          when(col("doc_id") % 4 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/page/"), col("doc_id").cast("string"))
+        val blk = Seq("ads.example.com", "tracker.net", "www3.example.com")
+          .toDF("domain")
+        Quality.blocklistFilter(
+            T(s, d, "documents").select(col("doc_id"), url.as("url")), blk)
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id, 'https://' ||
+             |  (CASE WHEN doc_id % 9 = 0 THEN 'bot@' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 13 = 0 THEN 'Sub.Ads.Example.com'
+             |        ELSE 'www' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END) ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END) ||
+             |  '/page/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+             |h AS (SELECT doc_id, url,
+             |        regexp_replace(regexp_replace(
+             |          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+             |          '^[^/?#@]*@', ''), ':[0-9]*$', '') AS host FROM raw),
+             |p AS (SELECT doc_id, string_split(host, '.') AS parts FROM h),
+             |s AS (SELECT doc_id,
+             |        unnest([array_to_string(parts[i:], '.') FOR i IN range(1, len(parts) + 1)]) AS suf
+             |      FROM p),
+             |bl AS (SELECT * FROM (VALUES ('ads.example.com'), ('tracker.net'),
+             |                             ('www3.example.com')) AS v(domain)),
+             |m AS (SELECT doc_id, MIN(suf) AS matched
+             |      FROM s JOIN bl ON bl.domain = s.suf GROUP BY doc_id)
+             |SELECT h.doc_id, h.url, h.host, m.matched, m.matched IS NULL AS kept
+             |FROM h LEFT JOIN m USING (doc_id) ORDER BY h.doc_id""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check).
     QueryDef("r39_approx_distinct",

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+
+/** URL-curation operators: canonicalization, URL-level dedup, and the
+  * domain blocklist stage. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("u").select(Quality.normalizeUrl(col("u")).as("n"))
+      .as[String].head()
+
+  test("normalizeUrl folds every cosmetic variant class to one canonical form") {
+    val canonical = "https://www.ex.com/a/b?a=1&b=2"
+    val variants = Seq(
+      "HTTPS://WWW.EX.COM/a/b?a=1&b=2",          // scheme+host case
+      "https://www.ex.com:443/a/b?a=1&b=2",      // default port
+      "https://user:pw@www.ex.com/a/b?a=1&b=2",  // userinfo
+      "https://www.ex.com/a//b?a=1&b=2",         // doubled slash
+      "https://www.ex.com/a/b/?a=1&b=2",         // trailing slash
+      "https://www.ex.com/a/b?b=2&a=1",          // param order
+      "https://www.ex.com/a/b?a=1&utm_source=x&b=2&fbclid=z", // trackers
+      "https://www.ex.com/a/b?a=1&b=2#frag",     // fragment
+      "  https://www.ex.com/a/b?a=1&b=2  ")      // whitespace
+    variants.foreach { v =>
+      assert(norm(v) == canonical, s"variant <$v>")
+    }
+    // path CASE is significant — only scheme/host lowercase
+    assert(norm("https://ex.com/A/B") == "https://ex.com/A/B")
+  }
+
+  test("normalizeUrl keeps genuinely distinct URLs distinct") {
+    assert(norm("https://ex.com/a") != norm("https://www.ex.com/a")) // www kept
+    assert(norm("http://ex.com/a") != norm("https://ex.com/a"))      // scheme kept
+    assert(norm("https://ex.com:8443/a") != norm("https://ex.com/a")) // non-default port
+    assert(norm("https://ex.com/a?x=1") != norm("https://ex.com/a?x=2"))
+    // http default port is 80, not 443
+    assert(norm("http://ex.com:80/a") == "http://ex.com/a")
+    assert(norm("http://ex.com:443/a") == "http://ex.com:443/a")
+  }
+
+  test("normalizeUrl edge forms: all-tracker query, root slash, non-URL, null") {
+    assert(norm("https://ex.com/a?utm_source=x&utm_medium=y") == "https://ex.com/a")
+    assert(norm("https://ex.com/") == "https://ex.com")
+    assert(norm("not a url") == "not a url") // pass-through, groupable
+    val n = Seq((1L, null: String)).toDF("id", "u")
+      .select(Quality.normalizeUrl(col("u")).as("n")).as[String].head()
+    assert(n == "") // null never reaches the dedup join as a null key
+  }
+
+  test("urlDedup keeps the min doc_id per canonical URL and flags the rest") {
+    val docs = Seq(
+      (1L, "https://EX.com/p/1"),
+      (2L, "https://ex.com/p/1/"),          // dup of 1
+      (3L, "https://ex.com/p/1?utm_source=x"), // dup of 1
+      (4L, "https://ex.com/p/2"),
+      (5L, null: String)).toDF("doc_id", "url")
+    val out = Quality.urlDedup(docs).orderBy("doc_id")
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, true), (2L, false), (3L, false), (4L, true), (5L, true)))
+  }
+
+  test("blocklistFilter blocks exact domains and all subdomains, strips authority noise") {
+    val docs = Seq(
+      (1L, "https://ads.example.com/x"),        // exact hit
+      (2L, "https://deep.sub.ads.example.com/x"), // subdomain hit
+      (3L, "https://example.com/x"),            // parent of blocked — clean
+      (4L, "https://bot@Tracker.NET:8080/x"),   // case/userinfo/port noise
+      (5L, "https://clean.org/x")).toDF("doc_id", "url")
+    val blk = Seq("ads.example.com", "tracker.net").toDF("domain")
+    val out = Quality.blocklistFilter(docs, blk).orderBy("doc_id")
+      .select("doc_id", "matched", "kept")
+      .as[(Long, Option[String], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, Some("ads.example.com"), false),
+      (2L, Some("ads.example.com"), false),
+      (3L, None, true),
+      (4L, Some("tracker.net"), false),
+      (5L, None, true)))
+  }
+
+  test("blocklistFilter with nested blocked ancestors matches deterministically") {
+    val docs = Seq((1L, "https://a.b.c.org/x")).toDF("doc_id", "url")
+    val blk = Seq("b.c.org", "c.org").toDF("domain")
+    val m = Quality.blocklistFilter(docs, blk)
+      .select("matched").as[String].head()
+    assert(m == "b.c.org") // min over the matched suffixes
+  }
+}
