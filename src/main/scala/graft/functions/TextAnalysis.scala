@@ -247,6 +247,77 @@ object TextAnalysis {
         col("ok_lang"), col("kept"))
   }
 
+  /** Unicode script profile — the writing-system sibling of the
+    * stopword language vote (the vote only separates languages that
+    * SHARE a script; a Cyrillic or CJK doc scores zero on every
+    * stopword list and lands in 'und'). Counts characters in four
+    * explicit code-point ranges (basic Latin letters, Cyrillic, CJK
+    * incl. kana, Arabic — literal ranges rather than named script
+    * properties, whose syntax and tables differ across regex engines),
+    * their fractions of the doc, and the dominant script ('und' when
+    * no script character occurs; ties break latin > cyrillic > cjk >
+    * arabic). Counting is length-minus-stripped-length — one narrow
+    * codegen'd projection, no explode, no shuffle.
+    * Output: doc_id, n_chars, n_<script>×4, <script>_frac×4, script. */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val scripts = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[\\u0400-\\u04ff]",
+      "cjk" -> "[\\u3040-\\u30ff\\u4e00-\\u9fff]",
+      "arabic" -> "[\\u0600-\\u06ff]")
+    val counts = scripts.map { case (nm, re) =>
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long").as(s"n_$nm")
+    }
+    val base = docs.select(
+      col(idCol).as("doc_id") +: length(t).cast("long").as("n_chars") +: counts: _*)
+    val fracs = scripts.map { case (nm, _) =>
+      when(col("n_chars") > 0,
+        round(col(s"n_$nm").cast("double") / col("n_chars"), 4))
+        .as(s"${nm}_frac")
+    }
+    val best = greatest(scripts.map { case (nm, _) => col(s"n_$nm") }: _*)
+    val dominant = when(best === 0, lit("und")).otherwise(
+      scripts.init.foldLeft(when(lit(false), lit("")): Column) {
+        case (e, (nm, _)) => e.when(col(s"n_$nm") === best, nm)
+      }.otherwise(scripts.last._1))
+    base.select(col("doc_id") +: col("n_chars") +:
+      (scripts.map { case (nm, _) => col(s"n_$nm") } ++ fracs ++
+        Seq(dominant.as("script"))): _*)
+  }
+
+  /** Per-rule drop attribution for a [[qualityGate]] result — the
+    * report that makes a filter cascade tunable: for each rule,
+    * how many docs fail it at all (`n_fail`) and how many are dropped
+    * by that rule ALONE (`n_unique` — they pass every other rule), the
+    * number a rule-threshold change actually moves. A rule with high
+    * n_fail but near-zero n_unique is redundant with the rest of the
+    * cascade; a rule owning most of its failures is the one to tune.
+    *
+    * One narrow 4-row-per-doc explode + a 4-group aggregation —
+    * corpus-linear, partial-aggregable, no window. `n_docs`/`n_kept`
+    * repeat on every row so the report is self-contained.
+    * Output: rule, n_fail, n_unique, n_docs, n_kept (ordered). */
+  def gateAttribution(gate: DataFrame): DataFrame = {
+    val rules = Seq("len", "rep", "stop", "lang")
+    val rows = rules.map { r =>
+      val others = rules.filterNot(_ == r)
+        .map(o => col(s"ok_$o")).reduce(_ && _)
+      struct(lit(r).as("rule"),
+        (!col(s"ok_$r")).cast("int").as("f"),
+        (!col(s"ok_$r") && others).cast("int").as("u"),
+        col("kept").cast("int").as("k"))
+    }
+    gate.select(explode(array(rows: _*)).as("z"))
+      .groupBy(col("z.rule").as("rule"))
+      .agg(sum("z.f").cast("long").as("n_fail"),
+        sum("z.u").cast("long").as("n_unique"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("z.k").cast("long").as("n_kept"))
+      .orderBy("rule")
+  }
+
   /** Document chunking — the stage that turns raw documents into
     * training-window-sized pieces: token windows of `chunkTokens` with
     * `overlap` tokens shared between consecutive chunks (stride =

@@ -309,6 +309,50 @@ object PipelineInventory {
        |            ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id)
        |SELECT d1, d2, dist FROM pairs WHERE dist <= 3 ORDER BY d1, d2""".stripMargin
 
+  /** The p31 qualityGate chain as a DuckDB WITH-prefix ending in a
+    * `gate` CTE (doc_id, n_tokens, stop_ratio, top_frac, pred_lang,
+    * ok_len, ok_rep, ok_stop, ok_lang, kept) at the gate config the
+    * p31/r68 rows pin (minTokens=30, maxTopFrac=0.2, minStop=0.05,
+    * langs=en) — shared so the attribution oracle can never drift
+    * from the gate oracle. */
+  private lazy val gateChainSql: String = {
+    val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val sums = langs.map { l =>
+      val sw = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"SUM(CASE WHEN token IN ($sw) THEN 1 ELSE 0 END) AS s_$l"
+    }.mkString(",\n        ")
+    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents),
+       |qs AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |        CAST(SUM(CASE WHEN token IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |       FROM tok GROUP BY doc_id),
+       |q2 AS (SELECT doc_id, n_tokens,
+       |        ${rrepr("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stop_ratio FROM qs),
+       |tk AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+       |       FROM tk WHERE len(t) >= 2),
+       |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg),
+       |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |               CAST(MAX(n) AS BIGINT) AS top_n FROM c GROUP BY doc_id),
+       |rep AS (SELECT tk.doc_id,
+       |         ${rrepr("CAST(a.top_n AS DOUBLE) / a.n_bigrams", 4)} AS top_frac
+       |        FROM tk LEFT JOIN agg a ON a.doc_id = tk.doc_id),
+       |sc AS (SELECT doc_id,
+       |        $sums
+       |       FROM tok GROUP BY doc_id),
+       |li AS (SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang FROM sc),
+       |gate AS (SELECT q2.doc_id, q2.n_tokens, q2.stop_ratio, rep.top_frac, li.pred_lang,
+       |       q2.n_tokens >= 30 AS ok_len,
+       |       (rep.top_frac IS NULL OR rep.top_frac <= 0.2) AS ok_rep,
+       |       q2.stop_ratio >= 0.05 AS ok_stop,
+       |       li.pred_lang IN ('en') AS ok_lang,
+       |       (q2.n_tokens >= 30 AND (rep.top_frac IS NULL OR rep.top_frac <= 0.2)
+       |         AND q2.stop_ratio >= 0.05 AND li.pred_lang IN ('en')) AS kept
+       |FROM q2 JOIN rep ON rep.doc_id = q2.doc_id JOIN li ON li.doc_id = q2.doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Deduplication suite --------------------------------------------
@@ -877,44 +921,7 @@ object PipelineInventory {
     QueryDef("p31_quality_gate",
       (s, d) => TextAnalysis.qualityGate(T(s, d, "documents"),
         minTokens = 30, maxTopFrac = 0.2, minStopRatio = 0.05).orderBy("doc_id"),
-      Some {
-        val stops = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
-        val langs = Seq("en", "es", "de", "fr", "zh")
-        val sums = langs.map { l =>
-          val sw = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
-          s"SUM(CASE WHEN token IN ($sw) THEN 1 ELSE 0 END) AS s_$l"
-        }.mkString(",\n        ")
-        val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
-        val pred = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents),
-           |qs AS (SELECT doc_id, COUNT(*) AS n_tokens,
-           |        CAST(SUM(CASE WHEN token IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-           |       FROM tok GROUP BY doc_id),
-           |q2 AS (SELECT doc_id, n_tokens,
-           |        ${rrepr("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stop_ratio FROM qs),
-           |tk AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
-           |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
-           |       FROM tk WHERE len(t) >= 2),
-           |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg),
-           |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-           |               CAST(MAX(n) AS BIGINT) AS top_n FROM c GROUP BY doc_id),
-           |rep AS (SELECT tk.doc_id,
-           |         ${rrepr("CAST(a.top_n AS DOUBLE) / a.n_bigrams", 4)} AS top_frac
-           |        FROM tk LEFT JOIN agg a ON a.doc_id = tk.doc_id),
-           |sc AS (SELECT doc_id,
-           |        $sums
-           |       FROM tok GROUP BY doc_id),
-           |li AS (SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang FROM sc)
-           |SELECT q2.doc_id, q2.n_tokens, q2.stop_ratio, rep.top_frac, li.pred_lang,
-           |       q2.n_tokens >= 30 AS ok_len,
-           |       (rep.top_frac IS NULL OR rep.top_frac <= 0.2) AS ok_rep,
-           |       q2.stop_ratio >= 0.05 AS ok_stop,
-           |       li.pred_lang IN ('en') AS ok_lang,
-           |       (q2.n_tokens >= 30 AND (rep.top_frac IS NULL OR rep.top_frac <= 0.2)
-           |         AND q2.stop_ratio >= 0.05 AND li.pred_lang IN ('en')) AS kept
-           |FROM q2 JOIN rep ON rep.doc_id = q2.doc_id JOIN li ON li.doc_id = q2.doc_id
-           |ORDER BY q2.doc_id""".stripMargin
-      }),
+      Some(s"$gateChainSql\nSELECT * FROM gate ORDER BY doc_id")),
 
     // Deterministic train/val/test split via `Mix.hashSplit`:
     // membership is a pure function of the doc id (salted md5-uniform
@@ -2897,6 +2904,28 @@ object PipelineInventory {
              |SELECT n6.doc_id, n6.url, n6.norm_url, n6.doc_id = own.owner AS kept
              |FROM n6 JOIN own USING (norm_url) ORDER BY n6.doc_id""".stripMargin)),
 
+    // Gate-rule drop attribution: per rule, docs failing it at all vs
+    // docs it ALONE drops — the redundancy/tuning report for the p31
+    // filter cascade. Oracle reuses the exact p31 gate chain (shared
+    // CTE prefix) so the two rows can never drift apart.
+    QueryDef("r68_gate_attribution",
+      (s, d) => TextAnalysis.gateAttribution(
+        TextAnalysis.qualityGate(T(s, d, "documents"),
+          minTokens = 30, maxTopFrac = 0.2, minStopRatio = 0.05)),
+      Some {
+        val rules = Seq("lang", "len", "rep", "stop")
+        val arms = rules.map { r =>
+          val others = rules.filterNot(_ == r).map(o => s"ok_$o").mkString(" AND ")
+          s"""SELECT '$r' AS rule,
+             |    CAST(SUM(CASE WHEN NOT ok_$r THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+             |    CAST(SUM(CASE WHEN NOT ok_$r AND $others THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |  FROM gate""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"$gateChainSql,\natt AS (\n  $arms)\nSELECT * FROM att ORDER BY rule"
+      }),
+
     // Domain blocklist (the UT1-style stage): hosts derived from
     // doc_id; doc_id%7==3 lands exactly on a blocklisted domain,
     // doc_id%13==0 on a SUBDOMAIN of one (suffix matching), with
@@ -2937,6 +2966,45 @@ object PipelineInventory {
              |      FROM s JOIN bl ON bl.domain = s.suf GROUP BY doc_id)
              |SELECT h.doc_id, h.url, h.host, m.matched, m.matched IS NULL AS kept
              |FROM h LEFT JOIN m USING (doc_id) ORDER BY h.doc_id""".stripMargin)),
+
+    // Unicode script profile: per-doc character counts/fractions in
+    // four explicit code-point ranges + the dominant script — the
+    // writing-system discriminator the stopword langid can't see
+    // (every non-Latin doc votes 'und' there). Planted Cyrillic/CJK/
+    // Arabic tails by doc_id%4 exercise each range on both engines.
+    QueryDef("r69_script_profile",
+      (s, d) => {
+        val aug = T(s, d, "documents").select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 4 === 0, lit(" привет мир"))
+              .when(col("doc_id") % 4 === 1, lit(" 你好世界"))
+              .when(col("doc_id") % 4 === 2, lit(" مرحبا بالعالم"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.scriptProfile(aug).orderBy("doc_id")
+      },
+      Some(s"""WITH aug AS (SELECT doc_id, COALESCE(text, '') ||
+              |  (CASE WHEN doc_id % 4 = 0 THEN ' привет мир'
+              |        WHEN doc_id % 4 = 1 THEN ' 你好世界'
+              |        WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم' ELSE '' END) AS text
+              |  FROM documents),
+              |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+              |  CAST(length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+              |  CAST(length(text) - length(regexp_replace(text, '[\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+              |  CAST(length(text) - length(regexp_replace(text, '[\\x{0600}-\\x{06ff}]', '', 'g')) AS BIGINT) AS n_arabic
+              |  FROM aug),
+              |g AS (SELECT *, GREATEST(n_latin, n_cyrillic, n_cjk, n_arabic) AS best FROM c)
+              |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+              |  CASE WHEN n_chars > 0 THEN ${rrepr("CAST(n_latin AS DOUBLE) / n_chars", 4)} END AS latin_frac,
+              |  CASE WHEN n_chars > 0 THEN ${rrepr("CAST(n_cyrillic AS DOUBLE) / n_chars", 4)} END AS cyrillic_frac,
+              |  CASE WHEN n_chars > 0 THEN ${rrepr("CAST(n_cjk AS DOUBLE) / n_chars", 4)} END AS cjk_frac,
+              |  CASE WHEN n_chars > 0 THEN ${rrepr("CAST(n_arabic AS DOUBLE) / n_chars", 4)} END AS arabic_frac,
+              |  CASE WHEN best = 0 THEN 'und'
+              |       WHEN n_latin = best THEN 'latin'
+              |       WHEN n_cyrillic = best THEN 'cyrillic'
+              |       WHEN n_cjk = best THEN 'cjk'
+              |       ELSE 'arabic' END AS script
+              |FROM g ORDER BY doc_id""".stripMargin)),
 
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check).

