@@ -45,6 +45,35 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding-model training:
+    * per query, the top-k most similar vectors INSIDE the band
+    * `[minSim, dupT)` — above `dupT` a candidate is a near-duplicate
+    * (a false negative that would poison the contrastive loss; the
+    * [[nearDupPairs]]/[[semDedup]] regime), below `minSim` it is an
+    * easy negative the model learns nothing from. Self always
+    * excluded. Same exact-scoring shape as [[bruteTopK]] (the filter
+    * is one codegen'd predicate before the per-query top-k window, so
+    * the window ranks only in-band rows); at corpus scale run the
+    * same band filter over an over-fetched [[ivfTopK]]/[[pqTopK]]
+    * shortlist — the filter commutes with any shortlist that
+    * over-fetches past k in-band survivors.
+    * Output: q_id, vec_id, sim, rn (best-first per query). */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      dupT: Double = 0.9, minSim: Double = -1.0): DataFrame = {
+    require(minSim < dupT, "minSim must be below dupT")
+    val e = withNorm(emb)
+    val q = withNorm(queries)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")), 3).as("sim"))
+      .filter(col("sim") < dupT && col("sim") >= minSim)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+  }
+
   /** Assign each vector to its highest-cosine centroid (6dp rounding +
     * centroid-id tiebreak keeps the argmax engine-independent). */
   def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame = {

@@ -195,6 +195,51 @@ object Quality {
       .select("id1", "id2", "dist")
   }
 
+  /** Distributional drift between two corpus snapshots — the
+    * monitoring sibling of [[corpusDiff]]: corpusDiff says WHICH docs
+    * changed, corpusDrift says whether the LANGUAGE changed (topic
+    * shift, a scraper gone bad, a new source dominating). Both
+    * snapshots reduce to smoothed hashed unigram+bigram bucket models
+    * (the `Mix.ngramBuckets` feature space — O(buckets) state
+    * regardless of vocabulary), and each bucket row carries its
+    * add-one-smoothed probabilities under both snapshots and its
+    * Jensen-Shannon contribution `½·pa·ln(pa/m) + ½·pb·ln(pb/m)`,
+    * m = (pa+pb)/2; Σ js_term over the frame is the JS divergence in
+    * nats (0 = identical distributions, ln 2 = disjoint). The per-
+    * bucket rows, ordered by |contribution|, name the drifting grams'
+    * buckets — the starting point for a heavy-hitters drill-down.
+    *
+    * Scale: two corpus-linear partial-aggregable groupBys onto
+    * `buckets` rows each, one bucket-keyed full-outer join of those
+    * tiny tables, two 1-row totals broadcast back. Determinism: pa/pb
+    * are single IEEE divisions of exact ints, the two `ln`s are
+    * 6dp-rounded (the dsir discipline), everything after is the same
+    * operand sequence in any engine.
+    * Output: bucket, ca, cb, pa, pb, js_term (ordered by bucket). */
+  def corpusDrift(old: DataFrame, curr: DataFrame, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def cnts(df: DataFrame, as: String) =
+      Mix.ngramBuckets(df, buckets, idCol, textCol)
+        .groupBy("bucket").agg(sum("c").cast("long").as(as))
+    val a = cnts(old, "ca")
+    val b = cnts(curr, "cb")
+    val na = a.agg(sum("ca").cast("long").as("na"))
+    val nb = b.agg(sum("cb").cast("long").as("nb"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("bucket"), col("ca"), col("cb"),
+        ((col("ca") + 1).cast("double") / (col("na") + buckets)).as("pa"),
+        ((col("cb") + 1).cast("double") / (col("nb") + buckets)).as("pb"))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+      .select(col("bucket"), col("ca"), col("cb"), col("pa"), col("pb"),
+        (lit(0.5) * col("pa") * round(log(col("pa") / col("m")), 6) +
+          lit(0.5) * col("pb") * round(log(col("pb") / col("m")), 6))
+          .as("js_term"))
+  }
+
   /** Snapshot diff between two corpus versions: one row per doc whose
     * content differs between `old` and `curr` — `added` (id only in
     * curr), `removed` (only in old), `changed` (in both, content hash

@@ -541,6 +541,29 @@ object PipelineInventory {
               |  FROM scored) t
               |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)),
 
+    // Hard-negative mining: top-8 per query INSIDE the similarity band
+    // [0.1, 0.9) — near-dups above the band are false negatives for a
+    // contrastive loss, easy negatives below it carry no gradient.
+    QueryDef("p58_hard_negatives",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 8,
+            dupT = 0.9, minSim = 0.1)
+          .select(col("q_id"), col("vec_id"), col("sim"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH $embCte,
+              |scored AS (SELECT q.vec_id AS q_id, x.vec_id,
+              |                  ${rrepr(dcos("x.emb", "q.emb"), 3)} AS sim
+              |           FROM e x, e q
+              |           WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id),
+              |band AS (SELECT * FROM scored WHERE sim < 0.9 AND sim >= 0.1)
+              |SELECT q_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+              |  SELECT q_id, vec_id, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+              |  FROM band) t
+              |WHERE rn <= 8 ORDER BY q_id, rn""".stripMargin)),
+
     // IVF-bucketed search: assign to nearest of 8 centroids, scan only
     // the query's cluster.
     QueryDef("p07_ann_ivf",
@@ -3005,6 +3028,47 @@ object PipelineInventory {
               |       WHEN n_cjk = best THEN 'cjk'
               |       ELSE 'arabic' END AS script
               |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Corpus drift: per-bucket Jensen-Shannon contributions between a
+    // snapshot and a mutated successor (a third of the docs removed,
+    // a third with injected tokens) — Σ js_term is the divergence in
+    // nats. Buckets/probabilities exact-int-derived; the two lns are
+    // 6dp-rounded (the p46 dsir discipline).
+    QueryDef("r70_corpus_drift",
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        val curr = docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+          when(col("doc_id") % 3 === 1, concat(col("text"), lit(" drift drift")))
+            .otherwise(col("text")).as("text"))
+        Quality.corpusDrift(docs, curr, buckets = 512).orderBy("bucket")
+      },
+      Some(s"""WITH oldd AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+              |curd AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 3 = 1 THEN COALESCE(text, '') || ' drift drift'
+              |         ELSE COALESCE(text, '') END AS text
+              |  FROM documents WHERE doc_id % 3 <> 0),
+              |ga AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS g
+              |       FROM (SELECT string_split(text, ' ') AS t FROM oldd)),
+              |gb AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS g
+              |       FROM (SELECT string_split(text, ' ') AS t FROM curd)),
+              |fa AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS bucket,
+              |         CAST(COUNT(*) AS BIGINT) AS ca FROM ga GROUP BY bucket),
+              |fb AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS bucket,
+              |         CAST(COUNT(*) AS BIGINT) AS cb FROM gb GROUP BY bucket),
+              |na AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM fa),
+              |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM fb),
+              |j AS (SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+              |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+              |      FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket),
+              |p AS (SELECT bucket, ca, cb,
+              |        (ca + 1)::DOUBLE / (na.na + 512) AS pa,
+              |        (cb + 1)::DOUBLE / (nb.nb + 512) AS pb
+              |      FROM j CROSS JOIN na CROSS JOIN nb),
+              |q AS (SELECT *, (pa + pb) / 2 AS m FROM p)
+              |SELECT bucket, ca, cb, pa, pb,
+              |  0.5 * pa * ${rrepr("ln(pa / m)", 6)} + 0.5 * pb * ${rrepr("ln(pb / m)", 6)} AS js_term
+              |FROM q ORDER BY bucket""".stripMargin)),
 
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check).

@@ -564,4 +564,28 @@ class AnnSpec extends SparkSpec {
     assert(Ann.recallAtK(withTail, exact, k = 4)
       .filter(col("q_id") === 0L).head.getLong(1) == 2L)
   }
+
+  test("hardNegatives keeps only the [minSim, dupT) band, ranked, self excluded") {
+    // cosines vs the axis-aligned query (id 0): id 1 ≈ 0.995 (near-dup,
+    // above dupT), id 2 ≈ 0.707 (hard), id 3 ≈ 0.316 (hard-ish),
+    // id 4 = 0 (easy, below minSim), id 5 ≈ -0.7 (excluded).
+    val vecs = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(10f, 1f)), (2L, Seq(1f, 1f)),
+      (3L, Seq(1f, 3f)), (4L, Seq(0f, 1f)), (5L, Seq(-1f, 1f)))
+    val got = Ann.hardNegatives(vecs, vecs.filter(col("vec_id") === 0L),
+        k = 10, dupT = 0.9, minSim = 0.1)
+      .select("vec_id", "rn").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("hardNegatives with the band wide open reproduces bruteTopK exactly") {
+    val vecs = emb((0L to 9L).map(i =>
+      i -> Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)): _*)
+    val q = vecs.filter(col("vec_id") < 2)
+    val a = Ann.hardNegatives(vecs, q, k = 5, dupT = 2.0, minSim = -2.0)
+      .select("q_id", "vec_id", "sim", "rn").collect().map(_.toSeq).toSet
+    val b = Ann.bruteTopK(vecs, q, k = 5)
+      .select("q_id", "vec_id", "sim", "rn").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

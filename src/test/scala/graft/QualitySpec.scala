@@ -88,4 +88,43 @@ class QualitySpec extends SparkSpec {
       .select("matched").as[String].head()
     assert(m == "b.c.org") // min over the matched suffixes
   }
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("corpusDrift of a snapshot against itself is exactly zero everywhere") {
+    val a = corpus((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha alpha beta"))
+    val terms = Quality.corpusDrift(a, a, buckets = 64)
+      .select("js_term").as[Double].collect()
+    assert(terms.nonEmpty && terms.forall(_ == 0.0))
+  }
+
+  test("corpusDrift is symmetric and bounded by ln 2; a planted shift dominates") {
+    val a = corpus((1L, "alpha beta gamma delta"), (2L, "beta gamma delta"))
+    val b = corpus((1L, "alpha beta gamma delta"),
+      (2L, "spam spam spam spam spam spam spam spam"))
+    val ab = Quality.corpusDrift(a, b, buckets = 64)
+    val ba = Quality.corpusDrift(b, a, buckets = 64)
+    val jsAb = ab.agg(sum("js_term")).as[Double].head()
+    val jsBa = ba.agg(sum("js_term")).as[Double].head()
+    assert(jsAb > 0.0 && jsAb <= math.log(2) + 1e-6)
+    assert(math.abs(jsAb - jsBa) < 1e-12) // JS is symmetric
+    // the top |contribution| bucket is one where only ONE side has mass
+    // (the spam gram or a displaced original gram)
+    val top = ab.orderBy(abs(col("js_term")).desc).select("ca", "cb")
+      .as[(Long, Long)].head()
+    assert(top._1 == 0L || top._2 == 0L)
+  }
+
+  test("corpusDrift buckets cover both snapshots' grams with smoothed probabilities") {
+    val a = corpus((1L, "only old tokens"))
+    val b = corpus((1L, "entirely new words"))
+    val out = Quality.corpusDrift(a, b, buckets = 32)
+      .select("ca", "cb", "pa", "pb").as[(Long, Long, Double, Double)].collect()
+    // full outer: buckets with mass on exactly one side appear, and
+    // smoothing keeps every probability strictly positive
+    assert(out.exists(r => r._1 > 0 && r._2 == 0))
+    assert(out.exists(r => r._1 == 0 && r._2 > 0))
+    assert(out.forall(r => r._3 > 0 && r._4 > 0))
+  }
 }
