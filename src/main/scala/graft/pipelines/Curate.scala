@@ -3,12 +3,13 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Mix}
+import graft.operators.{Dedup, Mix, Quality}
 
 /** The whole training-data curation pipeline as ONE call — the
   * composition a user of the reference's medallion flow would run to
   * turn a raw document corpus into packed training sequences:
   *
+  *   [domain blocklist] → [URL-level dedup] →
   *   [HTML→text extraction] → [normalization] →
   *   quality gate (rule-based, or the learned filter when trained
   *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
@@ -31,7 +32,8 @@ object Curate {
       afterPrune: Long, resampledCopies: Long, chunks: Long, shards: Int,
       afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L,
       afterDecontam: Long = -1L, afterSemDedup: Long = -1L,
-      afterDsir: Long = -1L, afterCcnet: Long = -1L)
+      afterDsir: Long = -1L, afterCcnet: Long = -1L,
+      afterBlocklist: Long = -1L, afterUrlDedup: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -59,21 +61,41 @@ object Curate {
       dsir: Option[(DataFrame, Int)] = None,
       extractHtml: Boolean = false,
       normalize: Boolean = false,
-      ccnetTailDrop: Boolean = false): (DataFrame, Option[Stats]) = {
+      ccnetTailDrop: Boolean = false,
+      blocklist: Option[DataFrame] = None,
+      urlDedup: Boolean = false): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
+    val input = countIf(docs)
+    // URL-metadata stages for web-crawled input (docs must carry a
+    // `url` column — fails loud otherwise): the domain blocklist
+    // FIRST (cheapest, and a blocked doc must never become the
+    // survivor that shadows a clean duplicate), then URL-level dedup.
+    // Both run before HTML extraction ever touches the payload —
+    // the CCNet ordering: discard by metadata before paying for text.
+    val blocked = blocklist match {
+      case None => docs
+      case Some(bl) => docs.join(
+        Quality.blocklistFilter(docs, bl).filter(col("kept"))
+          .select("doc_id"), "doc_id")
+    }
+    val afterBlocklist = if (blocklist.isDefined) countIf(blocked) else -1L
+    val urled =
+      if (!urlDedup) blocked
+      else blocked.join(Quality.urlDedup(blocked).filter(col("kept"))
+        .select("doc_id"), "doc_id")
+    val afterUrlDedup = if (urlDedup) countIf(urled) else -1L
     // Zeroth stages, both narrow codegen'd projections folded into the
     // first scan: HTML→text extraction for web-crawled input, then
     // normalization so downstream shingles/features see canonical
     // text. No rows drop here — a doc emptied by extraction is the
     // quality gate's call, keeping stage accounting one-to-one.
     val prepared0 =
-      if (!extractHtml) docs
-      else docs.withColumn("text", TextAnalysis.htmlToText(col("text")))
+      if (!extractHtml) urled
+      else urled.withColumn("text", TextAnalysis.htmlToText(col("text")))
     val docsP =
       if (!normalize) prepared0
       else prepared0.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    val input = countIf(docsP)
     // The gate stage: the rule gate by default, or — when trained
     // weights are supplied (TextAnalysis.trainQualityLogreg, typically
     // distilled from the rule gate on a sample) — the learned filter's
@@ -228,7 +250,8 @@ object Curate {
     val st =
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
-        afterDecontam, afterSemDedup, afterDsir, afterCcnet))
+        afterDecontam, afterSemDedup, afterDsir, afterCcnet,
+        afterBlocklist, afterUrlDedup))
       else None
     (packed, st)
   }
@@ -249,6 +272,8 @@ object Curate {
     def stage(name: String, out: Long): Unit = if (out >= 0) {
       stages += ((name, prev, out)); prev = out
     }
+    stage("domain_blocklist", st.afterBlocklist)
+    stage("url_dedup", st.afterUrlDedup)
     stage("quality_gate", st.afterGate)
     stage("boilerplate_strip", st.afterBoilerplate)
     stage("near_dup_dedup", st.afterDedup)

@@ -354,4 +354,46 @@ class CurateSpec extends SparkSpec {
     assert(wrapped.select("text")
       .exceptAll(preprocessed.select("text")).count() > 0)
   }
+
+  test("blocklist/urlDedup stage law: filtered stages == pre-filtered corpus") {
+    val base = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    // Synthetic URLs: doc_id%10==0 lands on a blocklisted domain;
+    // docs 2k/2k+1 share a page modulo a tracking param, so URL
+    // dedup drops the odd twin of each surviving pair.
+    val docs = base.withColumn("url", concat(lit("https://"),
+      when(col("doc_id") % 10 === 0, lit("spam.example.com"))
+        .otherwise(lit("ok.example.org")),
+      lit("/p/"), floor(col("doc_id") / 2).cast("long").cast("string"),
+      when(col("doc_id") % 2 === 1, lit("?utm_source=x")).otherwise(lit(""))))
+    val blk = Seq("spam.example.com").toDF("domain")
+    val (packedA, stA) = Curate.run(docs, blocklist = Some(blk), urlDedup = true)
+    // the equivalent pre-filtered corpus: apply the two operators
+    // directly, then run the plain pipeline
+    val pre = docs
+      .join(graft.operators.Quality.blocklistFilter(docs, blk)
+        .filter(col("kept")).select("doc_id"), "doc_id")
+    val pre2 = pre
+      .join(graft.operators.Quality.urlDedup(pre)
+        .filter(col("kept")).select("doc_id"), "doc_id")
+    val (packedB, stB) = Curate.run(pre2)
+    // stage accounting: input is the RAW corpus; the two new stages
+    // chain into the gate, and everything downstream matches the
+    // pre-filtered run exactly
+    assert(stA.get.input == docs.count())
+    assert(stA.get.afterBlocklist == pre.count())
+    assert(stA.get.afterUrlDedup == pre2.count())
+    assert(stA.get.afterUrlDedup < stA.get.afterBlocklist) // dedup really fired
+    assert(stA.get.afterBlocklist < stA.get.input)          // blocklist really fired
+    assert(stA.get.copy(input = stB.get.input,
+      afterBlocklist = -1L, afterUrlDedup = -1L) == stB.get)
+    assert(packedA.exceptAll(packedB).isEmpty && packedB.exceptAll(packedA).isEmpty)
+    // dataCard shows the stages, in order, chaining from raw input
+    val card = Curate.dataCard(spark, stA.get).collect()
+    val names = card.map(_.getString(0)).toSeq
+    assert(names.take(3) == Seq("domain_blocklist", "url_dedup", "quality_gate"))
+    assert(card(0).getLong(1) == stA.get.input)
+    assert(card(1).getLong(1) == stA.get.afterBlocklist)
+    assert(card(1).getLong(2) == stA.get.afterUrlDedup)
+  }
 }

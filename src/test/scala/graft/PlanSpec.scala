@@ -142,6 +142,36 @@ class PlanSpec extends SparkSpec {
       exchanges.mkString("\n"))
   }
 
+  test("blocklist: the suffix join broadcasts the blocklist; script profile is a pure map") {
+    // r67: the only corpus-keyed shuffles are the per-doc match
+    // aggregation and the output sort — the blocklist side must ride
+    // a BroadcastExchange, never a shuffle.
+    val p = executedPlan("r67_blocklist")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      p.linesIterator.take(40).mkString("\n"))
+    // r69: the whole script-count chain folds into the scan projection;
+    // any non-range exchange means it stopped being a narrow map
+    val sp = executedPlan("r69_script_profile")
+    val exchanges = sp.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("ReusedExchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+  }
+
+  test("url dedup: owner aggregation, no window; drift model tables stay bounded") {
+    // r66 must dedup via the urls-sized groupBy + join back — a
+    // keep-first window would sort every crawl of a hot URL on one
+    // reducer.
+    val p = executedPlan("r66_url_dedup")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(p.contains("HashAggregate"), p.linesIterator.take(30).mkString("\n"))
+    // r70: the two 1-row totals join back via broadcast — the
+    // buckets-sized model join must never shuffle corpus-derived rows
+    val dp = executedPlan("r70_corpus_drift")
+    assert(dp.contains("BroadcastNestedLoop") || dp.contains("BroadcastExchange"),
+      dp.linesIterator.take(40).mkString("\n"))
+  }
+
   test("contamination report scans only doc_id and text") {
     val p = executedPlan("p57_contamination_report")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
@@ -201,6 +231,12 @@ class PlanSpec extends SparkSpec {
       "p56_doremi_mix",     // both LM one-row totals (p32+p37 shapes)
                             // plus doremiWeights' one-row k and Z
                             // broadcasts over the domain summary
+      "p58_hard_negatives", // 5-query-vector broadcast (the p06 brute
+                            // shape; the band filter is a narrow
+                            // predicate before the top-k window)
+      "r70_corpus_drift",   // two one-row totals (na, nb) broadcast
+                            // onto the buckets-sized joined model —
+                            // the p46 nt/nr shape
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
