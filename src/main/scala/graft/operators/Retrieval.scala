@@ -41,6 +41,74 @@ object Retrieval {
       .filter(col("rn") <= k)
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein) diversity
+    * re-rank of a retrieval shortlist: greedily pick the candidate
+    * maximizing `λ·rel − (1−λ)·max sim to the already-selected`, so
+    * the final k trade relevance against redundancy (λ=1 is plain
+    * top-k; λ=0 pure diversity). The de-facto post-processing step
+    * between "top-k by score" and "top-k worth showing/labeling".
+    *
+    * Greedy selection is inherently sequential in k — but ONLY over
+    * the shortlist: every frame here is (queries × shortlist) rows,
+    * retrieval output, never corpus data, so the k bounded argmax
+    * jobs cost the same at any corpus size. The candidate-pair
+    * cosines are computed once (queries × N² rows, N = shortlist
+    * size) and localCheckpointed so the per-step lineage stays flat
+    * (the trainCentroids lesson). Candidates must have an embedding
+    * row; sims round to 3dp and the MMR score to 6dp with vec_id
+    * tiebreaks, so the selection is engine-exact.
+    *
+    * `cands`: (q_id, vec_id, rel) — rel from any retriever, already
+    * deterministically rounded. Output: q_id, vec_id, rel, step
+    * (1-based selection order). */
+  def mmrRerank(cands: DataFrame, emb: DataFrame, k: Int = 5,
+      lambda: Double = 0.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val mu = 1.0 - lambda
+    val e = emb.select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("emb"))
+    val ce = cands.select("q_id", "vec_id", "rel").join(e, "vec_id")
+      .localCheckpoint(true)
+    val pairs = ce.select(col("q_id"), col("vec_id"), col("emb"))
+      .join(ce.select(col("q_id").as("q2"), col("vec_id").as("o_id"),
+        col("emb").as("oemb")),
+        col("q_id") === col("q2") && col("vec_id") =!= col("o_id"))
+      .select(col("q_id"), col("vec_id"), col("o_id"),
+        round(graft.functions.Vectors.cosine(col("emb"), col("oemb")), 3)
+          .as("sim"))
+      .localCheckpoint(true)
+    val base = ce.select("q_id", "vec_id", "rel")
+    val first = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("step", lit(1)).localCheckpoint(true)
+    var selected = first
+    for (t <- 2 to k) {
+      val selIds = selected.select(col("q_id").as("sq"), col("vec_id").as("sel_id"))
+      val remaining = base.join(
+        selIds.select(col("sq").as("q_id"), col("sel_id").as("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val scored = remaining
+        .join(pairs.join(selIds,
+            col("q_id") === col("sq") && col("o_id") === col("sel_id"))
+          .groupBy(col("q_id").as("mq"), col("vec_id").as("mv"))
+          .agg(max("sim").as("msim")),
+          col("q_id") === col("mq") && col("vec_id") === col("mv"), "left")
+        .select(col("q_id"), col("vec_id"), col("rel"),
+          round(lit(lambda) * col("rel") -
+            lit(mu) * coalesce(col("msim"), lit(0.0)), 6).as("mmr"))
+      val pick = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("mmr").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), lit(t).as("step"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** The standard hybrid-search composition over this library's own
     * retrievers: BM25 over `docs` ∪ brute-force cosine over `emb`
     * (ids shared across the two tables — the fixture/SemDeDup

@@ -564,6 +564,62 @@ object PipelineInventory {
               |  FROM band) t
               |WHERE rn <= 8 ORDER BY q_id, rn""".stripMargin)),
 
+    // MMR diversity re-rank: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // over a brute top-12 shortlist, 4 picks per query. The oracle
+    // UNROLLS the 4 greedy steps as CTE blocks (the kmeansStep
+    // per-iteration pattern) — λ=0.5 so 1−λ is IEEE-exact in both
+    // engines.
+    QueryDef("p59_mmr_rerank",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val cands = Ann.bruteTopK(emb, emb.filter(col("vec_id") < 3), k = 12)
+          .select(col("q_id"), col("vec_id"), col("sim").as("rel"))
+        Retrieval.mmrRerank(cands, emb, k = 4, lambda = 0.5)
+          .orderBy("q_id", "step")
+      },
+      Some {
+        def stepSql(t: Int): String =
+          s"""ms$t AS (SELECT c.q_id, c.vec_id, c.rel, COALESCE(MAX(ps.sim), 0.0) AS msim
+             |  FROM cand c
+             |  LEFT JOIN (SELECT pr.q_id, pr.vec_id, pr.sim FROM pr
+             |             JOIN sel${t - 1} s ON s.q_id = pr.q_id AND s.vec_id = pr.o_id) ps
+             |    ON ps.q_id = c.q_id AND ps.vec_id = c.vec_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
+             |                    WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+             |  GROUP BY c.q_id, c.vec_id, c.rel),
+             |st$t AS (SELECT q_id, vec_id, rel, $t AS step FROM (
+             |    SELECT q_id, vec_id, rel,
+             |      ROW_NUMBER() OVER (PARTITION BY q_id
+             |        ORDER BY ${rrepr("0.5 * rel - 0.5 * msim", 6)} DESC, vec_id) AS rn
+             |    FROM ms$t) z WHERE rn = 1),
+             |sel$t AS (SELECT q_id, vec_id FROM sel${t - 1}
+             |          UNION ALL SELECT q_id, vec_id FROM st$t)""".stripMargin
+        s"""WITH $embCte,
+           |sc AS (SELECT q.vec_id AS q_id, x.vec_id, ${rrepr(dcos("x.emb", "q.emb"), 3)} AS rel
+           |       FROM e x, e q WHERE q.vec_id < 3 AND x.vec_id <> q.vec_id),
+           |cand AS (SELECT q_id, vec_id, rel FROM (
+           |    SELECT q_id, vec_id, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+           |    FROM sc) z WHERE rn <= 12),
+           |pr AS (SELECT a.q_id, a.vec_id, b.vec_id AS o_id,
+           |         ${rrepr(dcos("ea.emb", "eb.emb"), 3)} AS sim
+           |       FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+           |       JOIN e ea ON ea.vec_id = a.vec_id
+           |       JOIN e eb ON eb.vec_id = b.vec_id),
+           |st1 AS (SELECT q_id, vec_id, rel, 1 AS step FROM (
+           |    SELECT q_id, vec_id, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+           |    FROM cand) z WHERE rn = 1),
+           |sel1 AS (SELECT q_id, vec_id FROM st1),
+           |${stepSql(2)},
+           |${stepSql(3)},
+           |${stepSql(4)}
+           |SELECT q_id, vec_id, rel, CAST(step AS INT) AS step FROM (
+           |  SELECT * FROM st1 UNION ALL SELECT * FROM st2
+           |  UNION ALL SELECT * FROM st3 UNION ALL SELECT * FROM st4) u
+           |ORDER BY q_id, step""".stripMargin
+      }),
+
     // IVF-bucketed search: assign to nearest of 8 centroids, scan only
     // the query's cluster.
     QueryDef("p07_ann_ivf",

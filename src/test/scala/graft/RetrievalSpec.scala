@@ -83,6 +83,41 @@ class RetrievalSpec extends SparkSpec {
     assert(rnOf(1L) < rnOf(2L))
   }
 
+  test("mmrRerank: redundant runner-up is skipped for a diverse pick; λ=1 is plain top-k") {
+    // Embedding geometry: 10 and 11 nearly identical (cos ≈ 1), 12
+    // orthogonal to both. Relevance: 10 > 11 > 12.
+    val emb = Seq(
+      (10L, Array(1f, 0f, 0.1f)), (11L, Array(1f, 0f, 0f)),
+      (12L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cands = Seq((0L, 10L, 0.9), (0L, 11L, 0.8), (0L, 12L, 0.5))
+      .toDF("q_id", "vec_id", "rel")
+    // λ=0.5: step 2 scores 11 at .5*.8-.5*.995 < 12's .5*.5-.5*0 —
+    // diversity wins
+    val mmr = Retrieval.mmrRerank(cands, emb, k = 3, lambda = 0.5)
+      .orderBy("step").select("vec_id").as[Long].collect().toSeq
+    assert(mmr == Seq(10L, 12L, 11L))
+    // λ=1 ignores redundancy: pure relevance order
+    val plain = Retrieval.mmrRerank(cands, emb, k = 3, lambda = 1.0)
+      .orderBy("step").select("vec_id").as[Long].collect().toSeq
+    assert(plain == Seq(10L, 11L, 12L))
+  }
+
+  test("mmrRerank: queries independent; k beyond the shortlist stops at the shortlist") {
+    val emb = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0f, 1f)),
+      (20L, Array(1f, 1f)), (21L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cands = Seq((0L, 10L, 0.9), (0L, 11L, 0.4),
+      (1L, 20L, 0.7), (1L, 21L, 0.6)).toDF("q_id", "vec_id", "rel")
+    val out = Retrieval.mmrRerank(cands, emb, k = 5, lambda = 0.5)
+      .orderBy("q_id", "step")
+      .select("q_id", "vec_id", "step").as[(Long, Long, Int)].collect().toSeq
+    // each query yields exactly its 2 candidates, steps 1..2, no
+    // cross-query leakage and no phantom picks past the shortlist
+    assert(out == Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 20L, 1), (1L, 21L, 2)))
+  }
+
   test("rm3TopK at alpha = 1 degenerates to bm25TopK on the positive-score prefix") {
     import graft.functions.TextAnalysis
     val docs = (0L until 12L).map { i =>
