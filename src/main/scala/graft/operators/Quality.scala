@@ -217,13 +217,31 @@ object Quality {
     * operand sequence in any engine.
     * Output: bucket, ca, cb, pa, pb, js_term (ordered by bucket). */
   def corpusDrift(old: DataFrame, curr: DataFrame, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    driftFromCounts(driftCounts(old, buckets, idCol, textCol),
+      driftCounts(curr, buckets, idCol, textCol), buckets)
+
+  /** A corpus's hashed-ngram bucket counts — the bounded (≤ buckets
+    * rows, ~16 B each) summary [[corpusDrift]] compares. ADDITIVE over
+    * disjoint doc batches (counts sum), which is what makes the
+    * summary streamable and mergeable: land per-batch counts, sum per
+    * bucket, compare whenever. Output: bucket, n. */
+  def driftCounts(df: DataFrame, buckets: Int = 1024,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def cnts(df: DataFrame, as: String) =
-      Mix.ngramBuckets(df, buckets, idCol, textCol)
-        .groupBy("bucket").agg(sum("c").cast("long").as(as))
-    val a = cnts(old, "ca")
-    val b = cnts(curr, "cb")
+    Mix.ngramBuckets(df, buckets, idCol, textCol)
+      .groupBy("bucket").agg(sum("c").cast("long").as("n"))
+  }
+
+  /** [[corpusDrift]] over two PRE-AGGREGATED [[driftCounts]] tables
+    * (each: bucket, n) — the form a drift monitor calls repeatedly
+    * against a frozen reference summary without ever re-reading the
+    * reference corpus. */
+  def driftFromCounts(old: DataFrame, curr: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val a = old.select(col("bucket"), col("n").as("ca"))
+    val b = curr.select(col("bucket"), col("n").as("cb"))
     val na = a.agg(sum("ca").cast("long").as("na"))
     val nb = b.agg(sum("cb").cast("long").as("nb"))
     a.join(b, Seq("bucket"), "full_outer")

@@ -1021,6 +1021,34 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming drift monitor: each micro-batch of documents reduces to
+    * its `Quality.driftCounts` bucket summary (≤ buckets rows — the
+    * exchange is summary-sized regardless of batch bytes) landed as a
+    * per-batch-id OVERWRITE partition, so checkpoint replay re-lands
+    * identical files instead of double-counting grams (the
+    * bm25IngestStream argument: a duplicated count row corrupts the
+    * divergence silently). Counts are ADDITIVE over disjoint batches,
+    * so the monitoring job is pure batch composition:
+    * `Quality.driftFromCounts(referenceCounts, summed-landed-counts)`
+    * — streamed == one-shot `corpusDrift` bit for bit (spec law). */
+  def driftCountsStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, countsDir: String, checkpoint: String,
+      buckets: Int = 1024, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Quality.driftCounts(batch, buckets)
+          .write.mode("overwrite").parquet(s"$countsDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming BM25 ingest: each micro-batch of documents is indexed
     * alone (postings/doclens/stats are all ADDITIVE over disjoint doc
     * batches — [[graft.functions.TextAnalysis.appendBm25Index]]'s

@@ -719,6 +719,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("STDRIFT: streamed bucket counts sum to the one-shot summary; drift == corpusDrift; replay clean") {
+    val src = tmp("std-src"); val out = tmp("std-out"); val ck = tmp("std-ck")
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "alpha beta gamma"), (11L, "spam spam spam"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((12L, "delta epsilon")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.driftCountsStream(spark, b1.schema, src, out, ck, buckets = 64)
+    def summed = spark.read.parquet(out)
+      .groupBy("bucket").agg(sum("n").cast("long").as("n"))
+    // landed per-batch counts sum to the one-shot summary exactly
+    val oneShot = graft.operators.Quality
+      .driftCounts(b1.unionByName(b2), buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(summed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
+    // drift vs a frozen reference == the batch corpusDrift, bit for bit
+    val refCounts = graft.operators.Quality.driftCounts(ref, buckets = 64)
+    def driftRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("bucket", "ca", "cb", "pa", "pb", "js_term")
+      .collect().map(_.toSeq).toSet
+    assert(driftRows(graft.operators.Quality
+        .driftFromCounts(refCounts, summed, buckets = 64)) ==
+      driftRows(graft.operators.Quality
+        .corpusDrift(ref, b1.unionByName(b2), buckets = 64)))
+    // restart on the same checkpoint: nothing re-lands, sums unchanged
+    Ingest.driftCountsStream(spark, b1.schema, src, out, ck, buckets = 64)
+    assert(summed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
+  }
+
   test("STB25: streamed BM25 ingest == one-shot batch index; replay never double-counts df") {
     val src = tmp("stb25-src"); val idx = tmp("stb25-idx"); val ck = tmp("stb25-ck")
     val b1 = Seq((1L, "the zebra runs far today"),
