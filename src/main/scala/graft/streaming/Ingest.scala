@@ -790,7 +790,8 @@ object Ingest {
       passageIndexPath: String = "",
       gateWeights: Option[Seq[Double]] = None,
       extractHtml: Boolean = false,
-      normalize: Boolean = false): Unit = {
+      normalize: Boolean = false,
+      blocklist: Option[DataFrame] = None): Unit = {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
     require(boilerplateMaxDocs.isEmpty || passageIndexPath.nonEmpty,
@@ -800,10 +801,18 @@ object Ingest {
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batchRaw: DataFrame, id: Long) =>
-        // 0. optional zeroth stages, exactly as in Curate.run: both are
-        // pure per-row projections (no cross-batch state), so the
-        // stream==batch law extends to them for free.
+      .foreachBatch { (batchIn: DataFrame, id: Long) =>
+        // 0. optional zeroth stages, exactly as in Curate.run: the
+        // blocklist verdict is a pure function of each doc's own URL
+        // against the fixed broadcast list, and the two text stages
+        // are pure per-row projections — no cross-batch state, so the
+        // stream==batch law extends to all three for free.
+        val batchRaw = blocklist match {
+          case None => batchIn
+          case Some(bl) => batchIn.join(
+            graft.operators.Quality.blocklistFilter(batchIn, bl)
+              .filter(col("kept")).select("doc_id"), "doc_id")
+        }
         val batch0 =
           if (!extractHtml) batchRaw
           else batchRaw.withColumn("text", TextAnalysis.htmlToText(col("text")))
@@ -1015,6 +1024,54 @@ object Ingest {
         graft.operators.Mix.dsirScoreWith(batch, model, buckets)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
         ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming URL-level dedup — the first-stage crawl dedup
+    * ([[graft.operators.Quality.urlDedup]]) run incrementally: each
+    * micro-batch dedups within itself (min doc_id per canonical URL),
+    * then against the persisted URL INDEX of all earlier batches (the
+    * ~60-byte norm_url keys — old batches' payloads are never
+    * rescanned, the dedupIngestStream state discipline). Cross-batch
+    * the contract is FIRST-ARRIVED-wins, i.e. crawl order — unlike
+    * the batch form's global min-id, which a stream cannot know;
+    * feeding batches in id order makes the two coincide (spec law).
+    * Both sinks are per-batch-id OVERWRITE partitions, so checkpoint
+    * replay re-lands identical files. */
+  def urlDedupIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, corpusDir: String, indexPath: String,
+      checkpoint: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val inBatch = batch.join(
+          graft.operators.Quality.urlDedup(batch)
+            .filter(col("kept")).select("doc_id"), "doc_id")
+          .withColumn("__nu",
+            graft.operators.Quality.normalizeUrl(col("url")))
+        val idx = earlierBatchPartitions(ss, indexPath, id,
+          "urlDedupIngestStream index")
+        val fresh = idx match {
+          case None => inBatch
+          case Some(i) => inBatch.join(
+            i.select(col("norm_url").as("__nu")), Seq("__nu"), "left_anti")
+        }
+        // Materialize EAGERLY before touching the index the plan reads
+        // (the dedupIngestStream lesson).
+        val kept = fresh.localCheckpoint(true)
+        try {
+          kept.drop("__nu")
+            .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$id")
+          kept.select(col("__nu").as("norm_url")).distinct()
+            .write.mode("overwrite").parquet(s"$indexPath/batch_id=$id")
+        } finally { kept.unpersist(); () }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

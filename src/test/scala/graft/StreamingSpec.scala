@@ -524,6 +524,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batchOut)
   }
 
+  test("STURL: streamed URL dedup — first-arrived wins across batches, replay clean") {
+    val src = tmp("sturl-src"); val corpus = tmp("sturl-corpus")
+    val idx = tmp("sturl-idx"); val ck = tmp("sturl-ck")
+    val b1 = Seq(
+      (1L, "https://Ex.com/a", "one"),
+      (2L, "https://ex.com/a?utm_source=x", "two"), // in-batch dup of 1
+      (3L, "https://ex.com/c", "three")).toDF("doc_id", "url", "text")
+    val b2 = Seq(
+      (10L, "https://ex.com/a/", "ten"),            // cross-batch dup of 1
+      (11L, "https://ex.com/d", "eleven")).toDF("doc_id", "url", "text")
+    // doc 0 arrives LAST with doc 3's URL: first-arrived wins, so the
+    // smaller id does NOT displace the already-landed survivor
+    val b3 = Seq((0L, "https://ex.com/c#frag", "zero")).toDF("doc_id", "url", "text")
+    Seq(b1, b2, b3).foreach { b =>
+      b.coalesce(1).write.mode("append").parquet(src)
+      Ingest.urlDedupIngestStream(spark, b1.schema, src, corpus, idx, ck)
+    }
+    def landed = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(landed == Seq(1L, 3L, 11L))
+    // with batches fed in id order the stream coincides with the batch
+    // form restricted to those batches (the spec law in the scaladoc)
+    val batchForm = graft.operators.Quality
+      .urlDedup(b1.unionByName(b2)).filter($"kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batchForm == Seq(1L, 3L, 11L))
+    // index holds one key per surviving URL; replay lands nothing new
+    assert(spark.read.parquet(idx).select("norm_url").distinct().count() == 3)
+    Ingest.urlDedupIngestStream(spark, b1.schema, src, corpus, idx, ck)
+    assert(landed == Seq(1L, 3L, 11L))
+  }
+
+  test("SCCu: streamed curation with a blocklist equals the stream over the pre-filtered corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang")
+      .withColumn("url", concat(lit("https://"),
+        when($"doc_id" % 4 === 0, lit("spam.example.com"))
+          .otherwise(lit("ok.example.org")),
+        lit("/p/"), $"doc_id".cast("string"))).cache()
+    val bl = Seq("spam.example.com").toDF("domain")
+    val pre = docs.filter($"doc_id" % 4 =!= 0)
+    val budget = 100000L
+    def stream(corpus: org.apache.spark.sql.DataFrame, tag: String,
+        blk: Option[org.apache.spark.sql.DataFrame]) = {
+      val src = tmp(s"sccu-$tag-src"); val out = tmp(s"sccu-$tag-out")
+      val idxP = tmp(s"sccu-$tag-idx"); val st = tmp(s"sccu-$tag-state")
+      val ck = tmp(s"sccu-$tag-ck")
+      corpus.coalesce(1).write.mode("append").parquet(src)
+      Ingest.curateIngestStream(spark, corpus.schema, src, out, idxP, st, ck,
+        budget, blocklist = blk)
+      spark.read.parquet(out).select("domain", "doc_id", "n_tok", "cum")
+        .orderBy("domain", "cum").collect().toSeq
+    }
+    val staged = stream(docs, "on", Some(bl))
+    val prefiltered = stream(pre, "off", None)
+    assert(staged.nonEmpty && staged == prefiltered)
+  }
+
   test("SCB: streamed curation boilerplate stage obeys the per-batch passage-index law") {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
