@@ -25,7 +25,8 @@ import graft.pipelines.Curate
   * Usage: `graft.tools.Stress <nDocs> [ops-csv] [baseDir]`
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
-  *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi
+  *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi,
+  *   url,drift
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -39,7 +40,8 @@ object Stress {
     "gate", "exact", "boiler", "budget", "shuffle", "dedup", "simhash",
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
-    "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi")
+    "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
+    "url", "drift")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -226,6 +228,25 @@ object Stress {
           .select(col("doc_id"), (lit(1.0) - col("score")).as("ref_loss"))
         Mix.doremiWeights(uni.join(bi, "doc_id")
           .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
+      case "url" =>
+        // URL canonicalization + owner-agg dedup: docs 2k/2k+1 share a
+        // page modulo tracking/case/port decoration, so the owner
+        // table is ~n/2 keys — the claim under test is one narrow
+        // regexp projection + one urls-keyed groupBy+join, linear in n
+        val withUrl = docs.withColumn("url", concat(
+          when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          lit("www"), (col("doc_id") % 97).cast("string"), lit(".Example.com"),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), floor(col("doc_id") / 2).cast("long").cast("string"),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .otherwise(lit(""))))
+        graft.operators.Quality.urlDedup(withUrl)
+      case "drift" =>
+        // Snapshot divergence: two corpus-linear bucket aggregations
+        // onto 4096-row summaries + the tiny model join — output size
+        // constant in n
+        graft.operators.Quality.corpusDrift(docs,
+          docs.filter(col("doc_id") % 3 =!= 0), buckets = 4096)
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
