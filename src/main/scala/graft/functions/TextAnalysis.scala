@@ -377,6 +377,40 @@ object TextAnalysis {
         expr(s"(tok_end - 1) DIV $ctxTokens").as("last_bin"))
   }
 
+  /** Packing-efficiency report over a [[packSequences]] layout — the
+    * number a pipeline owner actually watches: how many context
+    * windows the corpus fills and how much of them is padding.
+    * Concatenate-then-split wastes tokens ONLY in each shard's final
+    * partial bin (`pad = ctx − T mod ctx`), so pad_frac falls as
+    * shards fill — this report is the evidence when tuning shard
+    * count vs ctx. Also counts chunks straddling a bin boundary
+    * (first_bin ≠ last_bin), the rows a loader must split.
+    *
+    * One join of two frames that share the chunk keys + one
+    * shards-sized aggregation — corpus-linear, bounded output.
+    * Output per shard: n_chunks, n_tokens, n_bins, pad_tokens,
+    * pad_frac (4dp), n_straddling. */
+  def packingStats(chunks: DataFrame, ctxTokens: Int = 64,
+      shards: Int = 16): DataFrame = {
+    require(ctxTokens > 0, "ctxTokens must be positive")
+    val packed = packSequences(chunks, ctxTokens, shards)
+    packed.join(chunks.select("doc_id", "chunk_idx", "n_tokens"),
+        Seq("doc_id", "chunk_idx"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum(when(col("first_bin") =!= col("last_bin"), 1L).otherwise(0L))
+          .cast("long").as("n_straddling"))
+      .withColumn("n_bins",
+        expr(s"(n_tokens + ${ctxTokens - 1}) DIV $ctxTokens"))
+      .withColumn("pad_tokens", col("n_bins") * ctxTokens - col("n_tokens"))
+      .select(col("shard"), col("n_chunks"), col("n_tokens"), col("n_bins"),
+        col("pad_tokens"),
+        round(col("pad_tokens").cast("double") / (col("n_bins") * ctxTokens), 4)
+          .as("pad_frac"),
+        col("n_straddling"))
+  }
+
   /** [[packSequences]] with the shard count derived from the chunk
     * count (one extra count job; at 100 TB that is the price of not
     * sorting 6 TB per task). `minShards` keeps small inputs on a fixed

@@ -1147,6 +1147,44 @@ object PipelineInventory {
              |       (tok_end - 1) // 64 AS last_bin
              |FROM pk ORDER BY shard, tok_start, doc_id, chunk_idx""".stripMargin)),
 
+    // Packing-efficiency report over the p27 layout: per shard, bins
+    // filled, padding tokens (only each shard's final partial bin
+    // under concatenate-then-split), and boundary-straddling chunks.
+    QueryDef("r71_packing_stats",
+      (s, d) => TextAnalysis.packingStats(
+          TextAnalysis.chunk(T(s, d, "documents")), ctxTokens = 64,
+          shards = 4)
+        .orderBy("shard"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |n AS (SELECT doc_id, t,
+             |        CAST(CEIL(GREATEST(1.0, CAST(len(t) - 8 AS DOUBLE)) / 24) AS INT) AS nc
+             |      FROM tk),
+             |ch AS (SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+             |         CAST(len(string_split(array_to_string(t[(i-1)*24 + 1 : (i-1)*24 + 32], ' '), ' ')) AS BIGINT) AS n_tokens
+             |       FROM n, range(1, 10000) r(i) WHERE i <= nc),
+             |sh AS (SELECT doc_id, chunk_idx, n_tokens,
+             |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS shard
+             |       FROM ch),
+             |pk AS (SELECT doc_id, chunk_idx, shard, n_tokens,
+             |         CAST(SUM(n_tokens) OVER (PARTITION BY shard
+             |           ORDER BY doc_id, chunk_idx) AS BIGINT) AS tok_end
+             |       FROM sh),
+             |agg AS (SELECT shard,
+             |         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |         CAST(SUM(CASE WHEN (tok_end - n_tokens) // 64 <> (tok_end - 1) // 64
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+             |       FROM pk GROUP BY shard),
+             |b AS (SELECT shard, n_chunks, n_tokens,
+             |        (n_tokens + 63) // 64 AS n_bins, n_straddling FROM agg)
+             |SELECT shard, n_chunks, n_tokens, n_bins,
+             |  n_bins * 64 - n_tokens AS pad_tokens,
+             |  """.stripMargin +
+        rrepr("CAST(n_bins * 64 - n_tokens AS DOUBLE) / (n_bins * 64)", 4) +
+        """ AS pad_frac,
+          |  n_straddling
+          |FROM b ORDER BY shard""".stripMargin)),
+
     // Top-3 distinguishing terms per doc by tf-idf (linear idf: tf/df
     // is IEEE-exact in both engines where ln may differ in the last
     // ulp; ordering is identical for fixed tf).

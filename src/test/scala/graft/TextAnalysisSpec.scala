@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -586,6 +586,31 @@ class TextAnalysisSpec extends SparkSpec {
     val norm = df.select(TextAnalysis.normalizeText(col("t")).as("n"))
       .collect().flatMap(r => Option(r.getString(0)))
     assert(norm.toSeq == Seq("mixed case"))
+  }
+
+  test("packingStats: exact-fit shard pads zero; partial final bin and straddlers counted") {
+    // one 64-token chunk fills one ctx=64 bin exactly
+    val exact = Seq((1L, 0, 64L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val a = TextAnalysis.packingStats(exact, ctxTokens = 64, shards = 1)
+      .select("n_chunks", "n_tokens", "n_bins", "pad_tokens", "pad_frac", "n_straddling")
+      .as[(Long, Long, Long, Long, Double, Long)].head()
+    assert(a == ((1L, 64L, 1L, 0L, 0.0, 0L)))
+    // three 30-token chunks: T=90 -> 2 bins, 38 pad; the chunk
+    // spanning tokens 60..90 straddles the bin-64 boundary
+    val partial = Seq((1L, 0, 30L), (1L, 1, 30L), (1L, 2, 30L))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    val b = TextAnalysis.packingStats(partial, ctxTokens = 64, shards = 1)
+      .select("n_chunks", "n_tokens", "n_bins", "pad_tokens", "pad_frac", "n_straddling")
+      .as[(Long, Long, Long, Long, Double, Long)].head()
+    assert(b == ((3L, 90L, 2L, 38L, 0.2969, 1L)))
+    // invariant over the real chunker: per-shard tokens sum to the
+    // corpus total and pad is always inside [0, ctx)
+    val chunks = TextAnalysis.chunk(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val st = TextAnalysis.packingStats(chunks, ctxTokens = 64, shards = 4)
+    assert(st.agg(sum("n_tokens")).as[Long].head() ==
+      chunks.agg(sum("n_tokens")).as[Long].head())
+    assert(st.filter(col("pad_tokens") < 0 || col("pad_tokens") >= 64).count() == 0)
   }
 
   test("gateAttribution: unique drops separate tunable rules from redundant ones") {
