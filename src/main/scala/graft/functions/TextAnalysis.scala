@@ -377,6 +377,30 @@ object TextAnalysis {
         expr(s"(tok_end - 1) DIV $ctxTokens").as("last_bin"))
   }
 
+  /** Rule-based sentence segmentation — the unit below [[chunk]]'s
+    * token windows: CCNet-family pipelines dedup and score at
+    * sentence/paragraph granularity, and sentence boundaries are what
+    * a chunker should prefer to cut on. Sentences are maximal runs of
+    * non-terminator characters plus their trailing `.!?` run (a
+    * lookaround-free pattern — RE2 has no lookbehind, so the oracle
+    * runs the IDENTICAL regex), trimmed, empties dropped; sent_idx
+    * counts the surviving sentences in order. Terminator-only text
+    * yields no rows; abbreviation dots split (documented rule-based
+    * limitation — "Dr. Smith" is two sentences here, the standard
+    * trade of the regex tier). One narrow codegen'd
+    * extract+transform+filter+posexplode — no shuffle.
+    * Output: doc_id, sent_idx, sentence, n_tokens. */
+  def sentences(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), expr(
+        s"""filter(transform(regexp_extract_all(coalesce($textCol, ''),
+           | '[^.!?]+([.!?]+|$$)', 0), s -> trim(s)), s -> s != '')"""
+          .stripMargin.replace("\n", "")).as("ss"))
+      .select(col("doc_id"), posexplode(col("ss")))
+      .select(col("doc_id"), col("pos").cast("int").as("sent_idx"),
+        col("col").as("sentence"))
+      .withColumn("n_tokens", size(split(col("sentence"), " ")).cast("int"))
+
   /** Packing-efficiency report over a [[packSequences]] layout — the
     * number a pipeline owner actually watches: how many context
     * windows the corpus fills and how much of them is padding.

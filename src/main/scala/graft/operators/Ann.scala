@@ -74,6 +74,23 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** [[hardNegatives]] over a caller-provided scored shortlist — the
+    * corpus-scale path: over-fetch any retriever (an [[ivfTopK]] /
+    * [[pqTopK]] / [[bruteTopK]] frame with q_id, vec_id, sim) past k
+    * in-band survivors, then band-filter and re-rank here. Law
+    * (AnnSpec): over a shortlist that over-fetches enough,
+    * `hardNegativesFrom(shortlist) == hardNegatives` row for row. */
+  def hardNegativesFrom(shortlist: DataFrame, k: Int = 10,
+      dupT: Double = 0.9, minSim: Double = -1.0): DataFrame = {
+    require(minSim < dupT, "minSim must be below dupT")
+    shortlist.select(col("q_id"), col("vec_id"), col("sim"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .filter(col("sim") < dupT && col("sim") >= minSim)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+  }
+
   /** Assign each vector to its highest-cosine centroid (6dp rounding +
     * centroid-id tiebreak keeps the argmax engine-independent). */
   def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame = {

@@ -1147,6 +1147,29 @@ object PipelineInventory {
              |       (tok_end - 1) // 64 AS last_bin
              |FROM pk ORDER BY shard, tok_start, doc_id, chunk_idx""".stripMargin)),
 
+    // Rule-based sentence segmentation over punctuation planted around
+    // the fixture text (which itself carries none): leading sentence,
+    // the doc body as one long sentence, a bang and a question
+    // terminator, and an unterminated tail.
+    QueryDef("r72_sentences",
+      (s, d) => TextAnalysis.sentences(
+          T(s, d, "documents").select(col("doc_id"),
+            concat(lit("Intro words. "), coalesce(col("text"), lit("")),
+              lit("! Question part? trailing bit")).as("text")))
+        .orderBy("doc_id", "sent_idx"),
+      Some("""WITH aug AS (SELECT doc_id,
+             |    'Intro words. ' || COALESCE(text, '') || '! Question part? trailing bit' AS text
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |        [x FOR x IN [trim(y) FOR y IN regexp_extract_all(text, '[^.!?]+([.!?]+|$)')] IF x <> ''] AS ss
+             |      FROM aug),
+             |e AS (SELECT doc_id,
+             |        unnest([{'i': i, 'v': ss[i]} FOR i IN range(1, len(ss) + 1)]) AS z
+             |      FROM s)
+             |SELECT doc_id, CAST(z.i - 1 AS INT) AS sent_idx, z.v AS sentence,
+             |       CAST(len(string_split(z.v, ' ')) AS INT) AS n_tokens
+             |FROM e ORDER BY doc_id, sent_idx""".stripMargin)),
+
     // Packing-efficiency report over the p27 layout: per shard, bins
     // filled, padding tokens (only each shard's final partial bin
     // under concatenate-then-split), and boundary-straddling chunks.

@@ -578,6 +578,19 @@ class AnnSpec extends SparkSpec {
     assert(got == Seq((2L, 1), (3L, 2)))
   }
 
+  test("hardNegativesFrom over an over-fetched shortlist equals the direct form") {
+    val vecs = emb((0L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.33).toFloat, math.sin(i * 0.33).toFloat)): _*)
+    val q = vecs.filter(col("vec_id") < 2)
+    // over-fetch the whole corpus so the band can never run dry
+    val shortlist = Ann.bruteTopK(vecs, q, k = 19)
+    val a = Ann.hardNegativesFrom(shortlist, k = 4, dupT = 0.95, minSim = 0.0)
+      .select("q_id", "vec_id", "sim", "rn").collect().map(_.toSeq).toSet
+    val b = Ann.hardNegatives(vecs, q, k = 4, dupT = 0.95, minSim = 0.0)
+      .select("q_id", "vec_id", "sim", "rn").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("hardNegatives with the band wide open reproduces bruteTopK exactly") {
     val vecs = emb((0L to 9L).map(i =>
       i -> Seq(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)): _*)

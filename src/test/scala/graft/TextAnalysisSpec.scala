@@ -588,6 +588,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(norm.toSeq == Seq("mixed case"))
   }
 
+  test("sentences: terminator runs kept, empties dropped, indexes dense; edge docs yield nothing") {
+    val docs = Seq(
+      (1L, "One two. Three!! Four five? tail bit"),
+      (2L, "!!!"),          // terminators without content: nothing
+      (3L, ""),             // empty: nothing
+      (4L, null: String),   // null: nothing
+      (5L, "Dr. Smith went")) // documented rule-based limitation
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs)
+      .select("doc_id", "sent_idx", "sentence", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 0, "One two.", 2), (1L, 1, "Three!!", 1),
+      (1L, 2, "Four five?", 2), (1L, 3, "tail bit", 2),
+      (5L, 0, "Dr.", 1), (5L, 1, "Smith went", 2)))
+  }
+
   test("packingStats: exact-fit shard pads zero; partial final bin and straddlers counted") {
     // one 64-token chunk fills one ctx=64 bin exactly
     val exact = Seq((1L, 0, 64L)).toDF("doc_id", "chunk_idx", "n_tokens")
