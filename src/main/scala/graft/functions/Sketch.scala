@@ -285,4 +285,56 @@ object Sketch {
       .select("token").collect().map(_.getString(0)).toSeq
     certifiedTopK(tokens(docs, textCol), cand, missBound, k)
   }
+
+  /** Two-pass bounded-error quantiles WITHOUT a sort — the distributed
+    * answer when `percentile` (global sort-ish state per group) and
+    * `approx_percentile` (engine-specific sketch, not oracle-checkable)
+    * both misfit: pass 1 is one (min, max, count) aggregation, pass 2
+    * one partial-aggregable histogram onto ≤ `bins` rows, and every
+    * estimate is the midpoint of the bin holding rank ⌈q·n⌉ — error
+    * provably ≤ half the bin width ((max−min)/bins), SketchSpec-pinned
+    * against the exact percentile. Unlike a quantile SKETCH the
+    * summary here is a plain additive histogram: per-batch histograms
+    * sum cell-wise (the CMS/driftCounts mergeability), so the same
+    * two jobs work streamed or incrementally.
+    *
+    * Everything downstream of the two corpus passes runs over
+    * summary-sized frames (≤ bins rows; the rank join is qs × bins —
+    * broadcast, bounded); all arithmetic is IEEE-identical in the
+    * oracle engine, so the output is hash-exact, not approximately
+    * compared. Degenerate all-equal input collapses every bin to the
+    * single value. Output: q, rank, bin, blo, bhi, est (ordered). */
+  def histogramQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val mm = base.agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).cast("long").as("n"))
+    val counts = base.crossJoin(broadcast(mm))
+      .select(when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(lit(bins - 1),
+          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins)))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).cast("long").as("c"))
+    // ≤ bins rows: the empty-partition window is summary-sized by
+    // construction (the tokenBudgetSample bucket-summary precedent)
+    val cum = counts.withColumn("cum",
+      sum("c").over(Window.orderBy("bin")).cast("long"))
+    val ranks = qs.toDF("q").crossJoin(broadcast(mm))
+      .select(col("q"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rank"))
+    val pick = broadcast(ranks).join(cum, col("cum") >= col("rank"))
+      .groupBy("q", "rank").agg(min("bin").as("bin"))
+    pick.crossJoin(broadcast(mm))
+      .select(col("q"), col("rank"), col("bin"),
+        (col("lo") + col("bin") * ((col("hi") - col("lo")) / bins)).as("blo"),
+        (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / bins)).as("bhi"))
+      .withColumn("est", (col("blo") + col("bhi")) / 2)
+      .orderBy("q")
+  }
 }

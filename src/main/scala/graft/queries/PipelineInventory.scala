@@ -1147,6 +1147,35 @@ object PipelineInventory {
              |       (tok_end - 1) // 64 AS last_bin
              |FROM pk ORDER BY shard, tok_start, doc_id, chunk_idx""".stripMargin)),
 
+    // Two-pass histogram quantiles: bounded-error estimates without a
+    // sort or an engine-specific sketch — unlike r47's gated
+    // approx_percentile, hash-exact against the oracle because the
+    // histogram + midpoint arithmetic is IEEE-identical both sides.
+    QueryDef("r73_histogram_quantiles",
+      (s, d) => graft.functions.Sketch.histogramQuantiles(
+        T(s, d, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95), bins = 1024),
+      Some("""WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+             |           WHERE l_extendedprice IS NOT NULL),
+             |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM b),
+             |bn AS (SELECT CAST(CASE WHEN mm.hi = mm.lo THEN 0
+             |         ELSE LEAST(1023, FLOOR((v - lo) / (hi - lo) * 1024)) END AS INT) AS bin
+             |       FROM b CROSS JOIN mm),
+             |bc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM bn GROUP BY bin),
+             |cum AS (SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM bc),
+             |qs AS (SELECT CAST(q AS DOUBLE) AS q
+             |       FROM (VALUES (0.25), (0.5), (0.75), (0.95)) v(q)),
+             |rk AS (SELECT q, GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * mm.n) AS BIGINT)) AS rank
+             |       FROM qs CROSS JOIN mm),
+             |pick AS (SELECT rk.q, rk.rank, MIN(cum.bin) AS bin
+             |         FROM rk JOIN cum ON cum.cum >= rk.rank GROUP BY rk.q, rk.rank),
+             |edges AS (SELECT p.q, p.rank, p.bin,
+             |            lo + p.bin * ((hi - lo) / 1024) AS blo,
+             |            lo + (p.bin + 1) * ((hi - lo) / 1024) AS bhi
+             |          FROM pick p CROSS JOIN mm)
+             |SELECT q, rank, bin, blo, bhi, (blo + bhi) / 2 AS est
+             |FROM edges ORDER BY q""".stripMargin)),
+
     // Rule-based sentence segmentation over punctuation planted around
     // the fixture text (which itself carries none): leading sentence,
     // the doc body as one long sentence, a bang and a question

@@ -237,6 +237,9 @@ class PlanSpec extends SparkSpec {
       "r70_corpus_drift",   // two one-row totals (na, nb) broadcast
                             // onto the buckets-sized joined model —
                             // the p46 nt/nr shape
+      "r73_histogram_quantiles", // 1-row (min,max,n) + qs-row frames
+                            // broadcast-crossed with the ≤bins-row
+                            // summary; the rank theta-join is qs×bins
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

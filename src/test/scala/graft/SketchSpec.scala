@@ -131,4 +131,38 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getAs[Long]("cnt"), r.getAs[Int]("rn")))
     assert(rows.toSeq == Seq(("a", 2L, 1), ("b", 2L, 2), ("c", 1L, 3)))
   }
+
+  test("histogramQuantiles: every estimate within half a bin width of the exact percentile") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.95)
+    val got = Sketch.histogramQuantiles(li, "l_extendedprice", qs, bins = 512)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val mm = li.agg(min(col("l_extendedprice")).cast("double"),
+      max(col("l_extendedprice")).cast("double")).as[(Double, Double)].head()
+    val halfBin = (mm._2 - mm._1) / 512 / 2
+    val exact = li.selectExpr(
+      s"percentile(l_extendedprice, array(${qs.mkString(",")})) AS p")
+      .selectExpr("explode(p) AS p").as[Double].collect()
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(got(q) - ex) <= halfBin + 1e-9,
+        s"q=$q est=${got(q)} exact=$ex halfBin=$halfBin")
+    }
+    // estimates are monotone in q
+    val ordered = Sketch.histogramQuantiles(li, "l_extendedprice", qs, bins = 512)
+      .orderBy("q").select("est").as[Double].collect()
+    assert(ordered.sameElements(ordered.sorted))
+  }
+
+  test("histogramQuantiles: degenerate all-equal input and partition invariance") {
+    val const = Seq.fill(100)(42.5).toDF("x")
+    val c = Sketch.histogramQuantiles(const, "x", Seq(0.5, 1.0))
+      .select("est").as[Double].collect()
+    assert(c.forall(_ == 42.5))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val a = Sketch.histogramQuantiles(li, "l_extendedprice", Seq(0.5))
+      .collect().map(_.toSeq).toSeq
+    val b = Sketch.histogramQuantiles(li.repartition(7), "l_extendedprice", Seq(0.5))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
