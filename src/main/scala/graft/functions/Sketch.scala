@@ -304,6 +304,58 @@ object Sketch {
     * oracle engine, so the output is hash-exact, not approximately
     * compared. Degenerate all-equal input collapses every bin to the
     * single value. Output: q, rank, bin, blo, bhi, est (ordered). */
+  /** Per-group [[histogramQuantiles]] — the 100 TB answer for
+    * "p-th percentile of a CONTINUOUS metric per domain" (LM scores,
+    * latencies, prices), where the exact `percentile` aggregation's
+    * state is a counts-map of DISTINCT values and an unrounded double
+    * column makes that corpus-sized for a hot group. (The library's
+    * own exact-percentile users — qualityPrune, ccnetBuckets — stay
+    * exact deliberately: their scores are 4/6dp-rounded, so the state
+    * is bounded by construction. Reach for this form when the metric
+    * cannot be pre-rounded.) Same two corpus passes, keyed by group:
+    * per-group (min, max, n), then one (group, bin) histogram;
+    * everything downstream is ≤ groups × bins summary rows, the
+    * per-group window included. Groups with hi == lo collapse every
+    * estimate to the single value; a NULL group is its own group
+    * (null-safe join back, the qualityPrune rule).
+    * Output: group, q, rank, bin, blo, bhi, est (ordered). */
+  def histogramQuantilesBy(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).as("group"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val mm = base.groupBy("group").agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).cast("long").as("n"))
+      .withColumnRenamed("group", "mg")
+    val counts = base.join(broadcast(mm), col("group") <=> col("mg"))
+      .select(col("group"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins)))
+          .cast("int").as("bin"))
+      .groupBy("group", "bin").agg(count(lit(1)).cast("long").as("c"))
+    val cum = counts.withColumn("cum",
+      sum("c").over(Window.partitionBy("group").orderBy("bin")).cast("long"))
+    val ranks = qs.toDF("q").crossJoin(mm)
+      .select(col("mg"), col("q"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rank"))
+    val pick = broadcast(ranks)
+      .join(cum, col("mg") <=> col("group") && col("cum") >= col("rank"))
+      .groupBy("mg", "q", "rank").agg(min("bin").as("bin"))
+      .withColumnRenamed("mg", "pg")
+    pick.join(broadcast(mm), col("pg") <=> col("mg"))
+      .select(col("pg").as("group"), col("q"), col("rank"), col("bin"),
+        (col("lo") + col("bin") * ((col("hi") - col("lo")) / bins)).as("blo"),
+        (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / bins)).as("bhi"))
+      .withColumn("est", (col("blo") + col("bhi")) / 2)
+      .orderBy("group", "q")
+  }
+
   def histogramQuantiles(df: DataFrame, valueCol: String,
       qs: Seq[Double], bins: Int = 1024): DataFrame = {
     require(bins > 0, "bins must be positive")

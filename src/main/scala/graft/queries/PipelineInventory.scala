@@ -1176,6 +1176,37 @@ object PipelineInventory {
              |SELECT q, rank, bin, blo, bhi, (blo + bhi) / 2 AS est
              |FROM edges ORDER BY q""".stripMargin)),
 
+    // Grouped histogram quantiles: per-returnflag price quantiles, the
+    // bounded-error per-domain form for continuous metrics (exact
+    // percentile's counts-map state is distinct-values-sized).
+    QueryDef("r74_group_quantiles",
+      (s, d) => graft.functions.Sketch.histogramQuantilesBy(
+        T(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq(0.5, 0.9), bins = 256),
+      Some("""WITH b AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+             |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |mm AS (SELECT grp, MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM b GROUP BY grp),
+             |bn AS (SELECT b.grp, CAST(CASE WHEN mm.hi = mm.lo THEN 0
+             |         ELSE LEAST(255, FLOOR((v - lo) / (hi - lo) * 256)) END AS INT) AS bin
+             |       FROM b JOIN mm ON mm.grp = b.grp),
+             |bc AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS c FROM bn GROUP BY grp, bin),
+             |cum AS (SELECT grp, bin, c,
+             |          CAST(SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum
+             |        FROM bc),
+             |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9)) v(q)),
+             |rk AS (SELECT mm.grp, q, GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * mm.n) AS BIGINT)) AS rank
+             |       FROM qs CROSS JOIN mm),
+             |pick AS (SELECT rk.grp, rk.q, rk.rank, MIN(cum.bin) AS bin
+             |         FROM rk JOIN cum ON cum.grp = rk.grp AND cum.cum >= rk.rank
+             |         GROUP BY rk.grp, rk.q, rk.rank),
+             |edges AS (SELECT p.grp AS "group", p.q, p.rank, p.bin,
+             |            lo + p.bin * ((hi - lo) / 256) AS blo,
+             |            lo + (p.bin + 1) * ((hi - lo) / 256) AS bhi
+             |          FROM pick p JOIN mm ON mm.grp = p.grp)
+             |SELECT "group", q, rank, bin, blo, bhi, (blo + bhi) / 2 AS est
+             |FROM edges ORDER BY "group", q""".stripMargin)),
+
     // Rule-based sentence segmentation over punctuation planted around
     // the fixture text (which itself carries none): leading sentence,
     // the doc body as one long sentence, a bang and a question

@@ -240,6 +240,9 @@ class PlanSpec extends SparkSpec {
       "r73_histogram_quantiles", // 1-row (min,max,n) + qs-row frames
                             // broadcast-crossed with the ≤bins-row
                             // summary; the rank theta-join is qs×bins
+      "r74_group_quantiles", // the r73 shape keyed by group: qs ×
+                            // groups-row (min,max,n) cross, rank join
+                            // over the groups×bins summary
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

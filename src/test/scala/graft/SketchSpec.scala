@@ -153,6 +153,37 @@ class SketchSpec extends SparkSpec {
     assert(ordered.sameElements(ordered.sorted))
   }
 
+  test("histogramQuantilesBy: per-group error bound, group independence, null group kept") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val got = Sketch.histogramQuantilesBy(li, "l_returnflag",
+        "l_extendedprice", Seq(0.5), bins = 256)
+      .select("group", "est").as[(String, Double)].collect().toMap
+    val groups = li.select("l_returnflag").distinct().as[String].collect()
+    groups.foreach { g =>
+      val sub = li.filter(col("l_returnflag") === g)
+      val mm = sub.agg(min(col("l_extendedprice")).cast("double"),
+        max(col("l_extendedprice")).cast("double")).as[(Double, Double)].head()
+      val exact = sub.selectExpr("percentile(l_extendedprice, 0.5) AS p")
+        .as[Double].head()
+      val halfBin = (mm._2 - mm._1) / 256 / 2
+      assert(math.abs(got(g) - exact) <= halfBin + 1e-9,
+        s"group=$g est=${got(g)} exact=$exact")
+    }
+    // a per-group result equals running the ungrouped form on that
+    // group alone — groups never contaminate each other's bins
+    val one = Sketch.histogramQuantiles(
+        li.filter(col("l_returnflag") === groups.head),
+        "l_extendedprice", Seq(0.5), bins = 256)
+      .select("est").as[Double].head()
+    assert(got(groups.head) == one)
+    // null group is its own group, not dropped
+    val withNull = Seq(("a", 1.0), ("a", 3.0), (null: String, 10.0))
+      .toDF("g", "x")
+    val n = Sketch.histogramQuantilesBy(withNull, "g", "x", Seq(1.0), bins = 4)
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Double]("est")).toMap
+    assert(n.contains(None) && n(None) == 10.0)
+  }
+
   test("histogramQuantiles: degenerate all-equal input and partition invariance") {
     val const = Seq.fill(100)(42.5).toDF("x")
     val c = Sketch.histogramQuantiles(const, "x", Seq(0.5, 1.0))
