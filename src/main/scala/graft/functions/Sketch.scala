@@ -304,6 +304,57 @@ object Sketch {
     * oracle engine, so the output is hash-exact, not approximately
     * compared. Degenerate all-equal input collapses every bin to the
     * single value. Output: q, rank, bin, blo, bhi, est (ordered). */
+  /** Value-bin histogram of a column against FIXED bounds — the
+    * additive summary behind [[histogramQuantiles]], exposed for
+    * incremental/streamed use: with (lo, hi) frozen (from a reference
+    * corpus or domain knowledge), per-batch histograms sum cell-wise
+    * into the corpus-lifetime histogram, exactly like the CMS and
+    * driftCounts summaries. Values outside [lo, hi] clamp into the
+    * edge bins (a streamed batch may exceed the reference range; the
+    * clamp keeps the summary total equal to the row count, at the
+    * documented cost of edge-bin error). Output: bin, c. */
+  def valueHistogram(df: DataFrame, valueCol: String, lo: Double,
+      hi: Double, bins: Int = 1024): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(lo <= hi, "lo must not exceed hi")
+    val v = col(valueCol).cast("double")
+    df.select(v.as("v")).filter(col("v").isNotNull)
+      .select(when(lit(hi) === lit(lo), lit(0))
+        .otherwise(greatest(lit(0), least(lit(bins - 1),
+          floor((col("v") - lo) / (lit(hi) - lo) * bins))))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** Quantile estimates from a (bin, c) [[valueHistogram]] under the
+    * same fixed (lo, hi) bounds — the read side of the streamed /
+    * incremental quantile monitor. Estimates match
+    * [[histogramQuantiles]] whenever (lo, hi) equal the data's true
+    * min/max (SketchSpec law). */
+  def quantilesFromHistogram(hist: DataFrame, lo: Double, hi: Double,
+      qs: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val h = hist.select(col("bin").cast("int").as("bin"),
+      col("c").cast("long").as("c"))
+    val n = h.agg(sum("c").cast("long").as("n"))
+    val cum = h.groupBy("bin").agg(sum("c").cast("long").as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("bin")).cast("long"))
+    val ranks = qs.toDF("q").crossJoin(broadcast(n))
+      .select(col("q"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rank"))
+    broadcast(ranks).join(cum, col("cum") >= col("rank"))
+      .groupBy("q", "rank").agg(min("bin").as("bin"))
+      .select(col("q"), col("rank"), col("bin"),
+        (lit(lo) + col("bin") * ((lit(hi) - lo) / bins)).as("blo"),
+        (lit(lo) + (col("bin") + 1) * ((lit(hi) - lo) / bins)).as("bhi"))
+      .withColumn("est", (col("blo") + col("bhi")) / 2)
+      .orderBy("q")
+  }
+
   /** Per-group [[histogramQuantiles]] — the 100 TB answer for
     * "p-th percentile of a CONTINUOUS metric per domain" (LM scores,
     * latencies, prices), where the exact `percentile` aggregation's

@@ -1078,6 +1078,32 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming quantile monitor: each micro-batch reduces to its
+    * fixed-bounds `Sketch.valueHistogram` (≤ bins rows, additive —
+    * the driftCounts discipline) landed as a per-batch-id OVERWRITE
+    * partition. The monitoring job sums the landed cells and calls
+    * `Sketch.quantilesFromHistogram` under the SAME frozen (lo, hi) —
+    * streamed == one-shot whenever the bounds hold (spec law);
+    * out-of-range values clamp into edge bins by design. */
+  def histogramIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, histDir: String, checkpoint: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int = 1024,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.functions.Sketch.valueHistogram(batch, valueCol, lo, hi, bins)
+          .write.mode("overwrite").parquet(s"$histDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming drift monitor: each micro-batch of documents reduces to
     * its `Quality.driftCounts` bucket summary (≤ buckets rows — the
     * exchange is summary-sized regardless of batch bytes) landed as a

@@ -184,6 +184,37 @@ class SketchSpec extends SparkSpec {
     assert(n.contains(None) && n(None) == 10.0)
   }
 
+  test("valueHistogram/quantilesFromHistogram: merge law and equality with the one-shot form") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val mm = li.agg(min(col("l_extendedprice")).cast("double"),
+      max(col("l_extendedprice")).cast("double")).as[(Double, Double)].head()
+    val (lo, hi) = mm
+    // per-half histograms sum cell-wise to the whole-corpus histogram
+    val h1 = Sketch.valueHistogram(
+      li.filter(col("l_orderkey") % 2 === 0), "l_extendedprice", lo, hi, 256)
+    val h2 = Sketch.valueHistogram(
+      li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice", lo, hi, 256)
+    val merged = h1.unionByName(h2).groupBy("bin")
+      .agg(sum("c").cast("long").as("c"))
+    val whole = Sketch.valueHistogram(li, "l_extendedprice", lo, hi, 256)
+    assert(merged.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      whole.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+    // with (lo, hi) = the true min/max, the fixed-bounds read side
+    // reproduces histogramQuantiles row for row
+    val qs = Seq(0.25, 0.5, 0.9)
+    val a = Sketch.quantilesFromHistogram(merged, lo, hi, qs, 256)
+      .collect().map(_.toSeq).toSeq
+    val b = Sketch.histogramQuantiles(li, "l_extendedprice", qs, 256)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // out-of-range values clamp into edge bins, never drop
+    val clamped = Sketch.valueHistogram(
+      Seq(lo - 100, hi + 100, (lo + hi) / 2).toDF("x"), "x", lo, hi, 8)
+    assert(clamped.agg(sum("c")).as[Long].head() == 3L)
+    val bins = clamped.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(bins(0) >= 1L && bins(7) >= 1L)
+  }
+
   test("histogramQuantiles: degenerate all-equal input and partition invariance") {
     val const = Seq.fill(100)(42.5).toDF("x")
     val c = Sketch.histogramQuantiles(const, "x", Seq(0.5, 1.0))

@@ -808,6 +808,32 @@ class StreamingSpec extends SparkSpec {
     assert(summed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
   }
 
+  test("STHQ: streamed histograms sum to the one-shot quantiles; replay clean") {
+    val src = tmp("sthq-src"); val out = tmp("sthq-out"); val ck = tmp("sthq-ck")
+    val b1 = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val b2 = (51L to 80L).map(i => (i, i.toDouble)).toDF("id", "x")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    // frozen bounds from "domain knowledge" covering both batches
+    Ingest.histogramIngestStream(spark, b1.schema, src, out, ck,
+      "x", lo = 1.0, hi = 80.0, bins = 64)
+    def merged = spark.read.parquet(out)
+      .groupBy("bin").agg(sum("c").cast("long").as("c"))
+    val streamed = graft.functions.Sketch
+      .quantilesFromHistogram(merged, 1.0, 80.0, Seq(0.5, 0.9), bins = 64)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = graft.functions.Sketch.quantilesFromHistogram(
+        graft.functions.Sketch.valueHistogram(
+          b1.unionByName(b2), "x", 1.0, 80.0, bins = 64),
+        1.0, 80.0, Seq(0.5, 0.9), bins = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // replay lands nothing twice
+    Ingest.histogramIngestStream(spark, b1.schema, src, out, ck,
+      "x", lo = 1.0, hi = 80.0, bins = 64)
+    assert(merged.agg(sum("c")).as[Long].head() == 80L)
+  }
+
   test("STB25: streamed BM25 ingest == one-shot batch index; replay never double-counts df") {
     val src = tmp("stb25-src"); val idx = tmp("stb25-idx"); val ck = tmp("stb25-ck")
     val b1 = Seq((1L, "the zebra runs far today"),
