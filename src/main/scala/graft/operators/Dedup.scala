@@ -1192,4 +1192,59 @@ object Dedup {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .withColumn("kept", col("n_matches") === 0L)
   }
+
+  /** C4-style duplicated-span removal ("we removed any three-sentence
+    * span occurring more than once in the dataset", Raffel et al.
+    * §2.2) at sentence granularity: every n-sentence sliding span is
+    * hashed; the FIRST occurrence corpus-wide (lexicographic min
+    * (doc_id, start)) keeps its sentences, every other occurrence's n
+    * sentences are removed — including re-occurrences inside the same
+    * document. Complements [[passageDedup]] (paragraph keep-first) and
+    * [[cdcChunkDedup]] (byte-window keep-first): the span unit here is
+    * the SENTENCE, so reflowed/re-wrapped copies that break paragraph
+    * and chunk boundaries still collide.
+    *
+    * Scale shape: sentence segmentation is a narrow map
+    * (`TextAnalysis.sentences`); spans per doc = sentences − n + 1
+    * built from ONE per-doc sorted collect (doc-keyed, never
+    * corpus-wide); ownership is one span-hash-keyed partial-aggregable
+    * `min(struct)`; the removal marks fan back doc-keyed and
+    * reassembly is the [[passageReassemble]] shape. No window over the
+    * corpus anywhere. Docs with no sentences emit nothing (nothing to
+    * dedup); docs shorter than n sentences pass through whole.
+    * Output: doc_id, n_sent, n_kept, clean_text. */
+  def spanDedup(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "span length must be positive")
+    val sents = graft.functions.TextAnalysis.sentences(docs, idCol, textCol)
+      .select(col("doc_id"), col("sent_idx"), col("sentence"))
+    val perDoc = sents.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("sent_idx"), col("sentence"))))
+        .as("ss"))
+    val spans = perDoc.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ss) >= $n THEN
+           | transform(sequence(0, size(ss) - $n), i -> named_struct(
+           |   'start', i,
+           |   'h', md5(array_join(transform(sequence(1, $n),
+           |      j -> element_at(ss, i + j).sentence), '\\u0001'))))
+           | ELSE array() END""".stripMargin.replace("\n", " "))).as("z"))
+      .select(col("doc_id"), col("z.start").as("start"), col("z.h").as("h"))
+    val owner = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("start"))).as("o"))
+    val removed = spans.join(owner, "h")
+      .filter(!(col("doc_id") === col("o.doc_id") &&
+        col("start") === col("o.start")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${n - 1})")).as("sent_idx"))
+      .distinct()
+    val flagged = sents
+      .join(removed.withColumn("rm", lit(true)),
+        Seq("doc_id", "sent_idx"), "left")
+      .select(col("doc_id"), col("sent_idx").as("p_idx"),
+        col("sentence").as("passage"), col("rm").isNull.as("kept"),
+        lit(" ").as("sep"))
+    passageReassemble(flagged)
+      .select(col("doc_id"), col("n_pass").as("n_sent"),
+        col("n_kept"), col("clean_text"))
+  }
 }

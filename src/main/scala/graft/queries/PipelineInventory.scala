@@ -1176,6 +1176,54 @@ object PipelineInventory {
              |SELECT q, rank, bin, blo, bhi, (blo + bhi) / 2 AS est
              |FROM edges ORDER BY q""".stripMargin)),
 
+    // C4 duplicated-span removal at sentence granularity: all even
+    // docs share a leading 3-sentence block — the min-id occurrence
+    // keeps it, every other even doc is reduced to its unique tail
+    // sentence; odd docs (1 sentence, no spans) pass through whole.
+    QueryDef("p60_span_dedup",
+      (s, d) => {
+        val aug = T(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("Shared one. Shared two. Shared three. Unique "),
+              col("doc_id").cast("string"), lit(" tail")))
+            .otherwise(concat(lit("Only sentence "),
+              col("doc_id").cast("string"), lit("."))).as("text"))
+        Dedup.spanDedup(aug, n = 3).orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN 'Shared one. Shared two. Shared three. Unique ' || CAST(doc_id AS VARCHAR) || ' tail'
+             |      ELSE 'Only sentence ' || CAST(doc_id AS VARCHAR) || '.' END AS text
+             |  FROM documents),
+             |sl AS (SELECT doc_id,
+             |         [x FOR x IN [trim(y) FOR y IN regexp_extract_all(text, '[^.!?]+([.!?]+|$)')] IF x <> ''] AS ss
+             |       FROM aug),
+             |spn AS (SELECT doc_id, z.st AS st, z.h AS h FROM (
+             |    SELECT doc_id,
+             |      unnest([{'st': i - 1, 'h': md5(array_to_string(ss[i:i+2], chr(1)))}
+             |              FOR i IN range(1, len(ss) - 1)]) AS z
+             |    FROM sl WHERE len(ss) >= 3) t),
+             |o1 AS (SELECT h, MIN(doc_id) AS od FROM spn GROUP BY h),
+             |o2 AS (SELECT spn.h, o1.od, MIN(spn.st) AS os
+             |       FROM spn JOIN o1 ON o1.h = spn.h AND spn.doc_id = o1.od
+             |       GROUP BY spn.h, o1.od),
+             |rm AS (SELECT DISTINCT doc_id, sent_idx FROM (
+             |    SELECT s.doc_id, unnest([s.st + j FOR j IN [0, 1, 2]]) AS sent_idx
+             |    FROM spn s JOIN o2 ON o2.h = s.h
+             |    WHERE NOT (s.doc_id = o2.od AND s.st = o2.os)) t),
+             |idx AS (SELECT doc_id,
+             |          unnest([{'i': i - 1, 's': ss[i]} FOR i IN range(1, len(ss) + 1)]) AS z
+             |        FROM sl),
+             |sen AS (SELECT doc_id, CAST(z.i AS INT) AS sent_idx, z.s AS sentence FROM idx),
+             |fl AS (SELECT sen.doc_id, sen.sent_idx, sen.sentence,
+             |         rm.doc_id IS NULL AS kept
+             |       FROM sen LEFT JOIN rm
+             |         ON rm.doc_id = sen.doc_id AND rm.sent_idx = sen.sent_idx)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sent,
+             |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN kept THEN sentence END, ' ' ORDER BY sent_idx), '') AS clean_text
+             |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Grouped histogram quantiles: per-returnflag price quantiles, the
     // bounded-error per-domain form for continuous metrics (exact
     // percentile's counts-map state is distinct-values-sized).

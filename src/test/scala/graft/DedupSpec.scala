@@ -623,4 +623,45 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 2L, "line a\nline b")))
     assert(got(5L) == ((1L, 1L, "")))             // stay-visible rule
   }
+
+  test("spanDedup: first corpus occurrence keeps the span, later ones lose its sentences") {
+    val docs = Seq(
+      (1L, "Alpha one. Beta two. Gamma three. Own tail one"),
+      (2L, "Alpha one. Beta two. Gamma three. Own tail two"),
+      (3L, "Too short. Only two"),                         // < n: whole
+      (5L, "Alpha one. Beta two. Gamma three."))           // ALL removed
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((4L, 4L,
+      "Alpha one. Beta two. Gamma three. Own tail one")))  // owner intact
+    assert(got(2L) == ((4L, 1L, "Own tail two")))          // span stripped
+    assert(got(3L) == ((2L, 2L, "Too short. Only two")))
+    assert(got(5L) == ((3L, 0L, "")))                      // stay-visible rule
+  }
+
+  test("spanDedup removes a span re-occurring INSIDE one document") {
+    val docs = Seq(
+      (1L, "A b. C d. E f. A b. C d. E f."))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, n = 3).head()
+    // 6 sentences; spans at starts 0..3; the start-3 occurrence of
+    // (A b, C d, E f) is a duplicate of start 0 — its 3 sentences go.
+    // Starts 1 and 2 are unique spans but their sentences 3,4,5 are
+    // already marked, and sentences 0,1,2 stay with the owner.
+    assert(got.getLong(1) == 6L && got.getLong(2) == 3L)
+    assert(got.getString(3) == "A b. C d. E f.")
+  }
+
+  test("spanDedup: docs without sentences emit nothing; n=1 degenerates to exact sentence dedup") {
+    val docs = Seq((1L, ""), (2L, "Same. Same. Different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, n = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(!out.contains(1L))
+    // n=1: the second "Same." is a duplicate span of the first
+    assert(out(2L) == ((3L, 2L, "Same. Different")))
+  }
 }
