@@ -26,7 +26,7 @@ import graft.pipelines.Curate
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
   *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi,
-  *   url,drift
+  *   url,drift,span
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -41,7 +41,7 @@ object Stress {
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
     "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
-    "url", "drift")
+    "url", "drift", "span")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -247,6 +247,17 @@ object Stress {
         // constant in n
         graft.operators.Quality.corpusDrift(docs,
           docs.filter(col("doc_id") % 3 =!= 0), buckets = 4096)
+      case "span" =>
+        // C4 sentence-span dedup over docs with planted punctuation
+        // (the generator corpus carries none) and a shared leading
+        // block on a third of the docs — the claim under test is
+        // linear span hashing + one span-keyed owner agg
+        val punct = docs.withColumn("text", concat(
+          when(col("doc_id") % 3 === 0,
+            lit("Shared span one. Shared span two. Shared span three. "))
+            .otherwise(lit("")),
+          regexp_replace(col("text"), lit(" (the|a) "), lit(". "))))
+        graft.operators.Dedup.spanDedup(punct, n = 3)
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
