@@ -377,6 +377,55 @@ object TextAnalysis {
         expr(s"(tok_end - 1) DIV $ctxTokens").as("last_bin"))
   }
 
+  /** Per-document character-distribution Shannon entropy (nats) — the
+    * quality signal that separates gibberish from language at the
+    * cheapest possible granularity: natural text sits in a narrow
+    * entropy band, base64/hex blobs and key-mash sit high, repeated-
+    * character padding sits near zero. Complements [[repetition]]
+    * (token-level) and [[gopherRepetition]] (line/n-gram level) below
+    * the token: a doc of one repeated CHARACTER fools neither but
+    * shows up here first.
+    *
+    * Mechanics: one char explode (the token-explode shape, work ∝
+    * corpus characters), a (doc, char)-keyed partial-aggregable count
+    * (distinct chars per doc ≤ the alphabet, so the per-doc state is
+    * tiny), then `H = −Σ (c/n)·ln(c/n)` with the dsir determinism
+    * discipline — exact-int divisions, each ln 6dp-rounded, the
+    * per-doc sum an ascending sorted fold, the total rounded 6dp.
+    * Null/empty text keeps a visible row (n_chars 0, entropy null).
+    * Output: doc_id, n_chars, n_distinct, entropy. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    // The empty guard is load-bearing: Spark's sequence(1, 0) infers
+    // step -1 and yields [1, 0] — two phantom substr('') chars per
+    // empty doc without it (caught by TextAnalysisSpec).
+    val chars = docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN length(t) = 0 THEN array() " +
+          "ELSE transform(sequence(1, length(t)), i -> substr(t, i, 1)) END"))
+        .as("ch"))
+    val counts = chars.groupBy("doc_id", "ch")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val n = counts.groupBy("doc_id").agg(
+      sum("c").cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_distinct"))
+    val terms = counts.join(n, "doc_id")
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        ((col("c").cast("double") / col("n")) *
+          round(log(col("c").cast("double") / col("n")), 6)).as("term"))
+      .groupBy("doc_id", "n", "n_distinct")
+      .agg(round(-aggregate(sort_array(collect_list(col("term"))),
+        lit(0d), _ + _), 6).as("entropy"))
+    // empty/null docs emit no char rows — restore them visibly
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(terms, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("entropy"))
+  }
+
   /** Rule-based sentence segmentation — the unit below [[chunk]]'s
     * token windows: CCNet-family pipelines dedup and score at
     * sentence/paragraph granularity, and sentence boundaries are what

@@ -1176,6 +1176,27 @@ object PipelineInventory {
              |SELECT q, rank, bin, blo, bhi, (blo + bhi) / 2 AS est
              |FROM edges ORDER BY q""".stripMargin)),
 
+    // Character-distribution entropy (nats): the below-the-token
+    // quality signal — gibberish high, repeated-char padding near 0.
+    QueryDef("r75_char_entropy",
+      (s, d) => TextAnalysis.charEntropy(T(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+              |ch AS (SELECT doc_id, unnest([t[i] FOR i IN range(1, len(t) + 1)]) AS ch FROM d),
+              |c AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, ch),
+              |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+              |        CAST(COUNT(*) AS BIGINT) AS n_distinct FROM c GROUP BY doc_id),
+              |tm AS (SELECT c.doc_id, n.n, n.n_distinct,
+              |         (c.c::DOUBLE / n.n) * ${rrepr("ln(c.c::DOUBLE / n.n)", 6)} AS term
+              |       FROM c JOIN n ON n.doc_id = c.doc_id),
+              |e AS (SELECT doc_id, n, n_distinct,
+              |        ${rrepr("-list_reduce(list_sort(list(term)), (x, y) -> x + y)", 6)} AS entropy
+              |      FROM tm GROUP BY doc_id, n, n_distinct)
+              |SELECT d2.doc_id, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_chars,
+              |       CAST(COALESCE(e.n_distinct, 0) AS BIGINT) AS n_distinct, e.entropy
+              |FROM (SELECT DISTINCT doc_id FROM documents) d2 LEFT JOIN e USING (doc_id)
+              |ORDER BY d2.doc_id""".stripMargin)),
+
     // C4 duplicated-span removal at sentence granularity: all even
     // docs share a leading 3-sentence block — the min-id occurrence
     // keeps it, every other even doc is reduced to its unique tail

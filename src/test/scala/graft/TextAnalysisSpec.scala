@@ -588,6 +588,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(norm.toSeq == Seq("mixed case"))
   }
 
+  test("charEntropy: uniform maxes at ln(k), constants hit zero, gibberish above prose") {
+    val docs = Seq(
+      (1L, "abcd"),        // uniform over 4 chars: H = ln 4
+      (2L, "aaaa"),        // one char: H = 0
+      (3L, "the cat sat on the mat and the cat sat"), // prose-ish
+      (4L, "qz9@Qx#7Lw!2Vb$5"),                       // key-mash
+      (5L, ""), (6L, null: String))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs)
+      .select("doc_id", "n_chars", "n_distinct", "entropy")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 4L)
+    assert(math.abs(got(1L)._3.get - math.log(4)) < 1e-4)
+    assert(got(2L)._3.contains(0.0))
+    // the key-mash (all-distinct chars) carries more entropy than the
+    // repetitive prose
+    assert(got(4L)._3.get > got(3L)._3.get)
+    // empty/null keep a visible row with null entropy
+    assert(got(5L) == ((0L, 0L, None)) && got(6L) == ((0L, 0L, None)))
+  }
+
   test("sentences: terminator runs kept, empties dropped, indexes dense; edge docs yield nothing") {
     val docs = Seq(
       (1L, "One two. Three!! Four five? tail bit"),
