@@ -259,14 +259,34 @@ object TextAnalysis {
     * arabic). Counting is length-minus-stripped-length — one narrow
     * codegen'd projection, no explode, no shuffle.
     * Output: doc_id, n_chars, n_<script>×4, <script>_frac×4, script. */
+  /** The explicit code-point ranges [[scriptProfile]] counts, in
+    * tie-break order. */
+  private val scriptRanges = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\u0400-\\u04ff]",
+    "cjk" -> "[\\u3040-\\u30ff\\u4e00-\\u9fff]",
+    "arabic" -> "[\\u0600-\\u06ff]")
+
+  /** Dominant script of one string column (the [[scriptProfile]]
+    * verdict as a reusable expression): argmax of the range counts,
+    * 'und' when none occur, ties in [[scriptRanges]] order. One
+    * codegen'd chain of length-diff counts — usable per sentence, per
+    * field, anywhere a narrow map fits. */
+  def scriptOf(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    def cnt(re: String) = length(t) - length(regexp_replace(t, re, ""))
+    val counts = scriptRanges.map { case (nm, re) => nm -> cnt(re) }
+    val best = greatest(counts.map(_._2): _*)
+    when(best === 0, lit("und")).otherwise(
+      counts.init.foldLeft(when(lit(false), lit("")): Column) {
+        case (e, (nm, c)) => e.when(c === best, nm)
+      }.otherwise(counts.last._1))
+  }
+
   def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val scripts = Seq(
-      "latin" -> "[A-Za-z]",
-      "cyrillic" -> "[\\u0400-\\u04ff]",
-      "cjk" -> "[\\u3040-\\u30ff\\u4e00-\\u9fff]",
-      "arabic" -> "[\\u0600-\\u06ff]")
+    val scripts = scriptRanges
     val counts = scripts.map { case (nm, re) =>
       (length(t) - length(regexp_replace(t, re, ""))).cast("long").as(s"n_$nm")
     }
@@ -375,6 +395,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx"), col("shard"), col("tok_start"),
         expr(s"tok_start DIV $ctxTokens").as("first_bin"),
         expr(s"(tok_end - 1) DIV $ctxTokens").as("last_bin"))
+  }
+
+  /** Per-sentence script consistency — the mixed-language /
+    * code-switch detector multilingual pipelines gate on (a doc whose
+    * sentences alternate writing systems is usually boilerplate soup,
+    * scraped navigation, or interleaved translations — all poison for
+    * a monolingual training split even when the DOC-level vote looks
+    * clean). Each [[sentences sentence]] gets its [[scriptOf]]
+    * verdict; the report compares them against the whole-doc verdict.
+    *
+    * One sentence explode + one doc-keyed aggregation — corpus-linear.
+    * 'und' sentences (digits/punctuation only) count toward n_sent
+    * but never toward n_scripts or the mismatch (no evidence either
+    * way). Docs with no sentences emit nothing (the [[sentences]]
+    * contract). Output: doc_id, doc_script, n_sent, n_scripts,
+    * n_match, consistency (4dp), mixed. */
+  def scriptConsistency(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      scriptOf(col(textCol)).as("doc_script"))
+    sentences(docs, idCol, textCol)
+      .withColumn("script", scriptOf(col("sentence")))
+      .join(base, "doc_id")
+      .groupBy("doc_id", "doc_script")
+      .agg(count(lit(1)).cast("long").as("n_sent"),
+        count_distinct(when(col("script") =!= "und", col("script")))
+          .cast("long").as("n_scripts"),
+        sum(when(col("script") === col("doc_script") ||
+          col("script") === "und", 1L).otherwise(0L))
+          .cast("long").as("n_match"))
+      .select(col("doc_id"), col("doc_script"), col("n_sent"),
+        col("n_scripts"), col("n_match"),
+        round(col("n_match").cast("double") / col("n_sent"), 4)
+          .as("consistency"),
+        (col("n_scripts") > 1).as("mixed"))
   }
 
   /** Per-document character-distribution Shannon entropy (nats) — the

@@ -1176,6 +1176,61 @@ object PipelineInventory {
              |SELECT q, rank, bin, blo, bhi, (blo + bhi) / 2 AS est
              |FROM edges ORDER BY q""".stripMargin)),
 
+    // Per-sentence script consistency: docs with doc_id%3==0 plant a
+    // Cyrillic sentence inside English (mixed), %3==2 an 'und'
+    // digits-only sentence (counts to n_sent, never to n_scripts or
+    // the mismatch), %3==1 stays pure.
+    QueryDef("r76_script_consistency", {
+      (s, d) => {
+        val aug = T(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            lit("English words here. привет мир сегодня. More english follows"))
+            .when(col("doc_id") % 3 === 1,
+              lit("Plain english one. Plain english two"))
+            .otherwise(lit("Some words first. 123 456. Tail words"))
+            .as("text"))
+        TextAnalysis.scriptConsistency(aug).orderBy("doc_id")
+      }},
+      Some {
+        def cnts(src: String) = Seq(
+          "l" -> "[A-Za-z]", "cy" -> "[\\x{0400}-\\x{04ff}]",
+          "ck" -> "[\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}]",
+          "ar" -> "[\\x{0600}-\\x{06ff}]").map { case (nm, re) =>
+          s"len($src) - len(regexp_replace($src, '$re', '', 'g')) AS $nm"
+        }.mkString(",\n        ")
+        val g = "GREATEST(l, cy, ck, ar)"
+        val cse = s"""CASE WHEN $g = 0 THEN 'und'
+                     |     WHEN l = $g THEN 'latin'
+                     |     WHEN cy = $g THEN 'cyrillic'
+                     |     WHEN ck = $g THEN 'cjk' ELSE 'arabic' END""".stripMargin
+        s"""WITH aug AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+           |    WHEN 0 THEN 'English words here. привет мир сегодня. More english follows'
+           |    WHEN 1 THEN 'Plain english one. Plain english two'
+           |    ELSE 'Some words first. 123 456. Tail words' END AS text
+           |  FROM documents),
+           |dcnt AS (SELECT doc_id,
+           |        ${cnts("text")}
+           |       FROM aug),
+           |doc AS (SELECT doc_id, $cse AS doc_script FROM dcnt),
+           |sl AS (SELECT doc_id,
+           |         [x FOR x IN [trim(y) FOR y IN regexp_extract_all(text, '[^.!?]+([.!?]+|$$)')] IF x <> ''] AS ss
+           |       FROM aug),
+           |sen AS (SELECT doc_id, unnest(ss) AS s FROM sl),
+           |scnt AS (SELECT doc_id,
+           |        ${cnts("s")}
+           |       FROM sen),
+           |ssc AS (SELECT doc_id, $cse AS script FROM scnt),
+           |agg AS (SELECT ssc.doc_id, d.doc_script,
+           |    CAST(COUNT(*) AS BIGINT) AS n_sent,
+           |    CAST(COUNT(DISTINCT CASE WHEN script <> 'und' THEN script END) AS BIGINT) AS n_scripts,
+           |    CAST(SUM(CASE WHEN script = d.doc_script OR script = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           |  FROM ssc JOIN doc d USING (doc_id) GROUP BY ssc.doc_id, d.doc_script)
+           |SELECT doc_id, doc_script, n_sent, n_scripts, n_match,
+           |  ${rrepr("CAST(n_match AS DOUBLE) / n_sent", 4)} AS consistency,
+           |  n_scripts > 1 AS mixed
+           |FROM agg ORDER BY doc_id""".stripMargin
+      }),
+
     // Character-distribution entropy (nats): the below-the-token
     // quality signal — gibberish high, repeated-char padding near 0.
     QueryDef("r75_char_entropy",

@@ -588,6 +588,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(norm.toSeq == Seq("mixed case"))
   }
 
+  test("scriptConsistency flags code-switched docs; und sentences are neutral evidence") {
+    val docs = Seq(
+      (1L, "Pure english one. Pure english two."),
+      (2L, "English opening here. привет мир сегодня. English closing now."),
+      (3L, "Words first. 123 456. Words last."),   // und middle sentence
+      (4L, "привет мир. 你好世界. مرحبا بالعالم."))  // three-way mix
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptConsistency(docs)
+      .select("doc_id", "doc_script", "n_sent", "n_scripts", "n_match", "mixed")
+      .as[(Long, String, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "latin", 2L, 1L, 2L, false)))
+    assert(got(2L) == ((2L, "latin", 3L, 2L, 2L, true)))
+    // the und sentence counts to n_sent, matches by neutrality, and
+    // never inflates n_scripts
+    assert(got(3L) == ((3L, "latin", 3L, 1L, 3L, false)))
+    assert(got(4L)._4 == 3L && got(4L)._6)
+  }
+
   test("charEntropy: uniform maxes at ln(k), constants hit zero, gibberish above prose") {
     val docs = Seq(
       (1L, "abcd"),        // uniform over 4 chars: H = ln 4
