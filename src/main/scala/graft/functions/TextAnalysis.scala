@@ -444,9 +444,18 @@ object TextAnalysis {
     * Mechanics: one char explode (the token-explode shape, work ∝
     * corpus characters), a (doc, char)-keyed partial-aggregable count
     * (distinct chars per doc ≤ the alphabet, so the per-doc state is
-    * tiny), then `H = −Σ (c/n)·ln(c/n)` with the dsir determinism
-    * discipline — exact-int divisions, each ln 6dp-rounded, the
-    * per-doc sum an ascending sorted fold, the total rounded 6dp.
+    * tiny), then ONE doc-keyed aggregation carrying n, n_distinct AND
+    * the per-doc count list — the entropy
+    * `H = −Σ (c/n)·ln(c/n)` is computed from that alphabet-bounded
+    * array in place, with the dsir determinism discipline —
+    * exact-int divisions, each ln 6dp-rounded, the per-doc sum an
+    * ascending sorted fold, the total rounded 6dp. (A first version
+    * derived n in a SEPARATE aggregation joined back onto the counts:
+    * Spark's ReuseExchange collapsed only one of the duplicate
+    * subtrees, so the corpus char explode ran twice — PlanProbe read 5
+    * documents FileScans. Folding n into the counts rollup halves the
+    * corpus passes; the term arithmetic is unchanged expression for
+    * expression, so the digest is identical.)
     * Null/empty text keeps a visible row (n_chars 0, entropy null).
     * Output: doc_id, n_chars, n_distinct, entropy. */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
@@ -462,16 +471,16 @@ object TextAnalysis {
         .as("ch"))
     val counts = chars.groupBy("doc_id", "ch")
       .agg(count(lit(1)).cast("long").as("c"))
-    val n = counts.groupBy("doc_id").agg(
+    val perDoc = counts.groupBy("doc_id").agg(
       sum("c").cast("long").as("n"),
-      count(lit(1)).cast("long").as("n_distinct"))
-    val terms = counts.join(n, "doc_id")
+      count(lit(1)).cast("long").as("n_distinct"),
+      collect_list(col("c")).as("cs"))
+    val terms = perDoc
       .select(col("doc_id"), col("n"), col("n_distinct"),
-        ((col("c").cast("double") / col("n")) *
-          round(log(col("c").cast("double") / col("n")), 6)).as("term"))
-      .groupBy("doc_id", "n", "n_distinct")
-      .agg(round(-aggregate(sort_array(collect_list(col("term"))),
-        lit(0d), _ + _), 6).as("entropy"))
+        round(-aggregate(sort_array(transform(col("cs"), c =>
+          (c.cast("double") / col("n")) *
+            round(log(c.cast("double") / col("n")), 6))),
+          lit(0d), _ + _), 6).as("entropy"))
     // empty/null docs emit no char rows — restore them visibly
     docs.select(col(idCol).as("doc_id")).distinct()
       .join(terms, Seq("doc_id"), "left")
