@@ -406,6 +406,11 @@ object TextAnalysis {
     * verdict; the report compares them against the whole-doc verdict.
     *
     * One sentence explode + one doc-keyed aggregation — corpus-linear.
+    * The doc-level verdict is computed in the SAME projection that
+    * builds the sentence array and carried through the explode, so the
+    * whole report is one corpus scan with no join (a first version
+    * joined a separate doc-verdict frame back on — a second corpus
+    * scan plus a shuffle for a per-doc constant).
     * 'und' sentences (digits/punctuation only) count toward n_sent
     * but never toward n_scripts or the mismatch (no evidence either
     * way). Docs with no sentences emit nothing (the [[sentences]]
@@ -413,11 +418,12 @@ object TextAnalysis {
     * n_match, consistency (4dp), mixed. */
   def scriptConsistency(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      scriptOf(col(textCol)).as("doc_script"))
-    sentences(docs, idCol, textCol)
+    docs.select(col(idCol).as("doc_id"),
+        scriptOf(col(textCol)).as("doc_script"),
+        sentenceArray(textCol).as("ss"))
+      .select(col("doc_id"), col("doc_script"),
+        explode(col("ss")).as("sentence"))
       .withColumn("script", scriptOf(col("sentence")))
-      .join(base, "doc_id")
       .groupBy("doc_id", "doc_script")
       .agg(count(lit(1)).cast("long").as("n_sent"),
         count_distinct(when(col("script") =!= "und", col("script")))
@@ -503,12 +509,17 @@ object TextAnalysis {
     * trade of the regex tier). One narrow codegen'd
     * extract+transform+filter+posexplode — no shuffle.
     * Output: doc_id, sent_idx, sentence, n_tokens. */
+  /** The sentence array of `textCol` — shared by [[sentences]] and
+    * [[scriptConsistency]] so the segmentation rule cannot drift
+    * between the row form and the fused consumers. */
+  private def sentenceArray(textCol: String): Column = expr(
+    s"""filter(transform(regexp_extract_all(coalesce($textCol, ''),
+       | '[^.!?]+([.!?]+|$$)', 0), s -> trim(s)), s -> s != '')"""
+      .stripMargin.replace("\n", ""))
+
   def sentences(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), expr(
-        s"""filter(transform(regexp_extract_all(coalesce($textCol, ''),
-           | '[^.!?]+([.!?]+|$$)', 0), s -> trim(s)), s -> s != '')"""
-          .stripMargin.replace("\n", "")).as("ss"))
+    docs.select(col(idCol).as("doc_id"), sentenceArray(textCol).as("ss"))
       .select(col("doc_id"), posexplode(col("ss")))
       .select(col("doc_id"), col("pos").cast("int").as("sent_idx"),
         col("col").as("sentence"))
