@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -31,15 +31,24 @@ object Dedup {
     * explode — a narrow map, where a post-explode `.distinct()` would
     * cost a full shuffle of every (doc, shingle) row. */
   def wordShingles(docs: DataFrame, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val parts = (0 until n).map(k => s"t[i+$k]").mkString(", ")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
       .where(size(col("t")) >= n)
-      .select(col("doc_id"),
-        explode(expr(
-          s"array_distinct(transform(sequence(0, size(t)-$n), i -> concat_ws(' ', $parts)))"))
-          .as("shingle"))
+      .select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
+
+  /** The distinct word n-gram array over a token column named `t` —
+    * the one shingle expression, shared by [[wordShingles]] and the
+    * sentence-keyed shingles in [[decontaminateSpans]] so the gram
+    * convention cannot drift between doc-level and span-level
+    * consumers. */
+  private def shingleArray(n: Int): Column = {
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(", ")
+    expr(s"array_distinct(transform(sequence(0, size(t)-$n), i -> concat_ws(' ', $parts)))")
   }
+
+  /** The 60-bit md5-prefix hash every shingle consumer uses. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Shingles pre-hashed to 60-bit ints (same md5-derived value the
     * minhash permutations consume): the persisted intermediate carries
@@ -51,7 +60,7 @@ object Dedup {
   def shingleHashes(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     wordShingles(docs, n, idCol, textCol).select(col("doc_id"),
-      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
+      hash60(col("shingle")).as("shingle"))
 
   /** Exact dedup: keep the first doc_id per content hash (SURVEY W1/A8).
     *
@@ -840,6 +849,70 @@ object Dedup {
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
       .withColumn("contaminated", col("n_flagged") > 0)
+  }
+
+  /** Span-level decontamination — the surgical form of
+    * [[contamination]]: instead of DROPPING a training document that
+    * shares word n-grams with the held-out eval set, remove only the
+    * SENTENCES carrying the overlap and keep the rest of the document
+    * (the scrub several released pipelines apply when a page quotes a
+    * benchmark item verbatim but is otherwise good training data —
+    * doc-level dropping throws away the whole page, span-level keeps
+    * it minus the leaked lines). Sentence granularity is
+    * `TextAnalysis.sentences` (r72); the match unit is the same
+    * word-n-gram/60-bit-hash shingle space as [[contamination]] /
+    * [[contaminationReport]], so the three operators gate on one
+    * convention.
+    *
+    * Matching is SENTENCE-LOCAL: a sentence is contaminated when one
+    * of its OWN n-grams is in the eval set, so (a) sentences shorter
+    * than `n` tokens can never be flagged (no n-gram fits — the
+    * inherent floor of n-gram decontamination, same reason
+    * [[contaminationReport]] calls sub-n eval docs unmeasurable), and
+    * (b) an eval n-gram straddling a sentence boundary in the train
+    * doc does not flag either side — the doc-level [[contamination]]
+    * check still sees it, which is why pipelines run BOTH: doc-level
+    * to find, span-level to scrub.
+    *
+    * Scale design (100 TB): the eval side reduces to a distinct
+    * shingle-hash set in its scan aggregation and broadcasts
+    * (`broadcastEval=false` falls back to a shuffle join); the train
+    * side is one sentence explode + one sentence-local shingle
+    * explode — work ∝ corpus tokens, state ∝ eval set; the dirty
+    * (doc, sent) set joins back doc-keyed and reassembly is the
+    * [[passageReassemble]] owner shape. No window over the corpus.
+    * Docs with no sentences (null/empty text) emit nothing — the
+    * [[TextAnalysis.sentences]] contract, same as [[spanDedup]]; a
+    * fully contaminated doc keeps its row with n_kept = 0 and empty
+    * clean_text.
+    * Output: doc_id, n_sent, n_kept, clean_text. */
+  def decontaminateSpans(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      broadcastEval: Boolean = true, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalSh0 = shingleHashes(evalDocs, n, idCol, textCol)
+      .select(col("shingle")).distinct()
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    val sents = graft.functions.TextAnalysis.sentences(docs, idCol, textCol)
+      .select(col("doc_id"), col("sent_idx"), col("sentence"))
+    val sentSh = sents
+      .select(col("doc_id"), col("sent_idx"),
+        split(col("sentence"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), col("sent_idx"),
+        explode(shingleArray(n)).as("shingle"))
+      .select(col("doc_id"), col("sent_idx"),
+        hash60(col("shingle")).as("shingle"))
+    val dirty = sentSh.join(evalSh, "shingle")
+      .select(col("doc_id"), col("sent_idx")).distinct()
+    val flagged = sents
+      .join(dirty.withColumn("rm", lit(true)),
+        Seq("doc_id", "sent_idx"), "left")
+      .select(col("doc_id"), col("sent_idx").as("p_idx"),
+        col("sentence").as("passage"), col("rm").isNull.as("kept"),
+        lit(" ").as("sep"))
+    passageReassemble(flagged)
+      .select(col("doc_id"), col("n_pass").as("n_sent"),
+        col("n_kept"), col("clean_text"))
   }
 
   /** Content-defined-chunking dedup — the DISTRIBUTED answer to

@@ -664,4 +664,32 @@ class DedupSpec extends SparkSpec {
     // n=1: the second "Same." is a duplicate span of the first
     assert(out(2L) == ((3L, 2L, "Same. Different")))
   }
+
+  test("decontaminateSpans drops only the leaking sentences; sub-n sentences are immune") {
+    val planted = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
+    val train = docs(
+      (1L, s"$planted keep me here today."), // leaked first sentence
+      (2L, "seven short words only in this one."), // 7 tokens < n: immune
+      (3L, "totally unrelated clean sentence stays put right here."),
+      (4L, planted),                         // fully contaminated
+      (5L, null))                            // no sentences: emits nothing
+    val eval = docs(
+      (100L, s"intro words here. $planted seven short words only in this one."))
+    val out = Dedup.decontaminateSpans(train, eval, n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "keep me here today.")))
+    // doc 2's sentence appears VERBATIM in eval, but carries no 8-gram
+    // of its own — the documented sentence-local floor
+    assert(out(2L) == ((1L, 1L, "seven short words only in this one.")))
+    assert(out(3L)._2 == 1L)
+    assert(out(4L) == ((1L, 0L, "")))        // stay-visible rule
+    assert(!out.contains(5L))
+    // the shuffle-join fallback is row-identical to the broadcast path
+    val noB = Dedup.decontaminateSpans(train, eval, n = 8,
+      broadcastEval = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(noB == out)
+  }
 }
