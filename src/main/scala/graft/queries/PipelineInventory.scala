@@ -1300,6 +1300,51 @@ object PipelineInventory {
              |  COALESCE(string_agg(CASE WHEN kept THEN sentence END, ' ' ORDER BY sent_idx), '') AS clean_text
              |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Span-level decontamination: every third doc opens with a planted
+    // leaked sentence (10 words — three 8-grams of its own); train
+    // docs carrying it lose exactly that sentence and keep their tail,
+    // while the corpus text itself (one unterminated sentence per doc)
+    // stays subject to REAL cross-split 8-gram hits, which the oracle
+    // mirrors shingle for shingle.
+    QueryDef("p61_decontaminate_spans",
+      (s, d) => {
+        val aug = T(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("alpha beta gamma delta epsilon zeta eta theta iota kappa. "),
+              coalesce(col("text"), lit(""))))
+            .otherwise(col("text")).as("text"))
+        Dedup.decontaminateSpans(
+            aug.filter(col("doc_id") % 10 =!= 0),
+            aug.filter(col("doc_id") % 10 === 0), n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             |    THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa. ' || COALESCE(text, '')
+             |    ELSE text END AS text
+             |  FROM documents),
+             |et AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug WHERE doc_id % 10 = 0),
+             |ev AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle FROM (
+             |    SELECT unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]) AS g
+             |    FROM et WHERE len(t) >= 8) raw),
+             |sl AS (SELECT doc_id,
+             |         [x FOR x IN [trim(y) FOR y IN regexp_extract_all(COALESCE(text, ''), '[^.!?]+([.!?]+|$)')] IF x <> ''] AS ss
+             |       FROM aug WHERE doc_id % 10 <> 0),
+             |sen AS (SELECT doc_id, CAST(z.i AS INT) AS sent_idx, z.s AS sentence FROM (
+             |    SELECT doc_id, unnest([{'i': i - 1, 's': ss[i]} FOR i IN range(1, len(ss) + 1)]) AS z
+             |    FROM sl) t),
+             |st AS (SELECT doc_id, sent_idx, string_split(sentence, ' ') AS t FROM sen),
+             |ssh AS (SELECT DISTINCT doc_id, sent_idx,
+             |          ('0x' || substr(md5(g), 1, 15))::BIGINT AS shingle FROM (
+             |    SELECT doc_id, sent_idx, unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]) AS g
+             |    FROM st WHERE len(t) >= 8) raw),
+             |rm AS (SELECT DISTINCT doc_id, sent_idx FROM ssh JOIN ev USING (shingle)),
+             |fl AS (SELECT sen.doc_id, sen.sent_idx, sen.sentence, rm.doc_id IS NULL AS kept
+             |       FROM sen LEFT JOIN rm ON rm.doc_id = sen.doc_id AND rm.sent_idx = sen.sent_idx)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sent,
+             |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  COALESCE(string_agg(CASE WHEN kept THEN sentence END, ' ' ORDER BY sent_idx), '') AS clean_text
+             |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Grouped histogram quantiles: per-returnflag price quantiles, the
     // bounded-error per-domain form for continuous metrics (exact
     // percentile's counts-map state is distinct-values-sized).
