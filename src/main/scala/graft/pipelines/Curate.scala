@@ -35,7 +35,7 @@ object Curate {
       afterDecontam: Long = -1L, afterSemDedup: Long = -1L,
       afterDsir: Long = -1L, afterCcnet: Long = -1L,
       afterBlocklist: Long = -1L, afterUrlDedup: Long = -1L,
-      afterSpan: Long = -1L)
+      afterSpan: Long = -1L, afterSpanDecontam: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -58,6 +58,7 @@ object Curate {
       boilerplateMaxDocs: Option[Int] = None,
       gateWeights: Option[Seq[Double]] = None,
       decontaminate: Option[DataFrame] = None,
+      spanDecontaminate: Option[(DataFrame, Int)] = None,
       semDedup: Option[(DataFrame, Int)] = None,
       qualitySurvivors: Boolean = false,
       dsir: Option[(DataFrame, Int)] = None,
@@ -189,6 +190,27 @@ object Curate {
           .filter(col("kept")).select("doc_id"), "doc_id")
     }
     val afterDecontam = if (decontaminate.isDefined) countIf(decont) else -1L
+    // Optional SPAN-level decontamination (`spanDecontaminate =
+    // Some((heldout, n))`): the surgical sibling of the doc-level
+    // stage above — sentences of surviving docs whose own word
+    // n-grams hit the held-out set are removed and the doc
+    // reassembled (Dedup.decontaminateSpans), so a page that quotes a
+    // benchmark item keeps training minus the leaked lines instead of
+    // dropping whole. Runs AFTER the doc-level screen: near-dups of
+    // held-out docs are already gone, this scrubs the verbatim
+    // fragments below that threshold. Docs emptied (pure leak) drop;
+    // docs with no sentences drop with them, the same inner-join rule
+    // as the other sub-document stages.
+    val spanDecont = spanDecontaminate match {
+      case None => decont
+      case Some((heldout, n)) => decont.drop("text")
+        .join(Dedup.decontaminateSpans(decont, heldout, n)
+          .filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+        .select(decont.columns.map(col).toIndexedSeq: _*)
+    }
+    val afterSpanDecontam =
+      if (spanDecontaminate.isDefined) countIf(spanDecont) else -1L
     // Optional SEMANTIC dedup (SemDeDup): `semDedup = Some((emb, k))`
     // supplies a (vec_id, embedding) frame keyed by doc_id and a
     // centroid count; within each of the k trained clusters, docs
@@ -203,15 +225,15 @@ object Curate {
     // would have to hold unbounded; the production pattern is batch
     // re-clustering on a cadence, streaming everything else.
     val semmed = semDedup match {
-      case None => decont
+      case None => spanDecont
       case Some((emb, k)) =>
         val alive = emb.join(
-          decont.select(col("doc_id").as("vec_id")), "vec_id")
+          spanDecont.select(col("doc_id").as("vec_id")), "vec_id")
         val cents = graft.operators.Ann.trainCentroids(alive, k)
           .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
         val dropped = graft.operators.Ann.semDedup(alive, cents)
           .filter(!col("kept")).select(col("vec_id").as("doc_id"))
-        decont.join(dropped, Seq("doc_id"), "left_anti")
+        spanDecont.join(dropped, Seq("doc_id"), "left_anti")
     }
     val afterSemDedup = if (semDedup.isDefined) countIf(semmed) else -1L
     // Optional DSIR selection (`dsir = Some((target, n))`): keep the n
@@ -269,7 +291,7 @@ object Curate {
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
         afterDecontam, afterSemDedup, afterDsir, afterCcnet,
-        afterBlocklist, afterUrlDedup, afterSpan))
+        afterBlocklist, afterUrlDedup, afterSpan, afterSpanDecontam))
       else None
     (packed, st)
   }
@@ -298,6 +320,7 @@ object Curate {
     stage("subdoc_cdc_dedup", st.afterSubdoc)
     stage("span_dedup", st.afterSpan)
     stage("decontaminate", st.afterDecontam)
+    stage("span_decontaminate", st.afterSpanDecontam)
     stage("semantic_dedup", st.afterSemDedup)
     stage("dsir_select", st.afterDsir)
     stage("ccnet_tail_drop", st.afterCcnet)

@@ -382,6 +382,43 @@ class CurateSpec extends SparkSpec {
       packedB.exceptAll(packedA).count() > 0)
   }
 
+  test("spanDecontaminate stage scrubs leaked sentences; accounting matches the operator") {
+    val base = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    // plant a leaked 10-word opening sentence on a third of the docs;
+    // the held-out frame quotes it mid-text (the benchmark-item shape)
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
+    val docs = base.withColumn("text",
+      when(col("doc_id") % 3 === 0, concat(lit(leak + " "), col("text")))
+        .otherwise(col("text")))
+    val held = Seq((900001L, s"eval question context: $leak answer follows here"))
+      .toDF("doc_id", "text")
+    val (_, stA) = Curate.run(docs, spanDecontaminate = Some((held, 8)))
+    val st = stA.get
+    assert(st.afterSpanDecontam >= 0 && st.afterSpanDecontam <= st.afterDedup)
+    // the stage's accounting equals the operator applied to the
+    // reconstructed survivor set
+    val gated = docs.join(
+      TextAnalysis.qualityGate(docs).filter(col("kept")).select("doc_id"), "doc_id")
+    val surv = graft.operators.Dedup.dedupCorpus(gated).cache()
+    val scrub = graft.operators.Dedup.decontaminateSpans(surv, held, n = 8).cache()
+    assert(st.afterDedup == surv.count())
+    assert(st.afterSpanDecontam == scrub.filter(col("clean_text") =!= "").count())
+    // THE LAW: pre-stage survivors carry the leak, scrubbed text never
+    // does — and the leaked docs are SCRUBBED, not dropped (tails stay)
+    val survLeaked = surv.filter(col("text").contains(leak)).cache()
+    assert(survLeaked.count() > 0)
+    assert(scrub.filter(col("clean_text")
+      .contains("alpha beta gamma delta")).count() == 0)
+    val scrubbedIds = scrub.filter(col("clean_text") =!= "")
+      .select("doc_id").as[Long].collect().toSet
+    val leakedIds = survLeaked.select("doc_id").as[Long].collect().toSet
+    assert(leakedIds.subsetOf(scrubbedIds))
+    // dataCard carries the stage in pipeline order
+    val names = Curate.dataCard(spark, st).collect().map(_.getString(0)).toSeq
+    assert(names.containsSlice(Seq("near_dup_dedup", "span_decontaminate")))
+  }
+
   test("blocklist/urlDedup stage law: filtered stages == pre-filtered corpus") {
     val base = Tables.load(spark, sf, "documents")
       .select("doc_id", "text", "lang", "source")
