@@ -26,7 +26,7 @@ import graft.pipelines.Curate
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
   *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi,
-  *   url,drift,span
+  *   url,drift,span,sdecon
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -41,7 +41,7 @@ object Stress {
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
     "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
-    "url", "drift", "span")
+    "url", "drift", "span", "sdecon")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -258,6 +258,20 @@ object Stress {
             .otherwise(lit("")),
           regexp_replace(col("text"), lit(" (the|a) "), lit(". "))))
         graft.operators.Dedup.spanDedup(punct, n = 3)
+      case "sdecon" =>
+        // Span-level decontamination: train = 9/10 of the corpus with
+        // planted punctuation and a leaked opening sentence on a third
+        // of the docs, heldout = the other tenth — the claim under
+        // test is one sentence+shingle explode on the train side with
+        // the eval side reduced to a broadcast shingle-hash set
+        val punct = docs.withColumn("text", concat(
+          when(col("doc_id") % 3 === 0,
+            lit("alpha beta gamma delta epsilon zeta eta theta iota kappa. "))
+            .otherwise(lit("")),
+          regexp_replace(col("text"), lit(" (the|a) "), lit(". "))))
+        graft.operators.Dedup.decontaminateSpans(
+          punct.filter(col("doc_id") % 10 =!= 0),
+          punct.filter(col("doc_id") % 10 === 0), n = 8)
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
