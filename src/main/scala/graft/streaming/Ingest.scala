@@ -737,8 +737,10 @@ object Ingest {
   }
 
   /** The WHOLE incremental curation chain in one stream — gate →
-    * near-dup dedup against a persisted band index → per-domain
-    * token-budget sampling — i.e. `pipelines.Curate`'s front half run
+    * near-dup dedup against a persisted band index → optional
+    * span-level decontamination against a fixed held-out frame →
+    * per-domain token-budget sampling — i.e. `pipelines.Curate`'s
+    * front half run
     * micro-batch by micro-batch with durable cross-batch state. Old
     * batches' TEXT is never rescanned: the dedup state is the ~50-byte
     * band index and the budget state is one (domain, cum) row per
@@ -791,7 +793,8 @@ object Ingest {
       gateWeights: Option[Seq[Double]] = None,
       extractHtml: Boolean = false,
       normalize: Boolean = false,
-      blocklist: Option[DataFrame] = None): Unit = {
+      blocklist: Option[DataFrame] = None,
+      spanDecontaminate: Option[(DataFrame, Int)] = None): Unit = {
     import graft.operators.Dedup
     import graft.functions.TextAnalysis
     require(boilerplateMaxDocs.isEmpty || passageIndexPath.nonEmpty,
@@ -889,6 +892,23 @@ object Ingest {
         // Materialize eagerly before any sink mutates a dir the plans
         // read (index for survivors, stateDir for the budget join).
         val surv = survPlan.localCheckpoint(true)
+        // 2b. optional span-level decontamination (the Curate.run
+        // stage order: dedup first, then scrub): per-doc pure against
+        // the FIXED held-out frame's shingle set, so batch-local
+        // application IS the batch composition restricted to the
+        // batch — no cross-batch state, the stream==batch law extends
+        // for free. Runs AFTER dedup so the band index below still
+        // represents the text dedup compared; docs emptied by the
+        // scrub drop here and never reach the budget walk.
+        val cleaned = spanDecontaminate match {
+          case None => surv
+          case Some((heldout, nGram)) => surv.drop("text")
+            .join(Dedup.decontaminateSpans(surv, heldout, nGram)
+              .filter(col("clean_text") =!= "")
+              .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+            .select(surv.columns.map(col).toIndexedSeq: _*)
+            .localCheckpoint(true)
+        }
         try {
           // 3. budget — md5 walk within the batch over prior state
           val prior = earlierBatchPartitions(ss, stateDir, id, "curateIngestStream state")
@@ -896,7 +916,7 @@ object Ingest {
               .agg(max(struct(col("batch_id"), col("cum"))).as("m"))
               .select(col("domain"), col("m.cum").as("prev")))
           val w = Window.partitionBy("domain").orderBy("h", "doc_id")
-          val scored = surv.select(col(domainCol).as("domain"),
+          val scored = cleaned.select(col(domainCol).as("domain"),
               col("orig_id").as("doc_id"),
               size(split(col("text"), " ")).cast("long").as("n_tok"),
               md5(col("orig_id").cast("string")).as("h"))
@@ -929,6 +949,7 @@ object Ingest {
           } finally { accepted.unpersist(); () }
         } finally {
           surv.unpersist()
+          if (spanDecontaminate.isDefined) { cleaned.unpersist(); () }
           if (boilerplateMaxDocs.isDefined) { curated.unpersist(); gated.unpersist() }
           ()
         }

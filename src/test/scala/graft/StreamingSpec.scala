@@ -450,6 +450,69 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batchOut)
   }
 
+  test("SCCsd: streamed curation with span decontamination equals the batch composition") {
+    import graft.operators.Dedup
+    import graft.functions.TextAnalysis
+    // a third of the docs open with a leaked sentence the held-out
+    // frame quotes; the scrub is per-doc pure against the FIXED
+    // held-out shingle set, so stream == batch must hold exactly
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
+    val corpus = Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, concat(lit(leak + " "), $"text"))
+          .otherwise($"text").as("text"),
+        $"lang").cache()
+    val heldout = Seq((900001L, s"eval item context: $leak answer here"))
+      .toDF("doc_id", "text")
+    // batch composition: gate -> survivors -> scrub -> budget walk
+    val gated = corpus.join(TextAnalysis.qualityGate(corpus)
+      .filter($"kept").select("doc_id"), "doc_id")
+    val relabeled = gated.withColumn("orig_id", $"doc_id")
+      .withColumn("doc_id",
+        conv(substring(md5($"orig_id".cast("string")), 1, 15), 16, 10).cast("long"))
+    val pairs = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.shingleHashes(relabeled), hashed = true)))
+    val surv = Dedup.survivors(relabeled, pairs)
+      .select($"orig_id".as("doc_id"), $"text", $"lang")
+    val scrubbed = surv.drop("text")
+      .join(Dedup.decontaminateSpans(surv, heldout, n = 8)
+        .filter($"clean_text" =!= "")
+        .select($"doc_id", $"clean_text".as("text")), "doc_id")
+      .select(surv.columns.map(col).toIndexedSeq: _*)
+    val maxDomTok = scrubbed.groupBy("lang")
+      .agg(sum(size(split($"text", " "))).as("t"))
+      .agg(max($"t")).as[Long].head()
+    val budget = maxDomTok * 6 / 10
+    val batchOut = TextAnalysis.tokenBudgetSample(scrubbed, budget)
+      .orderBy("domain", "cum").collect().toSeq
+    // two md5-ordered batches through the stream, one restart
+    val ids = corpus.withColumn("h", md5($"doc_id".cast("string")))
+      .orderBy("h").select("doc_id").as[Long].collect()
+    val half = ids.length / 2
+    val slices = Seq(ids.take(half), ids.drop(half))
+    val src = tmp("sccsd-src"); val out = tmp("sccsd-out"); val idxP = tmp("sccsd-idx")
+    val st = tmp("sccsd-state"); val ck = tmp("sccsd-ck")
+    slices.foreach { slice =>
+      corpus.filter($"doc_id".isInCollection(slice.toSeq))
+        .coalesce(1)
+        .write.mode("append").parquet(src)
+      Ingest.curateIngestStream(spark, corpus.schema, src, out, idxP, st, ck,
+        budget, spanDecontaminate = Some((heldout, 8)))
+    }
+    val streamed = spark.read.parquet(out)
+      .select("domain", "doc_id", "n_tok", "cum")
+      .orderBy("domain", "cum").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batchOut)
+    // and the scrub really fired: some accepted doc's token count is
+    // SHORTER than its gated corpus text (the leak sentence removed)
+    val nTokByDoc = streamed.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val origTok = corpus.filter($"doc_id" % 3 === 0)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(origTok.exists { case (id, n) =>
+      nTokByDoc.get(id).exists(_ < n) })
+  }
+
   test("JSONL ingest stream: good rows land, corrupt lines quarantine, replay is exactly-once") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val src = tmp("jst-src"); val good = tmp("jst-good")
