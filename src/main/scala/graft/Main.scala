@@ -28,6 +28,7 @@ object Main {
         |  northwind <outDir>
         |  dedup <sfDir> <outDir>
         |  dedup-against <newDir> <refDir> <outDir>
+        |  decontaminate-spans <trainDir> <heldoutDir> <outDir> [nGram]
         |  strip-boilerplate <sfDir> <outDir> [maxDocs]
         |  cdc-dedup <sfDir> <outDir>
         |  curate <sfDir> <outDir>
@@ -97,6 +98,17 @@ object Main {
             Tables.load(spark, refDir, "documents"))
           .write.mode("overwrite").parquet(outDir)
         println(s"cross-corpus screen report at $outDir")
+      case "decontaminate-spans" :: trainDir :: heldDir :: outDir :: rest
+          if rest.size <= 1 =>
+        // Span-level decontamination: leaked sentences scrubbed from
+        // the train corpus, docs kept (doc_id, n_sent, n_kept,
+        // clean_text). Default 8-grams, the realistic overlap size.
+        val n = rest.headOption.map(_.toInt).getOrElse(8)
+        graft.operators.Dedup.decontaminateSpans(
+            Tables.load(spark, trainDir, "documents"),
+            Tables.load(spark, heldDir, "documents"), n)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"span-decontaminated corpus report at $outDir")
       case "strip-boilerplate" :: sfDir :: outDir :: rest if rest.size <= 1 =>
         // Remove passages shared by more than maxDocs distinct docs.
         val maxDocs = rest.headOption.map(_.toInt).getOrElse(1)
