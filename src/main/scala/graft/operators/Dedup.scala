@@ -851,6 +851,65 @@ object Dedup {
       .withColumn("contaminated", col("n_flagged") > 0)
   }
 
+  /** Distinct winnowed character-fingerprints per document — the
+    * exploded row form of `TextAnalysis.fingerprints`' selection
+    * (Schleimer et al., SIGMOD'03): hash every char k-gram (md5), keep
+    * the lexicographic min of each sliding window of w positions,
+    * distinct per doc. Same two narrow array expressions as the
+    * summary operator (DedupSpec pins the per-doc count equal to its
+    * n_fp, so the two cannot drift); docs shorter than k (incl. null
+    * text) emit nothing. Output: doc_id, fp. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        when(length(col(textCol)) >= k,
+          expr(s"transform(sequence(1, length($textCol)-${k - 1}), i -> md5(substring($textCol, i, $k)))"))
+          .otherwise(array().cast("array<string>")).as("hs"))
+      .select(col("doc_id"),
+        when(size(col("hs")) > 0,
+          expr(s"array_distinct(transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $w))))"))
+          .otherwise(array().cast("array<string>")).as("wms"))
+      .select(col("doc_id"), explode(col("wms")).as("fp"))
+
+  /** Winnowed-fingerprint overlap pairs — the MOSS pipeline
+    * (local fingerprinting → shared-fingerprint matching): doc pairs
+    * sharing at least `minShared` winnowed fingerprints, with the
+    * winnowing guarantee that any shared character run of length ≥
+    * w + k − 1 contributes at least one shared fingerprint. The
+    * CHARACTER-level candidate generator beside the word-shingle
+    * MinHash family: word tokenization never enters, so copies that
+    * mangle whitespace or word boundaries still collide.
+    *
+    * Fingerprints appearing in more than `maxDf` documents are
+    * dropped first — MOSS's own "ignore common fingerprints" rule
+    * (frequent k-grams with small hashes win many windows and would
+    * pair everything with everything). The df filter is ALSO the
+    * scale bound: the pair join fans out at most maxDf² per
+    * fingerprint, so work is ∝ corpus fingerprints × maxDf, never
+    * quadratic in the corpus. Exact and deterministic throughout
+    * (a df threshold, not a capped-bucket tiebreak), so the whole
+    * chain is oracle-checkable. Output: d1, d2, shared (d1 < d2). */
+  def fingerprintPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minShared: Int = 3, maxDf: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // one fp-keyed exchange that the df aggregation and both self-join
+    // sides reuse (the cdcChunkDedup/capBuckets trick) — without it
+    // the narrow winnowing chain re-scans the corpus per consumer
+    val fps = winnowedFingerprints(docs, k, w, idCol, textCol)
+      .repartition(col("fp"))
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("fp")
+    val f = fps.join(rare, "fp")
+    f.select(col("fp"), col("doc_id").as("d1"))
+      .join(f.select(col("fp"), col("doc_id").as("d2")), "fp")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Span-level decontamination — the surgical form of
     * [[contamination]]: instead of DROPPING a training document that
     * shares word n-grams with the held-out eval set, remove only the

@@ -665,6 +665,37 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((3L, 2L, "Same. Different")))
   }
 
+  test("winnowedFingerprints matches TextAnalysis.fingerprints' selection; fingerprintPairs finds shared runs") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "SOMETHING ELSE the quick brown fox jumps AND MORE"), // shared 31-char run with 1
+      (3L, "zqxwv kjhgf mnbpo iuytr edcba"),                     // disjoint
+      (4L, "hi"),                                                // < k: no fingerprints
+      (5L, null))
+    // pin: the exploded form selects exactly what the summary
+    // operator counts, per doc (the two expressions cannot drift)
+    val n1 = Dedup.winnowedFingerprints(d).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val n2 = graft.functions.TextAnalysis.fingerprints(d)
+      .select("doc_id", "n_fp").as[(Long, Long)].collect().toMap
+    assert(!n1.contains(4L) && !n1.contains(5L))
+    assert(n2(4L) == 0L && n2(5L) == 0L)
+    assert(n1 == n2.filter(_._2 > 0))
+    // the 31-char shared run >= w + k - 1 = 8 guarantees shared
+    // fingerprints; docs 1 and 2 pair, doc 3 pairs with nothing
+    val pairs = Dedup.fingerprintPairs(d, minShared = 2, maxDf = 10)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // minShared is a real floor: raising it above the overlap kills
+    // the pair
+    val strict = Dedup.fingerprintPairs(d, minShared = 1000, maxDf = 10)
+    assert(strict.count() == 0)
+    // maxDf is a real ceiling: with every fingerprint "common", no
+    // pairs survive
+    assert(Dedup.fingerprintPairs(d, minShared = 1, maxDf = 0).count() == 0)
+  }
+
   test("decontaminateSpans drops only the leaking sentences; sub-n sentences are immune") {
     val planted = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
     val train = docs(
