@@ -858,19 +858,26 @@ object Dedup {
     * distinct per doc. Same two narrow array expressions as the
     * summary operator (DedupSpec pins the per-doc count equal to its
     * n_fp, so the two cannot drift); docs shorter than k (incl. null
-    * text) emit nothing. Output: doc_id, fp. */
+    * text) emit nothing — here via a plain `where` rather than
+    * [[graft.functions.TextAnalysis.fingerprints fingerprints]]'
+    * empty-array `when` guards, deliberately: the exploded form drops
+    * short docs either way, and a `when` wrapper around the hash
+    * array DEFEATS Spark's common-subexpression elimination
+    * (conditional branches are excluded from it), so after project
+    * collapse the k-gram array re-evaluates once PER WINDOW POSITION
+    * — measured O(len²) md5s, 21 s → 7 min at sf0.1 for the guarded
+    * form of this very chain. Output: doc_id, fp. */
   def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"),
-        when(length(col(textCol)) >= k,
-          expr(s"transform(sequence(1, length($textCol)-${k - 1}), i -> md5(substring($textCol, i, $k)))"))
-          .otherwise(array().cast("array<string>")).as("hs"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .where(length(col("t")) >= k)
       .select(col("doc_id"),
-        when(size(col("hs")) > 0,
-          expr(s"array_distinct(transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $w))))"))
-          .otherwise(array().cast("array<string>")).as("wms"))
-      .select(col("doc_id"), explode(col("wms")).as("fp"))
+        expr(s"transform(sequence(1, length(t)-${k - 1}), i -> md5(substring(t, i, $k)))").as("hs"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $w))))"))
+          .as("fp"))
 
   /** Winnowed-fingerprint overlap pairs — the MOSS pipeline
     * (local fingerprinting → shared-fingerprint matching): doc pairs

@@ -1300,6 +1300,27 @@ object PipelineInventory {
              |  COALESCE(string_agg(CASE WHEN kept THEN sentence END, ' ' ORDER BY sent_idx), '') AS clean_text
              |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Winnowed-fingerprint overlap pairs over the raw corpus: the
+    // character-level (MOSS) near-dup candidate tier — doc pairs
+    // sharing >= 3 winnowed k-gram hashes after the common-fingerprint
+    // (df > 20) drop; the oracle mirrors hash, window-min, df filter
+    // and pair join exactly.
+    QueryDef("p62_fingerprint_pairs",
+      (s, d) => Dedup.fingerprintPairs(T(s, d, "documents"))
+        .orderBy("d1", "d2"),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |           WHERE text IS NOT NULL AND length(text) >= 5),
+             |hs AS (SELECT doc_id, [md5(text[i:i+4]) FOR i IN range(1, length(text) - 3)] AS hs FROM d),
+             |wm AS (SELECT DISTINCT doc_id,
+             |         unnest([list_min(hs[j:least(j+3, len(hs))]) FOR j IN range(1, len(hs)+1)]) AS fp
+             |       FROM hs),
+             |df AS (SELECT fp FROM wm GROUP BY fp HAVING COUNT(*) <= 20),
+             |f AS (SELECT wm.doc_id, wm.fp FROM wm JOIN df USING (fp))
+             |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS shared
+             |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Span-level decontamination: every third doc opens with a planted
     // leaked sentence (10 words — three 8-grams of its own); train
     // docs carrying it lose exactly that sentence and keep their tail,
