@@ -900,15 +900,21 @@ object Dedup {
   def fingerprintPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
       minShared: Int = 3, maxDf: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // one fp-keyed exchange that the df aggregation and both self-join
-    // sides reuse (the cdcChunkDedup/capBuckets trick) — without it
-    // the narrow winnowing chain re-scans the corpus per consumer
+    // one fp-keyed exchange serves EVERYTHING: the df comes from a
+    // count over a Window.partitionBy(fp) on the repartitioned rows
+    // (key-partitioned, fingerprint cardinality scales with the
+    // corpus — never a corpus-over-few-groups window), so the narrow
+    // winnowing chain runs ONCE. The first version derived df from a
+    // separate groupBy consumer; column pruning dropped doc_id from
+    // that copy, the subtree no longer matched the main exchange, and
+    // ReuseExchange could not collapse it — a second full corpus
+    // winnowing pass for a side computation (the r75 lesson, exchange
+    // flavor).
     val fps = winnowedFingerprints(docs, k, w, idCol, textCol)
       .repartition(col("fp"))
-    val rare = fps.groupBy("fp")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-      .select("fp")
-    val f = fps.join(rare, "fp")
+    val f = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf).drop("df")
     f.select(col("fp"), col("doc_id").as("d1"))
       .join(f.select(col("fp"), col("doc_id").as("d2")), "fp")
       .filter(col("d1") < col("d2"))
