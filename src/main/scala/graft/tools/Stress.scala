@@ -26,7 +26,7 @@ import graft.pipelines.Curate
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
   *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi,
-  *   url,drift,span,sdecon
+  *   url,drift,span,sdecon,wfp
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -41,7 +41,7 @@ object Stress {
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
     "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
-    "url", "drift", "span", "sdecon")
+    "url", "drift", "span", "sdecon", "wfp")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -272,6 +272,12 @@ object Stress {
         graft.operators.Dedup.decontaminateSpans(
           punct.filter(col("doc_id") % 10 =!= 0),
           punct.filter(col("doc_id") % 10 === 0), n = 8)
+      case "wfp" =>
+        // Winnowed-fingerprint pairs: the claim under test is one
+        // corpus winnowing pass + a df-bounded (never quadratic)
+        // self-join; generator text is templated, so the df filter
+        // does real work dropping saturated common fingerprints
+        graft.operators.Dedup.fingerprintPairs(docs)
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
