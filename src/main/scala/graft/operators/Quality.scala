@@ -53,16 +53,21 @@ object Quality {
     val path = regexp_replace(
       regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/{2,}", "/"),
       "/+$", "")
-    // Query: drop tracking params, then collapse the separator debris
-    // the removal leaves, then sort what survives so parameter order
-    // never splits a dedup group.
+    // Query: split on '&' FIRST, then drop tracking params with an
+    // ANCHORED match over whole name=value units — a rewrite of the
+    // raw string ("(^|&)(…|gclid)(=[^&]*)?" → "$1") prefix-matches
+    // longer param names ('gclid_src=foo' → '_src=foo'), silently
+    // merging genuinely distinct URLs. Filtering the split array is
+    // immune to that and drops the empty units ('a=1&&b=2' debris)
+    // for free; sort what survives so parameter order never splits a
+    // dedup group. Anchored, RE2 ∩ Java-regex safe (no lookaround).
     val q0 = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
-    val q1 = regexp_replace(q0,
-      "(^|&)(utm_[^=&]*|fbclid|gclid|msclkid)(=[^&]*)?", "$1")
-    val q2 = regexp_replace(regexp_replace(q1, "&{2,}", "&"), "^&|&$", "")
-    val sortedQ = array_join(array_sort(split(q2, "&")), "&")
+    val params = filter(split(q0, "&"), p => p =!= "" &&
+      !p.rlike("^(utm_[^=&]*|fbclid|gclid|msclkid)(=.*)?$"))
+    val sortedQ = array_join(array_sort(params), "&")
     when(sh === "", u).otherwise(concat(sh, path,
-      when(q2 === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+      when(size(params) === 0, lit(""))
+        .otherwise(concat(lit("?"), sortedQ))))
   }
 
   /** URL-level dedup: flag the first doc (min doc_id) per
@@ -103,8 +108,14 @@ object Quality {
     * Output: doc_id, <urlCol>, host, matched (null when clean), kept. */
   def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
       urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
-    val host = regexp_replace(regexp_replace(urlHost(col(urlCol)),
-      "^[^/?#@]*@", ""), ":[0-9]*$", "")
+    // Userinfo and port stripped, then the trailing root-label dot:
+    // 'example.com.' is a valid FQDN spelling of 'example.com', and
+    // without the strip its suffix chain ('example.com.', 'com.', '')
+    // never equals any blocklist entry — a blocked domain written
+    // with the trailing dot would evade the filter.
+    val host = regexp_replace(regexp_replace(regexp_replace(
+      urlHost(col(urlCol)),
+      "^[^/?#@]*@", ""), ":[0-9]*$", ""), "\\.$", "")
     val base = docs.select(col(idCol).as("doc_id"), col(urlCol),
       host.as("host"))
     val sufs = base
@@ -242,8 +253,13 @@ object Quality {
     require(buckets > 0, "buckets must be positive")
     val a = old.select(col("bucket"), col("n").as("ca"))
     val b = curr.select(col("bucket"), col("n").as("cb"))
-    val na = a.agg(sum("ca").cast("long").as("na"))
-    val nb = b.agg(sum("cb").cast("long").as("nb"))
+    // coalesce: an EMPTY side (failed/missing batch) sums to null,
+    // which would null pa/pb and every js_term — the monitor would
+    // read "no drift" at exactly the moment drift is maximal. With a
+    // 0 total, add-one smoothing still yields finite probabilities
+    // and the divergence reads loud and positive instead of null.
+    val na = a.agg(coalesce(sum("ca"), lit(0L)).cast("long").as("na"))
+    val nb = b.agg(coalesce(sum("cb"), lit(0L)).cast("long").as("nb"))
     a.join(b, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))

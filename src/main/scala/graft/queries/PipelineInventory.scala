@@ -3251,8 +3251,10 @@ object PipelineInventory {
           when(col("doc_id") % 6 === 0, lit("/p//")).otherwise(lit("/p/")),
           pair.cast("string"),
           when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&a=1"))
-            .when(col("doc_id") % 5 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("?utm_source=feed&b=2&gclid_src=k&a=1"))
+            .when(col("doc_id") % 5 === 1, lit("?gclid_src=k&a=1&b=2"))
+            .when(col("doc_id") % 5 === 2, lit("?b=2&&a=1&gclid=x"))
+            .otherwise(lit("")),
           when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
         Quality.urlDedup(T(s, d, "documents").select(col("doc_id"), url.as("url")))
           .orderBy("doc_id")
@@ -3266,8 +3268,9 @@ object PipelineInventory {
              |  (CASE WHEN doc_id % 6 = 0 THEN '/p//' ELSE '/p/' END) ||
              |  CAST(pair AS VARCHAR) ||
              |  (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
-             |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
-             |        WHEN doc_id % 5 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&gclid_src=k&a=1'
+             |        WHEN doc_id % 5 = 1 THEN '?gclid_src=k&a=1&b=2'
+             |        WHEN doc_id % 5 = 2 THEN '?b=2&&a=1&gclid=x' ELSE '' END) ||
              |  (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
              |  FROM b),
              |n0 AS (SELECT doc_id, url, trim(url) AS u FROM raw),
@@ -3282,13 +3285,12 @@ object PipelineInventory {
              |         regexp_replace(regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
              |           '/{2,}', '/', 'g'), '/+$', '') AS path,
              |         regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS q0 FROM n3),
-             |n5 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(q0,
-             |         '(^|&)(utm_[^=&]*|fbclid|gclid|msclkid)(=[^&]*)?', '\1', 'g'),
-             |         '&{2,}', '&', 'g'), '^&|&$', '', 'g') AS q2 FROM n4),
+             |n5 AS (SELECT *, list_filter(string_split(q0, '&'), p -> p <> '' AND NOT
+             |         regexp_matches(p, '^(utm_[^=&]*|fbclid|gclid|msclkid)(=.*)?$')) AS ps FROM n4),
              |n6 AS (SELECT doc_id, url,
              |         CASE WHEN sh = '' THEN u ELSE sh || path ||
-             |           (CASE WHEN q2 = '' THEN ''
-             |                 ELSE '?' || array_to_string(list_sort(string_split(q2, '&')), '&') END)
+             |           (CASE WHEN len(ps) = 0 THEN ''
+             |                 ELSE '?' || array_to_string(list_sort(ps), '&') END)
              |         END AS norm_url FROM n5),
              |own AS (SELECT norm_url, MIN(doc_id) AS owner FROM n6 GROUP BY norm_url)
              |SELECT n6.doc_id, n6.url, n6.norm_url, n6.doc_id = own.owner AS kept
@@ -3328,6 +3330,9 @@ object PipelineInventory {
           when(col("doc_id") % 13 === 0, lit("Sub.Ads.Example.com"))
             .otherwise(concat(lit("www"), (col("doc_id") % 7).cast("string"),
               lit(".example.com"))),
+          // Trailing root-label dot — the FQDN spelling a blocklist
+          // evader would use; the filter must still catch it.
+          when(col("doc_id") % 17 === 0, lit(".")).otherwise(lit("")),
           when(col("doc_id") % 4 === 0, lit(":8080")).otherwise(lit("")),
           lit("/page/"), col("doc_id").cast("string"))
         val blk = Seq("ads.example.com", "tracker.net", "www3.example.com")
@@ -3340,12 +3345,13 @@ object PipelineInventory {
              |  (CASE WHEN doc_id % 9 = 0 THEN 'bot@' ELSE '' END) ||
              |  (CASE WHEN doc_id % 13 = 0 THEN 'Sub.Ads.Example.com'
              |        ELSE 'www' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END) ||
+             |  (CASE WHEN doc_id % 17 = 0 THEN '.' ELSE '' END) ||
              |  (CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END) ||
              |  '/page/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
              |h AS (SELECT doc_id, url,
-             |        regexp_replace(regexp_replace(
+             |        regexp_replace(regexp_replace(regexp_replace(
              |          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
-             |          '^[^/?#@]*@', ''), ':[0-9]*$', '') AS host FROM raw),
+             |          '^[^/?#@]*@', ''), ':[0-9]*$', ''), '\.$', '') AS host FROM raw),
              |p AS (SELECT doc_id, string_split(host, '.') AS parts FROM h),
              |s AS (SELECT doc_id,
              |        unnest([array_to_string(parts[i:], '.') FOR i IN range(1, len(parts) + 1)]) AS suf

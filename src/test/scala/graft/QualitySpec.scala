@@ -50,6 +50,21 @@ class QualitySpec extends SparkSpec {
     assert(n == "") // null never reaches the dedup join as a null key
   }
 
+  test("normalizeUrl drops trackers by WHOLE param name, never by prefix") {
+    // 'gclid_src' / 'fbclidx' are NOT tracking params — a prefix match
+    // would mangle them to '_src=foo' / 'x=1' and falsely merge
+    // genuinely distinct URLs (r7 ADVICE finding).
+    assert(norm("https://ex.com/a?gclid_src=foo") ==
+      "https://ex.com/a?gclid_src=foo")
+    assert(norm("https://ex.com/a?fbclidx=1") == "https://ex.com/a?fbclidx=1")
+    assert(norm("https://ex.com/a?gclid_src=1") != norm("https://ex.com/a"))
+    // the real trackers still go, valueless or not
+    assert(norm("https://ex.com/a?gclid=x&b=1") == "https://ex.com/a?b=1")
+    assert(norm("https://ex.com/a?fbclid&b=1") == "https://ex.com/a?b=1")
+    // separator debris never splits a group
+    assert(norm("https://ex.com/a?b=2&&a=1") == "https://ex.com/a?a=1&b=2")
+  }
+
   test("urlDedup keeps the min doc_id per canonical URL and flags the rest") {
     val docs = Seq(
       (1L, "https://EX.com/p/1"),
@@ -79,6 +94,24 @@ class QualitySpec extends SparkSpec {
       (3L, None, true),
       (4L, Some("tracker.net"), false),
       (5L, None, true)))
+  }
+
+  test("blocklistFilter catches the trailing-dot FQDN spelling of a blocked domain") {
+    // 'example.com.' is a valid absolute-FQDN spelling of 'example.com';
+    // without the trailing-dot strip its suffix chain never equals any
+    // blocklist entry and the evader sails through (r7 ADVICE finding).
+    val docs = Seq(
+      (1L, "https://ads.example.com./x"),
+      (2L, "https://sub.ads.example.com.:8080/x"),
+      (3L, "https://clean.org./x")).toDF("doc_id", "url")
+    val blk = Seq("ads.example.com").toDF("domain")
+    val out = Quality.blocklistFilter(docs, blk).orderBy("doc_id")
+      .select("doc_id", "host", "kept")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "ads.example.com", false),
+      (2L, "sub.ads.example.com", false),
+      (3L, "clean.org", true)))
   }
 
   test("blocklistFilter with nested blocked ancestors matches deterministically") {
@@ -114,6 +147,22 @@ class QualitySpec extends SparkSpec {
     val top = ab.orderBy(abs(col("js_term")).desc).select("ca", "cb")
       .as[(Long, Long)].head()
     assert(top._1 == 0L || top._2 == 0L)
+  }
+
+  test("corpusDrift against an EMPTY side reads loud, not null (failed-batch guard)") {
+    // An empty/failed batch must register as maximal drift; a null sum
+    // would silently report nothing (r7 ADVICE finding).
+    // mass-concentrated corpus so smoothing doesn't drown the signal
+    val a = corpus((1L, Seq.fill(400)("spam").mkString(" ")))
+    val empty = corpus()
+    val js = Quality.corpusDrift(a, empty, buckets = 64)
+      .agg(sum("js_term")).as[Double].head()
+    assert(!js.isNaN && js > 0.2 && js <= math.log(2) + 1e-6)
+    // and the per-bucket rows are all finite
+    val rows = Quality.corpusDrift(a, empty, buckets = 64)
+      .select("pa", "pb", "js_term").as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r._1 > 0 && r._2 > 0 && !r._3.isNaN))
   }
 
   test("corpusDrift buckets cover both snapshots' grams with smoothed probabilities") {
