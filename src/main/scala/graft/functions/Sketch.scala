@@ -440,4 +440,102 @@ object Sketch {
       .withColumn("est", (col("blo") + col("bhi")) / 2)
       .orderBy("q")
   }
+
+  // --------------------------------------------------------------------
+  // Portable HyperLogLog (Flajolet et al. 2007): approximate distinct
+  // counts whose SKETCH AND ESTIMATE are bit-reproducible across
+  // engines, runs, and partitionings — unlike the built-in
+  // approx_count_distinct, whose HLL++ internals are engine-private
+  // (the r39 no-oracle row). The trick is the same md5 discipline as
+  // the CMS above: register index and leading-zero rank both derive
+  // from the md5 hex string with pure string/integer ops, and the
+  // harmonic sum runs in EXACT decimal arithmetic (every term 2^(65-r)
+  // is an integer), so the only floating-point steps are one division
+  // and one rounded ln — deterministic under any row order.
+  //
+  // The production artifact at 100 TB is the REGISTER TABLE: ≤ 2^p
+  // rows of (idx, r), mergeable by per-register max (exact — no
+  // accuracy is lost), so per-batch register tables land incrementally
+  // and the corpus-lifetime distinct count never rescans a byte.
+  // Standard error ≈ 1.04/√(2^p): p=10 → ~3.3%.
+  // --------------------------------------------------------------------
+
+  /** Leading-zero rank of the 64-bit tail of md5(v) (hex chars 17-32),
+    * computed on the hex string so both engines agree bit for bit:
+    * 4·(leading '0' chars) + in-nibble zeros of the first nonzero char
+    * + 1; an all-zero tail (never observed for real inputs, probability
+    * 2^-64) saturates at 65. */
+  private def hllRho(tail: Column): Column = {
+    val z = length(regexp_extract(tail, "^(0*)", 1))
+    val nz = substring(regexp_replace(tail, "^0+", ""), 1, 1)
+    val lz4 = when(nz === "1", 3).when(nz.isin("2", "3"), 2)
+      .when(nz.isin("4", "5", "6", "7"), 1).otherwise(0)
+    when(nz === "", lit(65)).otherwise(z * 4 + lz4 + 1)
+  }
+
+  /** Register table of a value column: idx = first 60 md5 bits mod 2^p,
+    * r = max leading-zero rank seen for that register. Occupied
+    * registers only (absent = 0) — ≤ 2^p rows, one partial-aggregable
+    * groupBy, additive over batches via [[hllMerge]]. Nulls are skipped
+    * (a null is not a value, matching COUNT(DISTINCT)). */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1L << p
+    val h = md5(col(valueCol).cast("string"))
+    df.filter(col(valueCol).isNotNull)
+      .select(
+        pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(m)).as("idx"),
+        hllRho(substring(h, 17, 16)).as("r"))
+      .groupBy("idx").agg(max("r").cast("int").as("r"))
+  }
+
+  /** Merge register tables of identical p by per-register max — exact:
+    * hll(A ∪ B) == merge(hll(A), hll(B)) register for register, the
+    * property that makes per-batch tables composable into a lifetime
+    * sketch. */
+  def hllMerge(registers: DataFrame): DataFrame =
+    registers.groupBy("idx").agg(max("r").cast("int").as("r"))
+
+  /** Distinct-count estimate from a register table. The harmonic sum
+    * Σ 2^(-r) is scaled by 2^65 into exact DECIMAL(38,0) (largest term
+    * 2^65, ≤ 2^16 terms — no overflow, no float-order sensitivity);
+    * empty registers enter as 2^65 via densification. Small-range
+    * correction: when the raw estimate ≤ 2.5·m and zero registers
+    * remain, linear counting m·ln(m/V) takes over (ln 6dp-rounded, the
+    * engine-portability discipline). Output: m, v_zero, n_est. */
+  def hllEstimate(registers: DataFrame, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // C/S with S the exact scaled harmonic sum: C = α·m²·2^65.
+    val cNum = alpha * m * m * math.pow(2.0, 65)
+    val dense = registers.select(col("idx"), col("r"))
+      .unionByName(registers.sparkSession.range(m)
+        .select(col("id").as("idx"), lit(0).as("r")))
+      .groupBy("idx").agg(max("r").as("r"))
+    val agg = dense.agg(
+      sum(pow(lit(2.0), lit(65) - col("r"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+      sum(when(col("r") === 0, 1L).otherwise(0L)).cast("long").as("v_zero"))
+    val raw = lit(cNum) / col("s").cast("double")
+    agg.select(lit(m).as("m"), col("v_zero"),
+      when(col("v_zero") > 0 && raw <= lit(2.5 * m),
+        round(lit(m.toDouble) *
+          round(log(lit(m.toDouble) / col("v_zero")), 6), 6))
+        .otherwise(round(raw, 6)).as("n_est"))
+  }
+
+  /** One-shot convenience: estimate the distinct count of a column. */
+  def hllDistinct(df: DataFrame, valueCol: String, p: Int = 10): DataFrame =
+    hllEstimate(hllRegisters(df, valueCol, p), p)
+
+  /** Assemble the corpus-lifetime register table from a directory of
+    * landed per-batch register tables (the
+    * [[graft.streaming.Ingest.hllIngestStream]] layout; batch_id is
+    * discovery metadata the merge never reads). Work is
+    * (batches × occupied registers) rows — summary-sized; no document
+    * is ever rescanned, and the merge is exact. */
+  def readMergedHll(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    hllMerge(spark.read.parquet(path).select("idx", "r"))
 }

@@ -3443,8 +3443,56 @@ object PipelineInventory {
               |  0.5 * pa * ${rrepr("ln(pa / m)", 6)} + 0.5 * pb * ${rrepr("ln(pb / m)", 6)} AS js_term
               |FROM q ORDER BY bucket""".stripMargin)),
 
+    // Portable HyperLogLog vocabulary estimate: unlike r39's built-in
+    // approx_count_distinct (engine-private HLL++ internals, rows-only
+    // check), Sketch.hllRegisters/hllEstimate derive registers from
+    // md5 hex with string ops and run the harmonic sum in exact
+    // DECIMAL, so the ESTIMATE ITSELF is oracle-checkable bit for bit.
+    // n_exact rides along to show the ~3.3% p=10 error band live.
+    QueryDef("r77_hll_distinct",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(explode(split(coalesce(col("text"), lit("")), " "))
+            .as("token"))
+          .filter(col("token") =!= "")
+        graft.functions.Sketch.hllDistinct(toks, "token", p = 10)
+          .crossJoin(toks.agg(countDistinct(col("token")).as("n_exact")))
+      },
+      Some {
+        val m = 1024
+        val cNum = 0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, 65)
+        s"""WITH tk AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS token
+           |            FROM documents),
+           |t AS (SELECT token FROM tk WHERE token <> ''),
+           |hx AS (SELECT md5(token) AS h FROM t),
+           |rg0 AS (SELECT ('0x' || substr(h, 1, 15))::BIGINT % $m AS idx,
+           |               substr(h, 17, 16) AS tail FROM hx),
+           |rr AS (SELECT idx,
+           |        CASE WHEN regexp_replace(tail, '^0+', '') = '' THEN 65
+           |             ELSE 4 * length(regexp_extract(tail, '^(0*)', 1)) +
+           |               (CASE substr(regexp_replace(tail, '^0+', ''), 1, 1)
+           |                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+           |                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+           |                  WHEN '7' THEN 1 ELSE 0 END) + 1 END AS r
+           |       FROM rg0),
+           |reg AS (SELECT idx, MAX(r) AS r FROM rr GROUP BY idx),
+           |dense AS (SELECT g.idx, COALESCE(reg.r, 0) AS r
+           |          FROM range(0, $m) g(idx) LEFT JOIN reg ON reg.idx = g.idx),
+           |ag AS (SELECT SUM(CAST(POWER(2, 65 - r) AS DECIMAL(38,0))) AS s,
+           |              CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+           |       FROM dense),
+           |ex AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact FROM t)
+           |SELECT CAST($m AS INT) AS m, v_zero,
+           |  CASE WHEN v_zero > 0 AND $cNum / CAST(s AS DOUBLE) <= ${2.5 * m}
+           |       THEN ${rrepr(s"$m.0 * ${rrepr(s"ln($m.0 / v_zero)", 6)}", 6)}
+           |       ELSE ${rrepr(s"$cNum / CAST(s AS DOUBLE)", 6)} END AS n_est,
+           |  n_exact
+           |FROM ag CROSS JOIN ex""".stripMargin
+      }),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
-    // sketch internals differ; driver records a rows-only check).
+    // sketch internals differ; driver records a rows-only check; the
+    // portable alternative with a full oracle is r77).
     QueryDef("r39_approx_distinct",
       (s, d) => T(s, d, "lineitem")
         .agg(

@@ -1239,6 +1239,40 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming HLL register ingest: each micro-batch lands its
+    * ≤ 2^p-row (idx, r) register table
+    * ([[graft.functions.Sketch.hllRegisters]] over the batch's tokens)
+    * as a per-batch-id OVERWRITE partition — replay re-lands an
+    * identical table, never inflates a register. Registers merge by
+    * per-idx max (exact), so
+    * [[graft.functions.Sketch.readMergedHll]] +
+    * [[graft.functions.Sketch.hllEstimate]] over the landed batches
+    * equals the one-shot whole-corpus estimate bit for bit no matter
+    * how ingest was batched — the distinct-count sibling of
+    * [[sketchIngestStream]]'s CMS artifact. */
+  def hllIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, outDir: String, checkpoint: String, p: Int = 10,
+      textCol: String = "text", maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
+        val toks = batch
+          .select(explode(split(coalesce(col(textCol), lit("")), " "))
+            .as("token"))
+          .filter(col("token") =!= "")
+        graft.functions.Sketch.hllRegisters(toks, "token", p)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming PQ-code ingest: each micro-batch of embeddings is
     * encoded against the index's FIXED codebooks (broadcast narrow
     * map over the batch alone — old vectors never rescanned or

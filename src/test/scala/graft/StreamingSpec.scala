@@ -947,6 +947,33 @@ class StreamingSpec extends SparkSpec {
     assert(est == 2L)
   }
 
+  test("STHLL: streamed register batches merge to the one-shot estimate; replay stable") {
+    val src = tmp("sthll-src"); val out = tmp("sthll-out"); val ck = tmp("sthll-ck")
+    val b1 = (0L until 30L).map(i => (i, s"tok$i shared common words"))
+      .toDF("doc_id", "text")
+    val b2 = (30L until 50L).map(i => (i, s"tok$i shared other words"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.hllIngestStream(spark, b1.schema, src, out, ck, p = 10)
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(coalesce($"text", lit("")), " ")).as("token"))
+      .filter($"token" =!= "")
+    val streamed = graft.functions.Sketch.hllEstimate(
+      graft.functions.Sketch.readMergedHll(spark, out))
+      .select("n_est").as[Double].head()
+    val oneShot = graft.functions.Sketch.hllDistinct(
+      toks(b1.unionByName(b2)), "token").select("n_est").as[Double].head()
+    assert(streamed == oneShot) // streamed == batch, bit for bit
+    // restart on the same checkpoint: registers re-land identically
+    Ingest.hllIngestStream(spark, b1.schema, src, out, ck, p = 10)
+    assert(graft.functions.Sketch.hllEstimate(
+      graft.functions.Sketch.readMergedHll(spark, out))
+      .select("n_est").as[Double].head() == oneShot)
+    // and the estimate is sane on the 54-distinct fixture
+    assert(math.abs(oneShot - 54.0) < 8.0, s"est $oneShot")
+  }
+
   test("STHH: streamed MG summaries + one recount equal batch heavyHitters; replay stable") {
     val src = tmp("sthh-src"); val out = tmp("sthh-out"); val ck = tmp("sthh-ck")
     val b1 = (0L until 40L).map(i => (i, "alpha alpha beta " + s"rare$i"))
