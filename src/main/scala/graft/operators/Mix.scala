@@ -216,6 +216,40 @@ object Mix {
     docs.withColumn("split", assigned)
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * IPL 2006): each doc draws a deterministic uniform u from a salted
+    * md5 of its id and scores key = ln(u)/w (order-equivalent to the
+    * textbook u^(1/w) — one ln instead of a pow, and no tie-saturation
+    * near 1.0 for large weights); the k LARGEST keys are the sample.
+    * The inclusion probability of a doc rises with its weight exactly
+    * as sequential weighted draws without replacement would give —
+    * sample docs ∝ quality score, token count, or any positive
+    * importance weight in ONE distributed pass.
+    *
+    * Determinism/portability: u is the salted-md5 uniform of the other
+    * Mix operators (seed in the salt, so re-draws are independent by
+    * seed), the key is 9dp-rounded (the engine-portability discipline;
+    * ties broken by id), so the sample is a pure function of
+    * (id, weight, seed) — stable under partitioning, row order, and
+    * engine. Scale: a narrow per-row projection into a top-k
+    * (TakeOrderedAndProject — per-partition heaps of k, no global
+    * sort, no shuffle of the corpus). Docs with null/non-positive
+    * weight are excluded (a zero-weight doc is a "never sample").
+    * Output: the input columns + `sample_key`, the k winners. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+      seed: String = "ws", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val denom = math.pow(2, 60) + 1.0
+    val u = (conv(substring(md5(concat(lit(seed + ":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("double") + 1.0) /
+      denom
+    docs.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key",
+        round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(desc("sample_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Hashed n-gram features for [[dsirScores]]: word unigrams + bigrams
     * hashed into `buckets` through the same md5-derived 60-bit integer
     * as the dedup shingles, counted WITH multiplicity (the bag-of-

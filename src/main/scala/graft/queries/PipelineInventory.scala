@@ -3490,6 +3490,32 @@ object PipelineInventory {
            |FROM ag CROSS JOIN ex""".stripMargin
       }),
 
+    // Weighted sample without replacement (Efraimidis-Spirakis keys):
+    // docs sampled ∝ token count via the deterministic salted-md5
+    // uniform, so the drawn SET itself is oracle-checkable — unlike
+    // rand()-based sampling (r45's rows-only check).
+    QueryDef("r78_weighted_sample",
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          (size(split(coalesce(col("text"), lit("")), " ")) + 1)
+            .cast("double").as("w"))
+        Mix.weightedSample(docs, k = 25, weightCol = "w")
+          .orderBy(desc("sample_key"), col("doc_id"))
+      },
+      Some {
+        val denom = math.pow(2, 60) + 1.0
+        s"""WITH w AS (SELECT doc_id,
+           |    CAST(len(string_split(COALESCE(text, ''), ' ')) + 1 AS DOUBLE) AS w
+           |  FROM documents),
+           |u AS (SELECT doc_id, w,
+           |    ((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |      + 1.0) / $denom) AS u
+           |  FROM w WHERE w > 0),
+           |sk AS (SELECT doc_id, w, ${rrepr("ln(u) / w", 9)} AS sample_key FROM u)
+           |SELECT doc_id, w, sample_key FROM sk
+           |ORDER BY sample_key DESC, doc_id LIMIT 25""".stripMargin
+      }),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

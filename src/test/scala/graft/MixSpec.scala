@@ -282,4 +282,46 @@ class MixSpec extends SparkSpec {
       keys = Seq("lang"), maxCopies = 8)
     assert(out.count() > 0)
   }
+
+  test("weightedSample: deterministic, partition-invariant, weight-respecting") {
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        when(col("id") === 7, 1000.0).otherwise(1.0).as("w"))
+    val a = Mix.weightedSample(docs, k = 20, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 20)
+    // the 1000x-weight doc is effectively certain to be drawn
+    assert(a.contains(7L))
+    // pure function of (id, weight, seed): row order and partitioning
+    // never change the drawn set
+    val b = Mix.weightedSample(docs.repartition(13), k = 20, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // an independent seed draws an (almost surely) different set
+    val c = Mix.weightedSample(docs, k = 20, weightCol = "w", seed = "ws2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != a && c.contains(7L))
+  }
+
+  test("weightedSample: zero/null weights excluded, k >= eligible returns all") {
+    val docs = Seq(
+      (1L, 2.0), (2L, 0.0), (3L, -1.0), (4L, 3.0),
+      (5L, Double.NaN)).toDF("doc_id", "w")
+      .select(col("doc_id"), when(col("doc_id") === 5, lit(null)
+        .cast("double")).otherwise(col("w")).as("w"))
+    val out = Mix.weightedSample(docs, k = 10, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+    // realized frequency tracks weight: over 40 independent seeds,
+    // a weight-5 doc is drawn into a k=2-of-4 sample more often than
+    // a weight-1 doc
+    val four = Seq((1L, 5.0), (2L, 1.0), (3L, 1.0), (4L, 1.0))
+      .toDF("doc_id", "w")
+    val hits = (0 until 40).map { s =>
+      Mix.weightedSample(four, k = 2, weightCol = "w", seed = s"s$s")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val n1 = hits.count(_.contains(1L)); val n2 = hits.count(_.contains(2L))
+    assert(n1 > n2, s"heavy $n1 vs light $n2")
+  }
 }

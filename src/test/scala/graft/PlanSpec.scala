@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpec {
       dp.linesIterator.take(40).mkString("\n"))
   }
 
+  test("weighted sample is a TakeOrderedAndProject, never a global sort") {
+    // r78's top-k must run as per-partition heaps + driver merge of k
+    // rows; a SortExec over the corpus would materialize a full
+    // shuffle just to keep 25 rows.
+    val p = executedPlan("r78_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("contamination report scans only doc_id and text") {
     val p = executedPlan("p57_contamination_report")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
@@ -243,6 +252,8 @@ class PlanSpec extends SparkSpec {
       "r74_group_quantiles", // the r73 shape keyed by group: qs ×
                             // groups-row (min,max,n) cross, rank join
                             // over the groups×bins summary
+      "r77_hll_distinct",   // one-row HLL estimate crossed with the
+                            // one-row exact count (error-band rider)
       "q32_cosine_topk",    // single query vector broadcast
       "q42_quality_report") // one-row `now` frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
