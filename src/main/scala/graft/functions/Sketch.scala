@@ -104,7 +104,8 @@ object Sketch {
   def wordNgrams(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, "n must be positive")
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    graft.operators.Fanout(docs, idCol)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(size(t) - ${n - 1}, 0)), " +
           s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))

@@ -25,7 +25,15 @@ object Ann {
   /** Normalize: vec_id, emb (double), nrm — norms computed once per
     * vector, an O(n) pass, so the O(n*q) pair stage only does one dot
     * each. `sqrt(dot(e,e))` here is bit-identical to the `sqrt` inside a
-    * per-pair cosine, so precomputation does not change any result. */
+    * per-pair cosine, so precomputation does not change any result.
+    *
+    * No [[Fanout]] here, deliberately: the embedding ops are either
+    * iterative (Lloyd/PQ train — a fan-out per iteration plus its plan
+    * probe costs more than the one-task map it parallelizes) or
+    * multi-reference plans served by ReuseExchange (measured +0.5-0.8 s
+    * on p14/p43/p44/p52 with fan-out vs without, interleaved A/B at
+    * sf0.1); the text primitives' md5-per-char chains are 10-100x
+    * heavier per byte and are where fan-out pays. */
   private def withNorm(emb: DataFrame, id: String = "vec_id"): DataFrame =
     emb.select(col(id), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))

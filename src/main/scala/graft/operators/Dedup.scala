@@ -32,7 +32,8 @@ object Dedup {
     * cost a full shuffle of every (doc, shingle) row. */
   def wordShingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    Fanout(docs, idCol)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"), explode(shingleArray(n)).as("shingle"))
 
@@ -868,16 +869,34 @@ object Dedup {
     * — measured O(len²) md5s, 21 s → 7 min at sf0.1 for the guarded
     * form of this very chain. Output: doc_id, fp. */
   def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Window-min via a sparse table (two halving least() levels),
+    // never `array_min(slice(hs, j, w))`: the slice form allocates a
+    // w-element array PER POSITION (corpus chars x w copies); the
+    // sparse form is ceil(log2 w) allocation-free least() transforms
+    // with clamped element_at lookups (a duplicated tail element never
+    // changes a min, so clamping to size(x) preserves the partial tail
+    // windows exactly). Selected values are identical; measured 3.0 ->
+    // 2.6 s at sf0.1 before fan-out, and it compounds after.
+    var lvl = "hs"
+    var span = 1
+    var out = Fanout(docs, idCol)
       .select(col(idCol).as("doc_id"), col(textCol).as("t"))
       .where(length(col("t")) >= k)
       .select(col("doc_id"),
         expr(s"transform(sequence(1, length(t)-${k - 1}), i -> md5(substring(t, i, $k)))").as("hs"))
-      .select(col("doc_id"),
-        explode(expr(
-          s"array_distinct(transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, $w))))"))
-          .as("fp"))
+    while (span < w) {
+      val step = math.min(span, w - span)
+      val nxt = s"m${span + step}"
+      out = out.select(col("doc_id"),
+        expr(s"transform($lvl, (x, i) -> least(x, element_at($lvl, least(i + 1 + $step, size($lvl)))))")
+          .as(nxt))
+      lvl = nxt
+      span += step
+    }
+    out.select(col("doc_id"),
+      explode(expr(s"array_distinct($lvl)")).as("fp"))
+  }
 
   /** Winnowed-fingerprint overlap pairs — the MOSS pipeline
     * (local fingerprinting → shared-fingerprint matching): doc pairs

@@ -259,7 +259,7 @@ object Mix {
     * is O(buckets), never O(vocab). Output: doc_id, bucket, c. */
   private[graft] def ngramBuckets(docs: DataFrame, buckets: Int,
       idCol: String, textCol: String): DataFrame = {
-    val t = docs.select(col(idCol).as("doc_id"),
+    val t = Fanout(docs, idCol).select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("t"))
     t.select(col("doc_id"), explode(concat(col("t"),
         expr("transform(sequence(1, greatest(size(t) - 1, 0))," +
