@@ -544,17 +544,15 @@ object Dedup {
   /** [[dedupCorpus]]'s pipeline with the [[survivorsByScore]] policy,
     * returning the per-doc VERDICT frame instead of the surviving
     * corpus (callers keep the accounting: comp label, score, keep).
-    * Same resource discipline as [[dedupCorpus]]: the shingle set is
-    * persisted only until the verified pair graph is checkpointed
-    * (both the band and verify branches read it), and the returned
-    * plan touches only `docs`, `scores`, and checkpointed labels.
-    * Output: idCol, comp, score, keep. */
+    * Same resource discipline as [[dedupCorpus]] ([[sharedShingles]]:
+    * lazy when an exchange shares the subtree, persisted otherwise);
+    * the returned plan touches only `docs`, `scores`, and checkpointed
+    * labels. Output: idCol, comp, score, keep. */
   def dedupCorpusByScore(docs: DataFrame, scores: DataFrame,
       threshold: Double = 0.5, maxBucket: Int = 100,
       idCol: String = "doc_id", textCol: String = "text",
       scoreCol: String = "score", maxIter: Int = 20): DataFrame = {
-    val sh = shingleHashes(docs, idCol = idCol, textCol = textCol).persist()
-    sh.count()
+    val (sh, release) = sharedShingles(docs, idCol, textCol)
     try {
       ensureCheckpointDir(docs.sparkSession)
       val verified = jaccardPairs(sh,
@@ -562,30 +560,58 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("d1"), col("d2"))
         .checkpoint()
-      // components() runs (and checkpoints its labels) inside this
-      // call, so nothing in the returned plan reads the shingle cache.
       survivorsByScore(docs, verified, scores, idCol, scoreCol, maxIter)
-    } finally sh.unpersist()
+    } finally release()
+  }
+
+  /** Cache-vs-recompute break-even for [[sharedShingles]], in input
+    * bytes (the optimizer's own `sizeInBytes` statistic). Measured at
+    * both ends: 594 KB input (sf0.1) — lazy beats the persist by ~1 s
+    * (the eager cache-materialization job + InMemory re-reads cost
+    * more than re-running the cheap explode per consumer, 3.2-3.4 →
+    * 2.2-2.4 s); 84 MB input (500k-doc stress) — the persist wins big
+    * (three lazy references each re-run the full explode+hash even
+    * when a [[Fanout]] exchange shares the doc shuffle, because the
+    * explode sits ABOVE it: 20.8 → 46 s lazy-with-exchange, 213 s
+    * lazy-without). 16 MB sits between the measured regimes. */
+  private[graft] val ShingleCacheBytes = 16L << 20
+
+  /** The shingle frame plus its sharing discipline, decided from plan
+    * statistics (the r8 form): inputs under [[ShingleCacheBytes]] stay
+    * LAZY — every consumer lives inside the one verified-pair
+    * checkpoint action and the explode is cheap to re-run — while
+    * larger inputs persist the exploded hashed shingles until the
+    * checkpoint lands (the r7 discipline; at cluster scale this is
+    * the durable-intermediate pattern, and the cache holds hashed
+    * longs, not text). The probe is pure planning (never executes). */
+  private def sharedShingles(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
+    val sh = shingleHashes(docs, idCol = idCol, textCol = textCol)
+    val small = !docs.isStreaming &&
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes < ShingleCacheBytes
+    if (small) (sh, () => ())
+    else {
+      val p = sh.persist()
+      p.count()
+      (p, () => { p.unpersist(); () })
+    }
   }
 
   /** The whole near-dup dedup pipeline as one call: shingle → minhash →
     * LSH candidates → exact-Jaccard verify at `threshold` → connected
-    * components → one survivor per component. The shingle set is
-    * cached only while [[components]] materializes the verified pair
-    * graph (its first checkpoint consumes every shingle-reading
-    * branch), then released — the returned plan touches only `docs`
-    * and the checkpointed labels, so nothing stays pinned.
+    * components → one survivor per component. The shingle frame's
+    * sharing discipline is plan-decided by [[sharedShingles]]: lazy
+    * (ReuseExchange sharing) when the subtree ends in an exchange,
+    * persisted until the verified-pair checkpoint otherwise — both
+    * directions measured, see sharedShingles.
     * (The fused [[docSignatures]] intermediate was measured here and
-    * kept OUT: caching the narrow exploded table and paying two
-    * codegen'd aggregations ran ~0.5 s faster than caching the fused
-    * ObjectHashAggregate output at sf0.1 — see SCALE.md r6 notes; at
-    * 100 TB the sig shuffle after map-side combine is ~one row per
-    * doc, so the extra shuffle the fused form saves is negligible.) */
+    * kept OUT: see SCALE.md r6 notes; at 100 TB the sig shuffle after
+    * map-side combine is ~one row per doc, so the extra shuffle the
+    * fused form saves is negligible.) */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.5,
       maxBucket: Int = 100, idCol: String = "doc_id",
       textCol: String = "text", maxIter: Int = 20): DataFrame = {
-    val sh = shingleHashes(docs, idCol = idCol, textCol = textCol).persist()
-    sh.count()
+    val (sh, release) = sharedShingles(docs, idCol, textCol)
     try {
       val bands = lshBands(minhashSignatures(sh, hashed = true))
       // The verified pair graph is CHECKPOINTED before components():
@@ -607,7 +633,7 @@ object Dedup {
       docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
         .filter(col("comp").isNull || col("comp") === col(idCol))
         .drop("comp")
-    } finally sh.unpersist()
+    } finally release()
   }
 
   /** 60-bit SimHash over distinct tokens. Token hash = first 15 hex chars

@@ -41,6 +41,18 @@ import org.apache.spark.sql.functions.col
   * source's; `.rdd` is undefined on them), as do frames already wide
   * enough. */
 object Fanout {
+
+  /** Whether `df`'s (pre-adaptive) physical plan carries an Exchange —
+    * i.e. whether multiple consumers of `df` inside ONE action can be
+    * served from a single execution via ReuseExchange. Callers use
+    * this to pick between a lazy multi-reference plan (sharing point
+    * exists — e.g. this object's own repartition fired) and an
+    * explicit persist (wide narrow-from-scan plan: each reference
+    * would re-run the whole subtree). Pure planning — never executes. */
+  def hasExchange(df: DataFrame): Boolean =
+    !df.isStreaming && df.queryExecution.sparkPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]).isDefined
+
   def apply(df: DataFrame, key: String): DataFrame = {
     if (df.isStreaming) return df
     val shuffled = df.queryExecution.sparkPlan.find(

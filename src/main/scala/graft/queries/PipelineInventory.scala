@@ -3516,6 +3516,111 @@ object PipelineInventory {
            |ORDER BY sample_key DESC, doc_id LIMIT 25""".stripMargin
       }),
 
+    // Unkeyed point-in-interval join via bin bucketing: customers
+    // matched to overlapping supplier account-balance bands as an
+    // EQUI-join on the bin id plus a residual BETWEEN — the shape
+    // Spark would otherwise plan as a broadcast-nested-loop theta
+    // join (PlanSpec asserts the binned plan carries a real equi-join
+    // and no nested loop). The oracle is the naive BETWEEN join.
+    QueryDef("r79_range_join",
+      (s, d) => {
+        val cust = T(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        val bands = T(s, d, "supplier")
+          .filter(col("s_suppkey") % 10 === 0)
+          .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+            (col("s_acctbal") + 1000.0).as("hi"))
+        Windows.rangeJoinBinned(cust, "c_acctbal", bands, "lo", "hi",
+            binWidth = 500.0)
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).cast("long").as("n_bands"),
+            sum(col("s_suppkey")).cast("long").as("sum_supp"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c.c_custkey, CAST(COUNT(*) AS BIGINT) AS n_bands,
+             |       CAST(SUM(s.s_suppkey) AS BIGINT) AS sum_supp
+             |FROM customer c
+             |JOIN (SELECT s_suppkey, s_acctbal AS lo, s_acctbal + 1000.0 AS hi
+             |      FROM supplier WHERE s_suppkey % 10 = 0) s
+             |  ON c.c_acctbal >= s.lo AND c.c_acctbal <= s.hi
+             |GROUP BY c.c_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Interval-interval OVERLAP join via bins, each overlapping pair
+    // kept only in its intersection's first bin (a per-row predicate
+    // instead of a pair-sized distinct). Oracle: the naive
+    // `a.lo <= b.hi AND b.lo <= a.hi` theta join. Overlap length is
+    // pure IEEE subtraction/min/max — bit-identical cross-engine.
+    QueryDef("r80_overlap_join",
+      (s, d) => {
+        val cust = T(s, d, "customer")
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_acctbal").as("clo"),
+            (col("c_acctbal") + 500.0).as("chi"))
+        val supp = T(s, d, "supplier")
+          .filter(col("s_suppkey") % 10 === 0)
+          .select(col("s_suppkey"), col("s_acctbal").as("slo"),
+            (col("s_acctbal") + 800.0).as("shi"))
+        Windows.overlapJoinBinned(cust, "clo", "chi", supp, "slo", "shi",
+            binWidth = 400.0)
+          .select(col("c_custkey"), col("s_suppkey"),
+            (least(col("chi"), col("shi")) -
+              greatest(col("clo"), col("slo"))).as("overlap"))
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      Some("""SELECT c.c_custkey, s.s_suppkey,
+             |       least(c.chi, s.shi) - greatest(c.clo, s.slo) AS overlap
+             |FROM (SELECT c_custkey, c_acctbal AS clo, c_acctbal + 500.0 AS chi
+             |      FROM customer WHERE c_custkey % 10 = 0) c
+             |JOIN (SELECT s_suppkey, s_acctbal AS slo, s_acctbal + 800.0 AS shi
+             |      FROM supplier WHERE s_suppkey % 10 = 0) s
+             |  ON c.clo <= s.shi AND s.slo <= c.chi
+             |ORDER BY c_custkey, s_suppkey""".stripMargin)),
+
+    // W3 in aggregator form: top-3 orders per customer through the
+    // bounded TopKAggregator — the shuffle carries at most k pairs per
+    // (group, partition) instead of every row (the hot-key-proof
+    // ranking). Oracle: the ROW_NUMBER window it is row-identical to.
+    QueryDef("r81_topk_agg",
+      (s, d) => Windows.topKPerGroupAgg(T(s, d, "orders"), k = 3,
+          key = "o_custkey", ord = "o_totalprice", id = "o_orderkey")
+        .orderBy("o_custkey", "rn"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) z
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // One-pass column profiler over orders: per-column row count, null
+    // count, EXACT distinct count, and typed min/max (numerics +
+    // timestamps as epoch-seconds doubles, strings under binary
+    // collation). The scale form (exact=false, HLL per column in one
+    // true pass) is MetaSpec-gated within 5% of these exact counts.
+    QueryDef("r82_profile",
+      (s, d) => graft.sources.Meta.profile(T(s, d, "orders")),
+      Some {
+        def row(c: String, kind: String) = {
+          val (mn, mx) = kind match {
+            case "num" => (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)")
+            case "ts"  => (s"CAST(epoch(MIN($c)) AS DOUBLE)", s"CAST(epoch(MAX($c)) AS DOUBLE)")
+            case _     => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+          }
+          val (ms, xs) =
+            if (kind == "str") (s"MIN($c)", s"MAX($c)")
+            else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          s"""SELECT '$c' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+             |FROM orders""".stripMargin
+        }
+        Seq(row("o_orderkey", "num"), row("o_custkey", "num"),
+          row("o_orderstatus", "str"), row("o_totalprice", "num"),
+          row("o_orderdate", "ts"), row("o_orderpriority", "str"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+      }),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

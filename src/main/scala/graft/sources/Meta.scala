@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Small metadata utilities completing SURVEY §2 rows S5/S6/P11 — the
   * reference's connector introspection surface
@@ -27,6 +29,60 @@ object Meta {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
     else fs.getContentSummary(p).getLength
+  }
+
+  /** One-pass column profiler (the warehouse's "describe + dbt tests"
+    * stats surface as data): one row per column with row count, null
+    * count, distinct count, and typed min/max — numerics and
+    * timestamps land in `min_num`/`max_num` (timestamps as epoch
+    * seconds, micros in the fraction — the cross-engine-exact double),
+    * strings in `min_str`/`max_str` (binary collation in both
+    * engines), other types profile counts only.
+    *
+    * Scale shape: ONE aggregation job either way, but `exact = true`
+    * plans multi-column COUNT(DISTINCT) via Expand — the scan's rows
+    * replicate once per profiled column before the partial aggregate,
+    * which is the honest cost of exact cardinalities. At 100 TB run
+    * `exact = false`: approx_count_distinct keeps a fixed-size HLL per
+    * column inside a single true pass with map-side combine (MetaSpec
+    * pins the approximation within 5% of exact on the gate tables).
+    * Output: col, n, n_null, n_distinct, min_num, max_num, min_str,
+    * max_str — ordered by column name. */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def slug(i: Int, what: String) = s"_p${i}_$what"
+    val aggs: Seq[Column] = count(lit(1)).cast("long").as("_n") +: fields.zipWithIndex.flatMap {
+      case (f, i) =>
+        val c = col(f.name)
+        val numeric = f.dataType match {
+          case _: NumericType | _: TimestampType => Some(c.cast("double"))
+          // NTZ has no direct double cast; the session runs UTC, so the
+          // timestamp hop is the identity wall-clock epoch DuckDB uses
+          case _: TimestampNTZType => Some(c.cast("timestamp").cast("double"))
+          case _ => None
+        }
+        val str = f.dataType match {
+          case _: StringType => Some(c)
+          case _ => None
+        }
+        Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(slug(i, "null")),
+          (if (exact) countDistinct(c) else approx_count_distinct(c))
+            .cast("long").as(slug(i, "dist")),
+          min(numeric.getOrElse(lit(null).cast("double"))).as(slug(i, "minn")),
+          max(numeric.getOrElse(lit(null).cast("double"))).as(slug(i, "maxn")),
+          min(str.getOrElse(lit(null).cast("string"))).as(slug(i, "mins")),
+          max(str.getOrElse(lit(null).cast("string"))).as(slug(i, "maxs")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(f.name).as("col"), col("_n").as("n"),
+        col(slug(i, "null")).as("n_null"), col(slug(i, "dist")).as("n_distinct"),
+        col(slug(i, "minn")).as("min_num"), col(slug(i, "maxn")).as("max_num"),
+        col(slug(i, "mins")).as("min_str"), col(slug(i, "maxs")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("col")
   }
 
   /** S6: engine version/info dict analog. */

@@ -172,6 +172,17 @@ class PlanSpec extends SparkSpec {
       dp.linesIterator.take(40).mkString("\n"))
   }
 
+  test("range join runs as an equi-join on the bin key, not a nested loop") {
+    val p = executedPlan("r79_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.take(40).mkString("\n"))
+    // the bin id must be the join key (hash or sort-merge both fine;
+    // AQE broadcasts the small side at this SF — still an equi-join)
+    assert(p.contains("_bin"), p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("weighted sample is a TakeOrderedAndProject, never a global sort") {
     // r78's top-k must run as per-partition heaps + driver merge of k
     // rows; a SortExec over the corpus would materialize a full
