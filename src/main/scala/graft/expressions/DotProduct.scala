@@ -69,11 +69,26 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object GraftFunctions {
   val DotName = "graft_dot"
 
+  /** Spark's own codegen'd Bloom-membership predicate
+    * (`BloomFilterMightContain` — the expression InjectRuntimeFilter
+    * plants), surfaced to the Column API for
+    * [[graft.operators.Joins]]'s explicit semi-join reduction: args
+    * are (serialized sketch binary, xxhash64 of the key). Internal in
+    * upstream's registry only because the optimizer normally plants it
+    * itself; the expression is public API. */
+  val MightContainName = "graft_might_contain"
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(DotName)))
       reg.createOrReplaceTempFunction(
         DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(MightContainName)))
+      reg.createOrReplaceTempFunction(
+        MightContainName,
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+        "built-in")
     // The HOF-dot rewrite on live sessions (GraftExtensions covers
     // sessions built with spark.sql.extensions).
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDot))

@@ -250,6 +250,33 @@ object Mix {
       .limit(k)
   }
 
+  /** Deterministic k-per-group sample: the `k` docs of every group
+    * with the largest salted-md5 uniforms — each group's draw is an
+    * exact simple random sample of that group (the uniform is a pure
+    * function of (seed, id), so membership is reproducible and stable
+    * under corpus growth within a group's unchanged members, the same
+    * contract as [[hashSplit]]).
+    *
+    * Scale shape: this is per-group top-k, NOT a window —
+    * `row_number().over(partitionBy(group))` moves and sorts every row
+    * of every group (one reducer per group: a 10^8-doc language is one
+    * task), while the bounded [[graft.functions.TopKAggregator]]
+    * carries at most k (uniform, id) pairs per group per upstream
+    * partition through the one shuffle. Output: groupCol, idCol, rn
+    * (1-based in descending-uniform order) — join back on `idCol` for
+    * the rows. */
+  def groupSample(docs: DataFrame, k: Int, groupCol: String,
+      seed: String = "gsp", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val denom = math.pow(2, 60) + 1.0
+    val u = (conv(substring(md5(concat(lit(seed + ":"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("double") + 1.0) /
+      denom
+    Windows.topKPerGroupAgg(docs.withColumn("_u", u), k,
+        key = groupCol, ord = "_u", id = idCol)
+      .select(col(groupCol), col(idCol), col("rn"))
+  }
+
   /** Hashed n-gram features for [[dsirScores]]: word unigrams + bigrams
     * hashed into `buckets` through the same md5-derived 60-bit integer
     * as the dedup shingles, counted WITH multiplicity (the bag-of-

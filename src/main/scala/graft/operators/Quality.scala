@@ -306,6 +306,46 @@ object Quality {
   def negativeBalances(accounts: DataFrame): DataFrame =
     accounts.filter(col("balance") < 0)
 
+  /** Robust per-group outlier detection: modified z-score from the
+    * group's MEDIAN and MAD (median absolute deviation), the
+    * Iglewicz–Hoaglin rule `|0.6745·(x − med) / MAD| > cutoff`. The
+    * anomalous-amount screen a mean/stddev z-score can't be at 100 TB:
+    * one fat-finger 10^9 transaction drags a mean-based threshold past
+    * every other anomaly in the group (the mean has a 0% breakdown
+    * point; the median's is 50%), so the robust form is the one the
+    * reference's quality report actually wants for amount screens.
+    *
+    * Shape: two group-sized aggregations (median, then MAD over the
+    * med-joined frame) broadcast back — three scans of `df`, the
+    * corpus itself never shuffles on the group key. Uses EXACT
+    * `percentile` (r44 discipline: interpolation matches DuckDB's
+    * quantile_cont bit-for-bit at the 4-dp contract); groups must be
+    * few enough to broadcast (true of every dimension-keyed screen —
+    * for high-cardinality groups swap in
+    * [[graft.functions.Sketch.histogramQuantilesBy]]'s bounded-error
+    * medians). med/mad/z are rounded to 4 dp so float noise cannot
+    * flip a borderline verdict across engines (the Ann rounded-rank
+    * discipline). Null values and MAD = 0 groups (>50% of the group
+    * at one value — ties everywhere) yield null z / outlier = false
+    * rather than a division blow-up.
+    * Output: input columns + med, mad, robust_z, outlier. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(groupCol).agg(
+      round(expr(s"percentile(cast($valueCol as double), 0.5)"), 4).as("med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(groupCol).agg(
+      round(expr(s"percentile(abs(cast($valueCol as double) - med), 0.5)"), 4)
+        .as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (v - col("med")) / col("mad"), 4)))
+      .withColumn("outlier",
+        coalesce(abs(col("robust_z")) > cutoff, lit(false)))
+  }
+
   /** Orphaned child rows (issue #10): anti-join against the parent. */
   def orphans(child: DataFrame, parent: DataFrame, key: String): DataFrame =
     child.join(parent, Seq(key), "left_anti")

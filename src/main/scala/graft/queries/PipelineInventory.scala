@@ -3621,6 +3621,118 @@ object PipelineInventory {
           .mkString("", "\nUNION ALL\n", "\nORDER BY col")
       }),
 
+    // Explicit Bloom semi-join reduction: lineitem is pre-filtered on
+    // a ~150 KB sketch of the urgent orders' key set before its
+    // exchange, then verified by the real join — row-identical to the
+    // plain join at ANY fpp (no false negatives; false positives die
+    // in the join). The oracle IS the plain join; PlanSpec asserts the
+    // might_contain probe sits in the fact scan stage.
+    QueryDef("r83_bloom_join",
+      (s, d) => {
+        val fact = T(s, d, "lineitem").select(
+          col("l_orderkey").as("orderkey"),
+          col("l_returnflag"), col("l_extendedprice"))
+        val dim = T(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("orderkey"))
+        graft.operators.Joins.bloomReducedJoin(fact, dim, "orderkey",
+            expectedKeys = 1L << 18)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            round(sum(col("l_extendedprice").cast("decimal(12,4)")), 2)
+              .cast("double").as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l.l_returnflag,
+             |       CAST(COUNT(*) AS BIGINT) AS n_items,
+             |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))), 2)
+             |            AS DOUBLE) AS revenue
+             |FROM lineitem l
+             |JOIN (SELECT o_orderkey FROM orders
+             |      WHERE o_orderpriority = '1-URGENT') o
+             |  ON l.l_orderkey = o.o_orderkey
+             |GROUP BY l.l_returnflag
+             |ORDER BY l.l_returnflag""".stripMargin)),
+
+    // Deterministic k-per-group sample through the bounded top-k
+    // aggregator (never a per-group window): each group's k docs with
+    // the largest salted-md5 uniforms — the same uniform r78 draws
+    // from, so the SET is fully oracle-checkable. Oracle: the
+    // ROW_NUMBER form it is row-identical to.
+    QueryDef("r84_group_sample",
+      (s, d) => Mix.groupSample(T(s, d, "documents"), k = 20,
+          groupCol = "source")
+        .orderBy("source", "rn"),
+      Some {
+        val denom = math.pow(2, 60) + 1.0
+        s"""WITH u AS (SELECT source, doc_id,
+           |    ((('0x' || substr(md5('gsp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |      + 1.0) / $denom) AS u
+           |  FROM documents),
+           |r AS (SELECT source, doc_id,
+           |        ROW_NUMBER() OVER (PARTITION BY source
+           |                           ORDER BY u DESC, doc_id) AS rn
+           |      FROM u)
+           |SELECT source, doc_id, CAST(rn AS INT) AS rn FROM r
+           |WHERE rn <= 20 ORDER BY source, rn""".stripMargin
+      }),
+
+    // Salted equi-join (J-side skew control): the fact side's hot keys
+    // fan over 8 reducers via a deterministic row-hash salt, the dim
+    // side replicates once per salt — exact, row-identical to the
+    // plain join, which is the oracle.
+    QueryDef("r85_salted_join",
+      (s, d) => {
+        val big = T(s, d, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+        val small = T(s, d, "customer").select(
+          col("c_custkey").as("custkey"), col("c_nationkey"))
+        graft.operators.Skew.saltedJoin(big, small, "custkey", salts = 8)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(12,4)")), 2)
+              .cast("double").as("total"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c.c_nationkey,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))), 2)
+             |            AS DOUBLE) AS total
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY c.c_nationkey
+             |ORDER BY c.c_nationkey""".stripMargin)),
+
+    // Robust per-group outliers: modified z-score from group median +
+    // MAD (Iglewicz-Hoaglin), the anomalous-amount screen with a 50%
+    // breakdown point. med/mad/z rounded to 4 dp on BOTH engines (the
+    // r44 percentile discipline) so a borderline verdict cannot flip.
+    QueryDef("r86_robust_outliers",
+      (s, d) => Quality.robustOutliers(T(s, d, "events"),
+          groupCol = "event_type", valueCol = "value", cutoff = 3.5)
+        .filter(col("outlier"))
+        .select(col("event_id"), col("event_type"),
+          col("value").as("amount"),
+          col("med"), col("mad"), col("robust_z"))
+        .orderBy("event_id"),
+      Some(s"""WITH med AS (SELECT event_type,
+              |    ${rrepr("quantile_cont(CAST(value AS DOUBLE), 0.5)", 4)} AS med
+              |  FROM events GROUP BY event_type),
+              |dev AS (SELECT e.event_id, e.event_type,
+              |    CAST(e.value AS DOUBLE) AS amount, m.med
+              |  FROM events e JOIN med m USING (event_type)),
+              |mad AS (SELECT event_type,
+              |    ${rrepr("quantile_cont(abs(amount - med), 0.5)", 4)} AS mad
+              |  FROM dev GROUP BY event_type),
+              |z AS (SELECT d.event_id, d.event_type, d.amount, d.med, a.mad,
+              |    CASE WHEN a.mad > 0
+              |         THEN ${rrepr("0.6745 * (d.amount - d.med) / a.mad", 4)}
+              |    END AS robust_z
+              |  FROM dev d JOIN mad a USING (event_type))
+              |SELECT event_id, event_type, amount, med, mad, robust_z
+              |FROM z WHERE abs(robust_z) > 3.5
+              |ORDER BY event_id""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

@@ -324,4 +324,34 @@ class MixSpec extends SparkSpec {
     val n1 = hits.count(_.contains(1L)); val n2 = hits.count(_.contains(2L))
     assert(n1 > n2, s"heavy $n1 vs light $n2")
   }
+
+  test("groupSample: exactly min(k, |group|) per group, rn dense from 1") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("string").as("g"))
+      .union(Seq(("tiny", 9000L), ("tiny", 9001L)).toDF("g", "doc_id")
+        .select(col("doc_id"), col("g")))
+    val s = Mix.groupSample(docs, k = 10, groupCol = "g")
+    val sizes = s.groupBy("g").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(sizes("tiny") == (2L, 2))
+    (0 until 7).foreach(g => assert(sizes(g.toString) == (10L, 10)))
+  }
+
+  test("groupSample: a group's draw is unchanged by OTHER groups' membership") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("g"))
+    val full = Mix.groupSample(docs, k = 15, groupCol = "g")
+      .filter(col("g") === "1").select("doc_id").as[Long].collect().toSet
+    // drop group 2 entirely and resample: group 1's draw is identical
+    // (the uniform is a pure function of (seed, id) — the hashSplit
+    // stability contract)
+    val pruned = Mix.groupSample(docs.filter(col("g") =!= "2"), k = 15,
+      groupCol = "g").filter(col("g") === "1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(full == pruned)
+    // and partitioning never changes any draw
+    val repart = Mix.groupSample(docs.repartition(11), k = 15, groupCol = "g")
+      .filter(col("g") === "1").select("doc_id").as[Long].collect().toSet
+    assert(full == repart)
+  }
 }

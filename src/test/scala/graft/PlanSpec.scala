@@ -183,6 +183,29 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("bloom join: the might_contain probe pre-filters the fact scan stage") {
+    val p = executedPlan("r83_bloom_join")
+    assert(p.contains("might_contain"),
+      p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("group sample shuffles aggregated top-k state, never a per-group window") {
+    val p = executedPlan("r84_group_sample")
+    assert(!p.contains("Window"), p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("robust outliers broadcast the group medians back onto the corpus") {
+    val p = executedPlan("r86_robust_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("weighted sample is a TakeOrderedAndProject, never a global sort") {
     // r78's top-k must run as per-partition heaps + driver merge of k
     // rows; a SortExec over the corpus would materialize a full

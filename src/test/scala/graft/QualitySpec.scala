@@ -176,4 +176,34 @@ class QualitySpec extends SparkSpec {
     assert(out.exists(r => r._1 == 0 && r._2 > 0))
     assert(out.forall(r => r._3 > 0 && r._4 > 0))
   }
+
+  test("robustOutliers flags a planted spike the mean-based z-score would bury") {
+    // group a: 99 values near 10 plus TWO huge spikes. A mean/stddev
+    // z-score is dragged by the spikes themselves (stddev ~ 2000);
+    // the median/MAD verdict is immune (50% breakdown point).
+    val base = (1 to 99).map(i => ("a", i.toLong, 10.0 + (i % 5)))
+    val spikes = Seq(("a", 900L, 20000.0), ("a", 901L, -15000.0))
+    val calm = (1 to 50).map(i => ("b", 1000L + i, 5.0 + (i % 3)))
+    val df = (base ++ spikes ++ calm).toDF("g", "id", "v")
+    val out = Quality.robustOutliers(df, "g", "v", cutoff = 3.5)
+    val flagged = out.filter(col("outlier")).select("id").as[Long].collect().toSet
+    assert(flagged == Set(900L, 901L), s"flagged $flagged")
+    // sign preserved: the low spike has negative z
+    val zs = out.filter(col("outlier"))
+      .select("id", "robust_z").as[(Long, Double)].collect().toMap
+    assert(zs(900L) > 0 && zs(901L) < 0)
+  }
+
+  test("robustOutliers: MAD=0 and null values yield no verdict, not a blow-up") {
+    val df = (Seq.fill(20)(("c", 7.0)) ++ Seq(("c", 99.0)))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("g", "id", "v")
+      .union(Seq(("c", 777L, Option.empty[Double])).toDF("g", "id", "v"))
+    val out = Quality.robustOutliers(df, "g", "v")
+    // >50% of the group sits at one value -> MAD = 0 -> null z everywhere
+    assert(out.filter(col("outlier")).count() == 0)
+    assert(out.filter(col("robust_z").isNotNull).count() == 0)
+    // med/mad still reported
+    assert(out.select("med").distinct().as[Double].collect().toSet == Set(7.0))
+  }
 }
