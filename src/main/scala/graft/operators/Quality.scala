@@ -206,6 +206,38 @@ object Quality {
       .select("id1", "id2", "dist")
   }
 
+  /** End-to-end entity resolution (the MDM step the warehouse's
+    * fuzzy-duplicate report stops short of): blocked edit-distance
+    * match pairs ([[fuzzyDuplicatesBlocked]]) closed TRANSITIVELY into
+    * entity clusters via [[graft.operators.Dedup.components]] — "J.
+    * Smith" ~ "Jo Smith" ~ "Joe Smith" is ONE customer even though the
+    * ends are 2 edits apart and only chain through the middle. Every
+    * row gets its cluster's minimum id as `entity` (unmatched rows are
+    * their own singleton entity) and `canonical` marks the survivor
+    * row per entity — the golden-record choice, swap in a
+    * survivorsByScore-style policy upstream if recency/completeness
+    * should win instead of min-id.
+    *
+    * Scale: candidate work is bounded by the blocking scheme
+    * (`maxBlock` cap per block key — the same hot-bucket discipline as
+    * LSH), the pair graph is checkpointed label propagation (no
+    * corpus-sized driver state), and the final attach is one left
+    * join of the cluster table. Ids must be integral (components'
+    * contract). Output: input columns + entity, canonical. */
+  def resolveEntities(df: DataFrame, id: Column, blockKey: Column,
+      matchCol: Column, maxDist: Int = 1, maxBlock: Int = 1000,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = fuzzyDuplicatesBlocked(df, id, blockKey, matchCol,
+        maxDist, maxBlock)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val comp = Dedup.components(pairs, maxIter)
+    df.withColumn("_rid", id.cast("long"))
+      .join(comp.withColumnRenamed("id", "_rid"), Seq("_rid"), "left")
+      .withColumn("entity", coalesce(col("comp"), col("_rid")))
+      .withColumn("canonical", col("entity") === col("_rid"))
+      .drop("_rid", "comp")
+  }
+
   /** Distributional drift between two corpus snapshots — the
     * monitoring sibling of [[corpusDiff]]: corpusDiff says WHICH docs
     * changed, corpusDrift says whether the LANGUAGE changed (topic
@@ -330,15 +362,33 @@ object Quality {
     * rather than a division blow-up.
     * Output: input columns + med, mad, robust_z, outlier. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
-      cutoff: Double = 3.5): DataFrame = {
-    val v = col(valueCol).cast("double")
+      cutoff: Double = 3.5): DataFrame =
+    scoreOutliers(df, robustStats(df, groupCol, valueCol), groupCol,
+      valueCol, cutoff)
+
+  /** The (med, mad) model alone — one row per group. Split out so a
+    * STREAM can score against a FROZEN model
+    * ([[graft.streaming.Ingest.outlierIngestStream]] — the
+    * fixed-codebook pattern: fit batch-side once, score forever). */
+  def robustStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val med = df.groupBy(groupCol).agg(
       round(expr(s"percentile(cast($valueCol as double), 0.5)"), 4).as("med"))
-    val withMed = df.join(broadcast(med), Seq(groupCol))
-    val mad = withMed.groupBy(groupCol).agg(
-      round(expr(s"percentile(abs(cast($valueCol as double) - med), 0.5)"), 4)
-        .as("mad"))
-    withMed.join(broadcast(mad), Seq(groupCol))
+    df.join(broadcast(med), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(first(col("med")).as("med"),
+        round(expr(s"percentile(abs(cast($valueCol as double) - med), 0.5)"), 4)
+          .as("mad"))
+  }
+
+  /** Score rows against a supplied (groupCol, med, mad) model:
+    * broadcast join + a narrow 4-dp z — per-row pure given the model,
+    * which is what makes the streamed form exactly equal to the batch
+    * form. Groups absent from the model score null/false. */
+  def scoreOutliers(df: DataFrame, stats: DataFrame, groupCol: String,
+      valueCol: String, cutoff: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(stats), Seq(groupCol), "left")
       .withColumn("robust_z",
         when(col("mad") > 0,
           round(lit(0.6745) * (v - col("med")) / col("mad"), 4)))

@@ -3733,6 +3733,41 @@ object PipelineInventory {
               |FROM z WHERE abs(robust_z) > 3.5
               |ORDER BY event_id""".stripMargin)),
 
+    // End-to-end entity resolution: p15's blocked edit-distance pairs
+    // closed transitively into entity clusters (A~B, B~C -> one entity
+    // even when A and C exceed maxDist) with a canonical survivor per
+    // cluster. Oracle: the p15 pair CTE + the p18 recursive reachability.
+    QueryDef("r87_entity_clusters",
+      (s, d) => Quality.resolveEntities(T(s, d, "customer"),
+          col("c_custkey"),
+          concat_ws(":", col("c_nationkey"),
+            expr("substring(c_name, 1, length(c_name) - 2)")),
+          col("c_name"), maxDist = 1, maxBlock = 1000)
+        .select(col("c_custkey"), col("entity"), col("canonical"))
+        .orderBy("c_custkey"),
+      Some("""WITH RECURSIVE b0 AS (SELECT c_custkey,
+             |              CAST(c_nationkey AS VARCHAR) || ':' ||
+             |                substring(c_name, 1, length(c_name) - 2) AS blk,
+             |              c_name
+             |            FROM customer),
+             |b AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY blk) AS bc
+             |                     FROM b0 z) t WHERE bc <= 1000),
+             |cand AS (SELECT x.c_custkey AS d1, y.c_custkey AS d2
+             |         FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+             |         WHERE levenshtein(x.c_name, y.c_name) <= 1),
+             |edges AS (SELECT d1 AS src, d2 AS dst FROM cand
+             |          UNION SELECT d2, d1 FROM cand),
+             |reach AS (SELECT src AS id, src AS comp FROM edges
+             |          UNION
+             |          SELECT e.dst AS id, r.comp FROM reach r
+             |          JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+             |SELECT c.c_custkey,
+             |       CAST(COALESCE(p.comp, c.c_custkey) AS BIGINT) AS entity,
+             |       (p.comp IS NULL OR p.comp = c.c_custkey) AS canonical
+             |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.id
+             |ORDER BY c.c_custkey""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

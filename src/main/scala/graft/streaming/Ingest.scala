@@ -1273,6 +1273,40 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming anomaly screen: each micro-batch is scored against a
+    * FROZEN per-group robust (med, mad) model
+    * ([[graft.operators.Quality.robustStats]] fit batch-side — the
+    * fixed-codebook pattern), so scoring is a broadcast join plus a
+    * narrow 4-dp z over the batch ALONE: flagged rows land within
+    * their own micro-batch, no state store, no rescans of old data,
+    * and the landed union is bit-equal to
+    * [[graft.operators.Quality.scoreOutliers]] over the whole corpus
+    * with the same model (SCCro stream==batch law). Per-batch-id
+    * OVERWRITE partitions keep checkpoint replay from double-landing
+    * a flagged row. A model refit is a new stream over a new model
+    * frame — the score is a pure function of (row, model), which is
+    * exactly what makes the law hold across restarts. */
+  def outlierIngestStream(spark: SparkSession, schema: StructType,
+      srcDir: String, outDir: String, checkpoint: String,
+      model: DataFrame, groupCol: String, valueCol: String,
+      cutoff: Double = 3.5, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Quality
+          .scoreOutliers(batch, model, groupCol, valueCol, cutoff)
+          .filter(col("outlier"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming PQ-code ingest: each micro-batch of embeddings is
     * encoded against the index's FIXED codebooks (broadcast narrow
     * map over the batch alone — old vectors never rescanned or

@@ -177,6 +177,21 @@ class QualitySpec extends SparkSpec {
     assert(out.forall(r => r._3 > 0 && r._4 > 0))
   }
 
+  test("resolveEntities closes match chains transitively and picks one canonical row") {
+    // aaaa ~1~ aaab ~1~ aabb, but aaaa vs aabb is 2 edits: only the
+    // transitive closure puts all three in one entity
+    val people = Seq(
+      (10L, "aaaa"), (11L, "aaab"), (12L, "aabb"),
+      (20L, "zzzz")).toDF("pid", "name")
+    val out = Quality.resolveEntities(people, col("pid"), lit("one"),
+        col("name"), maxDist = 1)
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true)))
+  }
+
   test("robustOutliers flags a planted spike the mean-based z-score would bury") {
     // group a: 99 values near 10 plus TWO huge spikes. A mean/stddev
     // z-score is dragged by the spikes themselves (stddev ~ 2000);

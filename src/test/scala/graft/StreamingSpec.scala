@@ -897,6 +897,33 @@ class StreamingSpec extends SparkSpec {
     assert(merged.agg(sum("c")).as[Long].head() == 80L)
   }
 
+  test("SCCro: streamed outlier screen == batch scoreOutliers under one frozen model; replay clean") {
+    val src = tmp("sccro-src"); val out = tmp("sccro-out"); val ck = tmp("sccro-ck")
+    // reference window: calm values around 10 fit the model
+    val ref = (1L to 99L).map(i => ("a", i, 10.0 + (i % 5))).toDF("g", "id", "v")
+    val model = graft.operators.Quality.robustStats(ref, "g", "v")
+    // live traffic: two batches, each carrying one planted spike
+    val b1 = (Seq(("a", 900L, 20000.0)) ++ (101L to 120L).map(i => ("a", i, 11.0)))
+      .toDF("g", "id", "v")
+    val b2 = (Seq(("a", 901L, -15000.0)) ++ (121L to 140L).map(i => ("a", i, 12.0)))
+      .toDF("g", "id", "v")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.outlierIngestStream(spark, b1.schema, src, out, ck, model, "g", "v")
+    def landed = spark.read.parquet(out)
+      .select("g", "id", "v", "med", "mad", "robust_z")
+    val batch = graft.operators.Quality
+      .scoreOutliers(b1.unionByName(b2), model, "g", "v")
+      .filter(col("outlier"))
+      .select("g", "id", "v", "med", "mad", "robust_z")
+    assert(landed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    assert(landed.select("id").as[Long].collect().toSet == Set(900L, 901L))
+    // restart on the same checkpoint: nothing re-lands
+    Ingest.outlierIngestStream(spark, b1.schema, src, out, ck, model, "g", "v")
+    assert(landed.count() == 2)
+  }
+
   test("STB25: streamed BM25 ingest == one-shot batch index; replay never double-counts df") {
     val src = tmp("stb25-src"); val idx = tmp("stb25-idx"); val ck = tmp("stb25-ck")
     val b1 = Seq((1L, "the zebra runs far today"),
