@@ -277,6 +277,37 @@ object Mix {
       .select(col(groupCol), col(idCol), col("rn"))
   }
 
+  /** Leakage-safe TEMPORAL split (the time-series counterpart of
+    * [[hashSplit]]): train is strictly before `trainEnd`, test at or
+    * after `testStart`, and rows inside the purge window
+    * `[trainEnd, testStart)` are labelled `embargo` — kept visible and
+    * auditable rather than silently dropped, because the embargo IS
+    * the leakage guard: with overlapping feature windows (a 5-day
+    * rolling return, a label that looks 3 days ahead) a train row
+    * adjacent to the boundary reads data from the test period, and a
+    * backtest without the gap is quietly optimistic (the purged/
+    * embargoed CV rule from the financial-ML literature).
+    *
+    * One narrow codegen'd CASE — no shuffle, no state; on a
+    * date-partitioned 100 TB lake the boundary predicates prune
+    * partitions in the scan. Membership is a pure function of the
+    * row's OWN timestamp, so it is stable under corpus growth —
+    * late-arriving rows join their side without moving anyone else
+    * (the [[hashSplit]] stability contract, keyed by time instead of
+    * hash). Null timestamps label null: unassignable, surfaced to the
+    * caller instead of defaulting into train. */
+  def temporalSplit(df: DataFrame, tsCol: String, trainEnd: String,
+      testStart: String, out: String = "split"): DataFrame = {
+    require(trainEnd <= testStart,
+      s"trainEnd ($trainEnd) must not be after testStart ($testStart)")
+    val ts = col(tsCol)
+    df.withColumn(out,
+      when(ts.isNull, lit(null).cast("string"))
+        .when(ts < lit(trainEnd).cast("timestamp"), "train")
+        .when(ts >= lit(testStart).cast("timestamp"), "test")
+        .otherwise("embargo"))
+  }
+
   /** Hashed n-gram features for [[dsirScores]]: word unigrams + bigrams
     * hashed into `buckets` through the same md5-derived 60-bit integer
     * as the dedup shingles, counted WITH multiplicity (the bag-of-

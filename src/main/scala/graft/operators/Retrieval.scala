@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -39,6 +39,65 @@ object Retrieval {
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("rrf").desc, col("id"))))
       .filter(col("rn") <= k)
+  }
+
+  /** IR evaluation metrics for any ranked list against graded
+    * relevance judgments — the measurement half of the retrieval
+    * stack (BM25 / ANN / RRF / MMR produce lists; this scores them):
+    * per query, nDCG@k (graded, base-2 discount), MRR@k (reciprocal
+    * rank of the first relevant hit) and recall@k (hits / total
+    * relevant). What every retrieval ablation loop reads.
+    *
+    * `results`: (q_id, id, rn) with rn 1-based; `qrels`: (q_id, id,
+    * rel) graded, rel > 0 = relevant (pairs absent from qrels score
+    * 0). Scale: every frame is retrieval-output- or judgment-sized,
+    * never corpus data — one bounded join, two group-sized
+    * aggregations, the ideal-ranking window partitions by q_id over
+    * qrels only (judgments per query are label-team-sized by
+    * construction). Determinism: the base-2 discount is
+    * `ln(rn+1) / ln2` with ln2 as the same double literal both
+    * engines parse, each term 6-dp rounded, per-query sums are
+    * ascending sorted folds, ndcg/recall divisions round at 6 dp —
+    * the dsir/rrf discipline end to end.
+    * Output: q_id, ndcg, mrr, recall, n_hit, n_rel (0-metrics for
+    * queries with no relevant judgments, never null/NaN). */
+  def evalMetrics(results: DataFrame, qrels: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ln2 = lit(0.6931471805599453)
+    def dcgTerm(rel: Column, rank: Column): Column =
+      round(rel / (log(rank + 1) / ln2), 6)
+    def sortedSum(c: Column): Column =
+      round(aggregate(sort_array(collect_list(c)), lit(0d), _ + _), 6)
+    val rel = qrels.select(col("q_id"), col("id"),
+      col("rel").cast("double").as("rel"))
+    val hits = results.filter(col("rn") <= k)
+      .select(col("q_id"), col("id"), col("rn"))
+      .join(rel, Seq("q_id", "id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0.0)))
+    val perQ = hits.groupBy("q_id").agg(
+      sortedSum(dcgTerm(col("rel"), col("rn"))).as("dcg"),
+      max(when(col("rel") > 0, round(lit(1.0) / col("rn"), 6))
+        .otherwise(lit(0.0))).as("mrr"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long").as("n_hit"))
+    val ideal = rel.filter(col("rel") > 0)
+      .withColumn("irn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rel").desc, col("id"))))
+      .filter(col("irn") <= k)
+      .groupBy("q_id")
+      .agg(sortedSum(dcgTerm(col("rel"), col("irn"))).as("idcg"))
+    val totals = rel.filter(col("rel") > 0).groupBy("q_id")
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    perQ.join(broadcast(ideal), Seq("q_id"), "left")
+      .join(broadcast(totals), Seq("q_id"), "left")
+      .select(col("q_id"),
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg"),
+        col("mrr"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(col("n_hit").cast("double") / col("n_rel"), 6))
+          .otherwise(lit(0.0)).as("recall"),
+        col("n_hit"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
   }
 
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein) diversity

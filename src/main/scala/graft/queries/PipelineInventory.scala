@@ -3768,6 +3768,84 @@ object PipelineInventory {
              |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.id
              |ORDER BY c.c_custkey""".stripMargin)),
 
+    // Leakage-safe temporal split: train / embargo / test assignment
+    // from the row's own timestamp, the purge-window rule from
+    // financial ML backtesting (a pure narrow CASE — the oracle is the
+    // same CASE in SQL).
+    QueryDef("r88_temporal_split",
+      (s, d) => Mix.temporalSplit(T(s, d, "events"), "ts",
+          trainEnd = "2024-01-20 00:00:00", testStart = "2024-01-24 00:00:00")
+        .groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum("value"), 2).as("total"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+             |            WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 'test'
+             |            ELSE 'embargo' END AS split,
+             |       CAST(COUNT(*) AS BIGINT) AS n,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       ROUND(SUM(value), 2) AS total
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // IR metrics for any ranked list vs graded qrels: nDCG@k (ln/ln2
+    // discount with the same double literal both engines parse, 6-dp
+    // terms, sorted-fold sums), MRR@k, recall@k. Results here = each
+    // nation's suppliers ranked by balance; qrels = a graded subset —
+    // rank order uncorrelated with relevance, so all three metrics are
+    // non-trivial.
+    QueryDef("r89_retrieval_eval",
+      (s, d) => {
+        val sup = T(s, d, "supplier")
+        val results = sup.select(col("s_nationkey").as("q_id"),
+            col("s_suppkey").as("id"), col("s_acctbal"))
+          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("s_acctbal").desc, col("id"))))
+          .drop("s_acctbal")
+        val qrels = sup.filter(col("s_suppkey") % 4 === 0)
+          .select(col("s_nationkey").as("q_id"), col("s_suppkey").as("id"),
+            (lit(1) + col("s_suppkey") % 3).cast("double").as("rel"))
+        Retrieval.evalMetrics(results, qrels, k = 10).orderBy("q_id")
+      },
+      Some(s"""WITH res AS (SELECT s_nationkey AS q_id, s_suppkey AS id,
+              |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+              |                       ORDER BY s_acctbal DESC, s_suppkey) AS rn
+              |  FROM supplier),
+              |r AS (SELECT * FROM res WHERE rn <= 10),
+              |qr AS (SELECT s_nationkey AS q_id, s_suppkey AS id,
+              |    CAST(1 + s_suppkey % 3 AS DOUBLE) AS rel
+              |  FROM supplier WHERE s_suppkey % 4 = 0),
+              |h AS (SELECT r.q_id, r.id, r.rn, COALESCE(qr.rel, 0.0) AS rel
+              |  FROM r LEFT JOIN qr ON r.q_id = qr.q_id AND r.id = qr.id),
+              |hterm AS (SELECT q_id, rn, rel,
+              |    ${rrepr("rel / (ln(rn + 1) / 0.6931471805599453)", 6)} AS dg,
+              |    CASE WHEN rel > 0 THEN ${rrepr("1.0 / rn", 6)} ELSE 0.0 END AS rr
+              |  FROM h),
+              |perq AS (SELECT q_id,
+              |    ${rrepr("list_reduce(list_sort(list(dg)), (x, y) -> x + y)", 6)} AS dcg,
+              |    MAX(rr) AS mrr,
+              |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              |  FROM hterm GROUP BY q_id),
+              |ideal0 AS (SELECT q_id, rel,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, id) AS irn
+              |  FROM qr WHERE rel > 0),
+              |iterm AS (SELECT q_id,
+              |    ${rrepr("rel / (ln(irn + 1) / 0.6931471805599453)", 6)} AS idg
+              |  FROM ideal0 WHERE irn <= 10),
+              |ideal AS (SELECT q_id,
+              |    ${rrepr("list_reduce(list_sort(list(idg)), (x, y) -> x + y)", 6)} AS idcg
+              |  FROM iterm GROUP BY q_id),
+              |tot AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+              |  FROM qr WHERE rel > 0 GROUP BY q_id)
+              |SELECT p.q_id,
+              |  CASE WHEN i.idcg > 0 THEN ${rrepr("p.dcg / i.idcg", 6)} ELSE 0.0 END AS ndcg,
+              |  p.mrr,
+              |  CASE WHEN COALESCE(t.n_rel, 0) > 0
+              |       THEN ${rrepr("CAST(p.n_hit AS DOUBLE) / t.n_rel", 6)} ELSE 0.0 END AS recall,
+              |  p.n_hit, CAST(COALESCE(t.n_rel, 0) AS BIGINT) AS n_rel
+              |FROM perq p LEFT JOIN ideal i USING (q_id) LEFT JOIN tot t USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

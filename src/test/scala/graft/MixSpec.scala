@@ -337,6 +337,28 @@ class MixSpec extends SparkSpec {
     (0 until 7).foreach(g => assert(sizes(g.toString) == (10L, 10)))
   }
 
+  test("temporalSplit: boundary rows, the embargo gap, and null timestamps") {
+    val rows = Seq(
+      (1L, "2024-01-09 23:59:59"), // train
+      (2L, "2024-01-10 00:00:00"), // embargo (trainEnd is exclusive)
+      (3L, "2024-01-14 23:59:59"), // embargo
+      (4L, "2024-01-15 00:00:00"), // test (testStart is inclusive)
+      (5L, null: String))
+      .toDF("id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = Mix.temporalSplit(rows, "ts",
+        "2024-01-10 00:00:00", "2024-01-15 00:00:00")
+      .select("id", "split").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("train"), 2L -> Some("embargo"),
+      3L -> Some("embargo"), 4L -> Some("test"), 5L -> None))
+    // degenerate gap = a plain two-way split; inverted bounds reject
+    val noGap = Mix.temporalSplit(rows, "ts",
+        "2024-01-10 00:00:00", "2024-01-10 00:00:00")
+    assert(noGap.filter(col("split") === "embargo").count() == 0)
+    intercept[IllegalArgumentException] {
+      Mix.temporalSplit(rows, "ts", "2024-01-15 00:00:00", "2024-01-10 00:00:00")
+    }
+  }
+
   test("groupSample: a group's draw is unchanged by OTHER groups' membership") {
     val docs = spark.range(300).select(col("id").as("doc_id"),
       (col("id") % 3).cast("string").as("g"))

@@ -134,4 +134,39 @@ class RetrievalSpec extends SparkSpec {
       .filter($"score" > 0))
     assert(rm == bm)
   }
+
+  test("evalMetrics: hand-checked nDCG/MRR/recall, perfect list, empty qrels") {
+    val results = ranked(
+      // q1: hit at 1 (rel 2), miss at 2, hit at 3 (rel 1); one relevant unretrieved
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      // q2: perfect ranking of its two judged docs
+      (2L, 20L, 1), (2L, 21L, 2),
+      // q3: no judged docs at all
+      (3L, 30L, 1))
+    val qrels = Seq(
+      (1L, 10L, 2.0), (1L, 12L, 1.0), (1L, 99L, 1.0),
+      (2L, 20L, 3.0), (2L, 21L, 1.0)).toDF("q_id", "id", "rel")
+    val m = Retrieval.evalMetrics(results, qrels, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    // q1 by hand: DCG = 2/log2(2) + 0 + 1/log2(4) = 2.5;
+    // IDCG = 2 + 1/log2(3) + 1/log2(4) = 2 + 0.63093 + 0.5
+    val ndcg1 = BigDecimal(2.5 / 3.13093)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L) == ((ndcg1, 1.0, 0.666667, 2L, 3L)))
+    // q2: results order == ideal order -> nDCG exactly 1
+    assert(m(2L) == ((1.0, 1.0, 1.0, 2L, 2L)))
+    // q3: nothing judged -> all-zero metrics, never null/NaN
+    assert(m(3L) == ((0.0, 0.0, 0.0, 0L, 0L)))
+  }
+
+  test("evalMetrics: rank beyond k is invisible; rn<=k filter applied") {
+    val results = ranked((1L, 10L, 1), (1L, 11L, 12))
+    val qrels = Seq((1L, 11L, 5.0)).toDF("q_id", "id", "rel")
+    val m = Retrieval.evalMetrics(results, qrels, k = 10).collect().head
+    // the only relevant doc sits at rank 12 > k: zero hits
+    assert(m.getDouble(1) == 0.0 && m.getDouble(2) == 0.0 &&
+      m.getLong(4) == 0L && m.getLong(5) == 1L)
+  }
 }
