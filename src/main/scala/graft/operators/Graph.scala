@@ -19,6 +19,28 @@ object Graph {
   private def fold9(c: Column): Column =
     round(aggregate(sort_array(collect_list(c)), lit(0d), _ + _), 9)
 
+  /** The per-key summation both iterations are built from, in the two
+    * modes the engine offers everywhere determinism and scale trade
+    * off (the kmeansStep/trainCentroids precedent):
+    *
+    *   - `exact = true`: ascending sorted fold — bit-reproducible
+    *     across engines/runs/partitionings (the oracle mode), at the
+    *     cost of materializing ONE in-degree-sized array per node in
+    *     the aggregation buffer. Fine for planted test graphs; a
+    *     power-law web graph has 10^6–10^8-in-degree authorities, and
+    *     an array that size in a single buffer is the exact hot-key
+    *     failure the engine's owner-agg discipline exists to avoid.
+    *   - `exact = false`: plain `sum` — partial-aggregable (map-side
+    *     combine, O(1) state per key per upstream partition, hot nodes
+    *     just get more partial rows to merge), the production mode.
+    *     Results differ from exact only by double-addition order, ≤ a
+    *     few ulps per stage before the shared 9dp rounding (GraphSpec
+    *     law: assoc ≈ exact within 1e-9 on planted graphs; SCALE.md
+    *     hot-node stress row for the scale shape).
+    */
+  private def nodeSum(c: Column, exact: Boolean): Column =
+    if (exact) fold9(c) else round(sum(c), 9)
+
   /** PageRank by power iteration with damping `d`:
     *
     *   pr'(v) = (1−d)/N + d · (Σ_{u→v} pr(u)/deg(u) + dangling/N)
@@ -39,15 +61,18 @@ object Graph {
     *
     * Determinism: per-edge contributions are 9dp-rounded off exact
     * IEEE divisions, per-destination sums and the dangling mass are
-    * ascending sorted folds, and each new rank is 9dp-rounded — so
-    * ranks are bit-identical across engines, runs, and partitionings.
+    * ascending sorted folds (`exact = true`, the oracle mode; pass
+    * `exact = false` for the partial-aggregable production mode —
+    * see [[nodeSum]]), and each new rank is 9dp-rounded — so ranks
+    * are bit-identical across engines, runs, and partitionings.
     * Pass a damping whose complement is IEEE-exact (0.5, 0.75, 0.85
     * is NOT: 1−0.85 ≠ 0.15 in doubles — both engines must spell the
     * complement the same way; this operator uses `1 − d` internally,
     * so an oracle must too).
     * Output: v, pr (9dp), ordered by v. */
   def pagerank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      exact: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be positive")
     require(damping > 0.0 && damping < 1.0, s"damping $damping outside (0, 1)")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -63,12 +88,12 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val dangRow = pr.join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
-        .agg(fold9(col("pr")).as("dm")).head
+        .agg(nodeSum(col("pr"), exact).as("dm")).head
       val dm = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
       val sums = e.join(pr.withColumnRenamed("v", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("v"), round(col("pr") / col("deg"), 9).as("c"))
-        .groupBy("v").agg(fold9(col("c")).as("s"))
+        .groupBy("v").agg(nodeSum(col("c"), exact).as("s"))
       pr = nodes.join(sums, Seq("v"), "left")
         .select(col("v"), round(
           lit(1 - damping) / n +
@@ -99,11 +124,14 @@ object Graph {
     * already-rounded terms — an oracle must unroll the same way. The
     * totals use the same sorted-fold collect as [[pagerank]]'s
     * dangling mass: exact cross-engine reproducibility costs one
-    * driver-sized array per iteration; a production deployment at
-    * billions of nodes swaps it for a plain `sum` and gives up the
-    * last ulp. Output: v, auth, hub (9dp), ordered by v. */
+    * in-degree-sized array per hot node per iteration; `exact = false`
+    * IS that production deployment — plain partial-aggregable `sum`
+    * per node and total ([[nodeSum]]), giving up the last ulp
+    * (GraphSpec law: within 1e-9 of exact on planted graphs).
+    * Output: v, auth, hub (9dp), ordered by v. */
   def hits(edges: DataFrame, iters: Int = 5,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      exact: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -116,7 +144,7 @@ object Graph {
     // L1-normalize a raw (v, s) score frame over the node set: nodes
     // missing from `raw` (no in-/out-edges for this half-step) score 0.
     def l1(raw: DataFrame): DataFrame = {
-      val t = raw.agg(fold9(col("s")).as("t")).head.getDouble(0)
+      val t = raw.agg(nodeSum(col("s"), exact).as("t")).head.getDouble(0)
       nodes.join(raw, Seq("v"), "left")
         .select(col("v"),
           round(coalesce(col("s"), lit(0.0)) / t, 9).as("s"))
@@ -128,10 +156,10 @@ object Graph {
     for (_ <- 1 to iters) {
       auth = l1(e.join(hub.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), col("s"))
-        .groupBy("v").agg(fold9(col("s")).as("s")))
+        .groupBy("v").agg(nodeSum(col("s"), exact).as("s")))
       hub = l1(e.join(auth.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("s"))
-        .groupBy("v").agg(fold9(col("s")).as("s")))
+        .groupBy("v").agg(nodeSum(col("s"), exact).as("s")))
     }
     nodes
       .join(auth.withColumnRenamed("s", "auth"), "v")

@@ -76,6 +76,53 @@ class GraphSpec extends SparkSpec {
     assert(m(20L) > m(21L), m.toString)
   }
 
+  test("assoc mode law: pagerank(exact=false) matches exact within 1e-9") {
+    // Arbitrary 2-out-degree graph with dangling nodes (src % 11
+    // dropped) — exercises the dangling total AND the per-node sums.
+    val e = (0L until 200L).flatMap(i => Seq((i, (i * 7 + 3) % 200), (i, (i * 13 + 5) % 200)))
+      .filter(t => t._1 != t._2 && t._1 % 11 != 0).distinct.toDF("src", "dst")
+    val ex = Graph.pagerank(e, iters = 4, damping = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val as = Graph.pagerank(e, iters = 4, damping = 0.5, exact = false).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ex.keySet == as.keySet)
+    val maxDiff = ex.keys.map(v => math.abs(ex(v) - as(v))).max
+    assert(maxDiff <= 1e-9, s"assoc vs exact max diff $maxDiff")
+    // and the assoc plan carries NO collect_list aggregation buffer
+    val plan = Graph.pagerank(e, iters = 1, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), "assoc mode must not collect per-node arrays")
+  }
+
+  test("assoc mode law: hits(exact=false) matches exact within 1e-9") {
+    val e = (0L until 150L).flatMap(i => Seq((i, (i * 7 + 3) % 150), (i, (i * 11 + 1) % 150)))
+      .filter(t => t._1 != t._2).distinct.toDF("src", "dst")
+    val ex = Graph.hits(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val as = Graph.hits(e, iters = 3, exact = false).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ex.keySet == as.keySet)
+    val maxDiff = ex.keys.map { v =>
+      math.max(math.abs(ex(v)._1 - as(v)._1), math.abs(ex(v)._2 - as(v)._2))
+    }.max
+    assert(maxDiff <= 1e-9, s"assoc vs exact max diff $maxDiff")
+  }
+
+  test("assoc mode: hot node (in-degree 20k) — ranks still match exact") {
+    // A star at scale-model size: every node points at 0, plus 0 -> 1.
+    // The per-destination sum at node 0 is the hot-key aggregation the
+    // assoc mode keeps O(1)-state; at test size both modes run, and
+    // their results must agree.
+    val e = ((1L to 20000L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val ex = Graph.pagerank(e, iters = 2, damping = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val as = Graph.pagerank(e, iters = 2, damping = 0.5, exact = false).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxDiff = ex.keys.map(v => math.abs(ex(v) - as(v))).max
+    assert(maxDiff <= 1e-9, s"hot-node assoc vs exact max diff $maxDiff")
+    assert(as(0L) > as(2L))
+  }
+
   test("hits: partition invariance") {
     val e = (0L until 60L).map(i => (i, (i * 11 + 1) % 60))
       .filter(t => t._1 != t._2).toDF("src", "dst")
