@@ -238,6 +238,196 @@ object Quality {
       .drop("_rid", "comp")
   }
 
+  // --------------------------------------------------------------------
+  // Incremental entity resolution — the persisted-index discipline the
+  // dedup families already have (Dedup.writeBandIndex /
+  // incrementalCandidates), applied to [[resolveEntities]]: a new
+  // customer batch resolves against what is already known WITHOUT
+  // re-running blocking + transitive closure over every old row.
+  //
+  // Index model: a row store (id, blk, m, comp) where `comp` is the
+  // entity label AT INSERT TIME, plus an append-only remap log
+  // (src, dst) recording label merges. Labels only ever DECREASE
+  // (every merge relabels to the min id of the merged component), and
+  // every merge links all its input labels to its output label — so
+  // the CURRENT label of any stored comp is the min of its
+  // remap-connected component, recoverable by one components() pass
+  // over the log (merge-log-sized, not corpus-sized). That makes the
+  // disk layout append-only in both parts: old row files are never
+  // rewritten, exactly like the band/PQ indexes.
+  //
+  // Semantics vs full recompute: identical — incremental == full on
+  // the union (QualitySpec law, including a merge event where one new
+  // row bridges two existing entities) — EXCEPT the hot-block cap:
+  // the cap counts old+new occupancy together (the
+  // incrementalCandidates discipline), so a block pushed past
+  // `maxBlock` by later batches stops generating NEW candidates, but
+  // prior merges are never revoked (a full recompute would drop that
+  // block's old pairs too and SPLIT entities — incremental MDM
+  // semantics are monotone instead). Ids must be unique across
+  // batches (the caller's contract; a re-sent id would be re-blocked,
+  // not upserted).
+  // --------------------------------------------------------------------
+
+  /** One incremental resolution step, all in frames: `(new rows with
+    * their labels, remap log entries for old labels that merged)`.
+    * `nb` = (id, blk, m) of the new batch; `cur` = the prior index
+    * (id, blk, m, comp) with labels current.
+    *
+    * Scale shape: the prior index contributes ONLY rows in blocks the
+    * batch touches (left-semi on blk — partition-prunable when the
+    * row store is written blk-bucketed); candidate work is the
+    * blocked pair join with the combined per-block cap; closure runs
+    * over SUPER-NODES (old entities enter as their single label, not
+    * their member rows), so the pair graph is batch-sized + touched-
+    * entity-sized no matter how large the accumulated index. */
+  private def erStepParts(nb: DataFrame, cur: DataFrame, maxDist: Int,
+      maxBlock: Int, maxIter: Int): (DataFrame, DataFrame) = {
+    val touched = nb.select("blk").distinct()
+    val oldT = cur.join(touched, Seq("blk"), "left_semi")
+    val comb = nb.select(col("id"), col("blk"), col("m"),
+        col("id").as("comp"), lit(true).as("is_new"))
+      .unionByName(oldT.select(col("id"), col("blk"), col("m"), col("comp"))
+        .withColumn("is_new", lit(false)))
+    // Combined-occupancy cap: same hot-block discipline as
+    // fuzzyDuplicatesBlocked, counted over old + new together.
+    val capped = comb
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("_bc") <= maxBlock).drop("_bc")
+    val a = capped.select(col("id").as("id1"), col("blk").as("blk1"),
+      col("m").as("m1"), col("is_new").as("new1"), col("comp").as("c1"))
+    val b = capped.select(col("id").as("id2"), col("blk").as("blk2"),
+      col("m").as("m2"), col("is_new").as("new2"), col("comp").as("c2"))
+    // Old-old pairs are excluded: same strings, same maxDist — they
+    // either matched when first seen (same comp now; a self-edge) or
+    // never will. The length gap is the levenshtein lower-bound
+    // prefilter from fuzzyDuplicatesBlocked.
+    val pairs = a.join(b, col("blk1") === col("blk2") &&
+        col("id1") < col("id2") && (col("new1") || col("new2")) &&
+        abs(length(col("m1")) - length(col("m2"))) <= maxDist)
+      .filter(levenshtein(col("m1"), col("m2")) <= maxDist)
+      .select(col("c1").as("d1"), col("c2").as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    // Transitive closure over super-nodes: vertices are new ids and
+    // old entity LABELS. The min over a merged component is the true
+    // global min, because each old label is already the min of its
+    // members.
+    val comp2 = Dedup.components(pairs, maxIter)
+    val newRows = nb
+      .join(comp2, Seq("id"), "left")
+      .select(col("id"), col("blk"), col("m"),
+        coalesce(col("comp"), col("id")).as("comp"))
+    val remap = comp2
+      .join(oldT.select(col("comp").as("id")).distinct(), Seq("id"), "left_semi")
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("src"), col("comp").as("dst"))
+    (newRows, remap)
+  }
+
+  /** In-frame incremental resolution: fold a new batch into a prior
+    * index frame (id, blk, m, comp), returning the UPDATED index
+    * frame — labels current, no log to chase (within one step the
+    * closure is converged, so the remap applies directly). Chain steps
+    * by feeding the result back in; [[resolveEntitiesIncremental]] is
+    * the disk-backed form that never rewrites old rows. */
+  def resolveEntitiesStep(newDf: DataFrame, index: DataFrame, id: Column,
+      blockKey: Column, matchCol: Column, maxDist: Int = 1,
+      maxBlock: Int = 1000, maxIter: Int = 20): DataFrame = {
+    val nb = normalizeErBatch(newDf, id, blockKey, matchCol)
+    val (newRows, remap) = erStepParts(nb, index, maxDist, maxBlock, maxIter)
+    val rm = remap.withColumnRenamed("src", "comp")
+    index.join(rm, Seq("comp"), "left")
+      .select(col("id"), col("blk"), col("m"),
+        coalesce(col("dst"), col("comp")).as("comp"))
+      .unionByName(newRows)
+  }
+
+  /** Entity table of an index frame: id, entity, canonical — the
+    * [[resolveEntities]] output shape. */
+  def entityTable(index: DataFrame): DataFrame =
+    index.select(col("id"), col("comp").as("entity"),
+      (col("comp") === col("id")).as("canonical"))
+
+  /** The zero-row index frame — seed a [[resolveEntitiesStep]] chain
+    * from nothing (the first step then equals a full
+    * [[resolveEntities]] of its batch). */
+  def emptyEntityIndex(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    // blk/m derive from the (empty) id column rather than literals: a
+    // literal blk constant-folds OUT of the first step's semi-join
+    // keys, leaving a keyless (nested-loop-shaped, zero-row) join that
+    // trips the cartesian plan audit.
+    spark.range(0).select(col("id"), col("id").cast("string").as("blk"),
+      col("id").cast("string").as("m"), col("id").as("comp"))
+
+  private def normalizeErBatch(df: DataFrame, id: Column, blockKey: Column,
+      matchCol: Column): DataFrame =
+    df.select(id.cast("long").as("id"), blockKey.cast("string").as("blk"),
+      matchCol.cast("string").as("m"))
+
+  /** Seed the persisted index: full [[resolveEntities]]-equivalent
+    * resolution of `df`, landed as `path/rows` plus an empty remap
+    * log. At scale, write the row store bucketed by `blk` so
+    * incremental steps prune to touched blocks. */
+  def writeEntityIndex(df: DataFrame, id: Column, blockKey: Column,
+      matchCol: Column, path: String, maxDist: Int = 1,
+      maxBlock: Int = 1000, maxIter: Int = 20): Unit = {
+    val spark = df.sparkSession
+    val nb = normalizeErBatch(df, id, blockKey, matchCol)
+    val pairs = fuzzyDuplicatesBlocked(df, id, blockKey, matchCol,
+        maxDist, maxBlock)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val comp = Dedup.components(pairs, maxIter)
+    nb.join(comp, Seq("id"), "left")
+      .select(col("id"), col("blk"), col("m"),
+        coalesce(col("comp"), col("id")).as("comp"))
+      .write.mode("overwrite").parquet(s"$path/rows")
+    spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+      .write.mode("overwrite").parquet(s"$path/remap")
+  }
+
+  /** Resolve a new batch against the persisted index: appends the
+    * batch's rows (labels as of this step) and the step's label
+    * merges to the remap log — old row files are NEVER rewritten —
+    * then returns the updated entity table. Incremental == full
+    * recompute on the union (QualitySpec law; cap caveat in the
+    * section comment). */
+  def resolveEntitiesIncremental(newDf: DataFrame, id: Column,
+      blockKey: Column, matchCol: Column, path: String, maxDist: Int = 1,
+      maxBlock: Int = 1000, maxIter: Int = 20): DataFrame = {
+    val spark = newDf.sparkSession
+    val nb = normalizeErBatch(newDf, id, blockKey, matchCol)
+      .localCheckpoint(true)
+    val cur = currentIndex(spark, path)
+    val (newRows, remap) = erStepParts(nb, cur, maxDist, maxBlock, maxIter)
+    newRows.write.mode("append").parquet(s"$path/rows")
+    remap.write.mode("append").parquet(s"$path/remap")
+    entityIndexSnapshot(spark, path)
+  }
+
+  /** The index with labels CURRENT: stored comps composed with the
+    * remap log's closure. The closure is one components() pass over
+    * the log — labels only decrease and every merge links its inputs
+    * to its output, so the current label of any historical comp is
+    * the min of its remap-connected component. The log is
+    * merge-count-sized; the join back is broadcast-shaped long before
+    * the row store stops being corpus-sized. */
+  private def currentIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val rows = spark.read.parquet(s"$path/rows")
+    val remap = spark.read.parquet(s"$path/remap")
+    val closure = Dedup.components(
+        remap.select(col("src").as("d1"), col("dst").as("d2")))
+      .select(col("id").as("comp"), col("comp").as("_fin"))
+    rows.join(closure, Seq("comp"), "left")
+      .select(col("id"), col("blk"), col("m"),
+        coalesce(col("_fin"), col("comp")).as("comp"))
+  }
+
+  /** Entity table (id, entity, canonical) of the persisted index. */
+  def entityIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    entityTable(currentIndex(spark, path))
+
   /** Distributional drift between two corpus snapshots — the
     * monitoring sibling of [[corpusDiff]]: corpusDiff says WHICH docs
     * changed, corpusDrift says whether the LANGUAGE changed (topic
@@ -380,6 +570,66 @@ object Quality {
         round(expr(s"percentile(abs(cast($valueCol as double) - med), 0.5)"), 4)
           .as("mad"))
   }
+
+  /** Bounded-error sibling of [[robustStats]] for HIGH-CARDINALITY /
+    * hot groups — the 100 TB form. Spark's exact `percentile` buffers
+    * a counts-map of every distinct value of a group on ONE reducer,
+    * so an unrounded double metric with a hot group is an OOM; here
+    * both the median and the MAD come from
+    * [[graft.functions.Sketch.histogramQuantilesBy]]'s fixed-width
+    * histograms instead: per-group aggregation state is ≤ `bins`
+    * longs no matter how hot the group, every stage is a partial-
+    * aggregable groupBy, and nothing group-sized ever sits in one
+    * buffer.
+    *
+    * Error contract (QualitySpec pins it): the estimated median is the
+    * midpoint of the bin holding the rank-⌈n/2⌉ element, so
+    * `|med − exact| ≤ w_v` where `w_v = (max−min)/bins` of the group's
+    * values (half a bin to the rank element, up to another half for
+    * exact percentile's interpolation between the two middle
+    * elements). The MAD pass histograms `|x − med̂|`, so
+    * `|mad − exact| ≤ w_v + w_d` (the med̂ shift moves each deviation
+    * by ≤ w_v — the median is 1-Lipschitz in a uniform operand shift —
+    * plus that pass's own bin width `w_d`). Both bounds are returned
+    * as `med_err` / `mad_err` so a caller can derive the z-score band
+    * within which a verdict is uncertain; outside it, approx and exact
+    * verdicts agree.
+    *
+    * Cost: four corpus scans (min/max + histogram, twice) vs exact's
+    * three — the price of bounded state. Shape: every pass is a
+    * group-keyed partial agg onto ≤ groups × bins summary rows.
+    * Output: groupCol, med, mad, med_err, mad_err (med/mad 4dp, the
+    * [[robustStats]] contract). */
+  def robustStatsApprox(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int = 4096): DataFrame = {
+    import graft.functions.Sketch
+    val med = Sketch.histogramQuantilesBy(df, groupCol, valueCol,
+        Seq(0.5), bins)
+      .select(col("group").as(groupCol), round(col("est"), 4).as("med"),
+        (col("bhi") - col("blo")).as("med_err"))
+    val dev = df.select(col(groupCol), col(valueCol).cast("double").as("_v"))
+      .join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col("_v") - col("med")).as("_adev"))
+    Sketch.histogramQuantilesBy(dev, groupCol, "_adev", Seq(0.5), bins)
+      .select(col("group").as(groupCol), round(col("est"), 4).as("mad"),
+        (col("bhi") - col("blo")).as("dev_w"))
+      .join(med, Seq(groupCol))
+      .select(col(groupCol), col("med"), col("mad"), col("med_err"),
+        (col("med_err") + col("dev_w")).as("mad_err"))
+  }
+
+  /** [[robustOutliers]] on the bounded-state [[robustStatsApprox]]
+    * model — same [[scoreOutliers]] scoring, so the streamed form
+    * ([[graft.streaming.Ingest.outlierIngestStream]]) accepts either
+    * model interchangeably. Verdicts agree with the exact form for
+    * every row whose exact |z| sits outside the cutoff by more than
+    * the propagated bin-error band (QualitySpec law). */
+  def robustOutliersApprox(df: DataFrame, groupCol: String,
+      valueCol: String, cutoff: Double = 3.5, bins: Int = 4096): DataFrame =
+    scoreOutliers(df,
+      robustStatsApprox(df, groupCol, valueCol, bins)
+        .select(groupCol, "med", "mad"),
+      groupCol, valueCol, cutoff)
 
   /** Score rows against a supplied (groupCol, med, mad) model:
     * broadcast join + a narrow 4-dp z — per-row pure given the model,

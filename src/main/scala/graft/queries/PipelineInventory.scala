@@ -3733,6 +3733,62 @@ object PipelineInventory {
               |FROM z WHERE abs(robust_z) > 3.5
               |ORDER BY event_id""".stripMargin)),
 
+    // r86's bounded-state sibling: med/MAD from fixed-width histograms
+    // (per-group aggregation state ≤ bins longs — the 100 TB form for
+    // hot groups where exact percentile's distinct-value map is an
+    // OOM). The oracle unrolls BOTH histogram passes with the r74 CTE
+    // pattern and must match bit for bit: bin edges, midpoint
+    // estimates, 4dp rounding, z-scores.
+    QueryDef("r90_robust_binned", {
+      (s, d) => Quality.robustOutliersApprox(T(s, d, "events"),
+          groupCol = "event_type", valueCol = "value", cutoff = 3.5,
+          bins = 512)
+        .filter(col("outlier"))
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("double").as("amount"),
+          col("med"), col("mad"), col("robust_z"))
+        .orderBy("event_id")},
+      Some {
+        def histMedian(src: String, vcol: String, p: String) =
+          s"""mm$p AS (SELECT grp, MIN($vcol) AS lo, MAX($vcol) AS hi,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM $src b GROUP BY grp),
+             |bn$p AS (SELECT b.grp, CAST(CASE WHEN m.hi = m.lo THEN 0
+             |      ELSE LEAST(511, FLOOR(($vcol - m.lo) / (m.hi - m.lo) * 512)) END AS INT) AS bin
+             |  FROM $src b JOIN mm$p m ON m.grp = b.grp),
+             |bc$p AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM bn$p GROUP BY grp, bin),
+             |cum$p AS (SELECT grp, bin,
+             |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum
+             |  FROM bc$p),
+             |rk$p AS (SELECT grp,
+             |    GREATEST(CAST(1 AS BIGINT), CAST(CEIL(0.5 * n) AS BIGINT)) AS rank
+             |  FROM mm$p),
+             |pick$p AS (SELECT r.grp, MIN(c.bin) AS bin
+             |  FROM rk$p r JOIN cum$p c ON c.grp = r.grp AND c.cum >= r.rank
+             |  GROUP BY r.grp),
+             |est$p AS (SELECT p.grp,
+             |    ${rrepr("((m.lo + p.bin * ((m.hi - m.lo) / 512)) + (m.lo + (p.bin + 1) * ((m.hi - m.lo) / 512))) / 2", 4)} AS est
+             |  FROM pick$p p JOIN mm$p m ON m.grp = p.grp)""".stripMargin
+        s"""WITH b AS (SELECT event_id, event_type AS grp, CAST(value AS DOUBLE) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           |${histMedian("b", "b.v", "1")},
+           |medt AS (SELECT grp, est AS med FROM est1),
+           |dv AS (SELECT b.grp, abs(b.v - m.med) AS w
+           |  FROM b JOIN medt m ON m.grp = b.grp),
+           |${histMedian("dv", "b.w", "2")},
+           |madt AS (SELECT grp, est AS mad FROM est2),
+           |z AS (SELECT b.event_id, b.grp AS event_type, b.v AS amount,
+           |    m.med, a.mad,
+           |    CASE WHEN a.mad > 0
+           |         THEN ${rrepr("0.6745 * (b.v - m.med) / a.mad", 4)}
+           |    END AS robust_z
+           |  FROM b JOIN medt m ON m.grp = b.grp JOIN madt a ON a.grp = b.grp)
+           |SELECT event_id, event_type, amount, med, mad, robust_z
+           |FROM z WHERE abs(robust_z) > 3.5
+           |ORDER BY event_id""".stripMargin
+      }),
+
     // End-to-end entity resolution: p15's blocked edit-distance pairs
     // closed transitively into entity clusters (A~B, B~C -> one entity
     // even when A and C exceed maxDist) with a canonical survivor per
@@ -3745,6 +3801,51 @@ object PipelineInventory {
           col("c_name"), maxDist = 1, maxBlock = 1000)
         .select(col("c_custkey"), col("entity"), col("canonical"))
         .orderBy("c_custkey"),
+      Some("""WITH RECURSIVE b0 AS (SELECT c_custkey,
+             |              CAST(c_nationkey AS VARCHAR) || ':' ||
+             |                substring(c_name, 1, length(c_name) - 2) AS blk,
+             |              c_name
+             |            FROM customer),
+             |b AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY blk) AS bc
+             |                     FROM b0 z) t WHERE bc <= 1000),
+             |cand AS (SELECT x.c_custkey AS d1, y.c_custkey AS d2
+             |         FROM b x JOIN b y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+             |         WHERE levenshtein(x.c_name, y.c_name) <= 1),
+             |edges AS (SELECT d1 AS src, d2 AS dst FROM cand
+             |          UNION SELECT d2, d1 FROM cand),
+             |reach AS (SELECT src AS id, src AS comp FROM edges
+             |          UNION
+             |          SELECT e.dst AS id, r.comp FROM reach r
+             |          JOIN edges e ON e.src = r.id),
+             |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+             |SELECT c.c_custkey,
+             |       CAST(COALESCE(p.comp, c.c_custkey) AS BIGINT) AS entity,
+             |       (p.comp IS NULL OR p.comp = c.c_custkey) AS canonical
+             |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.id
+             |ORDER BY c.c_custkey""".stripMargin)),
+
+    // r87's persisted-index discipline: the customer table arrives as
+    // TWO batches (even keys first, odd keys second); the second
+    // resolves incrementally against the first batch's index — old
+    // rows enter the closure only as entity super-nodes in touched
+    // blocks, never re-blocked. The oracle is the SAME full-recompute
+    // recursive CTE as r87: incremental == full on the union is the
+    // law, checked here cross-engine.
+    QueryDef("r91_entity_incremental", {
+      (s, d) => {
+        val cust = T(s, d, "customer")
+        val blk = concat_ws(":", col("c_nationkey"),
+          expr("substring(c_name, 1, length(c_name) - 2)"))
+        val idx1 = Quality.resolveEntitiesStep(
+          cust.filter(col("c_custkey") % 2 === 0),
+          Quality.emptyEntityIndex(s), col("c_custkey"), blk, col("c_name"))
+        val idx2 = Quality.resolveEntitiesStep(
+          cust.filter(col("c_custkey") % 2 =!= 0),
+          idx1, col("c_custkey"), blk, col("c_name"))
+        Quality.entityTable(idx2)
+          .select(col("id").as("c_custkey"), col("entity"), col("canonical"))
+          .orderBy("c_custkey")
+      }},
       Some("""WITH RECURSIVE b0 AS (SELECT c_custkey,
              |              CAST(c_nationkey AS VARCHAR) || ':' ||
              |                substring(c_name, 1, length(c_name) - 2) AS blk,

@@ -286,6 +286,9 @@ class PlanSpec extends SparkSpec {
       "r74_group_quantiles", // the r73 shape keyed by group: qs ×
                             // groups-row (min,max,n) cross, rank join
                             // over the groups×bins summary
+      "r90_robust_binned",  // robustStatsApprox = histogramQuantilesBy
+                            // twice — the r74 shape (qs × group
+                            // min/max cross + rank join), both passes
       "r77_hll_distinct",   // one-row HLL estimate crossed with the
                             // one-row exact count (error-band rider)
       "q32_cosine_topk",    // single query vector broadcast

@@ -192,6 +192,60 @@ class QualitySpec extends SparkSpec {
       (20L, 20L, true)))
   }
 
+  test("incremental ER law: stepped batches == full recompute on the union, incl. a merge event") {
+    // Names are "p" + 'x'*id, so lev(name_i, name_j) = |i - j| and
+    // only CONSECUTIVE ids are 1 edit apart. Batch 1 plants TWO
+    // entities {1,2} and {5,6} (gap 2<->5 is 3 edits). Batch 2's rows
+    // 3 and 4 bridge the gap: the merge event that must fuse the two
+    // existing entities. Batch 3's row 0 undercuts the min id — every
+    // label must chase down to 0 — and 20 stays a singleton.
+    def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
+    val b1 = rows(Seq(1L, 2L, 5L, 6L)).toDF("pid", "blk", "nm")
+    val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
+    val b3 = Seq((0L, "blk1", "p"), (20L, "blk1", "zzzz")).toDF("pid", "blk", "nm")
+    def step(batch: org.apache.spark.sql.DataFrame,
+        idx: org.apache.spark.sql.DataFrame) =
+      Quality.resolveEntitiesStep(batch, idx, col("pid"), col("blk"), col("nm"))
+    val idx = step(b3, step(b2, step(b1, Quality.emptyEntityIndex(spark))))
+    val inc = Quality.entityTable(idx)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = Quality.resolveEntities(
+        b1.unionByName(b2).unionByName(b3), col("pid"), col("blk"), col("nm"))
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(inc == full, s"inc $inc vs full $full")
+    // and the merge actually happened: one entity 0..6, singleton 20
+    assert(inc == (0L to 6L).map(i => (i, 0L, i == 0L)).toSet + ((20L, 20L, true)))
+  }
+
+  test("incremental ER disk index: append-only rows + remap log, snapshot == full recompute") {
+    val path = java.nio.file.Files.createTempDirectory("er-index").toString
+    def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
+    val b1 = rows(Seq(1L, 2L, 5L, 6L)).toDF("pid", "blk", "nm")
+    val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
+    val b3 = Seq((0L, "blk1", "p")).toDF("pid", "blk", "nm")
+    Quality.writeEntityIndex(b1, col("pid"), col("blk"), col("nm"), path)
+    // first-batch row files, to prove they are never rewritten
+    val before = new java.io.File(s"$path/rows").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    Quality.resolveEntitiesIncremental(b2, col("pid"), col("blk"), col("nm"), path)
+    val snap = Quality.resolveEntitiesIncremental(b3, col("pid"), col("blk"),
+        col("nm"), path)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = Quality.resolveEntities(
+        b1.unionByName(b2).unionByName(b3), col("pid"), col("blk"), col("nm"))
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(snap == full, s"snap $snap vs full $full")
+    // remap CHAINS resolve: batch2 merged 5 -> 1, batch3 merged 1 -> 0,
+    // so a comp stored as 5 must chase 5 -> 1 -> 0 through the log
+    assert(snap.contains((5L, 0L, false)))
+    val after = new java.io.File(s"$path/rows").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(before.subsetOf(after), "old row files must never be rewritten")
+    assert(after.size > before.size, "new batches append row files")
+  }
+
   test("robustOutliers flags a planted spike the mean-based z-score would bury") {
     // group a: 99 values near 10 plus TWO huge spikes. A mean/stddev
     // z-score is dragged by the spikes themselves (stddev ~ 2000);
@@ -207,6 +261,70 @@ class QualitySpec extends SparkSpec {
     val zs = out.filter(col("outlier"))
       .select("id", "robust_z").as[(Long, Double)].collect().toMap
     assert(zs(900L) > 0 && zs(901L) < 0)
+  }
+
+  test("robustStatsApprox: med/mad within the returned bin-error bounds of exact") {
+    // Continuous (unroundable) values with a planted spike per group —
+    // the metric shape whose exact-percentile state is corpus-sized.
+    val rows = (1 to 2000).map { i =>
+      ("a", i.toLong, 100.0 + math.sin(i * 0.7) * 30 + i % 13 * 0.001)
+    } ++ (1 to 500).map { i =>
+      ("b", 10000L + i, 5.0 + (i % 17) * 0.37)
+    } ++ Seq(("a", 90001L, 50000.0), ("b", 90002L, -4000.0))
+    val df = rows.toDF("g", "id", "v")
+    val exact = Quality.robustStats(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Quality.robustStatsApprox(df, "g", "v", bins = 4096).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.keys.foreach { g =>
+      val (me, se) = exact(g)
+      val (ma, sa, eMed, eMad) = approx(g)
+      // + 1e-4: both sides 4dp-round, which can add half an ulp each
+      assert(math.abs(ma - me) <= eMed + 1e-4, s"group $g med $ma vs $me (bound $eMed)")
+      assert(math.abs(sa - se) <= eMad + 1e-4, s"group $g mad $sa vs $se (bound $eMad)")
+    }
+  }
+
+  test("robustOutliersApprox: verdicts agree with exact outside the error band") {
+    val rows = (1 to 1500).map { i =>
+      ("a", i.toLong, 10.0 + math.cos(i * 1.3) * 2)
+    } ++ Seq(("a", 900L, 20000.0), ("a", 901L, -15000.0))
+    val df = rows.toDF("g", "id", "v")
+    val cutoff = 3.5
+    val ex = Quality.robustOutliers(df, "g", "v", cutoff)
+      .select("id", "robust_z", "outlier")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val stats = Quality.robustStatsApprox(df, "g", "v", bins = 4096).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (medA, madA, eMed, eMad) = stats("a")
+    val ap = Quality.robustOutliersApprox(df, "g", "v", cutoff, bins = 4096)
+      .select("id", "robust_z", "outlier")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // Propagated z-error band: |Δz| ≤ 0.6745·(e_med/mad_a + |x−med_e|·e_mad/(mad_a·mad_e))
+    val (medE, madE) = {
+      val r = Quality.robustStats(df, "g", "v").head()
+      (r.getDouble(1), r.getDouble(2))
+    }
+    val vById = rows.map(t => t._2 -> t._3).toMap
+    ex.keys.foreach { id =>
+      val (zE, oE) = ex(id)
+      val (zA, oA) = ap(id)
+      val zBand = 0.6745 * (eMed / madA +
+        math.abs(vById(id) - medE) * eMad / (madA * madE)) + 1e-3
+      // z within the propagated band…
+      assert(math.abs(zA.get - zE.get) <= zBand,
+        s"id $id zA=${zA.get} zE=${zE.get} band=$zBand")
+      // …and verdicts agree wherever exact |z| clears the cutoff by the band
+      if (math.abs(math.abs(zE.get) - cutoff) > zBand)
+        assert(oA == oE, s"id $id verdict approx=$oA exact=$oE (z ${zE.get})")
+    }
+    // the planted spikes are caught by BOTH forms
+    assert(ap(900L)._2 && ap(901L)._2)
   }
 
   test("robustOutliers: MAD=0 and null values yield no verdict, not a blow-up") {

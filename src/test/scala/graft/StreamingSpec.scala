@@ -924,6 +924,28 @@ class StreamingSpec extends SparkSpec {
     assert(landed.count() == 2)
   }
 
+  test("SCCra: streamed outlier screen accepts the binned approx model interchangeably") {
+    val src = tmp("sccra-src"); val out = tmp("sccra-out"); val ck = tmp("sccra-ck")
+    // continuous reference values — the metric shape the approx model
+    // exists for (exact percentile state would be distinct-value-sized)
+    val ref = (1L to 400L).map(i => ("a", i, 10.0 + math.sin(i * 0.31) * 2))
+      .toDF("g", "id", "v")
+    val model = graft.operators.Quality.robustStatsApprox(ref, "g", "v", bins = 1024)
+      .select("g", "med", "mad")
+    val b1 = (Seq(("a", 900L, 20000.0)) ++ (501L to 520L).map(i => ("a", i, 11.0)))
+      .toDF("g", "id", "v")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    Ingest.outlierIngestStream(spark, b1.schema, src, out, ck, model, "g", "v")
+    val landed = spark.read.parquet(out)
+      .select("g", "id", "v", "med", "mad", "robust_z")
+    val batch = graft.operators.Quality.scoreOutliers(b1, model, "g", "v")
+      .filter(col("outlier"))
+      .select("g", "id", "v", "med", "mad", "robust_z")
+    assert(landed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    assert(landed.select("id").as[Long].collect().toSet == Set(900L))
+  }
+
   test("STB25: streamed BM25 ingest == one-shot batch index; replay never double-counts df") {
     val src = tmp("stb25-src"); val idx = tmp("stb25-idx"); val ck = tmp("stb25-ck")
     val b1 = Seq((1L, "the zebra runs far today"),
