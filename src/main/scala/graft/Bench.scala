@@ -78,58 +78,83 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
-    // Self-labelling (the Stress discipline, r7): this sandbox is a
-    // microVM with invisible neighbor load, and a driver-side run in a
-    // noise episode reads uniformly 2-4x the idle cost with zero code
-    // difference (r6 forensic). Recording the 1-min load average
-    // per query and every rep's raw time makes a noisy artifact carry
-    // its own evidence — a row with load >> a few is suspect, and
-    // divergent reps pinpoint the episode — instead of needing a
-    // SCALE.md postmortem.
+    // Self-labelling + LOAD-GATED reps (the Stress discipline, r7;
+    // gating r9): this sandbox is a microVM with invisible neighbor
+    // load, and a driver-side run in a noise episode reads uniformly
+    // 2-4x the idle cost with zero code difference (r6 forensic).
+    // Protocol: sample the 1-min load average before EVERY rep; a rep
+    // QUALIFIES when its pre-rep load is within `gateDelta` of the
+    // run's start load. Each query runs its base reps, then — if none
+    // qualified — keeps re-running up to `maxReps` total until one
+    // does. Reported time = min over qualifying reps (min over all,
+    // flagged "gated":false, only when the episode outlasted the cap).
+    // Every rep's raw time and load land in the detail artifact, so an
+    // outlier row carries its own evidence.
+    val maxReps = 4
+    val gateDelta = 2.0
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val startLoad = osBean.getSystemLoadAverage
+    val gate = startLoad + gateDelta
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = ordered.map { case (name, fn) =>
-      val load = osBean.getSystemLoadAverage
-      val dts = (1 to runs).map { _ =>
+      val reps = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      var n = 0
+      def qualified = reps.exists(_._2 <= gate)
+      while (!failed.contains(name) &&
+          (n < runs || (n < maxReps && !qualified))) {
+        val load = osBean.getSystemLoadAverage
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed += name }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        reps += ((dt, load))
+        n += 1
       }
-      (name, dts, load)
+      val quals = reps.filter(_._2 <= gate)
+      val gated = quals.nonEmpty
+      val sec =
+        if (reps.isEmpty) 0.0
+        else (if (gated) quals else reps).map(_._1).min
+      (name, sec, reps.toSeq, gated)
     }
     // A throwing query contributes NOTHING to the total or the map: a
     // fast failure must not lower the headline number. Its name lands
     // in the "errors" list instead.
-    val ok = results.filterNot { case (name, _, _) => failed.contains(name) }
-    val okMin = ok.map { case (name, dts, _) => name -> dts.min }
+    val ok = results.filterNot { case (name, _, _, _) => failed.contains(name) }
+    val okMin = ok.map { case (name, sec, _, _) => name -> sec }
     val total = okMin.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfLabel = new java.io.File(sfDir).getName
-    val loads = ok.map(_._3)
+    val loads = ok.flatMap(_._3.map(_._2))
     val loadStats = if (loads.isEmpty) "" else
-      s""","load":{"start":${fmt2(loads.head)},"mean":${fmt2(loads.sum / loads.size)},"max":${fmt2(loads.max)}}"""
+      s""","load":{"start":${fmt2(startLoad)},"gate":${fmt2(gate)},"mean":${fmt2(loads.sum / loads.size)},"max":${fmt2(loads.max)}}"""
 
     // Full-precision detail goes to a file (and an early stdout line);
     // the final stdout line is the compact driver-parsed form.
-    val fullQs = ok.map { case (name, dts, load) =>
-      s""""$name":{"sec":${dts.min},"reps":[${dts.mkString(",")}],"load":${fmt2(load)}}"""
+    val fullQs = ok.map { case (name, sec, reps, gated) =>
+      s""""$name":{"sec":$sec,"reps":[${reps.map(_._1).mkString(",")}],""" +
+        s""""loads":[${reps.map(r => fmt2(r._2)).mkString(",")}],"gated":$gated}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min of $runs cold runs; reps are raw times, load is the 1-min average sampled before each query","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min over reps whose pre-rep 1-min load <= start+$gateDelta (all cold; extra reps to $maxReps until one qualifies; gated:false = none did)","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""
     println(fullLine)
-    // Only a FULL run may overwrite the recorded artifact: a targeted
+    val compact = compactLine(okMin, failed.toSeq, total, runs, sfLabel,
+      loadStats = loadStats)
+    // Only a FULL run may overwrite the recorded artifacts: a targeted
     // SPARK_GRAFT_ONLY profiling run would otherwise clobber the
-    // round's full-bench detail with a 3-query subset.
+    // round's full-bench detail with a 3-query subset. The compact
+    // line ALSO lands in bench-summary.json — the driver's stdout
+    // window has repeatedly mangled its own parse ("parsed": null in
+    // BENCH_r06..r08); the file is the durable copy.
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(fullLine) finally w.close()
+      val ws = new java.io.PrintWriter("bench-summary.json")
+      try ws.println(compact) finally ws.close()
     } catch { case _: Throwable => () }
 
-    println(compactLine(okMin, failed.toSeq, total, runs, sfLabel,
-      loadStats = loadStats))
+    println(compact)
     spark.stop()
   }
 }
