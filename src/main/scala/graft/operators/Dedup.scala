@@ -850,10 +850,21 @@ object Dedup {
     * (probability ≤ shingles-per-doc × fpp) — the standard
     * contamination-screen trade: the flagged set is a slight superset,
     * re-checkable exactly with [[contamination]] on the (tiny) flagged
-    * slice. The membership probe is a closure over the broadcast
-    * sketch — not codegen'd, but one hash per row against in-memory
-    * bits, and the scale motivation is shipping megabytes instead of a
-    * row table. DedupSpec proves the superset property and bounds the
+    * slice. The membership probe is a closure over the BROADCAST
+    * sketch — one hash per row against per-executor shared bits.
+    * Porting it to the codegen'd `BloomFilterMightContain` over a
+    * literal-bytes sketch (the [[graft.operators.Joins]] probe) was
+    * A/B-measured and REJECTED: interleaved same-JVM reps at 200k
+    * generated docs ([[graft.tools.BdeconProbe]]) put the expression
+    * form 0.5–1.2 s SLOWER per run (udf min 1.28 s vs expr min
+    * 1.85 s; the udf won 6 of 7 interleaved pairs across two
+    * sessions) — a literal ~1.2 MB sketch rides the serialized plan
+    * of every job and re-enters codegen per query, a fixed cost the
+    * one-probe-per-row closure never pays, while the broadcast ships
+    * once per executor. [[Joins.bloomReducedJoin]] keeps the
+    * expression path deliberately: there the probe must sit INSIDE
+    * the fact scan stage to cut the exchange, which a UDF cannot.
+    * DedupSpec proves the superset property and bounds the
     * false-positive rate on a clean corpus.
     * Output: doc_id, n_flagged, contaminated. */
   def contaminationBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,

@@ -29,33 +29,46 @@ import graft.expressions.GraftFunctions
   */
 object Joins {
 
-  /** Serialize `dim`'s key set into a Bloom filter over
-    * `xxhash64(key)` — the same hash the probe side evaluates in
-    * [[mightContainKey]], and the same longs-into-sketch construction
-    * Spark's InjectRuntimeFilter builds. One aggregation job over the
-    * dim side; the returned bytes are `numBits/8` regardless of row
-    * count (~1.2 MB at the 1M/1% defaults). */
-  private def buildBloom(dim: DataFrame, key: String,
+  /** Serialize a LONG hash column's value set into Bloom-filter bytes —
+    * the sketch-build half of the probe pair, shared with
+    * [[graft.operators.Dedup.contaminationBloom]] (which Blooms 60-bit
+    * shingle hashes rather than xxhash64'd join keys). One aggregation
+    * job over `hashes`; the returned bytes are `numBits/8` regardless
+    * of row count (~1.2 MB at the 1M/1% defaults). */
+  private[graft] def bloomBytes(hashes: DataFrame, hashCol: String,
       expectedKeys: Long, fpp: Double): Array[Byte] = {
-    val bf = dim.select(xxhash64(col(key)).as("_h"))
-      .stat.bloomFilter("_h", expectedKeys, fpp)
+    val bf = hashes.stat.bloomFilter(hashCol, expectedKeys, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
   }
 
-  /** Membership predicate: Spark's codegen'd `BloomFilterMightContain`
-    * over a literal sketch — the filter deserializes ONCE per task and
-    * the probe is a few hash-and-bit-test instructions inside the scan
-    * stage's codegen, never a UDF. Null keys fail the predicate (they
-    * cannot match an equi-join anyway). */
-  private def mightContainKey(spark: org.apache.spark.sql.SparkSession,
-      bloomBytes: Array[Byte], key: String): Column = {
+  /** Membership predicate over a pre-hashed LONG column: Spark's
+    * codegen'd `BloomFilterMightContain` over a literal sketch — the
+    * filter deserializes ONCE per task and the probe is a few
+    * hash-and-bit-test instructions inside the scan stage's codegen,
+    * never a UDF. A null hash yields null (filters drop it). */
+  private[graft] def mightContainHash(
+      spark: org.apache.spark.sql.SparkSession,
+      bloomBytes: Array[Byte], hash: Column): Column = {
     GraftFunctions.register(spark)
-    col(key).isNotNull &&
-      call_function(GraftFunctions.MightContainName,
-        lit(bloomBytes), xxhash64(col(key)))
+    call_function(GraftFunctions.MightContainName, lit(bloomBytes), hash)
   }
+
+  /** [[bloomBytes]] over `xxhash64(key)` — the same longs-into-sketch
+    * construction Spark's InjectRuntimeFilter builds, probed by
+    * [[mightContainKey]] with the matching hash. */
+  private def buildBloom(dim: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double): Array[Byte] =
+    bloomBytes(dim.select(xxhash64(col(key)).as("_h")), "_h",
+      expectedKeys, fpp)
+
+  /** Join-key membership predicate: null keys fail (they cannot match
+    * an equi-join anyway). */
+  private def mightContainKey(spark: org.apache.spark.sql.SparkSession,
+      bloomBytes: Array[Byte], key: String): Column =
+    col(key).isNotNull &&
+      mightContainHash(spark, bloomBytes, xxhash64(col(key)))
 
   /** The reduction primitive alone: `fact` rows whose `key` MIGHT be
     * in `dim`'s key set. A guaranteed SUPERSET of the matching rows

@@ -41,7 +41,8 @@ object Stress {
     "annlsh", "ivf", "curate", "passage", "cdc", "sem", "bpe", "gopher",
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
     "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
-    "url", "drift", "span", "sdecon", "wfp")
+    "url", "drift", "span", "sdecon", "wfp", "bdecon", "prassoc", "prexact",
+    "entres", "routlier", "routlierx", "binjoin")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -278,6 +279,65 @@ object Stress {
         // self-join; generator text is templated, so the df filter
         // does real work dropping saturated common fingerprints
         graft.operators.Dedup.fingerprintPairs(docs)
+      case "bdecon" =>
+        // Bloom-bits decontamination: eval = every 10th doc; the claim
+        // under test is one codegen'd shingle pass + per-row sketch
+        // probe on the train side — no join exchange at all
+        Dedup.contaminationBloom(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+      case "prassoc" | "prexact" =>
+        // Hot-node graph: EVERY doc points at node 0 (in-degree n-1 —
+        // the power-law authority shape), plus 0 -> 1 so the hub has
+        // out-degree. prexact folds an (n-1)-element sorted array in
+        // ONE aggregation buffer per iteration; prassoc is the plain
+        // partial-aggregable sum — the claim under test is assoc flat
+        // in n while the fold pays the hot-node array.
+        val hotEdges = docs.filter(col("doc_id") =!= 0)
+          .select(col("doc_id").as("src"), lit(0L).as("dst"))
+          .unionByName(docs.sparkSession.range(1)
+            .select(lit(0L).as("src"), lit(1L).as("dst")))
+        graft.operators.Graph.pagerank(hotEdges, iters = 3, damping = 0.5,
+          exact = op == "prexact")
+      case "entres" =>
+        // Long planted chains: within each 100-row block, consecutive
+        // ids are exactly 1 edit apart ("p" + 'x'*(id%100)), so every
+        // block is ONE 100-entity chain closed transitively — the
+        // claim under test is blocked candidate work + path-halving
+        // closure in <= log2(chain) rounds, never a corpus cross join.
+        val people = docs.select(col("doc_id"),
+          floor(col("doc_id") / 100).cast("long").as("blk"),
+          concat(lit("p"),
+            repeat(lit("x"), (col("doc_id") % 100).cast("int"))).as("nm"))
+        graft.operators.Quality.resolveEntities(people, col("doc_id"),
+          col("blk"), col("nm"), maxDist = 1)
+      case "routlier" | "routlierx" =>
+        // One hot group holding 90% of the corpus with a CONTINUOUS
+        // (unroundable) metric: exact percentile buffers a distinct-
+        // value map of the hot group on one reducer; the binned form's
+        // state is <= bins longs per group. routlierx measures the
+        // exact form at the same shape for the comparison row.
+        val vals = docs.select(col("doc_id"),
+          when(col("doc_id") % 10 < 9, lit("hot"))
+            .otherwise((col("doc_id") % 97).cast("string")).as("g"),
+          (sin(col("doc_id").cast("double") * 0.37) * 100 +
+            col("doc_id") % 1000 * 0.001).as("v"))
+        if (op == "routlier")
+          graft.operators.Quality.robustOutliersApprox(vals, "g", "v")
+        else graft.operators.Quality.robustOutliers(vals, "g", "v")
+      case "binjoin" =>
+        // Unkeyed point-in-interval theta join via bin bucketing:
+        // n points against n/10 intervals of width <= 3 bins — the
+        // claim under test is work ~ points + intervals x spanned
+        // bins, never a nested-loop cross product.
+        val points = docs.select(col("doc_id").as("pid"),
+          (col("doc_id") % 100000).cast("double").as("p"))
+        val intervals = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("iid"),
+            (col("doc_id") % 99990).cast("double").as("lo"),
+            (col("doc_id") % 99990 + col("doc_id") % 25).cast("double").as("hi"))
+        graft.operators.Windows.rangeJoinBinned(points, "p",
+          intervals, "lo", "hi", binWidth = 10.0)
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
