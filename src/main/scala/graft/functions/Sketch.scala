@@ -530,6 +530,69 @@ object Sketch {
   def hllDistinct(df: DataFrame, valueCol: String, p: Int = 10): DataFrame =
     hllEstimate(hllRegisters(df, valueCol, p), p)
 
+  /** Per-GROUP register tables: (group, idx, r) — the grouped A8 form
+    * ("distinct users per domain/event_type" at 100 TB). One partial-
+    * aggregable groupBy onto ≤ groups × 2^p rows; same md5-derived
+    * idx/rank as [[hllRegisters]], so the sketch is engine-portable
+    * and per-(group, idx) max-mergeable across batches exactly like
+    * the ungrouped table. Null groups are their own group (groupBy
+    * keeps them); null values are skipped. */
+  def hllRegistersBy(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1L << p
+    val h = md5(col(valueCol).cast("string"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(m)).as("idx"),
+        hllRho(substring(h, 17, 16)).as("r"))
+      .groupBy("group", "idx").agg(max("r").cast("int").as("r"))
+  }
+
+  /** Per-group estimates from a (group, idx, r) register table — the
+    * [[hllEstimate]] arithmetic (exact-decimal harmonic sum, 6dp
+    * linear-counting correction) per group. Densification is a
+    * groups × 2^p cross of two SUMMARY-sized frames (the r73/r74
+    * broadcast-cross discipline), never corpus data.
+    * Output: group, m, v_zero, n_est (ordered by group). */
+  def hllEstimateBy(registers: DataFrame, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val cNum = alpha * m * m * math.pow(2.0, 65)
+    val spark = registers.sparkSession
+    val groups = registers.select(col("group")).distinct()
+    val dense = registers.select(col("group"), col("idx"), col("r"))
+      .unionByName(groups
+        .crossJoin(spark.range(m).select(col("id").as("idx")))
+        .withColumn("r", lit(0)))
+      .groupBy("group", "idx").agg(max("r").as("r"))
+    val agg = dense.groupBy("group").agg(
+      sum(pow(lit(2.0), lit(65) - col("r"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+      sum(when(col("r") === 0, 1L).otherwise(0L)).cast("long").as("v_zero"))
+    val raw = lit(cNum) / col("s").cast("double")
+    agg.select(col("group"), lit(m).as("m"), col("v_zero"),
+      when(col("v_zero") > 0 && raw <= lit(2.5 * m),
+        round(lit(m.toDouble) *
+          round(log(lit(m.toDouble) / col("v_zero")), 6), 6))
+        .otherwise(round(raw, 6)).as("n_est"))
+      .orderBy("group")
+  }
+
+  /** One-shot grouped convenience. */
+  def hllDistinctBy(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 10): DataFrame =
+    hllEstimateBy(hllRegistersBy(df, groupCol, valueCol, p), p)
+
+  /** Merge grouped register tables by per-(group, idx) max — exact,
+    * like [[hllMerge]]: per-batch grouped tables land incrementally
+    * and compose into the lifetime per-group sketch without ever
+    * rescanning a value (SketchSpec law: merge of disjoint batches ==
+    * one-shot registers). */
+  def hllMergeBy(registers: DataFrame): DataFrame =
+    registers.groupBy("group", "idx").agg(max("r").cast("int").as("r"))
+
   /** Assemble the corpus-lifetime register table from a directory of
     * landed per-batch register tables (the
     * [[graft.streaming.Ingest.hllIngestStream]] layout; batch_id is

@@ -281,7 +281,7 @@ object Quality {
     * over SUPER-NODES (old entities enter as their single label, not
     * their member rows), so the pair graph is batch-sized + touched-
     * entity-sized no matter how large the accumulated index. */
-  private def erStepParts(nb: DataFrame, cur: DataFrame, maxDist: Int,
+  private[graft] def erStepParts(nb: DataFrame, cur: DataFrame, maxDist: Int,
       maxBlock: Int, maxIter: Int): (DataFrame, DataFrame) = {
     val touched = nb.select("blk").distinct()
     val oldT = cur.join(touched, Seq("blk"), "left_semi")
@@ -359,7 +359,7 @@ object Quality {
     spark.range(0).select(col("id"), col("id").cast("string").as("blk"),
       col("id").cast("string").as("m"), col("id").as("comp"))
 
-  private def normalizeErBatch(df: DataFrame, id: Column, blockKey: Column,
+  private[graft] def normalizeErBatch(df: DataFrame, id: Column, blockKey: Column,
       matchCol: Column): DataFrame =
     df.select(id.cast("long").as("id"), blockKey.cast("string").as("blk"),
       matchCol.cast("string").as("m"))
@@ -412,9 +412,16 @@ object Quality {
     * merge-count-sized; the join back is broadcast-shaped long before
     * the row store stops being corpus-sized. */
   private def currentIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val rows = spark.read.parquet(s"$path/rows")
-    val remap = spark.read.parquet(s"$path/remap")
+      path: String): DataFrame =
+    composeIndex(spark.read.parquet(s"$path/rows"),
+      spark.read.parquet(s"$path/remap"))
+
+  /** The frame form of the composition — shared with the streamed
+    * ingest, whose rows/remap frames come from batch_id-partitioned
+    * earlier-batch reads rather than a flat dir. Extra columns on
+    * `rows` (e.g. batch_id) are dropped. */
+  private[graft] def composeIndex(rows: DataFrame,
+      remap: DataFrame): DataFrame = {
     val closure = Dedup.components(
         remap.select(col("src").as("d1"), col("dst").as("d2")))
       .select(col("id").as("comp"), col("comp").as("_fin"))
@@ -494,6 +501,111 @@ object Quality {
         (lit(0.5) * col("pa") * round(log(col("pa") / col("m")), 6) +
           lit(0.5) * col("pb") * round(log(col("pb") / col("m")), 6))
           .as("js_term"))
+  }
+
+  /** Population Stability Index between two NUMERIC snapshots — the
+    * model-monitoring sibling of [[corpusDrift]] (that one watches
+    * text; this one watches a feature/score/amount column for the
+    * shift that silently invalidates a trained threshold). Both sides
+    * reduce to [[graft.functions.Sketch.valueHistogram]] summaries
+    * under the SAME frozen (lo, hi) bounds (values outside clamp into
+    * the edge bins, so a drifted batch reads loud rather than
+    * vanishing), each bin carries add-one-smoothed probabilities and
+    * its contribution `(pa − pb) · ln(pa/pb)`; Σ psi_term is the PSI
+    * (industry rule of thumb: < 0.1 stable, 0.1–0.25 watch, > 0.25
+    * act). Per-bin rows ordered by |contribution| name the drifting
+    * value ranges directly — bin edges are `lo + bin·(hi−lo)/bins`.
+    *
+    * Scale: two corpus-linear partial-aggregable passes onto ≤ bins
+    * rows each, one bin-keyed outer join of those tiny tables, two
+    * 1-row totals broadcast back (the [[driftFromCounts]] shape,
+    * including its empty-side discipline: a missing batch reads as
+    * maximal drift, never null). The histograms are ADDITIVE, so a
+    * monitor composes landed per-batch
+    * [[graft.streaming.Ingest.histogramIngestStream]] cells against a
+    * frozen reference without rescanning anything. Determinism: pa/pb
+    * are single IEEE divisions of exact ints, the ln is 6dp-rounded
+    * (the dsir discipline). Output: bin, ca, cb, pa, pb, psi_term. */
+  def psi(old: DataFrame, curr: DataFrame, valueCol: String, lo: Double,
+      hi: Double, bins: Int = 256): DataFrame =
+    psiFromHistograms(
+      graft.functions.Sketch.valueHistogram(old, valueCol, lo, hi, bins),
+      graft.functions.Sketch.valueHistogram(curr, valueCol, lo, hi, bins),
+      bins)
+
+  /** [[psi]] over two PRE-AGGREGATED (bin, c) histograms (the
+    * [[graft.functions.Sketch.valueHistogram]] layout) — the form the
+    * monitor calls repeatedly against a frozen reference summary. */
+  def psiFromHistograms(old: DataFrame, curr: DataFrame,
+      bins: Int = 256): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val a = old.select(col("bin"), col("c").as("ca"))
+    val b = curr.select(col("bin"), col("c").as("cb"))
+    val na = a.agg(coalesce(sum("ca"), lit(0L)).cast("long").as("na"))
+    val nb = b.agg(coalesce(sum("cb"), lit(0L)).cast("long").as("nb"))
+    a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("bin"), col("ca"), col("cb"),
+        ((col("ca") + 1).cast("double") / (col("na") + bins)).as("pa"),
+        ((col("cb") + 1).cast("double") / (col("nb") + bins)).as("pb"))
+      .select(col("bin"), col("ca"), col("cb"), col("pa"), col("pb"),
+        ((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6))
+          .as("psi_term"))
+  }
+
+  /** Quantile winsorization — clip a numeric column to its
+    * [loQ, hiQ] estimated quantile band, the feature-hygiene step
+    * that keeps one fat-finger 10^9 amount from dominating a scale
+    * fit or a histogram feature. Bounds come from bounded-state
+    * histograms (the [[robustStatsApprox]] argument: exact percentile
+    * state is distinct-value-sized), in TWO refining passes, because
+    * one pass self-defeats here: the very outliers being clipped
+    * stretch the histogram range, collapsing every interior value
+    * into one bin (a ±1e9 spike over unit-scale data leaves
+    * bin-midpoint "quantiles" ~250k off). Pass 1
+    * ([[graft.functions.Sketch.histogramQuantiles]]) brackets the two
+    * rank elements to their bins; pass 2 re-histograms inside that
+    * band ([[graft.functions.Sketch.valueHistogram]] — out-of-band
+    * values clamp into the EDGE bins, which preserves every rank
+    * because clamping is monotone and the target elements are
+    * in-band) and re-picks with
+    * [[graft.functions.Sketch.quantilesFromHistogram]], so the final
+    * error is ≤ bandWidth/bins — resolution set by the data's
+    * interior, not its spikes. The clip itself is one narrow
+    * codegen'd greatest/least against the broadcast 1-row bounds.
+    * Null values stay null (guarded: both engines' LEAST/GREATEST
+    * skip nulls, which would otherwise clip a null to the upper
+    * bound). In-band values pass through bit-identical — only the
+    * tails move. All-null input yields null bounds and passthrough.
+    * Output: input columns + qlo, qhi, <valueCol>_w. */
+  def winsorize(df: DataFrame, valueCol: String, loQ: Double = 0.01,
+      hiQ: Double = 0.99, bins: Int = 4096): DataFrame = {
+    require(loQ > 0 && loQ < hiQ && hiQ <= 1,
+      s"need 0 < loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    import graft.functions.Sketch
+    val coarse = Sketch.histogramQuantiles(df, valueCol, Seq(loQ, hiQ), bins)
+    val band = coarse.agg(
+      min(when(col("q") === loQ, col("blo"))).as("blo"),
+      min(when(col("q") === hiQ, col("bhi"))).as("bhi")).head
+    val v = col(valueCol).cast("double")
+    if (band.isNullAt(0) || band.isNullAt(1)) {
+      // no non-null values at all: null bounds, passthrough clip
+      return df.withColumn("qlo", lit(null).cast("double"))
+        .withColumn("qhi", lit(null).cast("double"))
+        .withColumn(s"${valueCol}_w", v)
+    }
+    val (bandLo, bandHi) = (band.getDouble(0), band.getDouble(1))
+    val fine = Sketch.quantilesFromHistogram(
+      Sketch.valueHistogram(df, valueCol, bandLo, bandHi, bins),
+      bandLo, bandHi, Seq(loQ, hiQ), bins)
+    val bounds = fine.agg(
+      min(when(col("q") === loQ, col("est"))).as("qlo"),
+      min(when(col("q") === hiQ, col("est"))).as("qhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_w",
+        when(v.isNotNull, greatest(col("qlo"), least(col("qhi"), v))))
   }
 
   /** Snapshot diff between two corpus versions: one row per doc whose

@@ -3869,6 +3869,256 @@ object PipelineInventory {
              |FROM customer c LEFT JOIN comp p ON c.c_custkey = p.id
              |ORDER BY c.c_custkey""".stripMargin)),
 
+    // Grouped portable HLL (the A8-per-key form: distinct users per
+    // event_type): per-group register tables (≤ groups × 2^p rows,
+    // max-mergeable across batches) + the exact-decimal harmonic
+    // estimate per group — r77's cross-engine bit parity, keyed. The
+    // exact countDistinct rides along as the error-band column.
+    QueryDef("r92_hll_group_distinct", {
+      (s, d) => {
+        val ev = T(s, d, "events")
+        graft.functions.Sketch.hllDistinctBy(ev, "event_type", "user_id",
+            p = 10)
+          .join(ev.filter(col("user_id").isNotNull)
+            .groupBy(col("event_type").as("group"))
+            .agg(countDistinct(col("user_id")).as("n_exact")), Seq("group"))
+          .orderBy("group")
+      }},
+      Some {
+        val m = 1024
+        val cNum = 0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, 65)
+        s"""WITH t AS (SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS v
+           |           FROM events WHERE user_id IS NOT NULL),
+           |hx AS (SELECT grp, md5(v) AS h FROM t),
+           |rg0 AS (SELECT grp, ('0x' || substr(h, 1, 15))::BIGINT % $m AS idx,
+           |               substr(h, 17, 16) AS tail FROM hx),
+           |rr AS (SELECT grp, idx,
+           |        CASE WHEN regexp_replace(tail, '^0+', '') = '' THEN 65
+           |             ELSE 4 * length(regexp_extract(tail, '^(0*)', 1)) +
+           |               (CASE substr(regexp_replace(tail, '^0+', ''), 1, 1)
+           |                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+           |                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+           |                  WHEN '7' THEN 1 ELSE 0 END) + 1 END AS r
+           |       FROM rg0),
+           |reg AS (SELECT grp, idx, MAX(r) AS r FROM rr GROUP BY grp, idx),
+           |gs AS (SELECT DISTINCT grp FROM reg),
+           |dense AS (SELECT gs.grp, g.idx, COALESCE(reg.r, 0) AS r
+           |          FROM gs CROSS JOIN range(0, $m) g(idx)
+           |          LEFT JOIN reg ON reg.grp = gs.grp AND reg.idx = g.idx),
+           |ag AS (SELECT grp,
+           |              SUM(CAST(POWER(2, 65 - r) AS DECIMAL(38,0))) AS s,
+           |              CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+           |       FROM dense GROUP BY grp),
+           |ex AS (SELECT event_type AS grp,
+           |              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           |       FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+           |SELECT ag.grp AS "group", CAST($m AS INT) AS m, v_zero,
+           |  CASE WHEN v_zero > 0 AND $cNum / CAST(s AS DOUBLE) <= ${2.5 * m}
+           |       THEN ${rrepr(s"$m.0 * ${rrepr(s"ln($m.0 / v_zero)", 6)}", 6)}
+           |       ELSE ${rrepr(s"$cNum / CAST(s AS DOUBLE)", 6)} END AS n_est,
+           |  n_exact
+           |FROM ag JOIN ex ON ex.grp = ag.grp
+           |ORDER BY "group"""".stripMargin
+      }),
+
+    // PSI numeric drift between two event slices under frozen [0,1000)
+    // bounds: the model-monitoring twin of r70 (text drift) for a
+    // score/amount column — per-bin smoothed probabilities and
+    // (pa−pb)·ln(pa/pb) contributions, Σ = the PSI a deployed
+    // threshold is judged by. Clamped edge bins keep out-of-range
+    // values visible; the ln is 6dp-rounded on both engines.
+    QueryDef("r93_psi_drift", {
+      (s, d) => {
+        val ev = T(s, d, "events")
+        Quality.psi(ev.filter(col("user_id") % 3 === 0),
+            ev.filter(col("user_id") % 3 =!= 0),
+            "value", lo = 0.0, hi = 1000.0, bins = 256)
+          .orderBy("bin")
+      }},
+      Some(s"""WITH a0 AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+              |            WHERE user_id % 3 = 0 AND value IS NOT NULL),
+              |b0 AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+              |       WHERE user_id % 3 <> 0 AND value IS NOT NULL),
+              |ha AS (SELECT CAST(GREATEST(0, LEAST(255, FLOOR((v - 0.0) / (1000.0 - 0.0) * 256))) AS INT) AS bin,
+              |              CAST(COUNT(*) AS BIGINT) AS ca
+              |       FROM a0 GROUP BY 1),
+              |hb AS (SELECT CAST(GREATEST(0, LEAST(255, FLOOR((v - 0.0) / (1000.0 - 0.0) * 256))) AS INT) AS bin,
+              |              CAST(COUNT(*) AS BIGINT) AS cb
+              |       FROM b0 GROUP BY 1),
+              |na AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na FROM ha),
+              |nb AS (SELECT CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nb FROM hb),
+              |j AS (SELECT COALESCE(ha.bin, hb.bin) AS bin,
+              |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+              |      FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+              |pr AS (SELECT bin, ca, cb,
+              |              CAST(ca + 1 AS DOUBLE) / (na + 256) AS pa,
+              |              CAST(cb + 1 AS DOUBLE) / (nb + 256) AS pb
+              |       FROM j CROSS JOIN na CROSS JOIN nb)
+              |SELECT bin, ca, cb, pa, pb,
+              |       (pa - pb) * ${rrepr("ln(pa / pb)", 6)} AS psi_term
+              |FROM pr ORDER BY bin""".stripMargin)),
+
+    // Schema + column drift between two snapshots (r82's profiler,
+    // diffed): the "curr" snapshot drops a column, ADDS one, retypes
+    // the key, and filters a third of the rows — each change surfaces
+    // as one row of the diff (status / type_changed / count+distinct
+    // movement), which is what a lakehouse refresh audit reads.
+    QueryDef("r94_profile_diff", {
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val old = o.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        val curr = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").cast("string").as("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority"))
+        graft.sources.Meta.profileDiff(old, curr)
+      }},
+      Some {
+        def side(src: String, cols: Seq[(String, String)], suf: String) =
+          cols.map { case (c, t) =>
+            s"""SELECT '$c' AS col, '$t' AS dtype$suf,
+               |  CAST(COUNT(*) AS BIGINT) AS n$suf,
+               |  CASE WHEN COUNT(*) > 0
+               |       THEN ${rrepr(s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)}
+               |  END AS null_frac$suf,
+               |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct$suf
+               |FROM $src""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        s"""WITH a1 AS (
+           |${side("orders", Seq("o_orderkey" -> "bigint",
+              "o_orderstatus" -> "string", "o_totalprice" -> "double"), "_a")}),
+           |cu AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+           |              o_orderstatus, o_orderpriority
+           |       FROM orders WHERE o_orderkey % 3 <> 0),
+           |b1 AS (
+           |${side("cu", Seq("o_orderkey" -> "string",
+              "o_orderstatus" -> "string", "o_orderpriority" -> "string"), "_b")})
+           |SELECT COALESCE(a1.col, b1.col) AS col, dtype_a, dtype_b,
+           |  CASE WHEN dtype_a IS NULL THEN 'added'
+           |       WHEN dtype_b IS NULL THEN 'removed'
+           |       ELSE 'kept' END AS status,
+           |  COALESCE(dtype_a <> dtype_b, false) AS type_changed,
+           |  n_a, n_b, null_frac_a, null_frac_b, n_distinct_a, n_distinct_b
+           |FROM a1 FULL OUTER JOIN b1 ON a1.col = b1.col
+           |ORDER BY col""".stripMargin
+      }),
+
+    // Strict-ordering funnel (view -> click -> purchase within 7 days
+    // of the first view): each step counts only after the user's
+    // previous-step FIRST time — k-1 users-sized joins, no window over
+    // raw events. The oracle unrolls the steps as chained min CTEs.
+    QueryDef("r95_funnel", {
+      (s, d) => graft.operators.Behavior.funnelCounts(T(s, d, "events"),
+        Seq("view", "click", "purchase"), within = Some("7 DAYS"))},
+      Some(s"""WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t1 FROM events
+              |            WHERE event_type = 'view' GROUP BY 1),
+              |s2 AS (SELECT s1.u, MIN(e.ts) AS t2
+              |       FROM s1 JOIN events e ON e.user_id = s1.u
+              |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+              |         AND e.ts <= s1.t1 + INTERVAL 7 DAY
+              |       GROUP BY 1),
+              |s3 AS (SELECT s1.u, MIN(e.ts) AS t3
+              |       FROM s1 JOIN s2 ON s2.u = s1.u
+              |       JOIN events e ON e.user_id = s1.u
+              |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              |         AND e.ts <= s1.t1 + INTERVAL 7 DAY
+              |       GROUP BY 1),
+              |n AS (SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+              |             CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+              |             CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3)
+              |SELECT * FROM (
+              |  SELECT 1 AS step, 'view' AS name, n1 AS n_users,
+              |         CASE WHEN n1 > 0 THEN ${rrepr("CAST(n1 AS DOUBLE) / n1", 6)} END AS frac FROM n
+              |  UNION ALL
+              |  SELECT 2, 'click', n2,
+              |         CASE WHEN n1 > 0 THEN ${rrepr("CAST(n2 AS DOUBLE) / n1", 6)} END FROM n
+              |  UNION ALL
+              |  SELECT 3, 'purchase', n3,
+              |         CASE WHEN n1 > 0 THEN ${rrepr("CAST(n3 AS DOUBLE) / n1", 6)} END FROM n)
+              |ORDER BY step""".stripMargin)),
+
+    // Weekly cohort retention: users grouped by the ISO week of their
+    // first event, counted in each later week they are active —
+    // two partial-aggregable passes + a users-sized join; nothing
+    // event-sized past the first aggregations.
+    QueryDef("r96_retention", {
+      // cohort cast to string on BOTH sides: DATE cells render
+      // differently between the two engines' dataframe bridges
+      // (datetime.date vs midnight Timestamp), which the driver's
+      // string compare reads as a mismatch.
+      (s, d) => graft.operators.Behavior.cohortRetention(
+          T(s, d, "events"), period = "week")
+        .select(col("cohort").cast("string").as("cohort"), col("k"),
+          col("n_active"), col("retention"))},
+      Some(s"""WITH c AS (SELECT user_id AS u,
+              |            CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+              |           FROM events GROUP BY 1),
+              |a AS (SELECT DISTINCT user_id AS u,
+              |             CAST(date_trunc('week', ts) AS DATE) AS bucket
+              |      FROM events),
+              |kk AS (SELECT cohort,
+              |              CAST(datediff('day', cohort, bucket) / 7 AS INT) AS k
+              |       FROM c JOIN a ON a.u = c.u),
+              |ct AS (SELECT cohort, k, CAST(COUNT(*) AS BIGINT) AS n_active
+              |       FROM kk GROUP BY 1, 2),
+              |b AS (SELECT cohort, n_active AS n_cohort FROM ct WHERE k = 0)
+              |SELECT CAST(ct.cohort AS VARCHAR) AS cohort, ct.k, ct.n_active,
+              |       ${rrepr("CAST(ct.n_active AS DOUBLE) / b.n_cohort", 6)} AS retention
+              |FROM ct JOIN b ON b.cohort = ct.cohort
+              |ORDER BY ct.cohort, ct.k""".stripMargin)),
+
+    // Quantile winsorization: events.value clipped to the two-pass
+    // histogram-estimated [p01, p99] band (pass 1 brackets the rank
+    // elements; pass 2 re-histograms INSIDE the bracket so resolution
+    // is set by the interior, not the spikes being clipped). Interior
+    // values pass through bit-identical; nulls stay null (the
+    // LEAST/GREATEST null-skip guard). The oracle unrolls BOTH passes.
+    QueryDef("r97_winsorize", {
+      (s, d) => Quality.winsorize(T(s, d, "events"), "value",
+          loQ = 0.01, hiQ = 0.99, bins = 4096)
+        .select(col("event_id"), col("value").cast("double").as("value"),
+          col("qlo"), col("qhi"), col("value_w"))
+        .orderBy("event_id")},
+      Some("""WITH b AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             |           WHERE value IS NOT NULL),
+             |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM b),
+             |bn AS (SELECT CAST(CASE WHEN mm.hi = mm.lo THEN 0
+             |         ELSE LEAST(4095, FLOOR((v - lo) / (hi - lo) * 4096)) END AS INT) AS bin
+             |       FROM b CROSS JOIN mm),
+             |bc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM bn GROUP BY bin),
+             |cum AS (SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM bc),
+             |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.01), (0.99)) v(q)),
+             |rk AS (SELECT q, GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * mm.n) AS BIGINT)) AS rank
+             |       FROM qs CROSS JOIN mm),
+             |pick AS (SELECT rk.q, MIN(cum.bin) AS bin
+             |         FROM rk JOIN cum ON cum.cum >= rk.rank GROUP BY rk.q),
+             |band AS (SELECT MIN(CASE WHEN q = 0.01 THEN lo + bin * ((hi - lo) / 4096) END) AS blo2,
+             |                MIN(CASE WHEN q = 0.99 THEN lo + (bin + 1) * ((hi - lo) / 4096) END) AS bhi2
+             |         FROM pick CROSS JOIN mm),
+             |bn2 AS (SELECT CAST(CASE WHEN bhi2 = blo2 THEN 0
+             |          ELSE GREATEST(0, LEAST(4095, FLOOR((v - blo2) / (bhi2 - blo2) * 4096))) END AS INT) AS bin
+             |        FROM b CROSS JOIN band),
+             |bc2 AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM bn2 GROUP BY bin),
+             |cum2 AS (SELECT bin, CAST(SUM(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM bc2),
+             |n2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bc2),
+             |rk2 AS (SELECT q, GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * n2.n) AS BIGINT)) AS rank
+             |        FROM qs CROSS JOIN n2),
+             |pick2 AS (SELECT rk2.q, MIN(cum2.bin) AS bin
+             |          FROM rk2 JOIN cum2 ON cum2.cum >= rk2.rank GROUP BY rk2.q),
+             |est2 AS (SELECT q,
+             |           ((blo2 + bin * ((bhi2 - blo2) / 4096)) +
+             |            (blo2 + (bin + 1) * ((bhi2 - blo2) / 4096))) / 2 AS est
+             |         FROM pick2 CROSS JOIN band),
+             |bounds AS (SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS qlo,
+             |                  MIN(CASE WHEN q = 0.99 THEN est END) AS qhi
+             |           FROM est2)
+             |SELECT e.event_id, CAST(e.value AS DOUBLE) AS value, qlo, qhi,
+             |       CASE WHEN e.value IS NOT NULL
+             |            THEN GREATEST(qlo, LEAST(qhi, CAST(e.value AS DOUBLE)))
+             |       END AS value_w
+             |FROM events e CROSS JOIN bounds
+             |ORDER BY e.event_id""".stripMargin)),
+
     // Leakage-safe temporal split: train / embargo / test assignment
     // from the row's own timestamp, the purge-window rule from
     // financial ML backtesting (a pure narrow CASE — the oracle is the

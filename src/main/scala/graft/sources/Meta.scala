@@ -85,6 +85,49 @@ object Meta {
       .orderBy("col")
   }
 
+  /** Profile DIFF between two table snapshots — the schema-drift +
+    * column-drift monitor a lakehouse runs between refreshes (the
+    * audit sibling of Quality.corpusDiff, at COLUMN granularity):
+    * added/removed columns, type changes, and per-column null-rate /
+    * distinct-count movement, from one [[profile]] pass per side.
+    * A silently added column, a type widened by an upstream schema
+    * merge, or a null-rate jump from a broken extractor all surface
+    * as one diffable row.
+    *
+    * Scale: [[profile]] is one aggregation pass per side (ONE job,
+    * all columns at once); the diff joins two columns-sized frames.
+    * null_frac is 6dp-rounded so the row is engine-comparable.
+    * Output: col, dtype_a, dtype_b, status ∈ {added, removed, kept},
+    * type_changed, n_a, n_b, null_frac_a, null_frac_b, n_distinct_a,
+    * n_distinct_b (ordered by col). */
+  def profileDiff(old: DataFrame, curr: DataFrame,
+      exact: Boolean = true): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val types = df.schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString))
+        .toDF("col", s"dtype$suf")
+      profile(df, exact)
+        .select(col("col"), col("n").as(s"n$suf"),
+          when(col("n") > 0,
+            round(col("n_null").cast("double") / col("n"), 6))
+            .as(s"null_frac$suf"),
+          col("n_distinct").as(s"n_distinct$suf"))
+        .join(types, Seq("col"))
+    }
+    side(old, "_a").join(side(curr, "_b"), Seq("col"), "full_outer")
+      .select(col("col"), col("dtype_a"), col("dtype_b"),
+        when(col("dtype_a").isNull, "added")
+          .when(col("dtype_b").isNull, "removed")
+          .otherwise("kept").as("status"),
+        coalesce(col("dtype_a") =!= col("dtype_b"), lit(false))
+          .as("type_changed"),
+        col("n_a"), col("n_b"), col("null_frac_a"), col("null_frac_b"),
+        col("n_distinct_a"), col("n_distinct_b"))
+      .orderBy("col")
+  }
+
   /** S6: engine version/info dict analog. */
   def info(spark: SparkSession): Map[String, String] = Map(
     "engine" -> "graft",

@@ -1273,6 +1273,67 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming incremental entity resolution: each micro-batch of
+    * records resolves against the entities accumulated from EARLIER
+    * batches ([[graft.operators.Quality.resolveEntitiesStep]]'s
+    * super-node closure — old rows enter only as entity labels in
+    * touched blocks, never re-blocked), landing the batch's rows and
+    * the step's label merges as per-batch-id OVERWRITE partitions
+    * under `indexPath/rows` and `indexPath/remap`. Replay after a
+    * crash recomputes the SAME step (the index read is pinned to
+    * batches `< id`) and overwrites identical files — the
+    * urlDedupIngestStream idempotency argument, here for a MUTATING
+    * index made append-only by the remap-log design (labels only
+    * decrease; current labels = one components() pass over the
+    * merge-log-sized remap graph, see Quality's index-model note).
+    * Read the result with
+    * [[graft.operators.Quality.entityIndexSnapshot]]; StreamingSpec's
+    * SCCer law pins streamed == one-shot full recompute, merge events
+    * and chained remaps included, stable across restarts. The stream
+    * OWNS the index dir (batch_id layout from batch 0) — seed a
+    * pre-existing flat [[graft.operators.Quality.writeEntityIndex]]
+    * layout into a fresh stream dir first if migrating. */
+  def erIngestStream(spark: SparkSession, schema: StructType,
+      srcDir: String, indexPath: String, checkpoint: String,
+      idCol: String, blkCol: String, matchCol: String,
+      maxDist: Int = 1, maxBlock: Int = 1000, maxIter: Int = 20,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        import graft.operators.Quality
+        val emptyRemap = ss.range(0)
+          .select(col("id").as("src"), col("id").as("dst"))
+        val cur = earlierBatchPartitions(ss, s"$indexPath/rows", id,
+            "erIngestStream rows") match {
+          case None => Quality.emptyEntityIndex(ss)
+          case Some(rows) =>
+            val remap = earlierBatchPartitions(ss, s"$indexPath/remap", id,
+              "erIngestStream remap").getOrElse(emptyRemap)
+            Quality.composeIndex(rows, remap)
+        }
+        val nb = Quality.normalizeErBatch(batch, col(idCol), col(blkCol),
+          col(matchCol))
+        val (newRows, remap) = Quality.erStepParts(nb, cur, maxDist,
+          maxBlock, maxIter)
+        // Materialize BEFORE writing: the plans read the very index
+        // dirs the writes extend (the dedupIngestStream lesson).
+        val nr = newRows.localCheckpoint(true)
+        val rm = remap.localCheckpoint(true)
+        try {
+          nr.write.mode("overwrite").parquet(s"$indexPath/rows/batch_id=$id")
+          rm.write.mode("overwrite").parquet(s"$indexPath/remap/batch_id=$id")
+        } finally { nr.unpersist(); rm.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming anomaly screen: each micro-batch is scored against a
     * FROZEN per-group robust (med, mad) model
     * ([[graft.operators.Quality.robustStats]] fit batch-side — the

@@ -289,6 +289,15 @@ class PlanSpec extends SparkSpec {
       "r90_robust_binned",  // robustStatsApprox = histogramQuantilesBy
                             // twice — the r74 shape (qs × group
                             // min/max cross + rank join), both passes
+      "r92_hll_group_distinct", // register densification: groups ×
+                            // range(2^p) cross — BOTH summary-sized
+                            // (the r77 dense shape, keyed)
+      "r93_psi_drift",      // two one-row totals (na, nb) broadcast
+                            // onto the ≤bins-row joined histograms —
+                            // the r70 drift shape for numeric columns
+      "r97_winsorize",      // the r73 quantile CTE shapes + ONE 1-row
+                            // bounds frame broadcast-crossed onto the
+                            // corpus for the clip projection
       "r77_hll_distinct",   // one-row HLL estimate crossed with the
                             // one-row exact count (error-band rider)
       "q32_cosine_topk",    // single query vector broadcast

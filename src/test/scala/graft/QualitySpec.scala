@@ -263,6 +263,70 @@ class QualitySpec extends SparkSpec {
     assert(zs(900L) > 0 && zs(901L) < 0)
   }
 
+  test("psi: self-drift is exactly 0; a planted shift reads above the 0.25 action line") {
+    val base = (1 to 2000).map(i => Tuple1(100.0 + (i % 400))).toDF("v")
+    val self = Quality.psi(base, base, "v", lo = 0.0, hi = 1000.0)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(self == 0.0, s"self-PSI $self")
+    // shifted snapshot: same shape moved up 300 — a real distribution
+    // change, not noise
+    val shifted = base.select((col("v") + 300).as("v"))
+    val drift = Quality.psi(base, shifted, "v", lo = 0.0, hi = 1000.0)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(drift > 0.25, s"shift PSI $drift")
+    // symmetric under swap: (pa-pb)ln(pa/pb) is swap-invariant
+    val rev = Quality.psi(shifted, base, "v", lo = 0.0, hi = 1000.0)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(math.abs(drift - rev) < 1e-12)
+  }
+
+  test("psi: empty side reads loud (vs concentrated), never null; out-of-range clamps") {
+    // Under add-one smoothing an EMPTY side is the uniform
+    // distribution, so against a CONCENTRATED snapshot it reads loud
+    // and positive (a uniform-vs-uniform compare reads ~0 by the same
+    // math — that is correct, not a blind spot: the failure mode being
+    // guarded is null/NaN totals, not a particular magnitude).
+    val base = (1 to 500).map(i => Tuple1(250.0 + (i % 3))).toDF("v")
+    val empty = base.filter(col("v") < 0)
+    val loud = Quality.psi(base, empty, "v", lo = 0.0, hi = 500.0)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(loud > 0.25, s"empty-side PSI $loud must not read as no-drift")
+    assert(!loud.isNaN && !loud.isInfinite)
+    // values beyond the frozen bounds land in the edge bins (visible),
+    // never dropped: totals still cover every row
+    val wild = Seq(Tuple1(-50.0), Tuple1(9999.0)).toDF("v")
+    val h = Quality.psi(base.unionByName(wild), base, "v", lo = 0.0, hi = 500.0)
+    val cas = h.agg(sum("ca")).head.getLong(0)
+    assert(cas == 502L, s"clamped rows must stay counted, got $cas")
+  }
+
+  test("winsorize: tails clip to the quantile band, interior passes through, null stays null") {
+    val rows = (1 to 1000).map(i => (i.toLong, Some(i.toDouble))) ++
+      Seq((2001L, Some(1e9)), (2002L, Some(-1e9)), (2003L, Option.empty[Double]))
+    val df = rows.toDF("id", "v")
+    val out = Quality.winsorize(df, "v", loQ = 0.05, hiQ = 0.95, bins = 4096)
+      .select("id", "v", "qlo", "qhi", "v_w")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    val (qlo, qhi) = (out(500L)._2, out(500L)._3)
+    // the spikes clip to the band edges
+    assert(out(2001L)._4.contains(qhi))
+    assert(out(2002L)._4.contains(qlo))
+    // interior values pass through BIT-identical
+    assert(out(500L)._4.contains(500.0))
+    // null stays null — not clipped to qhi (the LEAST null-skip trap)
+    assert(out(2003L)._4.isEmpty)
+    // Two-pass refinement: the ±1e9 spikes make the PASS-1 bin width
+    // ~488k (range/4096), so a single-pass bound would sit ~244k off;
+    // pass 2 re-histograms inside the pass-1 bracket (width one coarse
+    // bin here), leaving error ≤ ~120. The bounds must sit near the
+    // true p05/p95 of uniform(1..1000), not near the spike scale.
+    assert(qlo > -200 && qlo < 200, s"qlo $qlo")
+    assert(qhi > 800 && qhi < 1100, s"qhi $qhi")
+  }
+
   test("robustStatsApprox: med/mad within the returned bin-error bounds of exact") {
     // Continuous (unroundable) values with a planted spike per group —
     // the metric shape whose exact-percentile state is corpus-sized.

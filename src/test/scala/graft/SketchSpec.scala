@@ -280,4 +280,38 @@ class SketchSpec extends SparkSpec {
       .select("n_est").as[Double].head()
     assert(e1 == e2)
   }
+
+  test("grouped hll: per-group estimates inside the error band; grouped == per-slice ungrouped") {
+    val df = spark.range(12000).select(
+      when(col("id") % 3 === 0, "a").otherwise("b").as("g"),
+      // group a: 4000 distinct; group b: 8000 rows over 4000 distinct
+      // residues (every residue mod 4000 is hit by a non-multiple-of-3
+      // id — 4000 ≡ 1 (mod 3) walks the residue classes)
+      when(col("id") % 3 === 0, concat(lit("x"), col("id")))
+        .otherwise(concat(lit("y"), pmod(col("id"), lit(4000)))).as("v"))
+    val est = Sketch.hllDistinctBy(df, "g", "v", p = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(est("a") - 4000) < 4000 * 0.12, s"a ${est("a")}")
+    assert(math.abs(est("b") - 4000) < 4000 * 0.12, s"b ${est("b")}")
+    // the grouped estimate IS the ungrouped estimate of that slice —
+    // same hash, same registers, same arithmetic
+    val solo = Sketch.hllDistinct(df.filter(col("g") === "a").select("v"), "v", p = 10)
+      .select("n_est").as[Double].head()
+    assert(est("a") == solo)
+  }
+
+  test("grouped hll merge of batch registers equals whole-corpus grouped registers exactly") {
+    val a = spark.range(5000).select(
+      when(col("id") % 2 === 0, "g1").otherwise("g2").as("g"),
+      concat(lit("x"), col("id")).as("v"))
+    val b = spark.range(3000, 9000).select(
+      when(col("id") % 2 === 0, "g1").otherwise("g2").as("g"),
+      concat(lit("x"), col("id")).as("v"))
+    val merged = Sketch.hllMergeBy(
+      Sketch.hllRegistersBy(a, "g", "v").unionByName(Sketch.hllRegistersBy(b, "g", "v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val whole = Sketch.hllRegistersBy(a.union(b), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(merged == whole)
+  }
 }

@@ -924,6 +924,60 @@ class StreamingSpec extends SparkSpec {
     assert(landed.count() == 2)
   }
 
+  test("SCPSI: streamed histogram cells + psiFromHistograms == one-shot psi, bit for bit") {
+    val src = tmp("scpsi-src"); val hist = tmp("scpsi-hist"); val ck = tmp("scpsi-ck")
+    val ref = (1 to 800).map(i => Tuple1(100.0 + (i % 200))).toDF("v")
+    // live traffic drifts upward across two batches
+    val b1 = (1 to 300).map(i => Tuple1(250.0 + (i % 150))).toDF("v")
+    val b2 = (1 to 300).map(i => Tuple1(300.0 + (i % 150))).toDF("v")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.histogramIngestStream(spark, b1.schema, src, hist, ck,
+      "v", lo = 0.0, hi = 1000.0, bins = 256)
+    val landed = spark.read.parquet(hist)
+      .groupBy("bin").agg(sum("c").cast("long").as("c"))
+    val refHist = graft.functions.Sketch.valueHistogram(ref, "v", 0.0, 1000.0, 256)
+    val streamed = graft.operators.Quality.psiFromHistograms(refHist, landed, 256)
+      .select("bin", "ca", "cb", "pa", "pb", "psi_term")
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Quality.psi(ref, b1.unionByName(b2),
+        "v", 0.0, 1000.0, 256)
+      .select("bin", "ca", "cb", "pa", "pb", "psi_term")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot)
+    // and the drift is real: above the 0.25 action line
+    val total = streamed.toSeq.map(_(5).asInstanceOf[Double]).sum
+    assert(total > 0.25, s"PSI $total")
+  }
+
+  test("SCCer: streamed entity resolution == one-shot full recompute; merge + chained remaps; replay clean") {
+    val src = tmp("sccer-src"); val idx = tmp("sccer-idx"); val ck = tmp("sccer-ck")
+    // Names are "p" + 'x'*id (lev = id gap). Batch 1: entities {1,2}
+    // and {5,6}. Batch 2 bridges them (MERGE event -> remap 5->1).
+    // Batch 3 undercuts the min id (remap 1->0 — stored comp 5 must
+    // chase 5->1->0 through the log) and adds a singleton.
+    def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
+    val b1 = rows(Seq(1L, 2L, 5L, 6L)).toDF("pid", "blk", "nm")
+    val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
+    val b3 = Seq((0L, "blk1", "p"), (20L, "blk1", "zzzz")).toDF("pid", "blk", "nm")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    b3.coalesce(1).write.mode("append").parquet(src)
+    Ingest.erIngestStream(spark, b1.schema, src, idx, ck, "pid", "blk", "nm")
+    def snap = graft.operators.Quality.entityIndexSnapshot(spark, idx)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = graft.operators.Quality.resolveEntities(
+        b1.unionByName(b2).unionByName(b3), col("pid"), col("blk"), col("nm"))
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val first = snap
+    assert(first == full, s"streamed $first vs full $full")
+    assert(first.contains((5L, 0L, false)), "chained remap 5->1->0 must resolve")
+    // restart on the same checkpoint: no re-processing, snapshot stable
+    Ingest.erIngestStream(spark, b1.schema, src, idx, ck, "pid", "blk", "nm")
+    assert(snap == full)
+  }
+
   test("SCCra: streamed outlier screen accepts the binned approx model interchangeably") {
     val src = tmp("sccra-src"); val out = tmp("sccra-out"); val ck = tmp("sccra-ck")
     // continuous reference values — the metric shape the approx model
