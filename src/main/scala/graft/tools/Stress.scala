@@ -42,7 +42,8 @@ object Stress {
     "logreg", "pq", "ivfpq", "pqidx", "dsir", "bm25", "qsurv", "csample",
     "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
     "url", "drift", "span", "sdecon", "wfp", "bdecon", "prassoc", "prexact",
-    "entres", "routlier", "routlierx", "binjoin")
+    "entres", "routlier", "routlierx", "binjoin", "ghll", "psi", "winsor",
+    "funnel", "retention")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -338,6 +339,48 @@ object Stress {
             (col("doc_id") % 99990 + col("doc_id") % 25).cast("double").as("hi"))
         graft.operators.Windows.rangeJoinBinned(points, "p",
           intervals, "lo", "hi", binWidth = 10.0)
+      case "ghll" =>
+        // distinct tokens per lang via the grouped portable HLL: one
+        // corpus token explode + one (group, idx)-keyed partial agg
+        // onto <= langs x 1024 register rows, then summary-only math
+        val toks = docs.select(col("lang"),
+            explode(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        graft.functions.Sketch.hllDistinctBy(toks, "lang", "tok")
+      case "psi" =>
+        // numeric drift between two corpus slices: two linear passes
+        // onto 1024-cell summaries; output constant in n
+        val va = docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") % 1000).cast("double").as("v"))
+        val vb = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(((col("doc_id") % 1000) + col("doc_id") % 7)
+            .cast("double").as("v"))
+        graft.operators.Quality.psi(va, vb, "v", lo = 0.0, hi = 1100.0,
+          bins = 1024)
+      case "winsor" =>
+        // two-pass quantile clip of a continuous metric with planted
+        // extreme spikes: 4 summary passes + one broadcast-clip
+        // projection over the corpus
+        val vals = docs.select(col("doc_id"),
+          when(col("doc_id") % 100000 === 0, lit(1e12))
+            .otherwise(sin(col("doc_id").cast("double") * 0.37) * 100)
+            .as("v"))
+        graft.operators.Quality.winsorize(vals, "v")
+      case "funnel" | "retention" =>
+        // synthetic event stream from the doc corpus: ~20 events/user,
+        // 5 event types, timestamps spread over ~2 months — funnel is
+        // k-1 users-sized joins, retention two partial-agg passes
+        val ev = docs.select(
+          (col("doc_id") % lit(math.max(n / 20, 1))).as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("other"), lit("view")),
+            (col("doc_id") % 5 + 1).cast("int")).as("event_type"),
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") * 37) % 5000000)
+            .as("ts"))
+        if (op == "funnel")
+          graft.operators.Behavior.funnelCounts(ev,
+            Seq("view", "click", "purchase"), within = Some("14 DAYS"))
+        else graft.operators.Behavior.cohortRetention(ev, "week")
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized
