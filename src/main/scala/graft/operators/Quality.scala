@@ -284,7 +284,13 @@ object Quality {
   private[graft] def erStepParts(nb: DataFrame, cur: DataFrame, maxDist: Int,
       maxBlock: Int, maxIter: Int): (DataFrame, DataFrame) = {
     val touched = nb.select("blk").distinct()
+    // Pinned: oldT feeds BOTH the candidate union and the remap label
+    // set; unpinned, the whole prior-index plan (a parquet read on the
+    // disk path, but a full resolution chain in the in-frame form)
+    // re-runs per consumer. Touched-block-sized — the step's working
+    // set by definition.
     val oldT = cur.join(touched, Seq("blk"), "left_semi")
+      .localCheckpoint(true)
     val comb = nb.select(col("id"), col("blk"), col("m"),
         col("id").as("comp"), lit(true).as("is_new"))
       .unionByName(oldT.select(col("id"), col("blk"), col("m"), col("comp"))

@@ -3836,9 +3836,15 @@ object PipelineInventory {
         val cust = T(s, d, "customer")
         val blk = concat_ws(":", col("c_nationkey"),
           expr("substring(c_name, 1, length(c_name) - 2)"))
+        // Pin the step-1 index: step 2 consumes it TWICE (the touched-
+        // block semi and the remap label set), and without the pin the
+        // whole step-1 plan re-runs per consumer (measured 7.8 -> 6.8 s
+        // at sf0.1, min of 2). On disk the pin is the parquet landing
+        // itself (resolveEntitiesIncremental re-reads, never replans).
         val idx1 = Quality.resolveEntitiesStep(
           cust.filter(col("c_custkey") % 2 === 0),
           Quality.emptyEntityIndex(s), col("c_custkey"), blk, col("c_name"))
+          .localCheckpoint(true)
         val idx2 = Quality.resolveEntitiesStep(
           cust.filter(col("c_custkey") % 2 =!= 0),
           idx1, col("c_custkey"), blk, col("c_name"))
