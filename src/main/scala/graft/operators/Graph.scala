@@ -143,6 +143,11 @@ object Graph {
     require(n > 0, "hits: empty edge set")
     // L1-normalize a raw (v, s) score frame over the node set: nodes
     // missing from `raw` (no in-/out-edges for this half-step) score 0.
+    // `raw` IS consumed twice (total + join) but its lineage starts at
+    // the previous half-step's localCheckpoint, so the replay is one
+    // cheap edge join + agg; pinning it was A/B-measured at sf0.1 and
+    // changed nothing (3.20 vs 3.21 s) — the extra materialization is
+    // not worth a job.
     def l1(raw: DataFrame): DataFrame = {
       val t = raw.agg(nodeSum(col("s"), exact).as("t")).head.getDouble(0)
       nodes.join(raw, Seq("v"), "left")
