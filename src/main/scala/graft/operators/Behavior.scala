@@ -73,6 +73,37 @@ object Behavior {
       .orderBy("step")
   }
 
+  /** First-order event-transition matrix: adjacent (from, to) pairs of
+    * each user's time-ordered event stream, counted globally, with
+    * 6dp row-normalized probabilities — the Markov summary behind
+    * next-action analyses and anomalous-flow screens (a transition
+    * that never happens organically lighting up is a bot signature).
+    *
+    * Ordering is (ts, type) within user — a DETERMINISTIC total order
+    * for the pair multiset: same-ts ties break by type, and exact
+    * (ts, type) duplicates are interchangeable (adjacent equal
+    * elements produce the same pairs in any order), so both engines
+    * count identical transitions. The window is USER-partitioned
+    * (never global): a power user costs one sorted partition, the
+    * corpus never single-reducers.
+    * Output: from_type, to_type, n, p (ordered). */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("t"), col("f"))
+    val pairs = events.select(col(userCol).as("u"), col(typeCol).as("f"),
+        col(tsCol).as("t"))
+      .withColumn("to_type", lead(col("f"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("f").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum("n").as("tn"))
+    pairs.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("tn"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Cohort retention: users grouped by the period of their FIRST
     * event (the cohort), counted as retained in each later period
     * they are active in. `period` is a `date_trunc` unit ("week",

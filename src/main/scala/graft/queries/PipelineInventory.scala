@@ -4125,6 +4125,26 @@ object PipelineInventory {
              |FROM events e CROSS JOIN bounds
              |ORDER BY e.event_id""".stripMargin)),
 
+    // First-order event transitions: adjacent (from, to) pairs per
+    // user's (ts, type)-ordered stream, counted globally with 6dp row
+    // probabilities — the Markov flow summary. The (ts, type) order is
+    // a deterministic total order for the PAIR MULTISET, so the oracle
+    // window reproduces it exactly.
+    QueryDef("r98_transitions",
+      (s, d) => graft.operators.Behavior.transitionMatrix(T(s, d, "events")),
+      Some(s"""WITH o AS (SELECT event_type AS f,
+              |            LEAD(event_type) OVER (PARTITION BY user_id
+              |                                   ORDER BY ts, event_type) AS t
+              |           FROM events),
+              |p AS (SELECT f AS from_type, t AS to_type,
+              |             CAST(COUNT(*) AS BIGINT) AS n
+              |      FROM o WHERE t IS NOT NULL GROUP BY 1, 2),
+              |tt AS (SELECT from_type, SUM(n) AS tn FROM p GROUP BY 1)
+              |SELECT p.from_type, p.to_type, n,
+              |       ${rrepr("CAST(n AS DOUBLE) / tn", 6)} AS p
+              |FROM p JOIN tt USING (from_type)
+              |ORDER BY from_type, to_type""".stripMargin)),
+
     // Leakage-safe temporal split: train / embargo / test assignment
     // from the row's own timestamp, the purge-window rule from
     // financial ML backtesting (a pure narrow CASE — the oracle is the

@@ -77,6 +77,27 @@ class BehaviorSpec extends SparkSpec {
     assert(rows.size == 5)
   }
 
+  test("transitionMatrix: per-user adjacency, deterministic tie order, row-normalized") {
+    val e = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (1L, "a", ts("2024-01-01 12:00:00")),
+      // u2: same-ts tie — (ts, type) order makes it a THEN b
+      (2L, "b", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 10:00:00")),
+      // u3: single event — no transition
+      (3L, "a", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val m = Behavior.transitionMatrix(e)
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // u1: a->b, b->a; u2 (tie sorted a,b): a->b
+    assert(m == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)), m.toString)
+    // transitions never cross users: u3 contributed nothing
+    val total = m.values.map(_._1).sum
+    assert(total == 3L)
+  }
+
   test("funnel parameter validation") {
     val e = Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException] { Behavior.funnelUsers(e, Seq("a")) }
