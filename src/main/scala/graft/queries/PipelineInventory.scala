@@ -50,6 +50,91 @@ object PipelineInventory {
   private def ddot(a: String, b: String): String =
     s"list_reduce([$a[i]*$b[i] FOR i IN range(1, len($a)+1)], (p,q) -> p+q)"
 
+  /** The deterministic synthetic link graph r61/r63 run on: two
+    * modular-arithmetic edge maps over documents, self-loops removed,
+    * src % 11 == 0 dropped to plant dangling nodes. */
+  private def linkGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val n = docs.count()
+    val e1 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 1) % n).as("dst"))
+    val e2 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 13 + 5) % n).as("dst"))
+    e1.unionByName(e2)
+      .filter(col("src") =!= col("dst"))
+      .filter(col("src") % 11 =!= 0)
+      .distinct()
+  }
+
+  private def linkGraphPagerank(s: SparkSession, d: String,
+      exact: Boolean): DataFrame =
+    graft.operators.Graph.pagerank(linkGraphEdges(s, d),
+      iters = 3, damping = 0.5, exact = exact)
+
+  private def linkGraphHits(s: SparkSession, d: String,
+      exact: Boolean): DataFrame =
+    graft.operators.Graph.hits(linkGraphEdges(s, d), iters = 2,
+      exact = exact)
+
+  /** The link graph + node set in DuckDB — shared CTE prefix of the
+    * r61/r61a and r63/r63a oracles. */
+  private val linkGraphCtes =
+    """nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |ed AS (SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+      |    UNION ALL
+      |    SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn) z
+      |  WHERE src <> dst AND src % 11 <> 0),
+      |nodes AS (SELECT DISTINCT v FROM (
+      |    SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed) t),
+      |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""".stripMargin
+
+  /** r61's unrolled power-iteration oracle, parameterized by the final
+    * SELECT (exact mode reads pr3 raw; the assoc row re-rounds 6dp). */
+  private def pagerankOracle(fin: String): String = {
+    def fold(c: String) =
+      rrepr(s"list_reduce(list_sort(list($c)), (x, y) -> x + y)", 9)
+    val iterCtes = (1 to 3).map { i =>
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s"""dgl$i AS (SELECT ${fold("pr")} AS dm
+         |  FROM $prev p WHERE NOT EXISTS (SELECT 1 FROM deg g WHERE g.src = p.v)),
+         |c$i AS (SELECT e.dst AS v, ${rrepr("p.pr / g.deg", 9)} AS c
+         |  FROM ed e JOIN $prev p ON p.v = e.src JOIN deg g ON g.src = e.src),
+         |s$i AS (SELECT v, ${fold("c")} AS s FROM c$i GROUP BY v),
+         |pr$i AS (SELECT nd.v,
+         |  ${rrepr("(1 - 0.5) / cnt.n + 0.5 * (COALESCE(s.s, 0.0) + COALESCE(d.dm, 0.0) / cnt.n)", 9)} AS pr
+         |  FROM nodes nd CROSS JOIN cnt LEFT JOIN s$i s ON s.v = nd.v CROSS JOIN dgl$i d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+       |pr0 AS (SELECT v, 1.0 / cnt.n AS pr FROM nodes, cnt),
+       |$iterCtes
+       |$fin""".stripMargin
+  }
+
+  /** r63's unrolled HITS oracle, parameterized like [[pagerankOracle]]. */
+  private def hitsOracle(fin: String): String = {
+    def fold(c: String) =
+      rrepr(s"list_reduce(list_sort(list($c)), (x, y) -> x + y)", 9)
+    val iterCtes = (1 to 2).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS (SELECT e.dst AS v, ${fold("h.s")} AS s
+         |  FROM ed e JOIN $prevH h ON h.v = e.src GROUP BY e.dst),
+         |at$i AS (SELECT ${fold("s")} AS t FROM ar$i),
+         |a$i AS (SELECT nd.v, ${rrepr("COALESCE(r.s, 0.0) / t.t", 9)} AS s
+         |  FROM nodes nd CROSS JOIN at$i t LEFT JOIN ar$i r ON r.v = nd.v),
+         |hr$i AS (SELECT e.src AS v, ${fold("a.s")} AS s
+         |  FROM ed e JOIN a$i a ON a.v = e.dst GROUP BY e.src),
+         |ht$i AS (SELECT ${fold("s")} AS t FROM hr$i),
+         |h$i AS (SELECT nd.v, ${rrepr("COALESCE(r.s, 0.0) / t.t", 9)} AS s
+         |  FROM nodes nd CROSS JOIN ht$i t LEFT JOIN hr$i r ON r.v = nd.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+       |h0 AS (SELECT v, 1.0 / cnt.n AS s FROM nodes, cnt),
+       |$iterCtes
+       |$fin""".stripMargin
+  }
+
   /** The Ann.pqTrain(exactMeans)/pqEncode chain in DuckDB at the p43/
     * p44 gate config (m=4, dsub=16, ksub=8, iters=1), parameterized by
     * the subvector relation (`sv` over the corpus for p43, `rsv` over
@@ -2878,100 +2963,47 @@ object PipelineInventory {
     // damping 0.5, every stage 9dp-rounded with sorted folds — the
     // oracle unrolls the iterations as CTEs and must match bit for
     // bit, dangling redistribution and all.
-    QueryDef("r61_pagerank", {
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val n = docs.count()
-        val e1 = docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 1) % n).as("dst"))
-        val e2 = docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 13 + 5) % n).as("dst"))
-        graft.operators.Graph.pagerank(
-          e1.unionByName(e2)
-            .filter(col("src") =!= col("dst"))
-            .filter(col("src") % 11 =!= 0)
-            .distinct(),
-          iters = 3, damping = 0.5)
-      }},
-      Some {
-        def fold(c: String) =
-          rrepr(s"list_reduce(list_sort(list($c)), (x, y) -> x + y)", 9)
-        val iterCtes = (1 to 3).map { i =>
-          val prev = if (i == 1) "pr0" else s"pr${i - 1}"
-          s"""dgl$i AS (SELECT ${fold("pr")} AS dm
-             |  FROM $prev p WHERE NOT EXISTS (SELECT 1 FROM deg g WHERE g.src = p.v)),
-             |c$i AS (SELECT e.dst AS v, ${rrepr("p.pr / g.deg", 9)} AS c
-             |  FROM ed e JOIN $prev p ON p.v = e.src JOIN deg g ON g.src = e.src),
-             |s$i AS (SELECT v, ${fold("c")} AS s FROM c$i GROUP BY v),
-             |pr$i AS (SELECT nd.v,
-             |  ${rrepr("(1 - 0.5) / cnt.n + 0.5 * (COALESCE(s.s, 0.0) + COALESCE(d.dm, 0.0) / cnt.n)", 9)} AS pr
-             |  FROM nodes nd CROSS JOIN cnt LEFT JOIN s$i s ON s.v = nd.v CROSS JOIN dgl$i d)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-           |ed AS (SELECT DISTINCT src, dst FROM (
-           |    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
-           |    UNION ALL
-           |    SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn) z
-           |  WHERE src <> dst AND src % 11 <> 0),
-           |nodes AS (SELECT DISTINCT v FROM (
-           |    SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed) t),
-           |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY src),
-           |pr0 AS (SELECT v, 1.0 / cnt.n AS pr FROM nodes, cnt),
-           |$iterCtes
-           |SELECT v, pr FROM pr3 ORDER BY v""".stripMargin
-      }),
+    QueryDef("r61_pagerank",
+      (s, d) => linkGraphPagerank(s, d, exact = true),
+      Some(pagerankOracle("SELECT v, pr FROM pr3 ORDER BY v"))),
+
+    // The PRODUCTION mode of the same PageRank: `exact = false` swaps
+    // every sorted-fold collect for a plain partial-aggregable SUM
+    // (O(1) agg state per key — the plan a 10^8-in-degree web graph
+    // actually runs; PLANS.md row carries no collect_list). Because
+    // every stage 9dp-rounds sums of 1e-9-multiples whose float error
+    // (~1e-12) is far below the 5e-10 half-grid, the assoc ranks equal
+    // exact's bit for bit in practice (GraphSpec pins ≤ 1e-9); the
+    // extra 6dp output rounding absorbs any residual boundary ulp, so
+    // the SAME exact-mode DuckDB oracle checks the production plan.
+    QueryDef("r61a_pagerank_assoc",
+      (s, d) => linkGraphPagerank(s, d, exact = false)
+        .select(col("v"), round(col("pr"), 6).as("pr")),
+      Some(pagerankOracle(
+        s"SELECT v, ${rrepr("pr", 6)} AS pr FROM pr3 ORDER BY v"))),
 
     // HITS hubs/authorities on the same synthetic link graph as r61,
     // L1-normalized half-steps (no sqrt — every number stays a rounded
     // sorted-fold sum or quotient), 2 power iterations unrolled in the
     // oracle as per-half-step CTEs that must match bit for bit.
-    QueryDef("r63_hits", {
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val n = docs.count()
-        val e1 = docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 1) % n).as("dst"))
-        val e2 = docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 13 + 5) % n).as("dst"))
-        graft.operators.Graph.hits(
-          e1.unionByName(e2)
-            .filter(col("src") =!= col("dst"))
-            .filter(col("src") % 11 =!= 0)
-            .distinct(),
-          iters = 2)
-      }},
-      Some {
-        def fold(c: String) =
-          rrepr(s"list_reduce(list_sort(list($c)), (x, y) -> x + y)", 9)
-        val iterCtes = (1 to 2).map { i =>
-          val prevH = if (i == 1) "h0" else s"h${i - 1}"
-          s"""ar$i AS (SELECT e.dst AS v, ${fold("h.s")} AS s
-             |  FROM ed e JOIN $prevH h ON h.v = e.src GROUP BY e.dst),
-             |at$i AS (SELECT ${fold("s")} AS t FROM ar$i),
-             |a$i AS (SELECT nd.v, ${rrepr("COALESCE(r.s, 0.0) / t.t", 9)} AS s
-             |  FROM nodes nd CROSS JOIN at$i t LEFT JOIN ar$i r ON r.v = nd.v),
-             |hr$i AS (SELECT e.src AS v, ${fold("a.s")} AS s
-             |  FROM ed e JOIN a$i a ON a.v = e.dst GROUP BY e.src),
-             |ht$i AS (SELECT ${fold("s")} AS t FROM hr$i),
-             |h$i AS (SELECT nd.v, ${rrepr("COALESCE(r.s, 0.0) / t.t", 9)} AS s
-             |  FROM nodes nd CROSS JOIN ht$i t LEFT JOIN hr$i r ON r.v = nd.v)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-           |ed AS (SELECT DISTINCT src, dst FROM (
-           |    SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
-           |    UNION ALL
-           |    SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn) z
-           |  WHERE src <> dst AND src % 11 <> 0),
-           |nodes AS (SELECT DISTINCT v FROM (
-           |    SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed) t),
-           |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-           |h0 AS (SELECT v, 1.0 / cnt.n AS s FROM nodes, cnt),
-           |$iterCtes
-           |SELECT nd.v, a2.s AS auth, h2.s AS hub
+    QueryDef("r63_hits",
+      (s, d) => linkGraphHits(s, d, exact = true),
+      Some(hitsOracle(
+        """SELECT nd.v, a2.s AS auth, h2.s AS hub
+          |FROM nodes nd JOIN a2 ON a2.v = nd.v JOIN h2 ON h2.v = nd.v
+          |ORDER BY nd.v""".stripMargin))),
+
+    // Production HITS (`exact = false` — plain partial-aggregable sums
+    // per node AND for the two L1 totals; the r61a argument), checked
+    // against the exact-mode oracle at 6dp.
+    QueryDef("r63a_hits_assoc",
+      (s, d) => linkGraphHits(s, d, exact = false)
+        .select(col("v"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub")),
+      Some(hitsOracle(
+        s"""SELECT nd.v, ${rrepr("a2.s", 6)} AS auth, ${rrepr("h2.s", 6)} AS hub
            |FROM nodes nd JOIN a2 ON a2.v = nd.v JOIN h2 ON h2.v = nd.v
-           |ORDER BY nd.v""".stripMargin
-      }),
+           |ORDER BY nd.v""".stripMargin))),
 
     // Site-level quality prior (RefinedWeb's judge-the-host pattern):
     // synthetic URLs derived from (source, lang, doc_id), host
