@@ -79,34 +79,39 @@ object Bench {
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // Self-labelling + LOAD-GATED reps (the Stress discipline, r7;
-    // gating r9): this sandbox is a microVM with invisible neighbor
-    // load, and a driver-side run in a noise episode reads uniformly
-    // 2-4x the idle cost with zero code difference (r6 forensic).
-    // Protocol: sample the 1-min load average before EVERY rep; a rep
-    // QUALIFIES when its pre-rep load is under the gate. The gate is
-    // max(startLoad + gateDelta, cpus/4): the bench's OWN sustained
-    // 32-thread work legitimately drags the 1-min average to ~cpus/4
-    // mid-run (a start-relative gate alone rejected 98/154 rows of its
-    // own self-load in the first full run), while the neighbor
-    // episodes this defends against read 10-20. Each query runs its
-    // base reps, then — if none qualified — keeps re-running up to
-    // `maxReps` total until one does. Reported time = min over
-    // qualifying reps (min over all, flagged "gated":false, only when
-    // the episode outlasted the cap). Every rep's raw time and load
-    // land in the detail artifact, so an outlier row carries its own
-    // evidence.
+    // gating r9; two-tier r10): this sandbox is a microVM with
+    // invisible neighbor load, and a driver-side run in a noise
+    // episode reads uniformly 2-4x the idle cost with zero code
+    // difference (r6 forensic). Protocol: sample the 1-min load
+    // average before EVERY rep; reps keep re-running up to `maxReps`
+    // until one qualifies under the STRICT gate (startLoad +
+    // gateDelta). Reported time prefers, in order:
+    //   1. min over STRICT-qualifying reps (load <= start + delta);
+    //   2. min over FLOOR-qualifying reps (load <= max of the strict
+    //      gate and cpus/4 — the bench's OWN sustained 32-thread work
+    //      legitimately drags the 1-min average to ~cpus/4 mid-run; a
+    //      start-relative gate alone rejected 98/154 rows of its own
+    //      self-load in the first full run), still "gated":true;
+    //   3. min over all reps, flagged "gated":false — the episode
+    //      outlasted the cap.
+    // The r9 protocol accepted tier 2 immediately, so reps at load
+    // 5-7 qualified without ever retrying for a quieter one and read
+    // +30-50% (the r9 verdict's p04/p56/r57 "regressions" — all
+    // measurement, no code). Every rep's raw time and load land in
+    // the detail artifact, so an outlier row carries its own evidence.
     val maxReps = 4
     val gateDelta = 2.0
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val startLoad = osBean.getSystemLoadAverage
-    val gate = math.max(startLoad + gateDelta, cpus.toDouble / 4)
+    val strictGate = startLoad + gateDelta
+    val floorGate = math.max(strictGate, cpus.toDouble / 4)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = ordered.map { case (name, fn) =>
       val reps = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
       var n = 0
-      def qualified = reps.exists(_._2 <= gate)
+      def strictQualified = reps.exists(_._2 <= strictGate)
       while (!failed.contains(name) &&
-          (n < runs || (n < maxReps && !qualified))) {
+          (n < runs || (n < maxReps && !strictQualified))) {
         val load = osBean.getSystemLoadAverage
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -116,11 +121,14 @@ object Bench {
         reps += ((dt, load))
         n += 1
       }
-      val quals = reps.filter(_._2 <= gate)
-      val gated = quals.nonEmpty
+      val strict = reps.filter(_._2 <= strictGate)
+      val floor = reps.filter(_._2 <= floorGate)
+      val gated = floor.nonEmpty
       val sec =
         if (reps.isEmpty) 0.0
-        else (if (gated) quals else reps).map(_._1).min
+        else if (strict.nonEmpty) strict.map(_._1).min
+        else if (gated) floor.map(_._1).min
+        else reps.map(_._1).min
       (name, sec, reps.toSeq, gated)
     }
     // A throwing query contributes NOTHING to the total or the map: a
@@ -133,7 +141,7 @@ object Bench {
     val sfLabel = new java.io.File(sfDir).getName
     val loads = ok.flatMap(_._3.map(_._2))
     val loadStats = if (loads.isEmpty) "" else
-      s""","load":{"start":${fmt2(startLoad)},"gate":${fmt2(gate)},"mean":${fmt2(loads.sum / loads.size)},"max":${fmt2(loads.max)}}"""
+      s""","load":{"start":${fmt2(startLoad)},"gate":${fmt2(strictGate)},"floor":${fmt2(floorGate)},"mean":${fmt2(loads.sum / loads.size)},"max":${fmt2(loads.max)}}"""
 
     // Full-precision detail goes to a file (and an early stdout line);
     // the final stdout line is the compact driver-parsed form.
@@ -142,7 +150,7 @@ object Bench {
         s""""loads":[${reps.map(r => fmt2(r._2)).mkString(",")}],"gated":$gated}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min over reps whose pre-rep 1-min load <= start+$gateDelta (all cold; extra reps to $maxReps until one qualifies; gated:false = none did)","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min over reps with pre-rep 1-min load <= start+$gateDelta (load.gate; extra reps to $maxReps until one qualifies); if none, min over reps with load <= max(start+$gateDelta, cpus/4) (load.floor, still gated:true); else min over all, gated:false; all reps cold","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""
     println(fullLine)
     val compact = compactLine(okMin, failed.toSeq, total, runs, sfLabel,
       loadStats = loadStats)
