@@ -327,6 +327,28 @@ object Sketch {
       .groupBy("bin").agg(count(lit(1)).cast("long").as("c"))
   }
 
+  /** Per-group [[valueHistogram]] under the SAME fixed (lo, hi)
+    * domain for every group — the summary grouped PSI compares (both
+    * snapshots and all groups must share bin edges or the per-bin
+    * subtraction is meaningless). Out-of-range values clamp into the
+    * edge bins, the [[valueHistogram]] rule. A NULL group is its own
+    * group. ADDITIVE per (group, bin) over disjoint batches. Per-group
+    * aggregation state: none beyond the (group, bin) count — the
+    * output is ≤ groups × bins rows. Output: group, bin, c. */
+  def valueHistogramBy(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 1024): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(lo <= hi, "lo must not exceed hi")
+    val v = col(valueCol).cast("double")
+    df.select(col(groupCol).as("group"), v.as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("group"), when(lit(hi) === lit(lo), lit(0))
+        .otherwise(greatest(lit(0), least(lit(bins - 1),
+          floor((col("v") - lo) / (lit(hi) - lo) * bins))))
+        .cast("int").as("bin"))
+      .groupBy("group", "bin").agg(count(lit(1)).cast("long").as("c"))
+  }
+
   /** Quantile estimates from a (bin, c) [[valueHistogram]] under the
     * same fixed (lo, hi) bounds — the read side of the streamed /
     * incremental quantile monitor. Estimates match
@@ -376,8 +398,30 @@ object Sketch {
     require(bins > 0, "bins must be positive")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "quantiles must lie in (0, 1]")
+    val (mm, cum) = groupedCumHistogram(df, groupCol, valueCol, bins)
     val spark = df.sparkSession
     import spark.implicits._
+    val ranks = qs.toDF("q").crossJoin(mm)
+      .select(col("mg"), col("q"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rank"))
+    val pick = broadcast(ranks)
+      .join(cum, col("mg") <=> col("group") && col("cum") >= col("rank"))
+      .groupBy("mg", "q", "rank").agg(min("bin").as("bin"))
+      .withColumnRenamed("mg", "pg")
+    pick.join(broadcast(mm), col("pg") <=> col("mg"))
+      .select(col("pg").as("group"), col("q"), col("rank"), col("bin"),
+        (col("lo") + col("bin") * ((col("hi") - col("lo")) / bins)).as("blo"),
+        (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / bins)).as("bhi"))
+      .withColumn("est", (col("blo") + col("bhi")) / 2)
+      .orderBy("group", "q")
+  }
+
+  /** The grouped (min/max/count, cumulative bin counts) pair behind
+    * [[histogramQuantilesBy]] and [[histogramQuantileBracketsBy]]:
+    * `mm` = (mg, lo, hi, n) per group, `cum` = (group, bin, c, cum).
+    * Two corpus passes; everything after is ≤ groups × bins rows. */
+  private def groupedCumHistogram(df: DataFrame, groupCol: String,
+      valueCol: String, bins: Int): (DataFrame, DataFrame) = {
     val base = df.select(col(groupCol).as("group"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
@@ -393,18 +437,56 @@ object Sketch {
       .groupBy("group", "bin").agg(count(lit(1)).cast("long").as("c"))
     val cum = counts.withColumn("cum",
       sum("c").over(Window.partitionBy("group").orderBy("bin")).cast("long"))
+    (mm, cum)
+  }
+
+  /** [[histogramQuantilesBy]] that also BRACKETS the order statistics
+    * exact interpolated percentile(q) lies between: exact
+    * `percentile` interpolates at index h = (n−1)·q + 1, i.e. between
+    * ranks ⌊h⌋ and ⌈h⌉ — a single rank for odd counts at q = 0.5 but
+    * ADJACENT ranks for even counts, whose two middle elements may
+    * sit in different (even non-adjacent) bins. `rank`/`bin`/`blo`/
+    * `bhi`/`est` keep [[histogramQuantilesBy]]'s single-rank (⌈q·n⌉)
+    * semantics bit-for-bit (oracle compatibility); `blo2`/`bhi2` add
+    * the outer edges of the ⌊h⌋- and ⌈h⌉-rank bins, so [blo2, bhi2]
+    * provably contains both bracketing order statistics AND their
+    * interpolation, and `bhi2 − blo2` is the honest error bound (the
+    * r9 advisor's even-n finding: a one-bin bound is violated when
+    * the two middle elements straddle a gap). The single rank always
+    * lies inside the bracket, so `[blo, bhi] ⊆ [blo2, bhi2]`.
+    * Output: group, q, rank, bin, blo, bhi, est, blo2, bhi2. */
+  def histogramQuantileBracketsBy(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    val (mm, cum) = groupedCumHistogram(df, groupCol, valueCol, bins)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = (col("n") - 1) * col("q") + 1
     val ranks = qs.toDF("q").crossJoin(mm)
       .select(col("mg"), col("q"),
-        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rank"))
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rank"),
+        greatest(lit(1L), floor(h).cast("long")).as("rlo"),
+        least(col("n"), ceil(h).cast("long")).as("rhi"))
+    // One cum join picks all three ranks: rows with cum >= rlo are a
+    // superset of the others (rlo <= rank <= rhi), so the tighter
+    // picks are conditional mins inside the same group.
     val pick = broadcast(ranks)
-      .join(cum, col("mg") <=> col("group") && col("cum") >= col("rank"))
-      .groupBy("mg", "q", "rank").agg(min("bin").as("bin"))
+      .join(cum, col("mg") <=> col("group") && col("cum") >= col("rlo"))
+      .groupBy("mg", "q", "rank").agg(
+        min(when(col("cum") >= col("rank"), col("bin"))).as("bin"),
+        min("bin").as("binlo"),
+        min(when(col("cum") >= col("rhi"), col("bin"))).as("binhi"))
       .withColumnRenamed("mg", "pg")
     pick.join(broadcast(mm), col("pg") <=> col("mg"))
       .select(col("pg").as("group"), col("q"), col("rank"), col("bin"),
         (col("lo") + col("bin") * ((col("hi") - col("lo")) / bins)).as("blo"),
-        (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / bins)).as("bhi"))
+        (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / bins)).as("bhi"),
+        (col("lo") + col("binlo") * ((col("hi") - col("lo")) / bins)).as("blo2"),
+        (col("lo") + (col("binhi") + 1) * ((col("hi") - col("lo")) / bins)).as("bhi2"))
       .withColumn("est", (col("blo") + col("bhi")) / 2)
+      .select("group", "q", "rank", "bin", "blo", "bhi", "est", "blo2", "bhi2")
       .orderBy("group", "q")
   }
 

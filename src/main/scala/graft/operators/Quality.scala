@@ -370,10 +370,48 @@ object Quality {
     df.select(id.cast("long").as("id"), blockKey.cast("string").as("blk"),
       matchCol.cast("string").as("m"))
 
+  // The persisted layout is COMMITTED STEPS: each resolution step N
+  // lands `rows/step=N` + `remap/step=N` (overwrite) and THEN an empty
+  // commit marker `commits/N` — a step is fully visible or invisible,
+  // never half (the r9 advisor's atomicity finding: the old flat
+  // append wrote rows then remap as two non-atomic appends, so a crash
+  // between them kept the step's rows while losing its merges, and a
+  // retry re-appended duplicate ids). A retry of an uncommitted step
+  // recomputes the SAME step number (from the committed set) and
+  // overwrites the orphan attempt. Markers named `N.base` mark a
+  // compaction generation: reads use only steps >= the newest base.
+
+  private def erFs(spark: org.apache.spark.sql.SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def commitErStep(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Long, base: Boolean): Unit = {
+    val fs = erFs(spark)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
+    val name = if (base) s"$n.base" else s"$n"
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/$name"), true)
+      .close()
+  }
+
+  /** Committed (step, isBase) pairs — the ONLY authority on what the
+    * index contains; uncommitted step dirs are invisible garbage. */
+  private def committedErSteps(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean)] = {
+    val fs = erFs(spark)
+    val p = new org.apache.hadoop.fs.Path(s"$path/commits")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .map { n =>
+        (n.stripSuffix(".base").toLong, n.endsWith(".base"))
+      }.toSeq
+  }
+
   /** Seed the persisted index: full [[resolveEntities]]-equivalent
-    * resolution of `df`, landed as `path/rows` plus an empty remap
-    * log. At scale, write the row store bucketed by `blk` so
-    * incremental steps prune to touched blocks. */
+    * resolution of `df`, landed as committed base step 0. At scale,
+    * write the row store bucketed by `blk` so incremental steps prune
+    * to touched blocks. */
   def writeEntityIndex(df: DataFrame, id: Column, blockKey: Column,
       matchCol: Column, path: String, maxDist: Int = 1,
       maxBlock: Int = 1000, maxIter: Int = 20): Unit = {
@@ -386,17 +424,19 @@ object Quality {
     nb.join(comp, Seq("id"), "left")
       .select(col("id"), col("blk"), col("m"),
         coalesce(col("comp"), col("id")).as("comp"))
-      .write.mode("overwrite").parquet(s"$path/rows")
+      .write.mode("overwrite").parquet(s"$path/rows/step=0")
     spark.range(0).select(col("id").as("src"), col("id").as("dst"))
-      .write.mode("overwrite").parquet(s"$path/remap")
+      .write.mode("overwrite").parquet(s"$path/remap/step=0")
+    commitErStep(spark, path, 0, base = true)
   }
 
-  /** Resolve a new batch against the persisted index: appends the
+  /** Resolve a new batch against the persisted index: lands the
     * batch's rows (labels as of this step) and the step's label
-    * merges to the remap log — old row files are NEVER rewritten —
-    * then returns the updated entity table. Incremental == full
-    * recompute on the union (QualitySpec law; cap caveat in the
-    * section comment). */
+    * merges as ONE committed step — committed step dirs are NEVER
+    * rewritten — then returns the updated entity table. Incremental
+    * == full recompute on the union (QualitySpec law; cap caveat in
+    * the section comment); a step that crashed before its commit
+    * marker is invisible and the retry overwrites it in place. */
   def resolveEntitiesIncremental(newDf: DataFrame, id: Column,
       blockKey: Column, matchCol: Column, path: String, maxDist: Int = 1,
       maxBlock: Int = 1000, maxIter: Int = 20): DataFrame = {
@@ -405,9 +445,40 @@ object Quality {
       .localCheckpoint(true)
     val cur = currentIndex(spark, path)
     val (newRows, remap) = erStepParts(nb, cur, maxDist, maxBlock, maxIter)
-    newRows.write.mode("append").parquet(s"$path/rows")
-    remap.write.mode("append").parquet(s"$path/remap")
+    val n = committedErSteps(spark, path).map(_._1).max + 1
+    newRows.write.mode("overwrite").parquet(s"$path/rows/step=$n")
+    remap.write.mode("overwrite").parquet(s"$path/remap/step=$n")
+    commitErStep(spark, path, n, base = false)
     entityIndexSnapshot(spark, path)
+  }
+
+  /** Compact the index: land the CURRENT labels as a new committed
+    * BASE step (rows with the remap closure applied, empty remap),
+    * then drop the superseded step dirs — the answer to the remap
+    * log's unbounded replay growth (every snapshot re-walks the whole
+    * log otherwise; labels only decrease, so folding them in loses
+    * nothing — QualitySpec law: snapshot after == before). Reads use
+    * only steps >= the newest base, so a crash between the base
+    * commit and the cleanup leaves the old dirs as invisible garbage,
+    * never a double-count. */
+  def compactEntityIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val steps = committedErSteps(spark, path)
+    require(steps.nonEmpty, s"compactEntityIndex: nothing committed under $path")
+    val n = steps.map(_._1).max + 1
+    currentIndex(spark, path)
+      .write.mode("overwrite").parquet(s"$path/rows/step=$n")
+    spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+      .write.mode("overwrite").parquet(s"$path/remap/step=$n")
+    commitErStep(spark, path, n, base = true)
+    val fs = erFs(spark)
+    steps.map(_._1).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/rows/step=$s"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/remap/step=$s"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/commits/$s"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/commits/$s.base"), false)
+      ()
+    }
   }
 
   /** The index with labels CURRENT: stored comps composed with the
@@ -416,11 +487,30 @@ object Quality {
     * to its output, so the current label of any historical comp is
     * the min of its remap-connected component. The log is
     * merge-count-sized; the join back is broadcast-shaped long before
-    * the row store stops being corpus-sized. */
+    * the row store stops being corpus-sized. Two layouts: the batch
+    * committed-step layout (a `commits/` dir is present — reads the
+    * newest base generation's committed steps only) and the streamed
+    * batch_id layout ([[graft.streaming.Ingest.erIngestStream]], which
+    * owns its own idempotency — reads the partitioned dirs whole). */
   private def currentIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    composeIndex(spark.read.parquet(s"$path/rows"),
-      spark.read.parquet(s"$path/remap"))
+      path: String): DataFrame = {
+    if (!erFs(spark).exists(
+        new org.apache.hadoop.fs.Path(s"$path/commits")))
+      return composeIndex(spark.read.parquet(s"$path/rows"),
+        spark.read.parquet(s"$path/remap"))
+    val steps = committedErSteps(spark, path)
+    require(steps.nonEmpty,
+      s"no committed entity-index steps under $path (seed with writeEntityIndex)")
+    val baseStep = steps.filter(_._2).map(_._1) match {
+      case s if s.isEmpty => 0L
+      case s => s.max
+    }
+    val live = steps.map(_._1).filter(_ >= baseStep).sorted
+    def part(kind: String) = live
+      .map(s => spark.read.parquet(s"$path/$kind/step=$s"))
+      .reduce(_ unionByName _)
+    composeIndex(part("rows"), part("remap"))
+  }
 
   /** The frame form of the composition — shared with the streamed
     * ingest, whose rows/remap frames come from batch_id-partitioned
@@ -523,11 +613,15 @@ object Quality {
     * value ranges directly — bin edges are `lo + bin·(hi−lo)/bins`.
     *
     * Scale: two corpus-linear partial-aggregable passes onto ≤ bins
-    * rows each, one bin-keyed outer join of those tiny tables, two
-    * 1-row totals broadcast back (the [[driftFromCounts]] shape,
-    * including its empty-side discipline: a missing batch reads as
-    * maximal drift, never null). The histograms are ADDITIVE, so a
-    * monitor composes landed per-batch
+    * rows each, joined onto a bins-sized spine, two 1-row totals
+    * broadcast back (the [[driftFromCounts]] shape, including its
+    * empty-side discipline: a missing batch reads as maximal drift,
+    * never null). The output is DENSE — exactly one row per bin
+    * 0..bins−1, including bins empty on BOTH sides, whose smoothed
+    * terms are nonzero whenever na ≠ nb; without them Σ psi_term
+    * would under-read the add-one-smoothed PSI exactly when side
+    * totals differ (the r9 advisor finding). The histograms are
+    * ADDITIVE, so a monitor composes landed per-batch
     * [[graft.streaming.Ingest.histogramIngestStream]] cells against a
     * frozen reference without rescanning anything. Determinism: pa/pb
     * are single IEEE divisions of exact ints, the ln is 6dp-rounded
@@ -545,11 +639,13 @@ object Quality {
   def psiFromHistograms(old: DataFrame, curr: DataFrame,
       bins: Int = 256): DataFrame = {
     require(bins > 0, "bins must be positive")
+    val spark = old.sparkSession
     val a = old.select(col("bin"), col("c").as("ca"))
     val b = curr.select(col("bin"), col("c").as("cb"))
     val na = a.agg(coalesce(sum("ca"), lit(0L)).cast("long").as("na"))
     val nb = b.agg(coalesce(sum("cb"), lit(0L)).cast("long").as("nb"))
-    a.join(b, Seq("bin"), "full_outer")
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    spine.join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
@@ -557,6 +653,75 @@ object Quality {
         ((col("ca") + 1).cast("double") / (col("na") + bins)).as("pa"),
         ((col("cb") + 1).cast("double") / (col("nb") + bins)).as("pb"))
       .select(col("bin"), col("ca"), col("cb"), col("pa"), col("pb"),
+        ((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6))
+          .as("psi_term"))
+  }
+
+  /** Per-segment [[psi]] — drift monitored PER GROUP (per lang /
+    * domain / account type: the reference's per-table quality report,
+    * as a distributional screen), because a corpus-global PSI washes
+    * out a segment that drifted alone. Both snapshots reduce to
+    * [[graft.functions.Sketch.valueHistogramBy]] summaries under ONE
+    * frozen (lo, hi) domain shared by every group (bin edges must
+    * agree across groups and sides), then every (group, bin) cell of
+    * the dense groups × bins spine carries its own add-one-smoothed
+    * probabilities — smoothed against the GROUP's totals — and PSI
+    * term; Σ psi_term per group is that segment's PSI.
+    *
+    * Scale: two corpus-linear partial-aggregable passes onto
+    * ≤ groups × bins rows each, then everything downstream is
+    * summary-sized (the spine join, the per-group totals, the terms).
+    * The groups spine is the UNION of both sides' groups, so a
+    * segment present in only one snapshot reads maximal drift, never
+    * disappears (the [[driftFromCounts]] empty-side discipline, per
+    * group). NULL groups are their own group (null-safe joins, the
+    * [[graft.functions.Sketch.histogramQuantilesBy]] rule).
+    * Output: group, bin, ca, cb, pa, pb, psi_term. */
+  def psiBy(old: DataFrame, curr: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double,
+      bins: Int = 256): DataFrame = {
+    import graft.functions.Sketch
+    psiFromHistogramsBy(
+      Sketch.valueHistogramBy(old, groupCol, valueCol, lo, hi, bins),
+      Sketch.valueHistogramBy(curr, groupCol, valueCol, lo, hi, bins),
+      bins)
+  }
+
+  /** [[psiBy]] over two PRE-AGGREGATED (group, bin, c) histograms
+    * (the [[graft.functions.Sketch.valueHistogramBy]] layout) — the
+    * monitor form: landed per-batch grouped cells, summed per
+    * (group, bin), compared against a frozen reference whenever. */
+  def psiFromHistogramsBy(old: DataFrame, curr: DataFrame,
+      bins: Int = 256): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val spark = old.sparkSession
+    val a = old.select(col("group").as("ga"), col("bin").as("bina"),
+      col("c").as("ca"))
+    val b = curr.select(col("group").as("gb"), col("bin").as("binb"),
+      col("c").as("cb"))
+    val na = a.groupBy("ga").agg(sum("ca").cast("long").as("na"))
+      .withColumnRenamed("ga", "gna")
+    val nb = b.groupBy("gb").agg(sum("cb").cast("long").as("nb"))
+      .withColumnRenamed("gb", "gnb")
+    val groups = a.select(col("ga").as("group"))
+      .unionByName(b.select(col("gb").as("group"))).distinct()
+    val spine = groups.crossJoin(
+      spark.range(bins).select(col("id").cast("int").as("bin")))
+    spine
+      .join(a, col("group") <=> col("ga") && col("bin") === col("bina"), "left")
+      .join(b, col("group") <=> col("gb") && col("bin") === col("binb"), "left")
+      .join(broadcast(na), col("group") <=> col("gna"), "left")
+      .join(broadcast(nb), col("group") <=> col("gnb"), "left")
+      .select(col("group"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .select(col("group"), col("bin"), col("ca"), col("cb"),
+        ((col("ca") + 1).cast("double") / (col("na") + bins)).as("pa"),
+        ((col("cb") + 1).cast("double") / (col("nb") + bins)).as("pb"))
+      .select(col("group"), col("bin"), col("ca"), col("cb"), col("pa"),
+        col("pb"),
         ((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6))
           .as("psi_term"))
   }
@@ -610,6 +775,78 @@ object Quality {
       min(when(col("q") === loQ, col("est"))).as("qlo"),
       min(when(col("q") === hiQ, col("est"))).as("qhi"))
     df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_w",
+        when(v.isNotNull, greatest(col("qlo"), least(col("qhi"), v))))
+  }
+
+  /** Per-group [[winsorize]] — the clip band fit PER SEGMENT (per
+    * currency / account type / domain), because a global band either
+    * flattens a high-scale group or lets its tail through: the
+    * segment whose p99 is another segment's median needs its own
+    * bounds. Same two refining passes, grouped: pass 1
+    * ([[graft.functions.Sketch.histogramQuantilesBy]]) brackets each
+    * group's rank elements to their bins; pass 2 re-histograms every
+    * group INSIDE its own band (out-of-band values clamp into the
+    * edge bins — rank-preserving, the [[winsorize]] argument) and
+    * re-picks, so each group's error is ≤ its own bandWidth/bins.
+    *
+    * Scale: per-group aggregation state is ≤ bins longs in every
+    * pass (the [[robustStatsApprox]] discipline — nothing
+    * group-sized in one buffer, hot groups welcome); all summary
+    * frames are ≤ groups × bins rows, broadcast back for the narrow
+    * clip. NULL groups are their own group; a group with no non-null
+    * values gets null bounds and passes through (null values stay
+    * null — the LEAST/GREATEST null-skip guard).
+    * Output: input columns + qlo, qhi, <valueCol>_w. */
+  def winsorizeBy(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double = 0.01, hiQ: Double = 0.99, bins: Int = 4096): DataFrame = {
+    require(loQ > 0 && loQ < hiQ && hiQ <= 1,
+      s"need 0 < loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    import graft.functions.Sketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coarse = Sketch.histogramQuantilesBy(df, groupCol, valueCol,
+      Seq(loQ, hiQ), bins)
+    val band = coarse.groupBy("group").agg(
+      min(when(col("q") === loQ, col("blo"))).as("blo2"),
+      min(when(col("q") === hiQ, col("bhi"))).as("bhi2"))
+    val base = df.select(col(groupCol).as("group"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = base
+      .join(broadcast(band.withColumnRenamed("group", "bg")),
+        col("group") <=> col("bg"))
+      .select(col("group"), when(col("bhi2") === col("blo2"), lit(0))
+        .otherwise(greatest(lit(0), least(lit(bins - 1),
+          floor((col("v") - col("blo2")) /
+            (col("bhi2") - col("blo2")) * bins))))
+        .cast("int").as("bin"))
+      .groupBy("group", "bin").agg(count(lit(1)).cast("long").as("c"))
+    // ≤ groups × bins rows from here on: the per-group window, ranks,
+    // picks and bounds are all summary-sized.
+    val cum = counts.withColumn("cum",
+      sum("c").over(Window.partitionBy("group").orderBy("bin")).cast("long"))
+    val nn = counts.groupBy("group").agg(sum("c").cast("long").as("n"))
+      .withColumnRenamed("group", "ng")
+    val ranks = Seq(loQ, hiQ).toDF("q").crossJoin(nn)
+      .select(col("ng"), col("q"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rank"))
+    val pick = broadcast(ranks)
+      .join(cum, col("ng") <=> col("group") && col("cum") >= col("rank"))
+      .groupBy("ng", "q", "rank").agg(min("bin").as("bin"))
+    val est = pick
+      .join(broadcast(band.withColumnRenamed("group", "bg2")),
+        col("ng") <=> col("bg2"))
+      .select(col("ng"), col("q"),
+        (((col("blo2") + col("bin") * ((col("bhi2") - col("blo2")) / bins)) +
+          (col("blo2") + (col("bin") + 1) *
+            ((col("bhi2") - col("blo2")) / bins))) / 2).as("est"))
+    val bounds = est.groupBy("ng").agg(
+      min(when(col("q") === loQ, col("est"))).as("qlo"),
+      min(when(col("q") === hiQ, col("est"))).as("qhi"))
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(bounds), col(groupCol) <=> col("ng"), "left")
+      .drop("ng")
       .withColumn(s"${valueCol}_w",
         when(v.isNotNull, greatest(col("qlo"), least(col("qhi"), v))))
   }
@@ -700,18 +937,23 @@ object Quality {
     * aggregable groupBy, and nothing group-sized ever sits in one
     * buffer.
     *
-    * Error contract (QualitySpec pins it): the estimated median is the
-    * midpoint of the bin holding the rank-⌈n/2⌉ element, so
-    * `|med − exact| ≤ w_v` where `w_v = (max−min)/bins` of the group's
-    * values (half a bin to the rank element, up to another half for
-    * exact percentile's interpolation between the two middle
-    * elements). The MAD pass histograms `|x − med̂|`, so
-    * `|mad − exact| ≤ w_v + w_d` (the med̂ shift moves each deviation
-    * by ≤ w_v — the median is 1-Lipschitz in a uniform operand shift —
-    * plus that pass's own bin width `w_d`). Both bounds are returned
-    * as `med_err` / `mad_err` so a caller can derive the z-score band
-    * within which a verdict is uncertain; outside it, approx and exact
-    * verdicts agree.
+    * Error contract (QualitySpec pins it, odd AND even group counts):
+    * the estimated median is the midpoint of the bin holding the
+    * rank-⌈n/2⌉ element, and `med_err` is the span of the bins
+    * BRACKETING both middle order statistics
+    * ([[graft.functions.Sketch.histogramQuantileBracketsBy]]): for odd
+    * n that is one bin width `w_v = (max−min)/bins`; for even n exact
+    * `percentile(0.5)` interpolates two middle elements that can
+    * straddle a bin gap (values [0,0,100,100] → exact 50 while the
+    * rank element's bin sits at ~0 — the r9 advisor finding), and the
+    * span covers both bins plus the gap, so `|med − exact| ≤ med_err`
+    * holds unconditionally. The MAD pass histograms `|x − med̂|`, so
+    * `|mad − exact| ≤ med_err + w_d` (the med̂ shift moves each
+    * deviation by ≤ med_err — the median is 1-Lipschitz in a uniform
+    * operand shift — plus that pass's own bracket span `w_d`). Both
+    * bounds are returned as `med_err` / `mad_err` so a caller can
+    * derive the z-score band within which a verdict is uncertain;
+    * outside it, approx and exact verdicts agree.
     *
     * Cost: four corpus scans (min/max + histogram, twice) vs exact's
     * three — the price of bounded state. Shape: every pass is a
@@ -721,16 +963,16 @@ object Quality {
   def robustStatsApprox(df: DataFrame, groupCol: String, valueCol: String,
       bins: Int = 4096): DataFrame = {
     import graft.functions.Sketch
-    val med = Sketch.histogramQuantilesBy(df, groupCol, valueCol,
+    val med = Sketch.histogramQuantileBracketsBy(df, groupCol, valueCol,
         Seq(0.5), bins)
       .select(col("group").as(groupCol), round(col("est"), 4).as("med"),
-        (col("bhi") - col("blo")).as("med_err"))
+        (col("bhi2") - col("blo2")).as("med_err"))
     val dev = df.select(col(groupCol), col(valueCol).cast("double").as("_v"))
       .join(broadcast(med), Seq(groupCol))
       .select(col(groupCol), abs(col("_v") - col("med")).as("_adev"))
-    Sketch.histogramQuantilesBy(dev, groupCol, "_adev", Seq(0.5), bins)
+    Sketch.histogramQuantileBracketsBy(dev, groupCol, "_adev", Seq(0.5), bins)
       .select(col("group").as(groupCol), round(col("est"), 4).as("mad"),
-        (col("bhi") - col("blo")).as("dev_w"))
+        (col("bhi2") - col("blo2")).as("dev_w"))
       .join(med, Seq(groupCol))
       .select(col(groupCol), col("med"), col("mad"), col("med_err"),
         (col("med_err") + col("dev_w")).as("mad_err"))

@@ -3964,7 +3964,9 @@ object PipelineInventory {
     // score/amount column — per-bin smoothed probabilities and
     // (pa−pb)·ln(pa/pb) contributions, Σ = the PSI a deployed
     // threshold is judged by. Clamped edge bins keep out-of-range
-    // values visible; the ln is 6dp-rounded on both engines.
+    // values visible; the ln is 6dp-rounded on both engines. The
+    // output is DENSE (both-empty bins carry their smoothed terms —
+    // the r9 advisor fix), so the oracle joins off a range() spine.
     QueryDef("r93_psi_drift", {
       (s, d) => {
         val ev = T(s, d, "events")
@@ -3985,9 +3987,11 @@ object PipelineInventory {
               |       FROM b0 GROUP BY 1),
               |na AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na FROM ha),
               |nb AS (SELECT CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nb FROM hb),
-              |j AS (SELECT COALESCE(ha.bin, hb.bin) AS bin,
+              |rng AS (SELECT CAST(r AS INT) AS bin FROM range(0, 256) tt(r)),
+              |j AS (SELECT rng.bin,
               |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-              |      FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+              |      FROM rng LEFT JOIN ha ON ha.bin = rng.bin
+              |               LEFT JOIN hb ON hb.bin = rng.bin),
               |pr AS (SELECT bin, ca, cb,
               |              CAST(ca + 1 AS DOUBLE) / (na + 256) AS pa,
               |              CAST(cb + 1 AS DOUBLE) / (nb + 256) AS pb
@@ -4176,6 +4180,109 @@ object PipelineInventory {
               |       ${rrepr("CAST(n AS DOUBLE) / tn", 6)} AS p
               |FROM p JOIN tt USING (from_type)
               |ORDER BY from_type, to_type""".stripMargin)),
+
+    // Per-segment PSI (r93 grouped by event_type): drift monitored per
+    // group, because a corpus-global PSI washes out a segment that
+    // drifted alone. Dense groups × bins spine — every (group, bin)
+    // cell carries its smoothed term against the GROUP's totals.
+    QueryDef("r99_psi_by", {
+      (s, d) => {
+        val ev = T(s, d, "events")
+        Quality.psiBy(ev.filter(col("user_id") % 3 === 0),
+            ev.filter(col("user_id") % 3 =!= 0),
+            "event_type", "value", lo = 0.0, hi = 1000.0, bins = 64)
+          .orderBy("group", "bin")
+      }},
+      Some(s"""WITH a0 AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+              |            FROM events WHERE user_id % 3 = 0 AND value IS NOT NULL),
+              |b0 AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+              |       FROM events WHERE user_id % 3 <> 0 AND value IS NOT NULL),
+              |ha AS (SELECT g, CAST(GREATEST(0, LEAST(63, FLOOR((v - 0.0) / (1000.0 - 0.0) * 64))) AS INT) AS bin,
+              |              CAST(COUNT(*) AS BIGINT) AS ca
+              |       FROM a0 GROUP BY 1, 2),
+              |hb AS (SELECT g, CAST(GREATEST(0, LEAST(63, FLOOR((v - 0.0) / (1000.0 - 0.0) * 64))) AS INT) AS bin,
+              |              CAST(COUNT(*) AS BIGINT) AS cb
+              |       FROM b0 GROUP BY 1, 2),
+              |na AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS na FROM ha GROUP BY 1),
+              |nb AS (SELECT g, CAST(SUM(cb) AS BIGINT) AS nb FROM hb GROUP BY 1),
+              |gs AS (SELECT DISTINCT g FROM (SELECT g FROM ha UNION ALL SELECT g FROM hb) t),
+              |spine AS (SELECT gs.g, CAST(r AS INT) AS bin FROM gs CROSS JOIN range(0, 64) tt(r)),
+              |j AS (SELECT spine.g, spine.bin,
+              |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb,
+              |             COALESCE(na.na, 0) AS na, COALESCE(nb.nb, 0) AS nb
+              |      FROM spine LEFT JOIN ha ON ha.g = spine.g AND ha.bin = spine.bin
+              |                 LEFT JOIN hb ON hb.g = spine.g AND hb.bin = spine.bin
+              |                 LEFT JOIN na ON na.g = spine.g
+              |                 LEFT JOIN nb ON nb.g = spine.g),
+              |pr AS (SELECT g, bin, ca, cb,
+              |              CAST(ca + 1 AS DOUBLE) / (na + 64) AS pa,
+              |              CAST(cb + 1 AS DOUBLE) / (nb + 64) AS pb
+              |       FROM j)
+              |SELECT g AS "group", bin, ca, cb, pa, pb,
+              |       (pa - pb) * ${rrepr("ln(pa / pb)", 6)} AS psi_term
+              |FROM pr ORDER BY "group", bin""".stripMargin)),
+
+    // Per-segment winsorization (r97 grouped by event_type): each
+    // segment's clip band fit from its OWN two-pass histogram
+    // quantiles — the segment whose p95 is another's median needs its
+    // own bounds. The oracle unrolls both passes PER GROUP.
+    QueryDef("r100_winsorize_by", {
+      (s, d) => Quality.winsorizeBy(T(s, d, "events"), "event_type",
+          "value", loQ = 0.05, hiQ = 0.95, bins = 512)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("double").as("value"), col("qlo"), col("qhi"),
+          col("value_w"))
+        .orderBy("event_id")},
+      Some("""WITH b AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+             |           FROM events WHERE value IS NOT NULL),
+             |mm AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM b GROUP BY 1),
+             |bn AS (SELECT b.g, CAST(CASE WHEN mm.hi = mm.lo THEN 0
+             |         ELSE LEAST(511, FLOOR((v - lo) / (hi - lo) * 512)) END AS INT) AS bin
+             |       FROM b JOIN mm ON mm.g = b.g),
+             |bc AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS c FROM bn GROUP BY 1, 2),
+             |cum AS (SELECT g, bin, c,
+             |               CAST(SUM(c) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum
+             |        FROM bc),
+             |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.05), (0.95)) v(q)),
+             |rk AS (SELECT mm.g, q,
+             |              GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * mm.n) AS BIGINT)) AS rank
+             |       FROM qs CROSS JOIN mm),
+             |pick AS (SELECT rk.g, rk.q, MIN(cum.bin) AS bin
+             |         FROM rk JOIN cum ON cum.g = rk.g AND cum.cum >= rk.rank
+             |         GROUP BY 1, 2),
+             |band AS (SELECT pick.g,
+             |                MIN(CASE WHEN q = 0.05 THEN lo + bin * ((hi - lo) / 512) END) AS blo2,
+             |                MIN(CASE WHEN q = 0.95 THEN lo + (bin + 1) * ((hi - lo) / 512) END) AS bhi2
+             |         FROM pick JOIN mm ON mm.g = pick.g GROUP BY 1),
+             |bn2 AS (SELECT b.g, CAST(CASE WHEN bhi2 = blo2 THEN 0
+             |          ELSE GREATEST(0, LEAST(511, FLOOR((v - blo2) / (bhi2 - blo2) * 512))) END AS INT) AS bin
+             |        FROM b JOIN band ON band.g = b.g),
+             |bc2 AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS c FROM bn2 GROUP BY 1, 2),
+             |cum2 AS (SELECT g, bin,
+             |                CAST(SUM(c) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cum
+             |         FROM bc2),
+             |n2 AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM bc2 GROUP BY 1),
+             |rk2 AS (SELECT n2.g, q,
+             |               GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q * n2.n) AS BIGINT)) AS rank
+             |        FROM qs CROSS JOIN n2),
+             |pick2 AS (SELECT rk2.g, rk2.q, MIN(cum2.bin) AS bin
+             |          FROM rk2 JOIN cum2 ON cum2.g = rk2.g AND cum2.cum >= rk2.rank
+             |          GROUP BY 1, 2),
+             |est2 AS (SELECT pick2.g, q,
+             |           ((blo2 + bin * ((bhi2 - blo2) / 512)) +
+             |            (blo2 + (bin + 1) * ((bhi2 - blo2) / 512))) / 2 AS est
+             |         FROM pick2 JOIN band ON band.g = pick2.g),
+             |bounds AS (SELECT g, MIN(CASE WHEN q = 0.05 THEN est END) AS qlo,
+             |                  MIN(CASE WHEN q = 0.95 THEN est END) AS qhi
+             |           FROM est2 GROUP BY 1)
+             |SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+             |       qlo, qhi,
+             |       CASE WHEN e.value IS NOT NULL
+             |            THEN GREATEST(qlo, LEAST(qhi, CAST(e.value AS DOUBLE)))
+             |       END AS value_w
+             |FROM events e LEFT JOIN bounds ON bounds.g = e.event_type
+             |ORDER BY e.event_id""".stripMargin)),
 
     // Leakage-safe temporal split: train / embargo / test assignment
     // from the row's own timestamp, the purge-window rule from

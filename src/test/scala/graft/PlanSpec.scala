@@ -295,9 +295,16 @@ class PlanSpec extends SparkSpec {
       "r93_psi_drift",      // two one-row totals (na, nb) broadcast
                             // onto the ≤bins-row joined histograms —
                             // the r70 drift shape for numeric columns
+      "r99_psi_by",         // the r93 shape keyed by group, plus the
+                            // dense groups × range(bins) spine cross —
+                            // all frames ≤ groups × bins rows
       "r97_winsorize",      // the r73 quantile CTE shapes + ONE 1-row
                             // bounds frame broadcast-crossed onto the
                             // corpus for the clip projection
+      "r100_winsorize_by",  // the r97 shapes keyed by group (qs ×
+                            // groups-row crosses, per-group rank
+                            // joins); the clip join is groups-sized
+                            // broadcast, never cartesian
       "r77_hll_distinct",   // one-row HLL estimate crossed with the
                             // one-row exact count (error-band rider)
       "q32_cosine_topk",    // single query vector broadcast

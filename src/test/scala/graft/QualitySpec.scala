@@ -218,16 +218,22 @@ class QualitySpec extends SparkSpec {
     assert(inc == (0L to 6L).map(i => (i, 0L, i == 0L)).toSet + ((20L, 20L, true)))
   }
 
-  test("incremental ER disk index: append-only rows + remap log, snapshot == full recompute") {
+  test("incremental ER disk index: append-only committed steps, snapshot == full recompute") {
     val path = java.nio.file.Files.createTempDirectory("er-index").toString
     def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
     val b1 = rows(Seq(1L, 2L, 5L, 6L)).toDF("pid", "blk", "nm")
     val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
     val b3 = Seq((0L, "blk1", "p")).toDF("pid", "blk", "nm")
+    def rowFiles = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(path, "rows")
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString).toSet
+    }
     Quality.writeEntityIndex(b1, col("pid"), col("blk"), col("nm"), path)
     // first-batch row files, to prove they are never rewritten
-    val before = new java.io.File(s"$path/rows").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = rowFiles
     Quality.resolveEntitiesIncremental(b2, col("pid"), col("blk"), col("nm"), path)
     val snap = Quality.resolveEntitiesIncremental(b3, col("pid"), col("blk"),
         col("nm"), path)
@@ -240,10 +246,74 @@ class QualitySpec extends SparkSpec {
     // remap CHAINS resolve: batch2 merged 5 -> 1, batch3 merged 1 -> 0,
     // so a comp stored as 5 must chase 5 -> 1 -> 0 through the log
     assert(snap.contains((5L, 0L, false)))
-    val after = new java.io.File(s"$path/rows").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val after = rowFiles
     assert(before.subsetOf(after), "old row files must never be rewritten")
     assert(after.size > before.size, "new batches append row files")
+  }
+
+  test("ER index compaction: snapshot unchanged, remap folded away, superseded steps dropped") {
+    val path = java.nio.file.Files.createTempDirectory("er-compact").toString
+    def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
+    val b1 = rows(Seq(1L, 2L, 5L, 6L)).toDF("pid", "blk", "nm")
+    val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
+    val b3 = Seq((0L, "blk1", "p")).toDF("pid", "blk", "nm")
+    Quality.writeEntityIndex(b1, col("pid"), col("blk"), col("nm"), path)
+    Quality.resolveEntitiesIncremental(b2, col("pid"), col("blk"), col("nm"), path)
+    Quality.resolveEntitiesIncremental(b3, col("pid"), col("blk"), col("nm"), path)
+    def snap = Quality.entityIndexSnapshot(spark, path)
+      .as[(Long, Long, Boolean)].collect().toSet
+    def stepDirs = new java.io.File(s"$path/rows").listFiles()
+      .map(_.getName).filter(_.startsWith("step=")).toSet
+    val pre = snap
+    assert(stepDirs.size == 3)
+    Quality.compactEntityIndex(spark, path)
+    // the law: compaction changes NOTHING observable
+    assert(snap == pre, s"compacted ${snap} vs ${pre}")
+    // one base step remains; the chased remap labels are now STORED
+    assert(stepDirs == Set("step=3"), stepDirs.toString)
+    assert(spark.read.parquet(s"$path/remap/step=3").count() == 0)
+    // (ignore Hadoop's .crc sidecars — reads filter dotfiles too)
+    assert(new java.io.File(s"$path/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet == Set("3.base"))
+    // and the index keeps working: a post-compaction increment still
+    // resolves against the folded labels
+    val b4 = Seq((7L, "blk1", "p" + "x" * 7)).toDF("pid", "blk", "nm")
+    val snap2 = Quality.resolveEntitiesIncremental(b4, col("pid"),
+        col("blk"), col("nm"), path)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = Quality.resolveEntities(
+        b1.unionByName(b2).unionByName(b3).unionByName(b4),
+        col("pid"), col("blk"), col("nm"))
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(snap2 == full)
+  }
+
+  test("ER index atomicity: an uncommitted step is invisible; the retry overwrites, never duplicates") {
+    val path = java.nio.file.Files.createTempDirectory("er-atomic").toString
+    def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
+    val b1 = rows(Seq(1L, 2L)).toDF("pid", "blk", "nm")
+    val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
+    Quality.writeEntityIndex(b1, col("pid"), col("blk"), col("nm"), path)
+    // simulate a step that crashed between its writes and its commit:
+    // orphan rows (even a divergent id) land but no marker appears
+    Seq((999L, "blk1", "junk", 999L)).toDF("id", "blk", "m", "comp")
+      .write.mode("overwrite").parquet(s"$path/rows/step=1")
+    val orphanSnap = Quality.entityIndexSnapshot(spark, path)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(!orphanSnap.exists(_._1 == 999L),
+      "uncommitted step must be invisible")
+    assert(orphanSnap.map(_._1) == Set(1L, 2L))
+    // the retry recomputes step 1, overwriting the orphan in place
+    val snap = Quality.resolveEntitiesIncremental(b2, col("pid"),
+        col("blk"), col("nm"), path)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = Quality.resolveEntities(b1.unionByName(b2),
+        col("pid"), col("blk"), col("nm"))
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(snap == full)
+    assert(!snap.exists(_._1 == 999L), "the orphan content must be gone")
   }
 
   test("robustOutliers flags a planted spike the mean-based z-score would bury") {
@@ -349,6 +419,96 @@ class QualitySpec extends SparkSpec {
       assert(math.abs(ma - me) <= eMed + 1e-4, s"group $g med $ma vs $me (bound $eMed)")
       assert(math.abs(sa - se) <= eMad + 1e-4, s"group $g mad $sa vs $se (bound $eMad)")
     }
+  }
+
+  test("robustStatsApprox: even-count groups — interpolated exact median stays inside med_err") {
+    // The r9 advisor's straddled-gap case: even n with the two middle
+    // order statistics in different bins — exact percentile(0.5)
+    // interpolates to 50 while the rank element's bin sits at ~0, so
+    // a one-bin error bound is violated by design; the bracket bound
+    // (span of both middle-rank bins) must hold instead.
+    val gap = Seq(("gap", 1L, 0.0), ("gap", 2L, 0.0),
+      ("gap", 3L, 100.0), ("gap", 4L, 100.0))
+    // an even-count continuous group for the generic contract
+    val even = (1 to 1000).map(i =>
+      ("ev", 100L + i, 10.0 + math.sin(i * 0.9) * 3))
+    val df = (gap ++ even).toDF("g", "id", "v")
+    val exact = Quality.robustStats(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Quality.robustStatsApprox(df, "g", "v", bins = 4096).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    exact.keys.foreach { g =>
+      val (me, se) = exact(g)
+      val (ma, sa, eMed, eMad) = approx(g)
+      assert(math.abs(ma - me) <= eMed + 1e-4, s"group $g med $ma vs $me (bound $eMed)")
+      assert(math.abs(sa - se) <= eMad + 1e-4, s"group $g mad $sa vs $se (bound $eMad)")
+    }
+    // and the gap group really does straddle: exact 50, estimate ~0,
+    // so only the widened (bracket-span) bound can cover it
+    assert(math.abs(exact("gap")._1 - 50.0) < 1e-9)
+    assert(approx("gap")._1 < 1.0 && approx("gap")._3 >= 50.0)
+  }
+
+  test("psiBy: per-group rows equal the single-group psi; dense spine; one-sided segment reads loud") {
+    val old = (Seq(("en", 10.0), ("en", 20.0), ("en", 500.0),
+      ("de", 100.0), ("de", 200.0)) ++
+      (1 to 8).map(i => ("only_old", 50.0 + i))).toDF("g", "v")
+    val curr = Seq(("en", 800.0), ("en", 900.0),
+      ("de", 100.0), ("de", 210.0)).toDF("g", "v")
+    val bins = 16
+    val by = Quality.psiBy(old, curr, "g", "v", 0.0, 1000.0, bins)
+    // dense: exactly groups × bins cells, no gaps
+    assert(by.count() == 3L * bins)
+    // per group == the ungrouped psi of that slice, bit for bit
+    // (including the group present on one side only: its curr
+    // histogram is empty, probabilities smooth against nb = 0)
+    Seq("en", "de", "only_old").foreach { g =>
+      val slice = Quality.psi(old.filter(col("g") === g),
+          curr.filter(col("g") === g), "v", 0.0, 1000.0, bins)
+        .select("bin", "ca", "cb", "pa", "pb", "psi_term")
+        .collect().map(_.toSeq).toSet
+      val grouped = by.filter(col("group") === g)
+        .select("bin", "ca", "cb", "pa", "pb", "psi_term")
+        .collect().map(_.toSeq).toSet
+      assert(grouped == slice, s"group $g")
+    }
+    // the drifted segment trips the watch line (add-one smoothing over
+    // 16 bins dampens 3-row groups hard), the stable one stays quiet,
+    // the vanished one reads loud — none null
+    def tot(g: String) = by.filter(col("group") === g)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(tot("en") > 0.1, s"en ${tot("en")}")
+    assert(tot("de") < 0.1, s"de ${tot("de")}")
+    assert(tot("only_old") > 0.1, s"only_old ${tot("only_old")}")
+  }
+
+  test("winsorizeBy: each group clips to its OWN band == single-group winsorize; null discipline") {
+    val rows = (1 to 500).map(i => (Some("a"), i.toLong, Some(i.toDouble))) ++
+      (1 to 500).map(i => (Some("b"), 1000L + i, Some(1000.0 * i))) ++
+      Seq((Some("a"), 9001L, Some(1e9)), (Some("b"), 9002L, Some(-1e9)),
+        (Option.empty[String], 9003L, Some(5.0)),
+        (Some("a"), 9004L, Option.empty[Double]))
+    val df = rows.toDF("g", "id", "v")
+    val out = Quality.winsorizeBy(df, "g", "v", loQ = 0.05, hiQ = 0.95,
+      bins = 1024)
+    // per group == the ungrouped winsorize of that slice, bit for bit
+    // — group b's band is 1000× group a's, so a shared band would
+    // visibly clip one of them wrong
+    Seq("a", "b").foreach { g =>
+      val slice = Quality.winsorize(df.filter(col("g") === g), "v",
+          loQ = 0.05, hiQ = 0.95, bins = 1024)
+        .select("id", "qlo", "qhi", "v_w").collect().map(_.toSeq).toSet
+      val grouped = out.filter(col("g") === g)
+        .select("id", "qlo", "qhi", "v_w").collect().map(_.toSeq).toSet
+      assert(grouped == slice, s"group $g")
+    }
+    // a NULL group is its own group: its single value is its own band
+    val nullG = out.filter(col("g").isNull).select("qlo", "qhi", "v_w").head
+    assert(nullG.getDouble(0) == 5.0 && nullG.getDouble(1) == 5.0 &&
+      nullG.getDouble(2) == 5.0)
+    // null value stays null (the LEAST/GREATEST null-skip guard)
+    assert(out.filter(col("id") === 9004L).select("v_w").head.isNullAt(0))
   }
 
   test("robustOutliersApprox: verdicts agree with exact outside the error band") {
