@@ -52,13 +52,82 @@ object Behavior {
     state.withColumnRenamed("u", userCol)
   }
 
+  /** The zero-user funnel state frame (userCol, t1..tk) — seed a
+    * [[funnelUsersStep]] chain from nothing (the first step then
+    * equals [[funnelUsers]] of its batch). */
+  def emptyFunnelState(spark: org.apache.spark.sql.SparkSession,
+      steps: Seq[String], userCol: String = "user_id"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val cols = col("id").as(userCol) +:
+      steps.indices.map(i => col("id").cast("timestamp").as(s"t${i + 1}"))
+    spark.range(0).select(cols: _*)
+  }
+
+  /** Fold a NEW batch of events into a prior funnel state — the
+    * incremental form of [[funnelUsers]], whose state is one
+    * USERS-SIZED row (u, t1..tk) per user ever seen (the sufficient
+    * statistic, because step times only ever DECREASE via min and new
+    * events can only fill later steps). Requires batches in event-time
+    * order per user — each user's events in a later batch at-or-after
+    * all their events in earlier batches, the natural shape of
+    * time-ordered ingest. (Out-of-order delivery could lower a step-k
+    * time retroactively, re-qualifying step-k+1 events that earlier
+    * batches already discarded — state alone cannot recover those;
+    * replay from the raw events instead.) Under that contract,
+    * chaining steps over any batch split equals [[funnelUsers]] of
+    * the union, bit for bit (BehaviorSpec law; StreamingSpec SCFN
+    * across restarts).
+    *
+    * Mechanics per step: the same users-keyed joins as
+    * [[funnelUsers]], against the UPDATED previous-step time, with
+    * each new candidate min-folded into the carried time (`least`
+    * skips nulls, so an unset state time just adopts the batch's
+    * min). Nothing event-sized survives the first aggregation. */
+  def funnelUsersStep(state: DataFrame, events: DataFrame,
+      steps: Seq[String], userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      within: Option[String] = None): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"))
+    val b1 = e.filter(col("et") === steps.head)
+      .groupBy("u").agg(min(col("t")).as("bt1"))
+    val st = state.select(col(userCol).as("u") +:
+      steps.indices.map(i => col(s"t${i + 1}")): _*)
+    var cur = st.join(b1, Seq("u"), "full_outer")
+      .withColumn("t1", least(col("t1"), col("bt1")))
+      .drop("bt1")
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val k = i + 1
+      val cap = within.map(w => col("t") <= col("t1") + expr(s"INTERVAL $w"))
+        .getOrElse(lit(true))
+      val carry = if (i == 1) cur.select(col("u"), col("t1"))
+        else cur.select(col("u"), col("t1"), col(s"t$i"))
+      val nxt = carry
+        .join(e.filter(col("et") === s), Seq("u"))
+        .filter(col("t") > col(s"t$i") && cap)
+        .groupBy("u").agg(min(col("t")).as(s"bt$k"))
+      cur = cur.join(nxt, Seq("u"), "left")
+        .withColumn(s"t$k", least(col(s"t$k"), col(s"bt$k")))
+        .drop(s"bt$k")
+    }
+    cur.withColumnRenamed("u", userCol)
+  }
+
   /** Funnel summary: per step the user count still converting and the
     * 6dp fraction of step-1 users (the number a dashboard shows).
     * Output: step (1-based), name, n_users, frac (ordered by step). */
   def funnelCounts(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts", within: Option[String] = None): DataFrame = {
-    val fu = funnelUsers(events, steps, userCol, typeCol, tsCol, within)
+      tsCol: String = "ts", within: Option[String] = None): DataFrame =
+    funnelCountsFromUsers(
+      funnelUsers(events, steps, userCol, typeCol, tsCol, within), steps)
+
+  /** [[funnelCounts]] from an already-computed [[funnelUsers]] /
+    * [[funnelUsersStep]] state frame — the read side of the streamed
+    * ingest ([[graft.streaming.Ingest.funnelIngestStream]]). */
+  def funnelCountsFromUsers(fu: DataFrame, steps: Seq[String]): DataFrame = {
     val aggs = steps.indices.map(i =>
       sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
         .cast("long").as(s"n${i + 1}"))
@@ -88,20 +157,98 @@ object Behavior {
     * corpus never single-reducers.
     * Output: from_type, to_type, n, p (ordered). */
   def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame =
+    transitionsFromPairs(transitionPairs(events, userCol, typeCol, tsCol))
+
+  /** The raw (from_type, to_type, n) transition counts of
+    * [[transitionMatrix]] — ADDITIVE over batches that partition each
+    * user's (ts, type)-ordered stream into contiguous runs, PROVIDED
+    * the boundary pair between consecutive batches is counted
+    * separately ([[transitionBridgePairs]]); the streamed ingest
+    * ([[graft.streaming.Ingest.transitionIngestStream]]) lands both
+    * and sums at read. Output: from_type, to_type, n. */
+  def transitionPairs(events: DataFrame, userCol: String = "user_id",
       typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("t"), col("f"))
-    val pairs = events.select(col(userCol).as("u"), col(typeCol).as("f"),
+    events.select(col(userCol).as("u"), col(typeCol).as("f"),
         col(tsCol).as("t"))
       .withColumn("to_type", lead(col("f"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("f").as("from_type"), col("to_type"))
       .agg(count(lit(1)).cast("long").as("n"))
-    val tot = pairs.groupBy("from_type").agg(sum("n").as("tn"))
-    pairs.join(tot, Seq("from_type"))
+  }
+
+  /** Row-normalize summed pair counts into the [[transitionMatrix]]
+    * output — the read side of the streamed ingest. Input rows with
+    * the same (from_type, to_type) are summed first, so landed
+    * per-batch counts feed in directly. */
+  def transitionsFromPairs(pairs: DataFrame): DataFrame = {
+    val p = pairs.groupBy("from_type", "to_type")
+      .agg(sum("n").cast("long").as("n"))
+    val tot = p.groupBy("from_type").agg(sum("n").as("tn"))
+    p.join(tot, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n") / col("tn"), 6).as("p"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** Per-user LAST event (by the shared (ts, type) total order) — the
+    * one-row-per-user state a streamed transition count carries across
+    * batch boundaries. Output: u, t, f. */
+  def lastEvents(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("t").desc, col("f").desc)
+    events.select(col(userCol).as("u"), col(typeCol).as("f"),
+        col(tsCol).as("t"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** The boundary transitions between a prior per-user last-event
+    * state ([[lastEvents]] layout: u, t, f) and a new batch: one
+    * (prior last → batch first) pair per user present in both.
+    * Requires the [[funnelUsersStep]] arrival contract — each user's
+    * batch events sort at-or-after their prior events under
+    * (ts, type) — so the bridge really is the adjacent pair of the
+    * merged stream. Output: from_type, to_type, n. */
+  def transitionBridgePairs(last: DataFrame, events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("t"), col("f"))
+    val firsts = events.select(col(userCol).as("u"), col(typeCol).as("f"),
+        col(tsCol).as("t"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("u"), col("f").as("_bf"))
+    last.select(col("u"), col("f").as("_lf"))
+      .join(firsts, Seq("u"))
+      .groupBy(col("_lf").as("from_type"), col("_bf").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** Fold a new batch into the per-user last-event state: the later
+    * of the two under the shared (ts, type) order (under the arrival
+    * contract that is simply the batch's last where present). */
+  def lastEventsStep(last: DataFrame, events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val b = lastEvents(events, userCol, typeCol, tsCol)
+      .select(col("u"), col("t").as("_bt"), col("f").as("_bf"))
+    last.join(b, Seq("u"), "full_outer")
+      .select(col("u"),
+        when(col("t").isNull, col("_bt"))
+          .when(col("_bt").isNull, col("t"))
+          .when(col("_bt") > col("t") ||
+            (col("_bt") === col("t") && col("_bf") >= col("f")), col("_bt"))
+          .otherwise(col("t")).as("t"),
+        when(col("t").isNull, col("_bf"))
+          .when(col("_bt").isNull, col("f"))
+          .when(col("_bt") > col("t") ||
+            (col("_bt") === col("t") && col("_bf") >= col("f")), col("_bf"))
+          .otherwise(col("f")).as("f"))
   }
 
   /** Cohort retention: users grouped by the period of their FIRST

@@ -698,6 +698,152 @@ object Ingest {
     else None
   }
 
+  /** The single LATEST batch_id partition strictly below `id` — the
+    * prior-state read of the fold-style streams (funnel, transitions),
+    * whose per-batch artifact is the WHOLE state, not a delta: only
+    * the newest earlier snapshot is current. Same pinning as
+    * [[earlierBatchPartitions]]: replay of batch `id` reads the same
+    * prior state it read the first time, so the recomputed files are
+    * identical. */
+  private def latestEarlierBatch(spark: SparkSession, path: String,
+      id: Long, what: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val entries =
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+      else Seq.empty
+    val foreign = entries.filterNot(_.startsWith("batch_id="))
+    require(foreign.isEmpty,
+      s"$what: $path is not a batch_id=-partitioned stream dir " +
+        s"(found ${foreign.take(3).mkString(", ")}); use a fresh path " +
+        "or rebuild in the streaming layout")
+    val earlier = entries.map(_.stripPrefix("batch_id=").toLong)
+      .filter(_ < id)
+    if (earlier.isEmpty) None
+    else Some(spark.read.parquet(s"$path/batch_id=${earlier.max}"))
+  }
+
+  /** Streaming funnel: each micro-batch folds into the USERS-SIZED
+    * (u, t1..tk) state frame
+    * ([[graft.operators.Behavior.funnelUsersStep]] — step times only
+    * decrease, so one row per user is the sufficient statistic),
+    * landed as a per-batch-id OVERWRITE snapshot pinned to the LATEST
+    * earlier snapshot — replay after a crash re-reads the same prior
+    * state and re-lands identical files. Requires event-time-ordered
+    * arrival per user (the funnelUsersStep contract — the natural
+    * shape of time-ordered ingest); under it the latest snapshot
+    * equals [[graft.operators.Behavior.funnelUsers]] over everything
+    * ingested, bit for bit (StreamingSpec SCFN law across restarts).
+    * Read with [[funnelStateSnapshot]] +
+    * [[graft.operators.Behavior.funnelCountsFromUsers]]. At scale,
+    * expire converted/stale users from the state between days the
+    * same way any keyed-state stream TTLs. */
+  def funnelIngestStream(spark: SparkSession, schema: StructType,
+      srcDir: String, statePath: String, checkpoint: String,
+      steps: Seq[String], userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      within: Option[String] = None, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        import graft.operators.Behavior
+        val prior = latestEarlierBatch(ss, statePath, id,
+            "funnelIngestStream state")
+          .getOrElse(Behavior.emptyFunnelState(ss, steps, userCol))
+        Behavior.funnelUsersStep(prior, batch, steps, userCol, typeCol,
+            tsCol, within)
+          .write.mode("overwrite").parquet(s"$statePath/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The current funnel state (the latest landed snapshot) — feed to
+    * [[graft.operators.Behavior.funnelCountsFromUsers]] for the
+    * dashboard summary. */
+  def funnelStateSnapshot(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+    require(ids.nonEmpty, s"funnelStateSnapshot: no state under $statePath")
+    spark.read.parquet(s"$statePath/batch_id=${ids.max}")
+  }
+
+  /** Streaming transition counts: each micro-batch lands its OWN
+    * (from_type, to_type, n) pair counts — within-batch adjacent
+    * pairs plus the per-user BRIDGE pair from the carried last-event
+    * state ([[graft.operators.Behavior.transitionBridgePairs]]) — as
+    * a per-batch-id OVERWRITE partition under `outPath/pairs`, and
+    * the updated users-sized last-event state under `outPath/last`
+    * (snapshot layout, latest-wins). Both are pinned to earlier
+    * batches, so checkpoint replay re-lands identical files and never
+    * double-counts a boundary pair. Pair counts are ADDITIVE given
+    * the event-time-ordered arrival contract (the funnelUsersStep
+    * note), so [[transitionSnapshot]] — one sum over the landed
+    * counts — equals
+    * [[graft.operators.Behavior.transitionMatrix]] over everything
+    * ingested, bit for bit (StreamingSpec SCTR law across restarts).
+    * The heavy window stays per-batch and user-partitioned; nothing
+    * corpus-sized is ever re-read. */
+  def transitionIngestStream(spark: SparkSession, schema: StructType,
+      srcDir: String, outPath: String, checkpoint: String,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        import graft.operators.Behavior
+        // Pinned: the prior state feeds BOTH the bridge pairs and the
+        // state fold (two consumers — the erIngestStream discipline);
+        // users-sized by construction.
+        val prior = latestEarlierBatch(ss, s"$outPath/last", id,
+            "transitionIngestStream last")
+          .getOrElse(ss.range(0).select(col("id").as("u"),
+            col("id").cast("timestamp").as("t"),
+            col("id").cast("string").as("f")))
+          .localCheckpoint(true)
+        try {
+          val b = batch.localCheckpoint(true)
+          try {
+            val pairs = Behavior.transitionPairs(b, userCol, typeCol, tsCol)
+              .unionByName(Behavior.transitionBridgePairs(prior, b, userCol,
+                typeCol, tsCol))
+              .groupBy("from_type", "to_type")
+              .agg(sum("n").cast("long").as("n"))
+            pairs.write.mode("overwrite")
+              .parquet(s"$outPath/pairs/batch_id=$id")
+            Behavior.lastEventsStep(prior, b, userCol, typeCol, tsCol)
+              .write.mode("overwrite").parquet(s"$outPath/last/batch_id=$id")
+          } finally { b.unpersist(); () }
+        } finally { prior.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The corpus-lifetime transition matrix from the landed per-batch
+    * pair counts: one sum + row-normalize
+    * ([[graft.operators.Behavior.transitionsFromPairs]]). */
+  def transitionSnapshot(spark: SparkSession, outPath: String): DataFrame =
+    graft.operators.Behavior.transitionsFromPairs(
+      spark.read.parquet(s"$outPath/pairs"))
+
   def dedupIngestStream(spark: SparkSession, docSchema: StructType,
       srcDir: String, corpusDir: String, indexPath: String, checkpoint: String,
       maxBucket: Int = 100, maxFilesPerTrigger: Int = 1): Unit = {
@@ -1290,9 +1436,10 @@ object Ingest {
     * [[graft.operators.Quality.entityIndexSnapshot]]; StreamingSpec's
     * SCCer law pins streamed == one-shot full recompute, merge events
     * and chained remaps included, stable across restarts. The stream
-    * OWNS the index dir (batch_id layout from batch 0) — seed a
-    * pre-existing flat [[graft.operators.Quality.writeEntityIndex]]
-    * layout into a fresh stream dir first if migrating. */
+    * OWNS the index dir (batch_id layout from batch 0) — a
+    * pre-existing [[graft.operators.Quality.writeEntityIndex]]
+    * committed-step layout must be re-seeded into a fresh stream dir
+    * if migrating. */
   def erIngestStream(spark: SparkSession, schema: StructType,
       srcDir: String, indexPath: String, checkpoint: String,
       idCol: String, blkCol: String, matchCol: String,

@@ -104,4 +104,89 @@ class BehaviorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Behavior.funnelUsers(e, Seq("a", "a")) }
     intercept[IllegalArgumentException] { Behavior.cohortRetention(e, "month") }
   }
+
+  test("funnelUsersStep: chained time-ordered batches == funnelUsers of the union") {
+    val steps = Seq("view", "click", "purchase")
+    // time-ordered batches (the arrival contract); conversions that
+    // SPAN batches: u1 views in b1, clicks in b2, purchases in b3;
+    // u2's early purchase (b1) must not convert but its late one (b3)
+    // must; u3 appears first in b2; u4's tie stays non-advancing.
+    val b1 = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:30:00")),
+      (4L, "view", ts("2024-01-01 11:00:00")),
+      (4L, "click", ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val b2 = Seq(
+      (1L, "click", ts("2024-01-02 09:00:00")),
+      (2L, "click", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-02 11:00:00")),
+      (3L, "click", ts("2024-01-02 12:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val b3 = Seq(
+      (1L, "purchase", ts("2024-01-03 09:00:00")),
+      (2L, "purchase", ts("2024-01-03 10:00:00")),
+      (3L, "purchase", ts("2024-01-20 10:00:00")) // outside 7-day cap
+    ).toDF("user_id", "event_type", "ts")
+    Seq(None, Some("7 DAYS")).foreach { within =>
+      val folded = Seq(b1, b2, b3).foldLeft(
+        Behavior.emptyFunnelState(spark, steps)) { (st, b) =>
+        Behavior.funnelUsersStep(st, b, steps, within = within)
+      }
+      val oneShot = Behavior.funnelUsers(b1.unionByName(b2).unionByName(b3),
+        steps, within = within)
+      assert(folded.collect().map(_.toSeq).toSet ==
+        oneShot.collect().map(_.toSeq).toSet, s"within=$within")
+      // and the summary reads off the folded state identically
+      assert(Behavior.funnelCountsFromUsers(folded, steps)
+        .collect().map(_.toSeq).toSeq ==
+        Behavior.funnelCounts(b1.unionByName(b2).unionByName(b3), steps,
+          within = within).collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("transition pair fold: per-batch pairs + bridges == transitionPairs of the union") {
+    // batches split each user's (ts, type)-ordered stream; u1 spans
+    // all three batches, u2 only the outer two (bridge over an absent
+    // middle), u3 lives in one batch only.
+    val b1 = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (2L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "b", ts("2024-01-01 10:30:00")),
+      (3L, "a", ts("2024-01-01 10:45:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val b2 = Seq(
+      (1L, "c", ts("2024-01-02 10:00:00")),
+      (1L, "a", ts("2024-01-02 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val b3 = Seq(
+      (1L, "b", ts("2024-01-03 10:00:00")),
+      (2L, "b", ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val empty = spark.range(0).select(col("id").as("u"),
+      col("id").cast("timestamp").as("t"), col("id").cast("string").as("f"))
+    val (pairsAcc, lastFinal) = Seq(b1, b2, b3)
+      .foldLeft((Seq.empty[org.apache.spark.sql.DataFrame], empty)) {
+        case ((acc, last), b) =>
+          val p = Behavior.transitionPairs(b)
+            .unionByName(Behavior.transitionBridgePairs(last, b))
+          (acc :+ p, Behavior.lastEventsStep(last, b))
+      }
+    val summed = Behavior.transitionsFromPairs(
+      pairsAcc.reduce(_ unionByName _))
+    val oneShot = Behavior.transitionMatrix(
+      b1.unionByName(b2).unionByName(b3))
+    assert(summed.collect().map(_.toSeq).toSeq ==
+      oneShot.collect().map(_.toSeq).toSeq)
+    // the carried state is each user's true last event
+    val lastMap = lastFinal.collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getString(2))).toMap
+    assert(lastMap == Map(
+      1L -> (ts("2024-01-03 10:00:00"), "b"),
+      2L -> (ts("2024-01-03 10:00:00"), "b"),
+      3L -> (ts("2024-01-01 10:45:00"), "a")), lastMap.toString)
+  }
 }

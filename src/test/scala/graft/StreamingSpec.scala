@@ -1310,4 +1310,92 @@ class StreamingSpec extends SparkSpec {
       .collect().head
     assert(rejected.count() == q29.getAs[Long]("future_ct"))
   }
+
+  test("SCFN: streamed funnel fold == one-shot funnelUsers across restarts; replay clean") {
+    val src = tmp("scfn-src"); val st = tmp("scfn-state"); val ck = tmp("scfn-ck")
+    import graft.operators.Behavior
+    val steps = Seq("view", "click", "purchase")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // time-ordered batches; conversions SPAN batches (u1 view/click/
+    // purchase in three different batches); u2's purchase lands past
+    // the 7-day cap of its first view and must not convert
+    val b1 = Seq((1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:30:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "click", ts("2024-01-02 09:00:00")),
+      (2L, "click", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-02 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b3 = Seq((1L, "purchase", ts("2024-01-03 09:00:00")),
+      (2L, "purchase", ts("2024-01-10 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val within = Some("7 DAYS")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.funnelIngestStream(spark, b1.schema, src, st, ck, steps,
+      within = within)
+    def snap = Ingest.funnelStateSnapshot(spark, st)
+      .collect().map(_.toSeq).toSet
+    def oneShot(df: org.apache.spark.sql.DataFrame) =
+      Behavior.funnelUsers(df, steps, within = within)
+        .collect().map(_.toSeq).toSet
+    assert(snap == oneShot(b1.unionByName(b2)))
+    // the third batch lands after a restart: only it is processed
+    b3.coalesce(1).write.mode("append").parquet(src)
+    Ingest.funnelIngestStream(spark, b1.schema, src, st, ck, steps,
+      within = within)
+    val full = oneShot(b1.unionByName(b2).unionByName(b3))
+    assert(snap == full)
+    // u1 converted across three batches; u2's late purchase did not
+    val t3 = Ingest.funnelStateSnapshot(spark, st)
+      .collect().map(r => r.getLong(0) -> !r.isNullAt(3)).toMap
+    assert(t3(1L) && !t3(2L))
+    // idle restart on the same checkpoint: nothing reprocessed
+    Ingest.funnelIngestStream(spark, b1.schema, src, st, ck, steps,
+      within = within)
+    assert(snap == full)
+  }
+
+  test("SCTR: streamed transition counts (+ cross-batch bridges) == one-shot transitionMatrix; replay clean") {
+    val src = tmp("sctr-src"); val out = tmp("sctr-out"); val ck = tmp("sctr-ck")
+    import graft.operators.Behavior
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 spans all three batches (two bridge pairs), u2 bridges over
+    // an absent middle batch, u3 lives entirely in batch 1
+    val b1 = Seq((1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (2L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "b", ts("2024-01-01 10:30:00")),
+      (3L, "a", ts("2024-01-01 10:45:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "c", ts("2024-01-02 10:00:00")),
+      (1L, "a", ts("2024-01-02 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b3 = Seq((1L, "b", ts("2024-01-03 10:00:00")),
+      (2L, "b", ts("2024-01-03 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.transitionIngestStream(spark, b1.schema, src, out, ck)
+    def snap = Ingest.transitionSnapshot(spark, out)
+      .collect().map(_.toSeq).toSeq
+    def oneShot(df: org.apache.spark.sql.DataFrame) =
+      Behavior.transitionMatrix(df).collect().map(_.toSeq).toSeq
+    assert(snap == oneShot(b1.unionByName(b2)))
+    // restart picks up only the new batch; u2's bridge skips batch 2
+    b3.coalesce(1).write.mode("append").parquet(src)
+    Ingest.transitionIngestStream(spark, b1.schema, src, out, ck)
+    val full = oneShot(b1.unionByName(b2).unionByName(b3))
+    assert(snap == full)
+    // the cross-batch bridges are really in there: u1's b->c (batch
+    // 1 -> 2) and a->b (2 -> 3), u2's a->b (1 -> 3)
+    val m = Ingest.transitionSnapshot(spark, out)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("b", "c")) == 1L && m(("a", "b")) >= 2L, m.toString)
+    // idle restart: nothing re-lands, counts unchanged
+    Ingest.transitionIngestStream(spark, b1.schema, src, out, ck)
+    assert(snap == full)
+  }
 }
