@@ -34,8 +34,23 @@ object Golden {
   }
 
   val goldenPath = "src/test/resources/goldens-sf0.001.txt"
+  val curateGoldenPath = "src/test/resources/golden-curate-sf0.001.txt"
 
-  /** Regenerate the golden file: `runMain graft.tools.Golden`. */
+  /** Canonical digest of the flagship 17-stage curation pipeline's
+    * PACKED output at default settings — the end-to-end golden the
+    * per-stage oracles can't give (a stage-ordering or seed regression
+    * changes the composition while every stage stays individually
+    * green). Rows sorted by every column for a deterministic digest;
+    * stats off (CurateSpec law: identical packed output). */
+  def curateDigest(spark: SparkSession, sf: String): String = {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val (packed, _) = graft.pipelines.Curate.run(docs, stats = false)
+    import org.apache.spark.sql.functions.col
+    digest(packed.orderBy(packed.columns.sorted.map(col).toIndexedSeq: _*))
+  }
+
+  /** Regenerate the golden files: `runMain graft.tools.Golden`. */
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local(8, "golden-gen")
     val sf = "/root/testdata/sf0.001"
@@ -45,6 +60,9 @@ object Golden {
     Files.createDirectories(Paths.get("src/test/resources"))
     Files.writeString(Paths.get(goldenPath), lines.mkString("\n") + "\n")
     println(s"wrote ${lines.size} goldens to $goldenPath")
+    Files.writeString(Paths.get(curateGoldenPath),
+      curateDigest(spark, sf) + "\n")
+    println(s"wrote curate golden to $curateGoldenPath")
     spark.stop()
   }
 }

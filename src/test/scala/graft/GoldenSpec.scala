@@ -23,4 +23,15 @@ class GoldenSpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("the 17-stage curate pipeline's packed output matches its end-to-end golden") {
+    // per-stage oracles can't catch a stage-ORDERING or seed
+    // regression in the composition; this one digest can
+    val src = Source.fromResource("golden-curate-sf0.001.txt")
+    val want = try src.getLines().next().trim finally src.close()
+    val got = Golden.curateDigest(spark, sf)
+    assert(got == want,
+      s"curate packed digest $got != $want — if the change is " +
+        "intentional, regenerate with `runMain graft.tools.Golden`")
+  }
 }
