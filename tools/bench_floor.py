@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Build BASELINE-bench.json: the per-query idle-floor — min over every
+round's recorded per-query seconds (dev tool only, driver-side python).
+
+Sources, in decreasing fidelity:
+  - BENCH_DETAIL.json (full-precision reps of the latest full run; only
+    load-gated reps are taken, "gated":false rows fall back to all reps)
+  - bench-summary.json + each BENCH_r*.json tail's compact line (2dp
+    mins; truncated maps contribute whatever queries they kept)
+
+Future regressions should be judged against this floor rather than the
+previous (possibly noise-inflated) round. Regenerate after any round
+whose bench beats the floor: python3 tools/bench_floor.py
+"""
+import glob
+import json
+import os
+import re
+
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+floor = {}
+seen_rounds = []
+
+
+def take(name, sec, src):
+    if sec <= 0:
+        return
+    if name not in floor or sec < floor[name]["sec"]:
+        floor[name] = {"sec": round(float(sec), 3), "src": src}
+
+
+def compact_lines(text):
+    for m in re.finditer(r'\{"metric":"total".*?"queries":\{[^{}]*\}[^{}]*\}',
+                         text):
+        try:
+            yield json.loads(m.group(0))
+        except json.JSONDecodeError:
+            continue
+
+
+for path in sorted(glob.glob("BENCH_r*.json")):
+    rnd = path.replace(".json", "")
+    try:
+        tail = json.load(open(path)).get("tail", "") or ""
+    except (json.JSONDecodeError, OSError):
+        continue
+    got = False
+    for obj in compact_lines(tail):
+        qs = obj.get("queries", {})
+        if isinstance(qs, dict):
+            for name, sec in qs.items():
+                if isinstance(sec, (int, float)):
+                    take(name, sec, rnd)
+                    got = True
+    if got:
+        seen_rounds.append(rnd)
+
+if os.path.exists("BENCH_DETAIL.json"):
+    try:
+        detail = json.load(open("BENCH_DETAIL.json"))
+        for name, row in detail.get("queries", {}).items():
+            reps = row.get("reps", [])
+            loads = row.get("loads", [])
+            gate = detail.get("load", {}).get("floor",
+                detail.get("load", {}).get("gate", 1e9))
+            quals = [r for r, l in zip(reps, map(float, loads))
+                     if l <= float(gate)] or reps
+            if quals:
+                take(name, min(quals), "BENCH_DETAIL")
+        seen_rounds.append("BENCH_DETAIL")
+    except (json.JSONDecodeError, OSError, ValueError):
+        pass
+
+out = {
+    "note": "per-query idle floor: min sec over all rounds' recorded "
+            "bench values (load-gated where available); judge "
+            "regressions against this, not the previous round",
+    "rounds": seen_rounds,
+    "n_queries": len(floor),
+    "total_floor_sec": round(sum(v["sec"] for v in floor.values()), 2),
+    "queries": {k: floor[k] for k in sorted(floor)},
+}
+with open("BASELINE-bench.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(f"wrote BASELINE-bench.json: {len(floor)} queries, "
+      f"total floor {out['total_floor_sec']}s from {len(seen_rounds)} sources")
