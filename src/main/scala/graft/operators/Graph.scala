@@ -38,7 +38,7 @@ object Graph {
     *     law: assoc ≈ exact within 1e-9 on planted graphs; SCALE.md
     *     hot-node stress row for the scale shape).
     */
-  private def nodeSum(c: Column, exact: Boolean): Column =
+  private[graft] def nodeSum(c: Column, exact: Boolean): Column =
     if (exact) fold9(c) else round(sum(c), 9)
 
   /** PageRank by power iteration with damping `d`:

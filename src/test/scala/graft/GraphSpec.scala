@@ -88,10 +88,19 @@ class GraphSpec extends SparkSpec {
     assert(ex.keySet == as.keySet)
     val maxDiff = ex.keys.map(v => math.abs(ex(v) - as(v))).max
     assert(maxDiff <= 1e-9, s"assoc vs exact max diff $maxDiff")
-    // and the assoc plan carries NO collect_list aggregation buffer
-    val plan = Graph.pagerank(e, iters = 1, exact = false)
+    // and the assoc per-node aggregation carries NO collect_list
+    // buffer. Asserted on the aggregation frame itself: the pagerank
+    // RETURN value is localCheckpoint-truncated (a checkpoint-read +
+    // sort), so its plan would read clean in BOTH modes — the r10
+    // vacuity fix. The exact-mode positive control proves the probe
+    // sees the buffer when it IS there.
+    def aggPlan(exact: Boolean) = e
+      .groupBy("dst").agg(Graph.nodeSum(col("src").cast("double"), exact))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_list"), "assoc mode must not collect per-node arrays")
+    assert(aggPlan(exact = true).contains("collect_list"),
+      "probe sanity: the exact fold must show its collect_list buffer")
+    assert(!aggPlan(exact = false).contains("collect_list"),
+      "assoc mode must not collect per-node arrays")
   }
 
   test("assoc mode law: hits(exact=false) matches exact within 1e-9") {
