@@ -79,26 +79,26 @@ object Bench {
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // Self-labelling + LOAD-GATED reps (the Stress discipline, r7;
-    // gating r9; two-tier r10): this sandbox is a microVM with
-    // invisible neighbor load, and a driver-side run in a noise
+    // gating r9; retry-until-quiet r10): this sandbox is a microVM
+    // with invisible neighbor load, and a driver-side run in a noise
     // episode reads uniformly 2-4x the idle cost with zero code
     // difference (r6 forensic). Protocol: sample the 1-min load
     // average before EVERY rep; reps keep re-running up to `maxReps`
     // until one qualifies under the STRICT gate (startLoad +
-    // gateDelta). Reported time prefers, in order:
-    //   1. min over STRICT-qualifying reps (load <= start + delta);
-    //   2. min over FLOOR-qualifying reps (load <= max of the strict
-    //      gate and cpus/4 — the bench's OWN sustained 32-thread work
-    //      legitimately drags the 1-min average to ~cpus/4 mid-run; a
-    //      start-relative gate alone rejected 98/154 rows of its own
-    //      self-load in the first full run), still "gated":true;
-    //   3. min over all reps, flagged "gated":false — the episode
-    //      outlasted the cap.
-    // The r9 protocol accepted tier 2 immediately, so reps at load
-    // 5-7 qualified without ever retrying for a quieter one and read
-    // +30-50% (the r9 verdict's p04/p56/r57 "regressions" — all
-    // measurement, no code). Every rep's raw time and load land in
-    // the detail artifact, so an outlier row carries its own evidence.
+    // gateDelta) — the r9 gate accepted its cpus/4 floor immediately,
+    // so reps at load 5-7 never retried for a quieter window and read
+    // +30-50% (the r9 verdict's p04/p56/r57 phantom regressions).
+    // Reported time = min over ALL reps: load noise is one-directional
+    // (a busy host can only INFLATE a cold run, never deflate it —
+    // caches are cleared between reps), so discarding a faster rep
+    // because its pre-rep load was high would keep the WORSE estimate;
+    // the gates exist to force retries and to label confidence, not to
+    // filter the min. "gated":false = no rep ever saw load under the
+    // floor gate (max of strict and cpus/4 — the bench's OWN sustained
+    // 32-thread work legitimately drags the 1-min average to ~cpus/4
+    // mid-run), so even the min may be episode-inflated. Every rep's
+    // raw time and load land in the detail artifact, so an outlier
+    // row carries its own evidence.
     val maxReps = 4
     val gateDelta = 2.0
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -121,14 +121,8 @@ object Bench {
         reps += ((dt, load))
         n += 1
       }
-      val strict = reps.filter(_._2 <= strictGate)
-      val floor = reps.filter(_._2 <= floorGate)
-      val gated = floor.nonEmpty
-      val sec =
-        if (reps.isEmpty) 0.0
-        else if (strict.nonEmpty) strict.map(_._1).min
-        else if (gated) floor.map(_._1).min
-        else reps.map(_._1).min
+      val gated = reps.exists(_._2 <= floorGate)
+      val sec = if (reps.isEmpty) 0.0 else reps.map(_._1).min
       (name, sec, reps.toSeq, gated)
     }
     // A throwing query contributes NOTHING to the total or the map: a
@@ -150,7 +144,7 @@ object Bench {
         s""""loads":[${reps.map(r => fmt2(r._2)).mkString(",")}],"gated":$gated}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min over reps with pre-rep 1-min load <= start+$gateDelta (load.gate; extra reps to $maxReps until one qualifies); if none, min over reps with load <= max(start+$gateDelta, cpus/4) (load.floor, still gated:true); else min over all, gated:false; all reps cold","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min over ALL cold reps (noise only inflates); extra reps to $maxReps until one sees pre-rep 1-min load <= start+$gateDelta (load.gate); gated:false = no rep saw load <= max(start+$gateDelta, cpus/4) (load.floor), so even the min may be episode-inflated","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""
     println(fullLine)
     val compact = compactLine(okMin, failed.toSeq, total, runs, sfLabel,
       loadStats = loadStats)
