@@ -266,18 +266,37 @@ object Behavior {
     * Output: cohort (date), k (periods since cohort), n_active,
     * retention (ordered by cohort, k). */
   def cohortRetention(events: DataFrame, period: String = "week",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    retentionFromCells(activityCells(events, period, userCol, tsCol), period)
+
+  /** The distinct (u, bucket) activity cells of an event frame — the
+    * SUFFICIENT STATISTIC for cohort retention (cohort = each user's
+    * MIN bucket, because `date_trunc` is monotone, so the trunc of the
+    * first event is the min of the truncs), and a set, hence additive-
+    * by-union over ANY batch split — what makes the streamed form
+    * ([[graft.streaming.Ingest.retentionCellsStream]]) exact with
+    * per-batch state ≤ users × periods cells. */
+  def activityCells(events: DataFrame, period: String = "week",
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
-    val perDays = period.toLowerCase match {
-      case "week" => 7
-      case "day" => 1
-      case other => throw new IllegalArgumentException(
-        s"period must be week or day (month is not fixed-width), got $other")
-    }
-    val e = events.select(col(userCol).as("u"), col(tsCol).as("t"))
-    val cohorts = e.groupBy("u")
-      .agg(to_date(date_trunc(period, min(col("t")))).as("cohort"))
-    val active = e.select(col("u"),
-      to_date(date_trunc(period, col("t"))).as("bucket")).distinct()
+    periodDays(period) // validate early
+    events.select(col(userCol).as("u"),
+      to_date(date_trunc(period, col(tsCol))).as("bucket")).distinct()
+  }
+
+  private def periodDays(period: String): Int = period.toLowerCase match {
+    case "week" => 7
+    case "day" => 1
+    case other => throw new IllegalArgumentException(
+      s"period must be week or day (month is not fixed-width), got $other")
+  }
+
+  /** [[cohortRetention]] from (possibly duplicated) landed
+    * [[activityCells]] — the read side of the streamed ingest. */
+  def retentionFromCells(cells: DataFrame,
+      period: String = "week"): DataFrame = {
+    val perDays = periodDays(period)
+    val active = cells.select(col("u"), col("bucket")).distinct()
+    val cohorts = active.groupBy("u").agg(min(col("bucket")).as("cohort"))
     val counts = cohorts.join(active, Seq("u"))
       .select(col("cohort"),
         (datediff(col("bucket"), col("cohort")) / perDays).cast("int").as("k"))

@@ -576,41 +576,45 @@ object Ingest {
           val tmp = outDir + "_tmp"
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
           merged.write.partitionBy("kb").mode("overwrite").parquet(tmp)
-          // Park-then-promote swap: the old bucket is renamed aside
-          // (never deleted) before the new one is promoted, so a crash
-          // at any point leaves the old data either in place or in the
-          // backup dir — and restoreParkedBuckets puts it back on
-          // replay. Deletion of old data happens only after every
-          // touched bucket promoted successfully.
-          val bak = new org.apache.hadoop.fs.Path(outDir + "_bak")
-          fs.delete(bak, true)
-          fs.mkdirs(bak)
-          touched.foreach { b =>
-            val src = new org.apache.hadoop.fs.Path(s"$tmp/kb=$b")
-            val dst = new org.apache.hadoop.fs.Path(s"$outDir/kb=$b")
-            fs.mkdirs(dst.getParent)
-            // Every rename result is CHECKED: an unchecked false (how
-            // HDFS reports most failures) would either let the later
-            // backup delete destroy the only copy of the bucket, or —
-            // if the park failed and dst still exists — nest the new
-            // directory INSIDE the old one. A throw here aborts the
-            // batch before any delete; restoreParkedBuckets heals on
-            // the next start.
-            if (fs.exists(dst))
-              require(fs.rename(dst, new org.apache.hadoop.fs.Path(bak, s"kb=$b")),
-                s"cdcUpsertStreamPartitioned: failed to park $dst")
-            if (fs.exists(src))
-              require(fs.rename(src, dst),
-                s"cdcUpsertStreamPartitioned: failed to promote $src")
-          }
-          fs.delete(bak, true)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          promoteTouchedBuckets(fs, outDir, tmp, touched.toIndexedSeq,
+            "cdcUpsertStreamPartitioned")
         }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Park-then-promote swap of the touched `kb=` buckets from a
+    * freshly-written `tmp` dir into the live snapshot: each old bucket
+    * is renamed aside (never deleted) before its replacement is
+    * promoted, so a crash at any point leaves the old data either in
+    * place or in the backup dir — and [[restoreParkedBuckets]] puts it
+    * back on replay. Deletion of old data happens only after every
+    * touched bucket promoted successfully. Every rename result is
+    * CHECKED: an unchecked false (how HDFS reports most failures)
+    * would either let the later backup delete destroy the only copy of
+    * the bucket, or — if the park failed and dst still exists — nest
+    * the new directory INSIDE the old one. A throw aborts the batch
+    * before any delete; restoreParkedBuckets heals on the next start. */
+  private def promoteTouchedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String, tmp: String, touched: Seq[Int], what: String): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(outDir + "_bak")
+    fs.delete(bak, true)
+    fs.mkdirs(bak)
+    touched.foreach { b =>
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/kb=$b")
+      val dst = new org.apache.hadoop.fs.Path(s"$outDir/kb=$b")
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(dst))
+        require(fs.rename(dst, new org.apache.hadoop.fs.Path(bak, s"kb=$b")),
+          s"$what: failed to park $dst")
+      if (fs.exists(src))
+        require(fs.rename(src, dst), s"$what: failed to promote $src")
+    }
+    fs.delete(bak, true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** A snapshot "exists" only if its directory holds any non-hidden
@@ -780,6 +784,67 @@ object Ingest {
     spark.read.parquet(s"$statePath/batch_id=${ids.max}")
   }
 
+  /** [[funnelIngestStream]] for LARGE user populations: the state is
+    * a live user-hash-bucketed snapshot (`kb=` layout) and each batch
+    * rewrites ONLY the buckets its users touch — the
+    * [[cdcUpsertStreamPartitioned]] park-then-promote discipline —
+    * instead of re-landing the whole users-sized frame per batch (the
+    * per-batch-id snapshot form's cost: fine for dashboards, a full-
+    * state rewrite per micro-batch at a billion users). Replay safety
+    * here comes from IDEMPOTENCE rather than pinning: the fold is a
+    * per-user min under the arrival contract, so re-applying a batch
+    * against already-promoted state reproduces that state bit for bit
+    * (step(step(S, B), B) == step(S, B) — each batch contribution
+    * min-folds to itself; StreamingSpec SCFNP exercises the replay).
+    * A crash mid-swap is healed by [[restoreParkedBuckets]]. Read the
+    * state with `spark.read.parquet(outDir)` (drop `kb`) +
+    * [[graft.operators.Behavior.funnelCountsFromUsers]]. */
+  def funnelIngestStreamPartitioned(spark: SparkSession,
+      schema: StructType, srcDir: String, outDir: String,
+      checkpoint: String, steps: Seq[String], userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      within: Option[String] = None, nBuckets: Int = 16,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    restoreParkedBuckets(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), outDir)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        import graft.operators.Behavior
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          ss.sparkContext.hadoopConfiguration)
+        val kb = pmod(hash(col(userCol)), lit(nBuckets))
+        val touched = batch.select(kb.as("kb")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          restoreParkedBuckets(fs, outDir)
+          val prior =
+            if (snapshotExists(fs, outDir))
+              ss.read.parquet(outDir)
+                .filter(col("kb")
+                  .isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
+                .drop("kb")
+            else Behavior.emptyFunnelState(ss, steps, userCol)
+          val merged = Behavior.funnelUsersStep(prior, batch, steps,
+              userCol, typeCol, tsCol, within)
+            .withColumn("kb", pmod(hash(col(userCol)), lit(nBuckets)))
+          val tmp = outDir + "_tmp"
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          merged.write.partitionBy("kb").mode("overwrite").parquet(tmp)
+          promoteTouchedBuckets(fs, outDir, tmp, touched.toIndexedSeq,
+            "funnelIngestStreamPartitioned")
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming transition counts: each micro-batch lands its OWN
     * (from_type, to_type, n) pair counts — within-batch adjacent
     * pairs plus the per-user BRIDGE pair from the carried last-event
@@ -843,6 +908,43 @@ object Ingest {
   def transitionSnapshot(spark: SparkSession, outPath: String): DataFrame =
     graft.operators.Behavior.transitionsFromPairs(
       spark.read.parquet(s"$outPath/pairs"))
+
+  /** Streaming cohort retention: each micro-batch lands its OWN
+    * distinct (u, bucket) activity cells
+    * ([[graft.operators.Behavior.activityCells]] — the sufficient
+    * statistic: cohort = min bucket per user, additive-by-UNION over
+    * any batch split, ≤ users × periods rows regardless of batch
+    * bytes) as a per-batch-id OVERWRITE partition; replay re-lands
+    * identical cells, and duplicates across batches are harmless
+    * because the read side re-distincts. No carried state, no arrival-
+    * order contract (unlike the funnel fold — a set union is order-
+    * free), so [[retentionSnapshot]] ==
+    * [[graft.operators.Behavior.cohortRetention]] over everything
+    * ingested under ANY delivery order (SCRT law). */
+  def retentionCellsStream(spark: SparkSession, schema: StructType,
+      srcDir: String, outDir: String, checkpoint: String,
+      period: String = "week", userCol: String = "user_id",
+      tsCol: String = "ts", maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Behavior.activityCells(batch, period, userCol, tsCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Cohort retention over the landed activity cells. */
+  def retentionSnapshot(spark: SparkSession, outDir: String,
+      period: String = "week"): DataFrame =
+    graft.operators.Behavior.retentionFromCells(
+      spark.read.parquet(outDir).select("u", "bucket"), period)
 
   def dedupIngestStream(spark: SparkSession, docSchema: StructType,
       srcDir: String, corpusDir: String, indexPath: String, checkpoint: String,
@@ -1263,6 +1365,36 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.functions.Sketch.valueHistogram(batch, valueCol, lo, hi, bins)
+          .write.mode("overwrite").parquet(s"$histDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Grouped sibling of [[histogramIngestStream]]: each micro-batch
+    * lands its (group, bin, c) cells
+    * ([[graft.functions.Sketch.valueHistogramBy]] under ONE frozen
+    * domain shared by every group) as a per-batch-id OVERWRITE
+    * partition — ≤ groups × bins rows per batch regardless of batch
+    * bytes, additive per (group, bin). The per-SEGMENT drift monitor
+    * is then pure batch composition:
+    * [[graft.operators.Quality.psiFromHistogramsBy]] over the summed
+    * landed cells vs a frozen grouped reference == one-shot
+    * [[graft.operators.Quality.psiBy]] bit for bit (SCPSIB law). */
+  def groupedHistogramIngestStream(spark: SparkSession,
+      docSchema: StructType, srcDir: String, histDir: String,
+      checkpoint: String, groupCol: String, valueCol: String, lo: Double,
+      hi: Double, bins: Int = 256, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.functions.Sketch.valueHistogramBy(batch, groupCol, valueCol,
+            lo, hi, bins)
           .write.mode("overwrite").parquet(s"$histDir/batch_id=$id")
         ()
       }

@@ -43,7 +43,7 @@ object Stress {
     "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
     "url", "drift", "span", "sdecon", "wfp", "bdecon", "prassoc", "prexact",
     "entres", "routlier", "routlierx", "binjoin", "ghll", "psi", "winsor",
-    "funnel", "retention")
+    "funnel", "retention", "psiby", "winsorby", "transitions")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -381,6 +381,42 @@ object Stress {
           graft.operators.Behavior.funnelCounts(ev,
             Seq("view", "click", "purchase"), within = Some("14 DAYS"))
         else graft.operators.Behavior.cohortRetention(ev, "week")
+      case "transitions" =>
+        // per-user adjacency window + two summary-sized aggregations;
+        // the claim under test is user-partitioned (never global)
+        // sorting — a power user costs one sorted partition
+        val ev = docs.select(
+          (col("doc_id") % lit(math.max(n / 20, 1))).as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("other"), lit("view")),
+            (col("doc_id") % 5 + 1).cast("int")).as("event_type"),
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") * 37) % 5000000)
+            .as("ts"))
+        graft.operators.Behavior.transitionMatrix(ev)
+      case "psiby" =>
+        // grouped numeric drift, 16 segments x 1024 bins: same two
+        // linear passes as psi, onto groups x bins cells; the dense
+        // spine and per-group totals are all summary-sized
+        val va = docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") % 16).cast("string").as("g"),
+            (col("doc_id") % 1000).cast("double").as("v"))
+        val vb = docs.filter(col("doc_id") % 3 =!= 0)
+          .select((col("doc_id") % 16).cast("string").as("g"),
+            ((col("doc_id") % 1000) + col("doc_id") % 7)
+              .cast("double").as("v"))
+        graft.operators.Quality.psiBy(va, vb, "g", "v", lo = 0.0,
+          hi = 1100.0, bins = 1024)
+      case "winsorby" =>
+        // per-segment two-pass clip, 16 segments with 100x scale
+        // spread + planted 1e12 spikes: per-group state <= bins longs,
+        // clip bounds broadcast back
+        val vals = docs.select(col("doc_id"),
+          (col("doc_id") % 16).cast("string").as("g"),
+          when(col("doc_id") % 100000 === 0, lit(1e12))
+            .otherwise(sin(col("doc_id").cast("double") * 0.37) *
+              (lit(1.0) + (col("doc_id") % 16) * 100))
+            .as("v"))
+        graft.operators.Quality.winsorizeBy(vals, "g", "v")
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized

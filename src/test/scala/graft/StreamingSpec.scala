@@ -950,6 +950,73 @@ class StreamingSpec extends SparkSpec {
     assert(total > 0.25, s"PSI $total")
   }
 
+  test("SCPSIB: streamed grouped cells + psiFromHistogramsBy == one-shot psiBy, bit for bit") {
+    val src = tmp("scpsib-src"); val hist = tmp("scpsib-hist"); val ck = tmp("scpsib-ck")
+    val ref = ((1 to 400).map(i => ("en", 100.0 + (i % 200))) ++
+      (1 to 400).map(i => ("de", 300.0 + (i % 100)))).toDF("g", "v")
+    // only the en segment drifts, split across two batches; de's live
+    // sample is its reference's exact multiset (PSI identically 0)
+    val b1 = ((1 to 150).map(i => ("en", 600.0 + (i % 150))) ++
+      (1 to 400).map(i => ("de", 300.0 + (i % 100)))).toDF("g", "v")
+    val b2 = (1 to 150).map(i => ("en", 700.0 + (i % 150))).toDF("g", "v")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.groupedHistogramIngestStream(spark, b1.schema, src, hist, ck,
+      "g", "v", lo = 0.0, hi = 1000.0, bins = 128)
+    def landed = spark.read.parquet(hist)
+      .groupBy("group", "bin").agg(sum("c").cast("long").as("c"))
+    val refHist = graft.functions.Sketch.valueHistogramBy(ref, "g", "v",
+      0.0, 1000.0, 128)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("group", "bin", "ca", "cb", "pa", "pb", "psi_term")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(graft.operators.Quality
+      .psiFromHistogramsBy(refHist, landed, 128))
+    val oneShot = rows(graft.operators.Quality
+      .psiBy(ref, b1.unionByName(b2), "g", "v", 0.0, 1000.0, 128))
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // per-segment verdicts: en trips the action line, de stays quiet
+    val tot = graft.operators.Quality.psiFromHistogramsBy(refHist, landed, 128)
+      .groupBy("group").agg(sum("psi_term").as("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tot("en") > 0.25, tot.toString)
+    assert(tot("de") < 0.1, tot.toString)
+    // replay lands nothing twice
+    Ingest.groupedHistogramIngestStream(spark, b1.schema, src, hist, ck,
+      "g", "v", lo = 0.0, hi = 1000.0, bins = 128)
+    assert(landed.agg(sum("c")).as[Long].head() == 700L)
+  }
+
+  test("SCRT: streamed retention cells == one-shot cohortRetention under any delivery order; replay clean") {
+    val src = tmp("scrt-src"); val out = tmp("scrt-out"); val ck = tmp("scrt-ck")
+    import graft.operators.Behavior
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // deliberately OUT-OF-ORDER batches (cells are a set union — no
+    // arrival contract, unlike the funnel fold): batch 2 carries the
+    // EARLIEST event, moving u1's cohort back a week after the fact
+    val b1 = Seq((1L, ts("2024-01-10 10:00:00")),
+      (2L, ts("2024-01-10 11:00:00")),
+      (1L, ts("2024-01-17 10:00:00")))
+      .toDF("user_id", "ts")
+    val b2 = Seq((1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-18 09:00:00")))
+      .toDF("user_id", "ts")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    Ingest.retentionCellsStream(spark, b1.schema, src, out, ck)
+    def snap = Ingest.retentionSnapshot(spark, out)
+      .collect().map(_.toSeq).toSeq
+    def oneShot(df: org.apache.spark.sql.DataFrame) =
+      Behavior.cohortRetention(df).collect().map(_.toSeq).toSeq
+    assert(snap == oneShot(b1))
+    // the late batch restates u1's cohort — a pure re-read, no rescan
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.retentionCellsStream(spark, b1.schema, src, out, ck)
+    assert(snap == oneShot(b1.unionByName(b2)))
+    // replay lands nothing twice
+    Ingest.retentionCellsStream(spark, b1.schema, src, out, ck)
+    assert(snap == oneShot(b1.unionByName(b2)))
+  }
+
   test("SCCer: streamed entity resolution == one-shot full recompute; merge + chained remaps; replay clean") {
     val src = tmp("sccer-src"); val idx = tmp("sccer-idx"); val ck = tmp("sccer-ck")
     // Names are "p" + 'x'*id (lev = id gap). Batch 1: entities {1,2}
@@ -1355,6 +1422,49 @@ class StreamingSpec extends SparkSpec {
     Ingest.funnelIngestStream(spark, b1.schema, src, st, ck, steps,
       within = within)
     assert(snap == full)
+  }
+
+  test("SCFNP: partitioned funnel state == one-shot; untouched buckets not rewritten; replay clean") {
+    val src = tmp("scfnp-src"); val out = tmp("scfnp-out"); val ck = tmp("scfnp-ck")
+    import graft.operators.Behavior
+    val steps = Seq("view", "click")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = (1L to 8L).map(u => (u, "view", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "click", ts("2024-01-02 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    Ingest.funnelIngestStreamPartitioned(spark, b1.schema, src, out, ck,
+      steps, nBuckets = 4)
+    def snap = spark.read.parquet(out).drop("kb")
+      .collect().map(_.toSeq).toSet
+    def oneShot(df: org.apache.spark.sql.DataFrame) =
+      Behavior.funnelUsers(df, steps).collect().map(_.toSeq).toSet
+    assert(snap == oneShot(b1))
+    // find a live bucket batch 2 does NOT touch, and fingerprint it
+    val kb1 = Seq(1L).toDF("user_id")
+      .select(pmod(hash($"user_id"), lit(4)).as("kb")).head.getInt(0)
+    def listing(b: Int) = new java.io.File(s"$out/kb=$b").listFiles()
+      .filterNot(_.getName.startsWith(".")).map(f =>
+        (f.getName, f.lastModified)).toSet
+    val untouched = (0 until 4).filter(_ != kb1)
+      .filter(b => new java.io.File(s"$out/kb=$b").exists()).head
+    val before = listing(untouched)
+    // batch 2 arrives after a restart: only user 1's bucket rewrites
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.funnelIngestStreamPartitioned(spark, b1.schema, src, out, ck,
+      steps, nBuckets = 4)
+    assert(snap == oneShot(b1.unionByName(b2)))
+    assert(listing(untouched) == before,
+      s"bucket kb=$untouched was rewritten by a batch that never touched it")
+    // idle restart: nothing reprocessed, state byte-stable
+    val all = (0 until 4)
+      .filter(b => new java.io.File(s"$out/kb=$b").exists())
+      .map(b => b -> listing(b)).toMap
+    Ingest.funnelIngestStreamPartitioned(spark, b1.schema, src, out, ck,
+      steps, nBuckets = 4)
+    assert(snap == oneShot(b1.unionByName(b2)))
+    assert(all.forall { case (b, l) => listing(b) == l })
   }
 
   test("SCTR: streamed transition counts (+ cross-batch bridges) == one-shot transitionMatrix; replay clean") {
