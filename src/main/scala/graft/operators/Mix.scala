@@ -316,16 +316,22 @@ object Mix {
     * vocabulary, which is the whole point — the downstream model state
     * is O(buckets), never O(vocab). Output: doc_id, bucket, c. */
   private[graft] def ngramBuckets(docs: DataFrame, buckets: Int,
-      idCol: String, textCol: String): DataFrame = {
-    val t = Fanout(docs, idCol).select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("t"))
-    t.select(col("doc_id"), explode(concat(col("t"),
+      idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` rides metadata columns (e.g. a segment key for the
+    // grouped drift monitor) through the explode without a second
+    // corpus scan + doc-keyed join to re-attach them.
+    val cc = carry.map(col)
+    val t = Fanout(docs, idCol).select(col(idCol).as("doc_id") +: cc :+
+      split(col(textCol), " ").as("t"): _*)
+    t.select(col("doc_id") +: cc :+ explode(concat(col("t"),
         expr("transform(sequence(1, greatest(size(t) - 1, 0))," +
-          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))).as("g"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-          % buckets).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).cast("long").as("c"))
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))).as("g"): _*)
+      .select(col("doc_id") +: cc :+
+        ((conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          % buckets).as("bucket")): _*)
+      .groupBy(col("doc_id") +: cc :+ col("bucket"): _*)
+      .agg(count(lit(1)).cast("long").as("c"))
   }
 
   /** DSIR importance scores (Data Selection via Importance Resampling,

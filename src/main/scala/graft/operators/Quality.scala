@@ -599,6 +599,74 @@ object Quality {
           .as("js_term"))
   }
 
+  /** Per-segment [[corpusDrift]] — text drift monitored PER GROUP
+    * (per lang / source / domain), because a corpus-global divergence
+    * washes out one segment's scraper gone bad exactly the way a
+    * global PSI hides one segment's shift ([[psiBy]]'s argument, on
+    * the text side). Each side reduces to [[driftCountsBy]] grouped
+    * bucket models; every (group, bucket) row carries add-one-smoothed
+    * probabilities under the GROUP's totals and its JS contribution;
+    * Σ js_term per group is that segment's divergence in nats.
+    * Output: group, bucket, ca, cb, pa, pb, js_term. */
+  def corpusDriftBy(old: DataFrame, curr: DataFrame, groupCol: String,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    driftFromCountsBy(driftCountsBy(old, groupCol, buckets, idCol, textCol),
+      driftCountsBy(curr, groupCol, buckets, idCol, textCol), buckets)
+
+  /** Per-group [[driftCounts]]: hashed-ngram bucket counts keyed by a
+    * segment column, carried THROUGH the explode (no second corpus
+    * scan to re-attach the group). ≤ groups × buckets rows, additive
+    * per (group, bucket) over disjoint batches. Output: group,
+    * bucket, n. */
+  def driftCountsBy(df: DataFrame, groupCol: String, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(groupCol != idCol,
+      "driftCountsBy: groupCol must differ from idCol")
+    Mix.ngramBuckets(df, buckets, idCol, textCol, carry = Seq(groupCol))
+      .groupBy(col(groupCol).as("group"), col("bucket"))
+      .agg(sum("c").cast("long").as("n"))
+  }
+
+  /** [[corpusDriftBy]] over two PRE-AGGREGATED (group, bucket, n)
+    * tables — the monitor form, composable from landed per-batch
+    * [[driftCountsBy]] summaries. Sparse like [[driftFromCounts]]
+    * (rows exist where either side counted; a group on one side only
+    * still reads loud via its zero-coalesced opposite totals). NULL
+    * groups are their own group. */
+  def driftFromCountsBy(old: DataFrame, curr: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val a = old.select(col("group").as("ga"), col("bucket").as("ba"),
+      col("n").as("ca"))
+    val b = curr.select(col("group").as("gb"), col("bucket").as("bb"),
+      col("n").as("cb"))
+    val na = a.groupBy("ga").agg(sum("ca").cast("long").as("na"))
+      .withColumnRenamed("ga", "gna")
+    val nb = b.groupBy("gb").agg(sum("cb").cast("long").as("nb"))
+      .withColumnRenamed("gb", "gnb")
+    a.join(b, col("ga") <=> col("gb") && col("ba") === col("bb"),
+        "full_outer")
+      .select(coalesce(col("ga"), col("gb")).as("group"),
+        coalesce(col("ba"), col("bb")).as("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .join(broadcast(na), col("group") <=> col("gna"), "left")
+      .join(broadcast(nb), col("group") <=> col("gnb"), "left")
+      .select(col("group"), col("bucket"), col("ca"), col("cb"),
+        ((col("ca") + 1).cast("double") /
+          (coalesce(col("na"), lit(0L)) + buckets)).as("pa"),
+        ((col("cb") + 1).cast("double") /
+          (coalesce(col("nb"), lit(0L)) + buckets)).as("pb"))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+      .select(col("group"), col("bucket"), col("ca"), col("cb"),
+        col("pa"), col("pb"),
+        (lit(0.5) * col("pa") * round(log(col("pa") / col("m")), 6) +
+          lit(0.5) * col("pb") * round(log(col("pb") / col("m")), 6))
+          .as("js_term"))
+  }
+
   /** Population Stability Index between two NUMERIC snapshots — the
     * model-monitoring sibling of [[corpusDrift]] (that one watches
     * text; this one watches a feature/score/amount column for the

@@ -4284,6 +4284,52 @@ object PipelineInventory {
              |FROM events e LEFT JOIN bounds ON bounds.g = e.event_type
              |ORDER BY e.event_id""".stripMargin)),
 
+    // Per-segment text drift (r70 grouped by lang): each language's
+    // own hashed-ngram JS divergence between a snapshot and a mutated
+    // successor where ONLY the en segment is injected with drift
+    // tokens — the grouped monitor reads en loud and the others quiet
+    // where the corpus-global r70 would average them together.
+    QueryDef("r101_drift_by", {
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          coalesce(col("text"), lit("")).as("text"))
+        val curr = docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+          col("lang"),
+          when(col("lang") === "en", concat(col("text"), lit(" drift drift")))
+            .otherwise(col("text")).as("text"))
+        Quality.corpusDriftBy(docs, curr, "lang", buckets = 256)
+          .orderBy("group", "bucket")
+      }},
+      Some(s"""WITH oldd AS (SELECT doc_id, lang, COALESCE(text, '') AS text FROM documents),
+              |curd AS (SELECT doc_id, lang,
+              |    CASE WHEN lang = 'en' THEN COALESCE(text, '') || ' drift drift'
+              |         ELSE COALESCE(text, '') END AS text
+              |  FROM oldd WHERE doc_id % 3 <> 0),
+              |ga AS (SELECT lang, unnest(list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS g
+              |       FROM (SELECT lang, string_split(text, ' ') AS t FROM oldd)),
+              |gb AS (SELECT lang, unnest(list_concat(t, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS g
+              |       FROM (SELECT lang, string_split(text, ' ') AS t FROM curd)),
+              |fa AS (SELECT lang, ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS bucket,
+              |         CAST(COUNT(*) AS BIGINT) AS ca FROM ga GROUP BY 1, 2),
+              |fb AS (SELECT lang, ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS bucket,
+              |         CAST(COUNT(*) AS BIGINT) AS cb FROM gb GROUP BY 1, 2),
+              |na AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS na FROM fa GROUP BY 1),
+              |nb AS (SELECT lang, CAST(SUM(cb) AS BIGINT) AS nb FROM fb GROUP BY 1),
+              |j AS (SELECT COALESCE(fa.lang, fb.lang) AS lang,
+              |        COALESCE(fa.bucket, fb.bucket) AS bucket,
+              |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+              |      FROM fa FULL OUTER JOIN fb
+              |        ON fa.lang = fb.lang AND fa.bucket = fb.bucket),
+              |p AS (SELECT j.lang, bucket, ca, cb,
+              |        (ca + 1)::DOUBLE / (COALESCE(na.na, 0) + 256) AS pa,
+              |        (cb + 1)::DOUBLE / (COALESCE(nb.nb, 0) + 256) AS pb
+              |      FROM j LEFT JOIN na ON na.lang = j.lang
+              |             LEFT JOIN nb ON nb.lang = j.lang),
+              |q AS (SELECT *, (pa + pb) / 2 AS m FROM p)
+              |SELECT lang AS "group", bucket, ca, cb, pa, pb,
+              |  0.5 * pa * ${rrepr("ln(pa / m)", 6)} + 0.5 * pb * ${rrepr("ln(pb / m)", 6)} AS js_term
+              |FROM q ORDER BY "group", bucket""".stripMargin)),
+
     // Leakage-safe temporal split: train / embargo / test assignment
     // from the row's own timestamp, the purge-window rule from
     // financial ML backtesting (a pure narrow CASE — the oracle is the

@@ -483,6 +483,34 @@ class QualitySpec extends SparkSpec {
     assert(tot("only_old") > 0.1, s"only_old ${tot("only_old")}")
   }
 
+  test("corpusDriftBy: per-group rows equal the single-group corpusDrift; vanished segment reads loud") {
+    val old = Seq((1L, "en", "alpha beta gamma"), (2L, "en", "beta gamma delta"),
+      (3L, "de", "eins zwei drei"), (4L, "xx", "gone gone gone gone"))
+      .toDF("doc_id", "lang", "text")
+    val curr = Seq((10L, "en", "spam spam spam"),
+      (11L, "de", "eins zwei drei")).toDF("doc_id", "lang", "text")
+    val by = Quality.corpusDriftBy(old, curr, "lang", buckets = 64)
+    // per group == the ungrouped corpusDrift of that slice, bit for
+    // bit — including xx, present in old only (nb = 0, smoothed loud)
+    Seq("en", "de", "xx").foreach { g =>
+      val slice = Quality.corpusDrift(old.filter(col("lang") === g),
+          curr.filter(col("lang") === g), buckets = 64)
+        .select("bucket", "ca", "cb", "pa", "pb", "js_term")
+        .collect().map(_.toSeq).toSet
+      val grouped = by.filter(col("group") === g)
+        .select("bucket", "ca", "cb", "pa", "pb", "js_term")
+        .collect().map(_.toSeq).toSet
+      assert(grouped == slice, s"group $g")
+    }
+    // the stable segment is quiet; the replaced and vanished ones are
+    // not — per-segment verdicts a corpus-global JS would average away
+    def tot(g: String) = by.filter(col("group") === g)
+      .agg(sum("js_term")).head.getDouble(0)
+    assert(tot("de") < 0.05, s"de ${tot("de")}")
+    assert(tot("en") > tot("de") && tot("xx") > tot("de"),
+      s"en ${tot("en")} xx ${tot("xx")} de ${tot("de")}")
+  }
+
   test("winsorizeBy: each group clips to its OWN band == single-group winsorize; null discipline") {
     val rows = (1 to 500).map(i => (Some("a"), i.toLong, Some(i.toDouble))) ++
       (1 to 500).map(i => (Some("b"), 1000L + i, Some(1000.0 * i))) ++
