@@ -909,6 +909,90 @@ object Ingest {
     graft.operators.Behavior.transitionsFromPairs(
       spark.read.parquet(s"$outPath/pairs"))
 
+  /** [[transitionIngestStream]] for LARGE user populations: the
+    * carried last-event state is LAYERED per user-hash bucket —
+    * `last/kb=B/batch_id=N` holds bucket B's state as of batch N,
+    * written ONLY when batch N touches B, and a batch's prior state is
+    * each touched bucket's newest layer strictly below its own id. So
+    * the users-sized state is never rewritten whole (the funnel
+    * partitioned form's goal), while replay safety stays PINNING-based
+    * like the flat form — the bridge-pair count is NOT idempotent
+    * against post-batch state (recounting against an updated last
+    * would double-bridge), so unlike
+    * [[funnelIngestStreamPartitioned]] this variant must, and does,
+    * re-read exactly the pre-batch layers on replay. Pair counts land
+    * per-batch-id exactly as in [[transitionIngestStream]]; read with
+    * [[transitionSnapshot]] (SCTRP law: == one-shot
+    * [[graft.operators.Behavior.transitionMatrix]] across restarts,
+    * untouched-bucket layers byte-stable). */
+  def transitionIngestStreamPartitioned(spark: SparkSession,
+      schema: StructType, srcDir: String, outPath: String,
+      checkpoint: String, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      nBuckets: Int = 16, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        import graft.operators.Behavior
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          ss.sparkContext.hadoopConfiguration)
+        val kbOf = pmod(hash(col("u")), lit(nBuckets))
+        val touched = batch
+          .select(pmod(hash(col(userCol)), lit(nBuckets)).as("kb"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val prior = touched.toIndexedSeq
+            .flatMap(bk => latestEarlierBatch(ss, s"$outPath/last/kb=$bk",
+              id, "transitionIngestStreamPartitioned last"))
+            .reduceOption(_ unionByName _)
+            .getOrElse(ss.range(0).select(col("id").as("u"),
+              col("id").cast("timestamp").as("t"),
+              col("id").cast("string").as("f")))
+            .localCheckpoint(true)
+          try {
+            val b = batch.localCheckpoint(true)
+            try {
+              Behavior.transitionPairs(b, userCol, typeCol, tsCol)
+                .unionByName(Behavior.transitionBridgePairs(prior, b,
+                  userCol, typeCol, tsCol))
+                .groupBy("from_type", "to_type")
+                .agg(sum("n").cast("long").as("n"))
+                .write.mode("overwrite")
+                .parquet(s"$outPath/pairs/batch_id=$id")
+              // One partitioned staging write, then a rename per
+              // touched bucket into its layer slot — not one Spark job
+              // per bucket. Replay deletes and re-renames each slot,
+              // so a crash mid-loop is invisible to the next attempt.
+              val tmp = s"$outPath/last_tmp"
+              fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+              Behavior.lastEventsStep(prior, b, userCol, typeCol, tsCol)
+                .withColumn("kb", kbOf)
+                .write.partitionBy("kb").mode("overwrite").parquet(tmp)
+              touched.foreach { bk =>
+                val src = new org.apache.hadoop.fs.Path(s"$tmp/kb=$bk")
+                val dst = new org.apache.hadoop.fs.Path(
+                  s"$outPath/last/kb=$bk/batch_id=$id")
+                fs.delete(dst, true)
+                fs.mkdirs(dst.getParent)
+                if (fs.exists(src))
+                  require(fs.rename(src, dst),
+                    s"transitionIngestStreamPartitioned: failed to land $dst")
+              }
+              fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+            } finally { b.unpersist(); () }
+          } finally { prior.unpersist(); () }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming cohort retention: each micro-batch lands its OWN
     * distinct (u, bucket) activity cells
     * ([[graft.operators.Behavior.activityCells]] — the sufficient

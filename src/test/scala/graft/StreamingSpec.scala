@@ -987,6 +987,61 @@ class StreamingSpec extends SparkSpec {
     assert(landed.agg(sum("c")).as[Long].head() == 700L)
   }
 
+  test("SCTRP: partitioned transition state == one-shot; untouched bucket layers byte-stable; replay clean") {
+    val src = tmp("sctrp-src"); val out = tmp("sctrp-out"); val ck = tmp("sctrp-ck")
+    import graft.operators.Behavior
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 spans all three batches (bridges), u3 lives in batch 1 only —
+    // its state bucket must never gain another layer
+    val b1 = Seq((1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (3L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "b", ts("2024-01-01 10:30:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "c", ts("2024-01-02 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b3 = Seq((1L, "b", ts("2024-01-03 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val nb = 8
+    val kb = (u: Long) => Seq(u).toDF("user_id")
+      .select(pmod(hash($"user_id"), lit(nb)).as("kb")).head.getInt(0)
+    // the test's whole point needs u1 and u3 in different buckets
+    assume(kb(1L) != kb(3L), "fixture users must hash to distinct buckets")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.transitionIngestStreamPartitioned(spark, b1.schema, src, out, ck,
+      nBuckets = nb)
+    def snap = Ingest.transitionSnapshot(spark, out)
+      .collect().map(_.toSeq).toSeq
+    def oneShot(df: org.apache.spark.sql.DataFrame) =
+      Behavior.transitionMatrix(df).collect().map(_.toSeq).toSeq
+    assert(snap == oneShot(b1.unionByName(b2)))
+    def layers(b: Int) = {
+      val d = new java.io.File(s"$out/last/kb=$b")
+      if (!d.exists()) Set.empty[(String, Long)]
+      else d.listFiles().filterNot(_.getName.startsWith("."))
+        .flatMap(bd => bd.listFiles().filterNot(_.getName.startsWith("."))
+          .map(f => (bd.getName + "/" + f.getName, f.lastModified))).toSet
+    }
+    val u3Before = layers(kb(3L))
+    assert(u3Before.nonEmpty && u3Before.forall(_._1.startsWith("batch_id=0/")))
+    // batch 3 (only u1) after a restart: u3's bucket gains no layer
+    b3.coalesce(1).write.mode("append").parquet(src)
+    Ingest.transitionIngestStreamPartitioned(spark, b1.schema, src, out, ck,
+      nBuckets = nb)
+    assert(snap == oneShot(b1.unionByName(b2).unionByName(b3)))
+    assert(layers(kb(3L)) == u3Before,
+      "an untouched bucket must not gain or rewrite layers")
+    // u1's bridges all present: b->c (1->2), c->b (2->3)
+    val m = Ingest.transitionSnapshot(spark, out)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("b", "c")) == 1L && m(("c", "b")) == 1L, m.toString)
+    // idle restart: nothing re-lands
+    Ingest.transitionIngestStreamPartitioned(spark, b1.schema, src, out, ck,
+      nBuckets = nb)
+    assert(snap == oneShot(b1.unionByName(b2).unionByName(b3)))
+  }
+
   test("SCRT: streamed retention cells == one-shot cohortRetention under any delivery order; replay clean") {
     val src = tmp("scrt-src"); val out = tmp("scrt-out"); val ck = tmp("scrt-ck")
     import graft.operators.Behavior
