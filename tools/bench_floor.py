@@ -22,6 +22,18 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 floor = {}
 seen_rounds = []
 
+# Fold in the existing floor file first: BENCH_DETAIL.json is
+# overwritten by every full run, so a floor recorded from a
+# since-overwritten quiet run would otherwise be lost on regeneration.
+if os.path.exists("BASELINE-bench.json"):
+    try:
+        prev = json.load(open("BASELINE-bench.json"))
+        for name, row in prev.get("queries", {}).items():
+            floor[name] = {"sec": row["sec"], "src": row.get("src", "prev")}
+        seen_rounds.append("prev-floor")
+    except (json.JSONDecodeError, OSError, KeyError):
+        pass
+
 
 def take(name, sec, src):
     if sec <= 0:
