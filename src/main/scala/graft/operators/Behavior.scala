@@ -54,14 +54,27 @@ object Behavior {
 
   /** The zero-user funnel state frame (userCol, t1..tk) — seed a
     * [[funnelUsersStep]] chain from nothing (the first step then
-    * equals [[funnelUsers]] of its batch). */
-  def emptyFunnelState(spark: org.apache.spark.sql.SparkSession,
-      steps: Seq[String], userCol: String = "user_id"): DataFrame = {
+    * equals [[funnelUsers]] of its batch). Column types DERIVE from
+    * the events frame (a hardcoded bigint/timestamp seed would make
+    * the first batch's full-outer join insert a failing ANSI cast for
+    * string user ids or epoch-long timestamps — the r10 review
+    * finding). */
+  def emptyFunnelState(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
-    val cols = col("id").as(userCol) +:
-      steps.indices.map(i => col("id").cast("timestamp").as(s"t${i + 1}"))
-    spark.range(0).select(cols: _*)
+    val cols = col(userCol) +:
+      steps.indices.map(i => col(tsCol).as(s"t${i + 1}"))
+    events.select(cols: _*).limit(0)
   }
+
+  /** The zero-user last-event state frame (u, t, f) — the
+    * [[lastEvents]] layout, types derived from the events frame (the
+    * [[emptyFunnelState]] argument). Seeds a [[lastEventsStep]] /
+    * [[transitionBridgePairs]] chain. */
+  def emptyLastEvents(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame =
+    events.select(col(userCol).as("u"), col(typeCol).as("f"),
+      col(tsCol).as("t")).limit(0)
 
   /** Fold a NEW batch of events into a prior funnel state — the
     * incremental form of [[funnelUsers]], whose state is one

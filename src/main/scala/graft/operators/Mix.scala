@@ -320,7 +320,14 @@ object Mix {
       carry: Seq[String] = Nil): DataFrame = {
     // `carry` rides metadata columns (e.g. a segment key for the
     // grouped drift monitor) through the explode without a second
-    // corpus scan + doc-keyed join to re-attach them.
+    // corpus scan + doc-keyed join to re-attach them. Carried names
+    // must not shadow the internal aliases — the collision would
+    // surface as an ambiguous-reference AnalysisException deep in the
+    // plan instead of here.
+    val reserved = Set("doc_id", "t", "g", "bucket", "c")
+    require(carry.forall(c => !reserved.contains(c)),
+      s"ngramBuckets: carry columns ${carry.mkString(", ")} collide with " +
+        s"internal aliases (${reserved.mkString(", ")}) — rename upstream")
     val cc = carry.map(col)
     val t = Fanout(docs, idCol).select(col(idCol).as("doc_id") +: cc :+
       split(col(textCol), " ").as("t"): _*)

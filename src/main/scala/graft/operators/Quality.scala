@@ -445,7 +445,15 @@ object Quality {
       .localCheckpoint(true)
     val cur = currentIndex(spark, path)
     val (newRows, remap) = erStepParts(nb, cur, maxDist, maxBlock, maxIter)
-    val n = committedErSteps(spark, path).map(_._1).max + 1
+    val steps = committedErSteps(spark, path)
+    // A flat pre-committed-step index READS fine (currentIndex's
+    // no-commits branch) but cannot be appended to — without this
+    // guard the next line dies with a bare "empty.max".
+    require(steps.nonEmpty,
+      s"resolveEntitiesIncremental: $path has no committed steps — a " +
+        "flat (pre-committed-step) index must be re-seeded with " +
+        "writeEntityIndex before incremental use")
+    val n = steps.map(_._1).max + 1
     newRows.write.mode("overwrite").parquet(s"$path/rows/step=$n")
     remap.write.mode("overwrite").parquet(s"$path/remap/step=$n")
     commitErStep(spark, path, n, base = false)
@@ -704,9 +712,28 @@ object Quality {
   /** [[psi]] over two PRE-AGGREGATED (bin, c) histograms (the
     * [[graft.functions.Sketch.valueHistogram]] layout) — the form the
     * monitor calls repeatedly against a frozen reference summary. */
+  /** Fail loud when a histogram carries bins outside [0, `bins`): the
+    * dense spine would silently DROP those cells while the na/nb
+    * totals still count them, deflating every surviving probability —
+    * the quiet-wrong failure mode of a bins-argument mismatch between
+    * the landing stream and the monitor (r10 review finding). One
+    * tiny job over a ≤ bins-row summary. */
+  private def requireBinsInRange(h: DataFrame, bins: Int,
+      what: String): Unit = {
+    val r = h.agg(min(col("bin").cast("long")),
+      max(col("bin").cast("long"))).head
+    if (!r.isNullAt(1))
+      require(r.getLong(0) >= 0 && r.getLong(1) < bins,
+        s"$what: histogram bin range [${r.getLong(0)}, ${r.getLong(1)}] " +
+          s"outside [0, $bins) — bins argument does not match the " +
+          "histogram's layout")
+  }
+
   def psiFromHistograms(old: DataFrame, curr: DataFrame,
       bins: Int = 256): DataFrame = {
     require(bins > 0, "bins must be positive")
+    requireBinsInRange(old, bins, "psiFromHistograms(old)")
+    requireBinsInRange(curr, bins, "psiFromHistograms(curr)")
     val spark = old.sparkSession
     val a = old.select(col("bin"), col("c").as("ca"))
     val b = curr.select(col("bin"), col("c").as("cb"))
@@ -762,6 +789,8 @@ object Quality {
   def psiFromHistogramsBy(old: DataFrame, curr: DataFrame,
       bins: Int = 256): DataFrame = {
     require(bins > 0, "bins must be positive")
+    requireBinsInRange(old, bins, "psiFromHistogramsBy(old)")
+    requireBinsInRange(curr, bins, "psiFromHistogramsBy(curr)")
     val spark = old.sparkSession
     val a = old.select(col("group").as("ga"), col("bin").as("bina"),
       col("c").as("ca"))

@@ -760,7 +760,7 @@ object Ingest {
         import graft.operators.Behavior
         val prior = latestEarlierBatch(ss, statePath, id,
             "funnelIngestStream state")
-          .getOrElse(Behavior.emptyFunnelState(ss, steps, userCol))
+          .getOrElse(Behavior.emptyFunnelState(batch, steps, userCol, tsCol))
         Behavior.funnelUsersStep(prior, batch, steps, userCol, typeCol,
             tsCol, within)
           .write.mode("overwrite").parquet(s"$statePath/batch_id=$id")
@@ -777,9 +777,12 @@ object Ingest {
   def funnelStateSnapshot(spark: SparkSession, statePath: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
-      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val ids =
+      if (fs.exists(p)) fs.listStatus(p)
+        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+      else Array.empty[Long]
     require(ids.nonEmpty, s"funnelStateSnapshot: no state under $statePath")
     spark.read.parquet(s"$statePath/batch_id=${ids.max}")
   }
@@ -828,7 +831,7 @@ object Ingest {
                 .filter(col("kb")
                   .isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
                 .drop("kb")
-            else Behavior.emptyFunnelState(ss, steps, userCol)
+            else Behavior.emptyFunnelState(batch, steps, userCol, tsCol)
           val merged = Behavior.funnelUsersStep(prior, batch, steps,
               userCol, typeCol, tsCol, within)
             .withColumn("kb", pmod(hash(col(userCol)), lit(nBuckets)))
@@ -878,9 +881,7 @@ object Ingest {
         // users-sized by construction.
         val prior = latestEarlierBatch(ss, s"$outPath/last", id,
             "transitionIngestStream last")
-          .getOrElse(ss.range(0).select(col("id").as("u"),
-            col("id").cast("timestamp").as("t"),
-            col("id").cast("string").as("f")))
+          .getOrElse(Behavior.emptyLastEvents(batch, userCol, typeCol, tsCol))
           .localCheckpoint(true)
         try {
           val b = batch.localCheckpoint(true)
@@ -949,9 +950,8 @@ object Ingest {
             .flatMap(bk => latestEarlierBatch(ss, s"$outPath/last/kb=$bk",
               id, "transitionIngestStreamPartitioned last"))
             .reduceOption(_ unionByName _)
-            .getOrElse(ss.range(0).select(col("id").as("u"),
-              col("id").cast("timestamp").as("t"),
-              col("id").cast("string").as("f")))
+            .getOrElse(Behavior.emptyLastEvents(batch, userCol, typeCol,
+              tsCol))
             .localCheckpoint(true)
           try {
             val b = batch.localCheckpoint(true)

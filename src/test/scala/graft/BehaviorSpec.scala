@@ -105,6 +105,30 @@ class BehaviorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Behavior.cohortRetention(e, "month") }
   }
 
+  test("funnelUsersStep: string user ids — seed types derive from the events frame") {
+    // the r10 review finding: a hardcoded bigint/timestamp seed made
+    // the first batch's full-outer join insert a failing ANSI cast
+    // for string ids; the seed now derives its types from the frame
+    val steps = Seq("view", "click")
+    val b1 = Seq(("ua", "view", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq(("ua", "click", ts("2024-01-02 10:00:00")),
+      ("ub", "view", ts("2024-01-02 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val folded = Seq(b1, b2).foldLeft(Behavior.emptyFunnelState(b1, steps)) {
+      (st, b) => Behavior.funnelUsersStep(st, b, steps)
+    }
+    val oneShot = Behavior.funnelUsers(b1.unionByName(b2), steps)
+    assert(folded.collect().map(_.toSeq).toSet ==
+      oneShot.collect().map(_.toSeq).toSet)
+    // and the transition state fold accepts string ids the same way
+    val pairs = Behavior.transitionPairs(b2)
+      .unionByName(Behavior.transitionBridgePairs(
+        Behavior.lastEventsStep(Behavior.emptyLastEvents(b1), b1), b2))
+    assert(Behavior.transitionsFromPairs(pairs).collect().map(_.toSeq).toSeq ==
+      Behavior.transitionMatrix(b1.unionByName(b2)).collect().map(_.toSeq).toSeq)
+  }
+
   test("funnelUsersStep: chained time-ordered batches == funnelUsers of the union") {
     val steps = Seq("view", "click", "purchase")
     // time-ordered batches (the arrival contract); conversions that
@@ -131,7 +155,7 @@ class BehaviorSpec extends SparkSpec {
     ).toDF("user_id", "event_type", "ts")
     Seq(None, Some("7 DAYS")).foreach { within =>
       val folded = Seq(b1, b2, b3).foldLeft(
-        Behavior.emptyFunnelState(spark, steps)) { (st, b) =>
+        Behavior.emptyFunnelState(b1, steps)) { (st, b) =>
         Behavior.funnelUsersStep(st, b, steps, within = within)
       }
       val oneShot = Behavior.funnelUsers(b1.unionByName(b2).unionByName(b3),
@@ -166,8 +190,7 @@ class BehaviorSpec extends SparkSpec {
       (1L, "b", ts("2024-01-03 10:00:00")),
       (2L, "b", ts("2024-01-03 10:00:00"))
     ).toDF("user_id", "event_type", "ts")
-    val empty = spark.range(0).select(col("id").as("u"),
-      col("id").cast("timestamp").as("t"), col("id").cast("string").as("f"))
+    val empty = Behavior.emptyLastEvents(b1)
     val (pairsAcc, lastFinal) = Seq(b1, b2, b3)
       .foldLeft((Seq.empty[org.apache.spark.sql.DataFrame], empty)) {
         case ((acc, last), b) =>
