@@ -76,6 +76,33 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Qualify the RUN START, not just reps (r10 verdict #1): when the
+    // WHOLE run begins loaded, the per-rep retry protocol degenerates —
+    // the strict gate (start + delta) is then itself episode-high, so
+    // reps "qualify" against a loaded baseline and read 1.8-3.6x the
+    // committed idle floors on untouched code (r10: start load 6.24
+    // made strict gate == cpus/4 floor gate; p48/p55/p46/p47/p50/r97
+    // all inflated). Protocol: before the warmup (which itself drags
+    // the 1-min average up), poll the 1-min load until it is <= cpus/8,
+    // sleeping up to SPARK_GRAFT_QUIET_WAIT seconds (default 600); if
+    // never quiet, proceed but stamp the whole artifact "quiet":false
+    // so the driver and judge discount it against BASELINE-bench.json.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val startGate = sys.env.get("SPARK_GRAFT_START_GATE").map(_.toDouble)
+      .getOrElse(cpus.toDouble / 8)
+    val maxWaitSec = sys.env.get("SPARK_GRAFT_QUIET_WAIT").map(_.toInt)
+      .getOrElse(600)
+    val waitT0 = System.nanoTime()
+    var startLoad = osBean.getSystemLoadAverage
+    while (startLoad > startGate &&
+        (System.nanoTime() - waitT0) / 1e9 < maxWaitSec) {
+      System.err.println(s"[bench] load ${fmt2(startLoad)} > start gate " +
+        s"${fmt2(startGate)}; waiting for a quiet window")
+      Thread.sleep(20000)
+      startLoad = osBean.getSystemLoadAverage
+    }
+    val quietStart = startLoad <= startGate
+    val startWaitSec = (System.nanoTime() - waitT0) / 1e9
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // Self-labelling + LOAD-GATED reps (the Stress discipline, r7;
@@ -101,8 +128,9 @@ object Bench {
     // row carries its own evidence.
     val maxReps = 4
     val gateDelta = 2.0
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val startLoad = osBean.getSystemLoadAverage
+    // startLoad is the PRE-WARMUP qualifying sample: the warmup's own
+    // 32-thread burst inflates the 1-min average, and a post-warmup
+    // baseline would loosen the strict gate by our own work.
     val strictGate = startLoad + gateDelta
     val floorGate = math.max(strictGate, cpus.toDouble / 4)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
@@ -135,7 +163,7 @@ object Bench {
     val sfLabel = new java.io.File(sfDir).getName
     val loads = ok.flatMap(_._3.map(_._2))
     val loadStats = if (loads.isEmpty) "" else
-      s""","load":{"start":${fmt2(startLoad)},"gate":${fmt2(strictGate)},"floor":${fmt2(floorGate)},"mean":${fmt2(loads.sum / loads.size)},"max":${fmt2(loads.max)}}"""
+      s""","quiet":$quietStart,"load":{"start":${fmt2(startLoad)},"start_gate":${fmt2(startGate)},"start_wait":${fmt2(startWaitSec)},"gate":${fmt2(strictGate)},"floor":${fmt2(floorGate)},"mean":${fmt2(loads.sum / loads.size)},"max":${fmt2(loads.max)}}"""
 
     // Full-precision detail goes to a file (and an early stdout line);
     // the final stdout line is the compact driver-parsed form.

@@ -365,6 +365,8 @@ object Sketch {
       col("c").cast("long").as("c"))
     val n = h.agg(sum("c").cast("long").as("n"))
     val cum = h.groupBy("bin").agg(sum("c").cast("long").as("c"))
+      // bounded frame: the global cumulative window runs over the
+      // ≤ bins-row histogram summary, never the corpus
       .withColumn("cum", sum("c").over(Window.orderBy("bin")).cast("long"))
     val ranks = qs.toDF("q").crossJoin(broadcast(n))
       .select(col("q"),

@@ -650,6 +650,8 @@ object Ann {
     val seedIds = emb.select(col("vec_id"))
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(ksub)
+      // bounded frame: the global window runs AFTER limit(ksub), over
+      // ksub (= 64) seed rows, never the embedding corpus
       .withColumn("c_id", row_number().over(Window.orderBy("h")) - 1)
     var books = sv.join(broadcast(seedIds.select("vec_id", "c_id")), "vec_id")
       .select(col("sub"), col("c_id"), col("sv").as("cemb"))

@@ -381,13 +381,18 @@ object Quality {
   // overwrites the orphan attempt. Markers named `N.base` mark a
   // compaction generation: reads use only steps >= the newest base.
 
-  private def erFs(spark: org.apache.spark.sql.SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(
+  // Resolved from the INDEX PATH's own scheme, not the default
+  // filesystem: commit markers, the flat-layout probe, and compaction
+  // deletes must act on the same store the parquet reads/writes honor,
+  // or an index on a non-default FS (s3a:// with an HDFS default)
+  // silently loses the commit-step atomicity (r10 advisor finding).
+  private def erFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
   private def commitErStep(spark: org.apache.spark.sql.SparkSession,
       path: String, n: Long, base: Boolean): Unit = {
-    val fs = erFs(spark)
+    val fs = erFs(spark, path)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/commits"))
     val name = if (base) s"$n.base" else s"$n"
     fs.create(new org.apache.hadoop.fs.Path(s"$path/commits/$name"), true)
@@ -398,7 +403,7 @@ object Quality {
     * index contains; uncommitted step dirs are invisible garbage. */
   private def committedErSteps(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Long, Boolean)] = {
-    val fs = erFs(spark)
+    val fs = erFs(spark, path)
     val p = new org.apache.hadoop.fs.Path(s"$path/commits")
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
@@ -479,7 +484,7 @@ object Quality {
     spark.range(0).select(col("id").as("src"), col("id").as("dst"))
       .write.mode("overwrite").parquet(s"$path/remap/step=$n")
     commitErStep(spark, path, n, base = true)
-    val fs = erFs(spark)
+    val fs = erFs(spark, path)
     steps.map(_._1).foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/rows/step=$s"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/remap/step=$s"), true)
@@ -502,7 +507,7 @@ object Quality {
     * owns its own idempotency — reads the partitioned dirs whole). */
   private def currentIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    if (!erFs(spark).exists(
+    if (!erFs(spark, path).exists(
         new org.apache.hadoop.fs.Path(s"$path/commits")))
       return composeIndex(spark.read.parquet(s"$path/rows"),
         spark.read.parquet(s"$path/remap"))
@@ -551,7 +556,9 @@ object Quality {
     * m = (pa+pb)/2; Σ js_term over the frame is the JS divergence in
     * nats (0 = identical distributions, ln 2 = disjoint). The per-
     * bucket rows, ordered by |contribution|, name the drifting grams'
-    * buckets — the starting point for a heavy-hitters drill-down.
+    * buckets — the starting point for a heavy-hitters drill-down. The
+    * output is DENSE — one row per bucket, both-side-empty buckets
+    * included (their smoothed terms are nonzero when na ≠ nb).
     *
     * Scale: two corpus-linear partial-aggregable groupBys onto
     * `buckets` rows each, one bucket-keyed full-outer join of those
@@ -562,7 +569,11 @@ object Quality {
     * Output: bucket, ca, cb, pa, pb, js_term (ordered by bucket). */
   def corpusDrift(old: DataFrame, curr: DataFrame, buckets: Int = 1024,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    driftFromCounts(driftCounts(old, buckets, idCol, textCol),
+    // Impl directly — driftCounts emits unique in-range buckets by
+    // construction (hash % buckets, one row per bucket), so the
+    // external-form guards would only rescan the corpus (the [[psi]]
+    // argument).
+    driftFromCountsImpl(driftCounts(old, buckets, idCol, textCol),
       driftCounts(curr, buckets, idCol, textCol), buckets)
 
   /** A corpus's hashed-ngram bucket counts — the bounded (≤ buckets
@@ -584,6 +595,18 @@ object Quality {
   def driftFromCounts(old: DataFrame, curr: DataFrame,
       buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    requireBucketsInRange(old, buckets, "driftFromCounts(old)")
+    requireBucketsInRange(curr, buckets, "driftFromCounts(curr)")
+    // Sum landed multi-batch cells per bucket before the spine join —
+    // the [[psiFromHistograms]] duplicate-cell guard, on the JS side.
+    driftFromCountsImpl(
+      old.groupBy("bucket").agg(sum("n").cast("long").as("n")),
+      curr.groupBy("bucket").agg(sum("n").cast("long").as("n")), buckets)
+  }
+
+  private def driftFromCountsImpl(old: DataFrame, curr: DataFrame,
+      buckets: Int): DataFrame = {
+    val spark = old.sparkSession
     val a = old.select(col("bucket"), col("n").as("ca"))
     val b = curr.select(col("bucket"), col("n").as("cb"))
     // coalesce: an EMPTY side (failed/missing batch) sums to null,
@@ -593,7 +616,13 @@ object Quality {
     // and the divergence reads loud and positive instead of null.
     val na = a.agg(coalesce(sum("ca"), lit(0L)).cast("long").as("na"))
     val nb = b.agg(coalesce(sum("cb"), lit(0L)).cast("long").as("nb"))
-    a.join(b, Seq("bucket"), "full_outer")
+    // DENSE spine — one row per bucket 0..buckets−1, including buckets
+    // empty on BOTH sides, whose smoothed JS terms are nonzero whenever
+    // na ≠ nb; the sparse full-outer layout under-read the smoothed
+    // divergence exactly when side totals differ (the [[psi]] dense-
+    // spine argument, applied to the JS side — r10 advisor finding).
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    spine.join(a, Seq("bucket"), "left").join(b, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
@@ -605,6 +634,18 @@ object Quality {
         (lit(0.5) * col("pa") * round(log(col("pa") / col("m")), 6) +
           lit(0.5) * col("pb") * round(log(col("pb") / col("m")), 6))
           .as("js_term"))
+  }
+
+  /** [[requireBinsInRange]] for the drift summaries' `bucket` column. */
+  private def requireBucketsInRange(h: DataFrame, buckets: Int,
+      what: String): Unit = {
+    val r = h.agg(min(col("bucket").cast("long")),
+      max(col("bucket").cast("long"))).head
+    if (!r.isNullAt(1))
+      require(r.getLong(0) >= 0 && r.getLong(1) < buckets,
+        s"$what: bucket range [${r.getLong(0)}, ${r.getLong(1)}] outside " +
+          s"[0, $buckets) — buckets argument does not match the " +
+          "summary's layout")
   }
 
   /** Per-segment [[corpusDrift]] — text drift monitored PER GROUP
@@ -619,7 +660,9 @@ object Quality {
   def corpusDriftBy(old: DataFrame, curr: DataFrame, groupCol: String,
       buckets: Int = 1024, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    driftFromCountsBy(driftCountsBy(old, groupCol, buckets, idCol, textCol),
+    // Impl directly — the [[corpusDrift]] argument, grouped.
+    driftFromCountsByImpl(
+      driftCountsBy(old, groupCol, buckets, idCol, textCol),
       driftCountsBy(curr, groupCol, buckets, idCol, textCol), buckets)
 
   /** Per-group [[driftCounts]]: hashed-ngram bucket counts keyed by a
@@ -639,13 +682,25 @@ object Quality {
 
   /** [[corpusDriftBy]] over two PRE-AGGREGATED (group, bucket, n)
     * tables — the monitor form, composable from landed per-batch
-    * [[driftCountsBy]] summaries. Sparse like [[driftFromCounts]]
-    * (rows exist where either side counted; a group on one side only
-    * still reads loud via its zero-coalesced opposite totals). NULL
-    * groups are their own group. */
+    * [[driftCountsBy]] summaries (multi-batch cells are summed per
+    * (group, bucket) here). DENSE over the group-union × buckets
+    * spine, like [[driftFromCounts]]: a group on one side only, or a
+    * bucket empty on both sides of a group with unequal totals, reads
+    * loud instead of vanishing. NULL groups are their own group. */
   def driftFromCountsBy(old: DataFrame, curr: DataFrame,
       buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    requireBucketsInRange(old, buckets, "driftFromCountsBy(old)")
+    requireBucketsInRange(curr, buckets, "driftFromCountsBy(curr)")
+    driftFromCountsByImpl(
+      old.groupBy("group", "bucket").agg(sum("n").cast("long").as("n")),
+      curr.groupBy("group", "bucket").agg(sum("n").cast("long").as("n")),
+      buckets)
+  }
+
+  private def driftFromCountsByImpl(old: DataFrame, curr: DataFrame,
+      buckets: Int): DataFrame = {
+    val spark = old.sparkSession
     val a = old.select(col("group").as("ga"), col("bucket").as("ba"),
       col("n").as("ca"))
     val b = curr.select(col("group").as("gb"), col("bucket").as("bb"),
@@ -654,18 +709,29 @@ object Quality {
       .withColumnRenamed("ga", "gna")
     val nb = b.groupBy("gb").agg(sum("cb").cast("long").as("nb"))
       .withColumnRenamed("gb", "gnb")
-    a.join(b, col("ga") <=> col("gb") && col("ba") === col("bb"),
-        "full_outer")
-      .select(coalesce(col("ga"), col("gb")).as("group"),
-        coalesce(col("ba"), col("bb")).as("bucket"),
-        coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+    // DENSE groups × buckets spine (the [[psiBy]] shape): the groups
+    // are the union of both sides', the buckets the full 0..buckets−1
+    // range — both-side-empty cells carry nonzero smoothed JS terms
+    // whenever the group's totals differ (the [[driftFromCounts]]
+    // dense-spine argument, grouped — r10 advisor finding). Still
+    // summary-sized: ≤ groups × buckets rows.
+    val groups = a.select(col("ga").as("group"))
+      .unionByName(b.select(col("gb").as("group"))).distinct()
+    val spine = groups.crossJoin(
+      spark.range(buckets).select(col("id").as("bucket")))
+    spine
+      .join(a, col("group") <=> col("ga") && col("bucket") === col("ba"),
+        "left")
+      .join(b, col("group") <=> col("gb") && col("bucket") === col("bb"),
+        "left")
       .join(broadcast(na), col("group") <=> col("gna"), "left")
       .join(broadcast(nb), col("group") <=> col("gnb"), "left")
-      .select(col("group"), col("bucket"), col("ca"), col("cb"),
-        ((col("ca") + 1).cast("double") /
+      .select(col("group"), col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        ((coalesce(col("ca"), lit(0L)) + 1).cast("double") /
           (coalesce(col("na"), lit(0L)) + buckets)).as("pa"),
-        ((col("cb") + 1).cast("double") /
+        ((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
           (coalesce(col("nb"), lit(0L)) + buckets)).as("pb"))
       .withColumn("m", (col("pa") + col("pb")) / 2)
       .select(col("group"), col("bucket"), col("ca"), col("cb"),
@@ -704,7 +770,12 @@ object Quality {
     * (the dsir discipline). Output: bin, ca, cb, pa, pb, psi_term. */
   def psi(old: DataFrame, curr: DataFrame, valueCol: String, lo: Double,
       hi: Double, bins: Int = 256): DataFrame =
-    psiFromHistograms(
+    // Impl directly: valueHistogram clamps bins into [0, bins) and
+    // yields one cell per bin by construction, so the external-form
+    // range check / pre-aggregation would only re-execute the two
+    // corpus scans it is built from (r10 advisor finding: the eager
+    // .head check turned the documented two passes into four).
+    psiFromHistogramsImpl(
       graft.functions.Sketch.valueHistogram(old, valueCol, lo, hi, bins),
       graft.functions.Sketch.valueHistogram(curr, valueCol, lo, hi, bins),
       bins)
@@ -734,6 +805,19 @@ object Quality {
     require(bins > 0, "bins must be positive")
     requireBinsInRange(old, bins, "psiFromHistograms(old)")
     requireBinsInRange(curr, bins, "psiFromHistograms(curr)")
+    // Landed per-batch cells arrive MULTIPLE rows per bin; the spine's
+    // left join assumes one. Summing here (summary-sized) makes raw
+    // multi-batch input correct instead of quietly applying +1
+    // smoothing per duplicate row (r10 advisor finding). The internal
+    // [[psi]] path skips both the check and this pass — its
+    // histograms are unique-celled by construction.
+    psiFromHistogramsImpl(
+      old.groupBy("bin").agg(sum("c").cast("long").as("c")),
+      curr.groupBy("bin").agg(sum("c").cast("long").as("c")), bins)
+  }
+
+  private def psiFromHistogramsImpl(old: DataFrame, curr: DataFrame,
+      bins: Int): DataFrame = {
     val spark = old.sparkSession
     val a = old.select(col("bin"), col("c").as("ca"))
     val b = curr.select(col("bin"), col("c").as("cb"))
@@ -776,7 +860,10 @@ object Quality {
       valueCol: String, lo: Double, hi: Double,
       bins: Int = 256): DataFrame = {
     import graft.functions.Sketch
-    psiFromHistogramsBy(
+    // Impl directly — the [[psi]] argument: valueHistogramBy clamps
+    // bins and emits unique (group, bin) cells by construction, so the
+    // external-form guards would just rescan the corpus.
+    psiFromHistogramsByImpl(
       Sketch.valueHistogramBy(old, groupCol, valueCol, lo, hi, bins),
       Sketch.valueHistogramBy(curr, groupCol, valueCol, lo, hi, bins),
       bins)
@@ -791,6 +878,16 @@ object Quality {
     require(bins > 0, "bins must be positive")
     requireBinsInRange(old, bins, "psiFromHistogramsBy(old)")
     requireBinsInRange(curr, bins, "psiFromHistogramsBy(curr)")
+    // Sum landed multi-batch cells per (group, bin) before the spine
+    // join — the [[psiFromHistograms]] duplicate-cell guard, grouped.
+    psiFromHistogramsByImpl(
+      old.groupBy("group", "bin").agg(sum("c").cast("long").as("c")),
+      curr.groupBy("group", "bin").agg(sum("c").cast("long").as("c")),
+      bins)
+  }
+
+  private def psiFromHistogramsByImpl(old: DataFrame, curr: DataFrame,
+      bins: Int): DataFrame = {
     val spark = old.sparkSession
     val a = old.select(col("group").as("ga"), col("bin").as("bina"),
       col("c").as("ca"))

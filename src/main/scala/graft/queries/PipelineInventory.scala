@@ -3463,9 +3463,11 @@ object PipelineInventory {
               |         CAST(COUNT(*) AS BIGINT) AS cb FROM gb GROUP BY bucket),
               |na AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM fa),
               |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM fb),
-              |j AS (SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+              |j AS (SELECT s.bucket,
               |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-              |      FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket),
+              |      FROM range(0, 512) s(bucket)
+              |        LEFT JOIN fa ON fa.bucket = s.bucket
+              |        LEFT JOIN fb ON fb.bucket = s.bucket),
               |p AS (SELECT bucket, ca, cb,
               |        (ca + 1)::DOUBLE / (na.na + 512) AS pa,
               |        (cb + 1)::DOUBLE / (nb.nb + 512) AS pb
@@ -4315,11 +4317,14 @@ object PipelineInventory {
               |         CAST(COUNT(*) AS BIGINT) AS cb FROM gb GROUP BY 1, 2),
               |na AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS na FROM fa GROUP BY 1),
               |nb AS (SELECT lang, CAST(SUM(cb) AS BIGINT) AS nb FROM fb GROUP BY 1),
-              |j AS (SELECT COALESCE(fa.lang, fb.lang) AS lang,
-              |        COALESCE(fa.bucket, fb.bucket) AS bucket,
+              |grp AS (SELECT lang FROM fa UNION SELECT lang FROM fb),
+              |sp AS (SELECT grp.lang, r.bucket
+              |       FROM grp CROSS JOIN range(0, 256) r(bucket)),
+              |j AS (SELECT sp.lang, sp.bucket,
               |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-              |      FROM fa FULL OUTER JOIN fb
-              |        ON fa.lang = fb.lang AND fa.bucket = fb.bucket),
+              |      FROM sp
+              |        LEFT JOIN fa ON fa.lang = sp.lang AND fa.bucket = sp.bucket
+              |        LEFT JOIN fb ON fb.lang = sp.lang AND fb.bucket = sp.bucket),
               |p AS (SELECT j.lang, bucket, ca, cb,
               |        (ca + 1)::DOUBLE / (COALESCE(na.na, 0) + 256) AS pa,
               |        (cb + 1)::DOUBLE / (COALESCE(nb.nb, 0) + 256) AS pb

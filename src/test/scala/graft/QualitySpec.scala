@@ -129,7 +129,8 @@ class QualitySpec extends SparkSpec {
       (3L, "alpha alpha beta"))
     val terms = Quality.corpusDrift(a, a, buckets = 64)
       .select("js_term").as[Double].collect()
-    assert(terms.nonEmpty && terms.forall(_ == 0.0))
+    // dense spine: exactly one row per bucket, all exactly zero
+    assert(terms.length == 64 && terms.forall(_ == 0.0))
   }
 
   test("corpusDrift is symmetric and bounded by ln 2; a planted shift dominates") {
@@ -170,11 +171,57 @@ class QualitySpec extends SparkSpec {
     val b = corpus((1L, "entirely new words"))
     val out = Quality.corpusDrift(a, b, buckets = 32)
       .select("ca", "cb", "pa", "pb").as[(Long, Long, Double, Double)].collect()
-    // full outer: buckets with mass on exactly one side appear, and
-    // smoothing keeps every probability strictly positive
+    // dense spine: buckets with mass on exactly one side appear, and
+    // smoothing keeps every probability strictly positive — including
+    // the both-side-empty rows
+    assert(out.length == 32)
     assert(out.exists(r => r._1 > 0 && r._2 == 0))
     assert(out.exists(r => r._1 == 0 && r._2 > 0))
     assert(out.forall(r => r._3 > 0 && r._4 > 0))
+  }
+
+  test("driftFromCounts(By): raw multi-batch cells are summed per key, not double-smoothed") {
+    // Two landed per-batch summaries for the same data: the external
+    // form must equal one summed summary (r10 advisor finding — a
+    // duplicate (group, bucket) cell would otherwise take +1 smoothing
+    // twice and split the spine row).
+    val b1 = Seq((3L, 5L), (7L, 2L)).toDF("bucket", "n")
+    val b2 = Seq((3L, 4L), (9L, 1L)).toDF("bucket", "n")
+    val refB = Seq((1L, 10L)).toDF("bucket", "n")
+    val merged = Seq((3L, 9L), (7L, 2L), (9L, 1L)).toDF("bucket", "n")
+    val multi = Quality.driftFromCounts(b1.unionByName(b2), refB, 16)
+      .collect().map(_.toSeq).toSet
+    val once = Quality.driftFromCounts(merged, refB, 16)
+      .collect().map(_.toSeq).toSet
+    assert(multi == once && multi.size == 16)
+    val g1 = Seq(("en", 3L, 5L), ("en", 3L, 4L), ("de", 2L, 7L))
+      .toDF("group", "bucket", "n")
+    val gm = Seq(("en", 3L, 9L), ("de", 2L, 7L)).toDF("group", "bucket", "n")
+    val gRef = Seq(("en", 1L, 1L), ("de", 1L, 1L)).toDF("group", "bucket", "n")
+    assert(Quality.driftFromCountsBy(g1, gRef, 8).collect().map(_.toSeq).toSet
+      == Quality.driftFromCountsBy(gm, gRef, 8).collect().map(_.toSeq).toSet)
+    // and an out-of-range cell fails loud, not silently dropped
+    val bad = Seq((16L, 1L)).toDF("bucket", "n")
+    assertThrows[IllegalArgumentException] {
+      Quality.driftFromCounts(bad, refB, 16)
+    }
+  }
+
+  test("psiFromHistograms(By): raw multi-batch cells are summed per key") {
+    val b1 = Seq((0, 5L), (2, 2L)).toDF("bin", "c")
+    val b2 = Seq((0, 3L), (3, 1L)).toDF("bin", "c")
+    val merged = Seq((0, 8L), (2, 2L), (3, 1L)).toDF("bin", "c")
+    val refH = Seq((1, 10L)).toDF("bin", "c")
+    assert(Quality.psiFromHistograms(b1.unionByName(b2), refH, 8)
+      .collect().map(_.toSeq).toSet ==
+      Quality.psiFromHistograms(merged, refH, 8).collect().map(_.toSeq).toSet)
+    val g1 = Seq(("a", 0, 5L), ("a", 0, 3L), ("b", 1, 2L))
+      .toDF("group", "bin", "c")
+    val gm = Seq(("a", 0, 8L), ("b", 1, 2L)).toDF("group", "bin", "c")
+    val gRef = Seq(("a", 1, 1L), ("b", 1, 1L)).toDF("group", "bin", "c")
+    assert(Quality.psiFromHistogramsBy(g1, gRef, 4)
+      .collect().map(_.toSeq).toSet ==
+      Quality.psiFromHistogramsBy(gm, gRef, 4).collect().map(_.toSeq).toSet)
   }
 
   test("resolveEntities closes match chains transitively and picks one canonical row") {

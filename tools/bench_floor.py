@@ -68,6 +68,24 @@ for path in sorted(glob.glob("BENCH_r*.json")):
     if got:
         seen_rounds.append(rnd)
 
+def current_query_names():
+    """Names declared in the source inventories RIGHT NOW. Floors are
+    dropped for queries no longer declared (renamed/removed) — without
+    this the fold-previous-floor-first rule makes every entry immortal,
+    so a renamed query keeps a stale unreachable floor and reads as a
+    regression forever (r10 advisor finding). A query whose DEFINITION
+    legitimately got more expensive still keeps its old floor; delete
+    its entry by hand and note why in the commit."""
+    names = set()
+    for path in glob.glob("src/main/scala/graft/queries/*.scala"):
+        try:
+            text = open(path).read()
+        except OSError:
+            continue
+        names.update(re.findall(r'QueryDef\("([^"]+)"', text))
+    return names
+
+
 if os.path.exists("BENCH_DETAIL.json"):
     try:
         detail = json.load(open("BENCH_DETAIL.json"))
@@ -84,10 +102,20 @@ if os.path.exists("BENCH_DETAIL.json"):
     except (json.JSONDecodeError, OSError, ValueError):
         pass
 
+current = current_query_names()
+if current:
+    dropped = sorted(set(floor) - current)
+    if dropped:
+        print(f"dropping {len(dropped)} floors for queries no longer "
+              f"declared: {', '.join(dropped[:10])}")
+    floor = {k: v for k, v in floor.items() if k in current}
+
 out = {
     "note": "per-query idle floor: min sec over all rounds' recorded "
             "bench values (load-gated where available); judge "
-            "regressions against this, not the previous round",
+            "regressions against this, not the previous round; entries "
+            "are dropped when the query is no longer declared in "
+            "src/main/scala/graft/queries",
     "rounds": seen_rounds,
     "n_queries": len(floor),
     "total_floor_sec": round(sum(v["sec"] for v in floor.values()), 2),
