@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over an event stream — the funnel and
@@ -167,7 +167,9 @@ object Behavior {
     * elements produce the same pairs in any order), so both engines
     * count identical transitions. The window is USER-partitioned
     * (never global): a power user costs one sorted partition, the
-    * corpus never single-reducers.
+    * corpus never single-reducers — but a BOT user (≥100× median) is
+    * still one task-sized sort; use [[transitionMatrixBucketed]] for
+    * that shape.
     * Output: from_type, to_type, n, p (ordered). */
   def transitionMatrix(events: DataFrame, userCol: String = "user_id",
       typeCol: String = "event_type", tsCol: String = "ts"): DataFrame =
@@ -204,6 +206,62 @@ object Behavior {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n") / col("tn"), 6).as("p"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** [[transitionMatrix]] with the hot-user-safe bucketed pair count —
+    * same output, same oracle. */
+  def transitionMatrixBucketed(events: DataFrame, bucket: Column,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame =
+    transitionsFromPairs(
+      transitionPairsBucketed(events, bucket, userCol, typeCol, tsCol))
+
+  /** [[transitionPairs]] with the per-user window SALTED by a time
+    * grid — the hot-user shape at 100 TB: the plain form sorts each
+    * user's whole stream in ONE task, so a bot with 10⁸ events lands a
+    * task-sized sort (SCALE.md transhot row). `bucket` must be a
+    * MONOTONE NON-DECREASING function of the timestamp column alone
+    * (`date_trunc("hour", ts)`, `floor(unix_micros(ts) / 3600e6)`, …),
+    * so each user's stream splits into contiguous runs of the
+    * (ts, type) total order — equal-ts ties share a bucket by
+    * construction and can never straddle a boundary. Within-run pairs
+    * come from a (user, bucket)-partitioned window whose partitions
+    * are bounded by the grid cell's event count (pick the grid so
+    * peak-rate × cell-width fits a task); run-boundary pairs come from
+    * per-(user, bucket) first/last summaries — plain partial-
+    * aggregable min_by/max_by, no window over raw events — chained per
+    * user across consecutive non-empty buckets (the
+    * [[transitionBridgePairs]] boundary machinery, batch-side; that
+    * per-user window runs over grid-cells-per-user rows, not events).
+    * Bucketed == plain, bit for bit (BehaviorSpec law, hot user
+    * planted). Output: from_type, to_type, n. */
+  def transitionPairsBucketed(events: DataFrame, bucket: Column,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("f"),
+      col(tsCol).as("t"), bucket.as("bk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u", "bk").orderBy(col("t"), col("f"))
+    val inner = e.withColumn("to_type", lead(col("f"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("f").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    // (t, f)-first and -last per (user, bucket): ties are exact
+    // duplicates under the pair order, so min_by/max_by on the struct
+    // are deterministic
+    val ends = e.groupBy("u", "bk").agg(
+      min_by(col("f"), struct(col("t"), col("f"))).as("first_f"),
+      max_by(col("f"), struct(col("t"), col("f"))).as("last_f"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("bk")
+    val bridges = ends
+      .withColumn("next_first", lead(col("first_f"), 1).over(wb))
+      .filter(col("next_first").isNotNull)
+      .groupBy(col("last_f").as("from_type"),
+        col("next_first").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    inner.unionByName(bridges)
+      .groupBy("from_type", "to_type").agg(sum("n").cast("long").as("n"))
   }
 
   /** Per-user LAST event (by the shared (ts, type) total order) — the

@@ -494,17 +494,117 @@ object Quality {
     }
   }
 
+  /** One streamed ER micro-batch landed as committed step `id` — the
+    * [[graft.streaming.Ingest.erIngestStream]] engine, living here so
+    * the committed-step machinery has exactly one home. The stream's
+    * step numbers ARE its batch ids, which is what makes checkpoint
+    * replay idempotent against the marker discipline:
+    *
+    *  - marker for `id` already present → the previous attempt
+    *    completed its writes (the marker is written LAST) and crashed
+    *    before the checkpoint commit; skip straight to GC.
+    *  - no marker → any `step=id` dirs are an uncommitted attempt's
+    *    orphans, invisible to every read (prior state = committed
+    *    steps only, ≥ the newest base); recompute from the same prior
+    *    state and overwrite them.
+    *
+    * AUTO-COMPACTION (r10 verdict #4): when the live remap log
+    * (committed steps ≥ newest base, plus this step's own merges)
+    * exceeds `maxRemapRows`, the step lands as a BASE — the full
+    * composed snapshot with the closure folded in and an empty remap —
+    * instead of a delta, inside the same marker discipline: a crash
+    * after the snapshot write but before the marker leaves the base
+    * invisible, and the replay re-makes the SAME deterministic
+    * decision (the threshold reads only committed state and the
+    * recomputed step parts). The threshold is an absolute row count,
+    * not the verdict's k × entities sketch, because the cost being
+    * bounded is the closure replay over the log — a function of the
+    * log's own size — and an entity-proportional rule would spend a
+    * corpus-sized distinct-count per micro-batch to save a
+    * merge-log-sized one. Superseded dirs (steps < newest base) are
+    * GC'd AFTER the marker, and again at the next batch's entry — a
+    * crash mid-delete leaves invisible garbage, never a double-count. */
+  private[graft] def erStreamStep(batch: DataFrame, id: Long, path: String,
+      idCol: String, blkCol: String, matchCol: String, maxDist: Int,
+      maxBlock: Int, maxIter: Int, maxRemapRows: Long): Unit = {
+    val spark = batch.sparkSession
+    def gc(): Unit = {
+      val cs = committedErSteps(spark, path)
+      val bases = cs.filter(_._2).map(_._1)
+      if (bases.nonEmpty) {
+        val fs = erFs(spark, path)
+        cs.map(_._1).filter(_ < bases.max).foreach { s =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/rows/step=$s"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/remap/step=$s"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/commits/$s"), false)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/commits/$s.base"),
+            false)
+          ()
+        }
+      }
+    }
+    val steps = committedErSteps(spark, path)
+    if (steps.exists(_._1 == id)) { gc(); return }
+    // A marker BEYOND the current batch means this is not (only) this
+    // stream's index — e.g. a manual compactEntityIndex ran against a
+    // live stream dir (its step = max + 1 collides with the next batch
+    // id). Fail loud; silently skipping would drop that batch's rows.
+    require(steps.forall(_._1 < id),
+      s"erStreamStep: $path has committed steps beyond batch $id " +
+        s"(${steps.map(_._1).filter(_ >= id).sorted.mkString(", ")}) — " +
+        "the stream must own its index dir; do not run " +
+        "compactEntityIndex against an index a live stream appends to " +
+        "(auto-compaction via maxRemapRows replaces it)")
+    val base = steps.filter(_._2).map(_._1).maxOption.getOrElse(Long.MinValue)
+    val live = steps.map(_._1).filter(_ >= base).sorted
+    val emptyRemap = spark.range(0)
+      .select(col("id").as("src"), col("id").as("dst"))
+    def readPart(kind: String): Option[DataFrame] =
+      if (live.isEmpty) None
+      else Some(live.map(s => spark.read.parquet(s"$path/$kind/step=$s"))
+        .reduce(_ unionByName _))
+    val priorRows = readPart("rows")
+    val priorRemap = readPart("remap")
+    val cur = priorRows match {
+      case None => emptyEntityIndex(spark)
+      case Some(r) => composeIndex(r, priorRemap.getOrElse(emptyRemap))
+    }
+    val nb = normalizeErBatch(batch, col(idCol), col(blkCol), col(matchCol))
+    val (newRows0, remap0) = erStepParts(nb, cur, maxDist, maxBlock, maxIter)
+    // Materialize BEFORE writing: the plans read the very dirs the
+    // writes extend (the dedupIngestStream lesson).
+    val nr = newRows0.localCheckpoint(true)
+    val rm = remap0.localCheckpoint(true)
+    try {
+      val liveRemapRows = priorRemap.map(_.count()).getOrElse(0L) + rm.count()
+      if (liveRemapRows > maxRemapRows) {
+        // land the step as a BASE: full snapshot, closure folded,
+        // empty remap — reads pin to it, the log replay resets to zero
+        composeIndex(priorRows.map(_.unionByName(nr)).getOrElse(nr),
+            priorRemap.map(_.unionByName(rm)).getOrElse(rm))
+          .write.mode("overwrite").parquet(s"$path/rows/step=$id")
+        emptyRemap.write.mode("overwrite").parquet(s"$path/remap/step=$id")
+        commitErStep(spark, path, id, base = true)
+      } else {
+        nr.write.mode("overwrite").parquet(s"$path/rows/step=$id")
+        rm.write.mode("overwrite").parquet(s"$path/remap/step=$id")
+        commitErStep(spark, path, id, base = false)
+      }
+    } finally { nr.unpersist(); rm.unpersist(); () }
+    gc()
+  }
+
   /** The index with labels CURRENT: stored comps composed with the
     * remap log's closure. The closure is one components() pass over
     * the log — labels only decrease and every merge links its inputs
     * to its output, so the current label of any historical comp is
     * the min of its remap-connected component. The log is
     * merge-count-sized; the join back is broadcast-shaped long before
-    * the row store stops being corpus-sized. Two layouts: the batch
-    * committed-step layout (a `commits/` dir is present — reads the
-    * newest base generation's committed steps only) and the streamed
-    * batch_id layout ([[graft.streaming.Ingest.erIngestStream]], which
-    * owns its own idempotency — reads the partitioned dirs whole). */
+    * the row store stops being corpus-sized. One layout since r11:
+    * batch AND stream builders land committed steps (the stream's step
+    * numbers are its batch ids — [[erStreamStep]]), read as the newest
+    * base generation's committed steps only; the no-`commits/` branch
+    * below reads a legacy flat dir whole (read-only compat). */
   private def currentIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     if (!erFs(spark, path).exists(
@@ -525,10 +625,9 @@ object Quality {
     composeIndex(part("rows"), part("remap"))
   }
 
-  /** The frame form of the composition — shared with the streamed
-    * ingest, whose rows/remap frames come from batch_id-partitioned
-    * earlier-batch reads rather than a flat dir. Extra columns on
-    * `rows` (e.g. batch_id) are dropped. */
+  /** The frame form of the composition — shared by the disk reads and
+    * [[erStreamStep]]'s in-step folds. Extra columns on `rows` are
+    * dropped. */
   private[graft] def composeIndex(rows: DataFrame,
       remap: DataFrame): DataFrame = {
     val closure = Dedup.components(

@@ -4183,6 +4183,28 @@ object PipelineInventory {
               |FROM p JOIN tt USING (from_type)
               |ORDER BY from_type, to_type""".stripMargin)),
 
+    // The hot-user-safe transition matrix: per-user streams split into
+    // contiguous day-grid runs, within-run pairs from a (user, day)-
+    // partitioned window, boundary pairs from per-cell first/last
+    // summaries — a bot user's task-sized sort becomes per-cell sorts
+    // (SCALE.md transhot row). Same output as r98, same oracle: the
+    // bucketed == plain law, oracle-checked on real event data.
+    QueryDef("r102_transitions_bucketed",
+      (s, d) => graft.operators.Behavior.transitionMatrixBucketed(
+        T(s, d, "events"), date_trunc("day", col("ts"))),
+      Some(s"""WITH o AS (SELECT event_type AS f,
+              |            LEAD(event_type) OVER (PARTITION BY user_id
+              |                                   ORDER BY ts, event_type) AS t
+              |           FROM events),
+              |p AS (SELECT f AS from_type, t AS to_type,
+              |             CAST(COUNT(*) AS BIGINT) AS n
+              |      FROM o WHERE t IS NOT NULL GROUP BY 1, 2),
+              |tt AS (SELECT from_type, SUM(n) AS tn FROM p GROUP BY 1)
+              |SELECT p.from_type, p.to_type, n,
+              |       ${rrepr("CAST(n AS DOUBLE) / tn", 6)} AS p
+              |FROM p JOIN tt USING (from_type)
+              |ORDER BY from_type, to_type""".stripMargin)),
+
     // Per-segment PSI (r93 grouped by event_type): drift monitored per
     // group, because a corpus-global PSI washes out a segment that
     // drifted alone. Dense groups × bins spine — every (group, bin)

@@ -1640,57 +1640,45 @@ object Ingest {
     * batches ([[graft.operators.Quality.resolveEntitiesStep]]'s
     * super-node closure — old rows enter only as entity labels in
     * touched blocks, never re-blocked), landing the batch's rows and
-    * the step's label merges as per-batch-id OVERWRITE partitions
-    * under `indexPath/rows` and `indexPath/remap`. Replay after a
-    * crash recomputes the SAME step (the index read is pinned to
-    * batches `< id`) and overwrites identical files — the
-    * urlDedupIngestStream idempotency argument, here for a MUTATING
-    * index made append-only by the remap-log design (labels only
-    * decrease; current labels = one components() pass over the
-    * merge-log-sized remap graph, see Quality's index-model note).
-    * Read the result with
-    * [[graft.operators.Quality.entityIndexSnapshot]]; StreamingSpec's
-    * SCCer law pins streamed == one-shot full recompute, merge events
-    * and chained remaps included, stable across restarts. The stream
-    * OWNS the index dir (batch_id layout from batch 0) — a
-    * pre-existing [[graft.operators.Quality.writeEntityIndex]]
-    * committed-step layout must be re-seeded into a fresh stream dir
-    * if migrating. */
+    * the step's label merges as ONE COMMITTED STEP numbered by the
+    * batch id — the [[graft.operators.Quality.writeEntityIndex]]
+    * layout, unified (r11): `rows/step=N` + `remap/step=N` + a
+    * `commits/N` marker written LAST, so a step is fully visible or
+    * invisible and [[graft.operators.Quality.entityIndexSnapshot]]
+    * reads stream- and batch-built indexes identically. Replay after
+    * a crash recomputes the SAME step from the same committed prior
+    * state (uncommitted orphan dirs are invisible) and overwrites it;
+    * a replay that finds its own marker skips straight to GC.
+    *
+    * AUTO-COMPACTION: when the live remap log exceeds `maxRemapRows`
+    * rows, the step lands as a BASE — the full composed snapshot with
+    * an empty remap — bounding the closure-replay cost that otherwise
+    * grows with every merge (the r10 manual
+    * [[graft.operators.Quality.compactEntityIndex]], made a policy,
+    * inside the same marker discipline; crash-interrupted compactions
+    * replay cleanly — StreamingSpec SCCerC). The stream OWNS the index
+    * dir from batch 0: do NOT run compactEntityIndex against it while
+    * the stream lives (its step number would collide with the next
+    * batch id — erStreamStep fails loud on markers beyond the batch),
+    * and a pre-existing batch-built index must be re-seeded into a
+    * fresh stream dir if migrating. StreamingSpec's SCCer law pins
+    * streamed == one-shot full recompute, merge events and chained
+    * remaps included, stable across restarts. */
   def erIngestStream(spark: SparkSession, schema: StructType,
       srcDir: String, indexPath: String, checkpoint: String,
       idCol: String, blkCol: String, matchCol: String,
       maxDist: Int = 1, maxBlock: Int = 1000, maxIter: Int = 20,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      maxRemapRows: Long = 1000000L): Unit = {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val ss = batch.sparkSession
-        import graft.operators.Quality
-        val emptyRemap = ss.range(0)
-          .select(col("id").as("src"), col("id").as("dst"))
-        val cur = earlierBatchPartitions(ss, s"$indexPath/rows", id,
-            "erIngestStream rows") match {
-          case None => Quality.emptyEntityIndex(ss)
-          case Some(rows) =>
-            val remap = earlierBatchPartitions(ss, s"$indexPath/remap", id,
-              "erIngestStream remap").getOrElse(emptyRemap)
-            Quality.composeIndex(rows, remap)
-        }
-        val nb = Quality.normalizeErBatch(batch, col(idCol), col(blkCol),
-          col(matchCol))
-        val (newRows, remap) = Quality.erStepParts(nb, cur, maxDist,
-          maxBlock, maxIter)
-        // Materialize BEFORE writing: the plans read the very index
-        // dirs the writes extend (the dedupIngestStream lesson).
-        val nr = newRows.localCheckpoint(true)
-        val rm = remap.localCheckpoint(true)
-        try {
-          nr.write.mode("overwrite").parquet(s"$indexPath/rows/batch_id=$id")
-          rm.write.mode("overwrite").parquet(s"$indexPath/remap/batch_id=$id")
-        } finally { nr.unpersist(); rm.unpersist(); () }
+        graft.operators.Quality.erStreamStep(batch, id, indexPath,
+          idCol, blkCol, matchCol, maxDist, maxBlock, maxIter,
+          maxRemapRows)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

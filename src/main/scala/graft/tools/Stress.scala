@@ -43,7 +43,8 @@ object Stress {
     "hh", "rm3", "domains", "pagerank", "hits", "html", "ccnet", "doremi",
     "url", "drift", "span", "sdecon", "wfp", "bdecon", "prassoc", "prexact",
     "entres", "routlier", "routlierx", "binjoin", "ghll", "psi", "winsor",
-    "funnel", "retention", "psiby", "winsorby", "transitions")
+    "funnel", "retention", "psiby", "winsorby", "transitions",
+    "transhot", "transhotb", "lshpairs", "ivfpqidx", "entinc")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -417,6 +418,62 @@ object Stress {
               (lit(1.0) + (col("doc_id") % 16) * 100))
             .as("v"))
         graft.operators.Quality.winsorizeBy(vals, "g", "v")
+      case "transhot" | "transhotb" =>
+        // HOT-USER skew (r10 verdict #2): user 0 is a bot holding 10%
+        // of the corpus (~5000x the ~18-event median at 1M) — the
+        // plain per-user window sorts the bot's whole stream in ONE
+        // task; the bucketed sibling splits it across hour-grid cells
+        // (~72 events/cell) and pays two summary-sized extra aggs.
+        val nu = math.max(n / 20, 2L)
+        val ev = docs.select(
+          when(col("doc_id") % 10 === 0, lit(0L))
+            .otherwise(col("doc_id") % nu).as("user_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("other"), lit("view")),
+            (col("doc_id") % 5 + 1).cast("int")).as("event_type"),
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") * 37) % 5000000)
+            .as("ts"))
+        if (op == "transhot") graft.operators.Behavior.transitionMatrix(ev)
+        else graft.operators.Behavior.transitionMatrixBucketed(ev,
+          date_trunc("hour", col("ts")))
+      case "lshpairs" =>
+        // the p02 shape at scale: one fused doc-keyed signature
+        // aggregation feeding band explode + both Jaccard verify sides
+        // via exchange reuse; work ∝ banded candidates, never n²
+        val byDoc = Dedup.docSignatures(Dedup.shingleHashes(docs))
+        Dedup.jaccardVerify(byDoc,
+          Dedup.lshCandidates(Dedup.lshBands(byDoc)))
+      case "ivfpqidx" =>
+        // the persisted IVFPQ lifecycle: coarse train + residual
+        // codebooks + partitioned code-index write + pruned ADC search
+        // FROM DISK for 1000 queries — nprobe/kCoarse keeps ~1/4 of
+        // the code directories listed (the p44 layout, full circle)
+        val coarse = Ann.trainCentroids(emb, 32, iters = 2)
+          .localCheckpoint(true)
+        val books = Ann.pqTrain(
+          Ann.ivfPqResiduals(emb, coarse).drop("c_id"), m = 8)
+          .localCheckpoint(true)
+        val ipath = s"$dir/ivfpq_index.parquet"
+        Ann.writeIvfPqIndex(emb, coarse, books, ipath, m = 8)
+        Ann.ivfPqSearchIndex(spark, ipath, coarse, books, emb,
+          emb.filter(col("vec_id") < 1000), k = 10, nprobe = 8, m = 8)
+      case "entinc" =>
+        // the incremental ER step against a persisted 90% index: the
+        // timed region = ONE 10%-of-corpus batch resolved via touched-
+        // block semi-joins + the merge-log remap; the 90% seed is the
+        // entres row's known cost and lands outside interest (it runs
+        // first, same region — read the delta vs entres for the step)
+        val people = docs.select(col("doc_id"),
+          floor(col("doc_id") / 100).cast("long").as("blk"),
+          concat(lit("p"),
+            repeat(lit("x"), (col("doc_id") % 100).cast("int"))).as("nm"))
+        val epath = s"$dir/er_index_${System.currentTimeMillis}"
+        graft.operators.Quality.writeEntityIndex(
+          people.filter(col("doc_id") % 10 =!= 0), col("doc_id"),
+          col("blk"), col("nm"), epath)
+        graft.operators.Quality.resolveEntitiesIncremental(
+          people.filter(col("doc_id") % 10 === 0), col("doc_id"),
+          col("blk"), col("nm"), epath)
       case "domains" =>
         // 20 one-vs-rest IRLS fits + argmax scoring: the claim under
         // test is cost = |classes| x the logreg row's dozen data-sized

@@ -98,6 +98,37 @@ class BehaviorSpec extends SparkSpec {
     assert(total == 3L)
   }
 
+  test("transitionPairsBucketed == transitionPairs: hot user, ties, single-event cells") {
+    // A planted bot user (u0: 400 events = 100x the others) plus the
+    // shapes the bridge machinery must get right: equal-ts ties (same
+    // bucket by construction), a grid cell holding a SINGLE event (the
+    // bridge must chain through it: last(b1)->only(b2), only(b2)->
+    // first(b3)), and users whose streams span many cells.
+    val types = Array("a", "b", "c", "d")
+    val hot = (0 until 400).map(i => (0L, types(i % 4),
+      ts(f"2024-01-0${1 + i / 100}%d ${i % 24}%02d:${i % 60}%02d:00")))
+    val cold = (1L to 4L).flatMap(u => (0 until 4).map(i =>
+      (u, types((i + u.toInt) % 4), ts(f"2024-01-0${1 + i}%d 10:00:00"))))
+    val ties = Seq((9L, "b", ts("2024-01-02 10:00:00")),
+      (9L, "a", ts("2024-01-02 10:00:00")),
+      (9L, "c", ts("2024-01-03 00:00:00"))) // single-event day cell
+    val e = (hot ++ cold ++ ties).toDF("user_id", "event_type", "ts")
+    val plain = Behavior.transitionPairs(e)
+      .collect().map(_.toSeq).toSet
+    val bucketed = Behavior.transitionPairsBucketed(e,
+        date_trunc("day", col("ts")))
+      .collect().map(_.toSeq).toSet
+    assert(bucketed == plain)
+    // and the matrix wrapper matches the plain matrix row for row
+    assert(Behavior.transitionMatrixBucketed(e, date_trunc("day", col("ts")))
+      .collect().map(_.toSeq).toSeq ==
+      Behavior.transitionMatrix(e).collect().map(_.toSeq).toSeq)
+    // degenerate grid = one bucket for everything: still equal (pure
+    // fallback to the plain per-user window)
+    assert(Behavior.transitionPairsBucketed(e, lit(0))
+      .collect().map(_.toSeq).toSet == plain)
+  }
+
   test("funnel parameter validation") {
     val e = Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException] { Behavior.funnelUsers(e, Seq("a")) }

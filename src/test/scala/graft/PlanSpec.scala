@@ -298,6 +298,9 @@ class PlanSpec extends SparkSpec {
       "r99_psi_by",         // the r93 shape keyed by group, plus the
                             // dense groups × range(bins) spine cross —
                             // all frames ≤ groups × bins rows
+      "r101_drift_by",      // r11: the dense groups × range(buckets)
+                            // JS spine (the r99 shape on the text-drift
+                            // side) — ≤ groups × buckets summary rows
       "r97_winsorize",      // the r73 quantile CTE shapes + ONE 1-row
                             // bounds frame broadcast-crossed onto the
                             // corpus for the clip projection

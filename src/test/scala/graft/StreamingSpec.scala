@@ -1100,6 +1100,96 @@ class StreamingSpec extends SparkSpec {
     assert(snap == full)
   }
 
+  test("SCCerA: auto-compaction == no compaction; bases land; superseded steps GC'd") {
+    def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
+    val b1 = rows(Seq(1L, 2L, 5L, 6L)).toDF("pid", "blk", "nm")
+    val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm") // bridges -> remap 5->1
+    val b3 = Seq((0L, "blk1", "p"), (20L, "blk1", "zzzz")).toDF("pid", "blk", "nm")
+    def mkSrc(name: String) = {
+      val s = tmp(name)
+      Seq(b1, b2, b3).foreach(_.coalesce(1).write.mode("append").parquet(s))
+      s
+    }
+    val (idxA, ckA) = (tmp("sccera-ia"), tmp("sccera-cka"))
+    val (idxB, ckB) = (tmp("sccera-ib"), tmp("sccera-ckb"))
+    // A: compact whenever the live remap log is non-empty; B: never
+    Ingest.erIngestStream(spark, b1.schema, mkSrc("sccera-sa"), idxA, ckA,
+      "pid", "blk", "nm", maxRemapRows = 0L)
+    Ingest.erIngestStream(spark, b1.schema, mkSrc("sccera-sb"), idxB, ckB,
+      "pid", "blk", "nm")
+    def snap(p: String) = graft.operators.Quality.entityIndexSnapshot(spark, p)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = graft.operators.Quality.resolveEntities(
+        b1.unionByName(b2).unionByName(b3), col("pid"), col("blk"), col("nm"))
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(snap(idxA) == full && snap(idxB) == full)
+    assert(snap(idxA).contains((5L, 0L, false)), "chained 5->1->0 survives compaction")
+    // compaction really fired: a base marker at step >= 1, and the
+    // superseded step dirs/markers are GONE (GC after the marker)
+    def names(p: String) = new java.io.File(p).list() match {
+      case null => Seq.empty[String]
+      case a => a.toSeq.filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    }
+    val marks = names(s"$idxA/commits")
+    val baseIds = marks.filter(_.endsWith(".base")).map(_.stripSuffix(".base").toLong)
+    assert(baseIds.nonEmpty && baseIds.max >= 1, marks.toString)
+    assert(marks.size == names(s"$idxA/rows").size,
+      s"superseded rows dirs not GC'd: $marks vs ${names(s"$idxA/rows")}")
+    assert(names(s"$idxA/rows").forall(_.stripPrefix("step=").toLong >= baseIds.max))
+    // B never compacted: no base markers, all three delta steps live
+    assert(names(s"$idxB/commits").forall(!_.endsWith(".base")))
+    assert(names(s"$idxB/rows").size == 3)
+  }
+
+  test("SCCerC: restart interrupting a compaction — orphan step invisible, replay overwrites it") {
+    def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
+    val b1 = rows(Seq(1L, 2L, 5L, 6L)).toDF("pid", "blk", "nm")
+    val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
+    val b3 = Seq((0L, "blk1", "p"), (20L, "blk1", "zzzz")).toDF("pid", "blk", "nm")
+    val src = tmp("sccerc-src"); val idx = tmp("sccerc-idx"); val ck = tmp("sccerc-ck")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.erIngestStream(spark, b1.schema, src, idx, ck, "pid", "blk", "nm",
+      maxRemapRows = 0L) // batch 1 (remap 5->1) lands as a base
+    def snap = graft.operators.Quality.entityIndexSnapshot(spark, idx)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val afterTwo = snap
+    // Simulate a compaction attempt for batch 2 that crashed AFTER its
+    // parquet writes but BEFORE the commit marker: complete-looking
+    // step dirs, no marker — exactly what erStreamStep's write order
+    // can leave behind.
+    spark.read.parquet(s"$idx/rows/step=1")
+      .write.mode("overwrite").parquet(s"$idx/rows/step=2")
+    spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+      .write.mode("overwrite").parquet(s"$idx/remap/step=2")
+    // the orphan is INVISIBLE to reads: snapshot unchanged
+    assert(snap == afterTwo, "uncommitted step dirs must not be read")
+    // resume: batch 2 recomputes from committed state, overwrites the
+    // orphan in place, compacts (remap 1->0), commits
+    b3.coalesce(1).write.mode("append").parquet(src)
+    Ingest.erIngestStream(spark, b1.schema, src, idx, ck, "pid", "blk", "nm",
+      maxRemapRows = 0L)
+    val full = graft.operators.Quality.resolveEntities(
+        b1.unionByName(b2).unionByName(b3), col("pid"), col("blk"), col("nm"))
+      .select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(snap == full)
+    assert(snap.contains((5L, 0L, false)), "chained remap across the compaction")
+    // replay on the same checkpoint: stable
+    Ingest.erIngestStream(spark, b1.schema, src, idx, ck, "pid", "blk", "nm",
+      maxRemapRows = 0L)
+    assert(snap == full)
+    // and a foreign marker BEYOND the batch id fails loud, not a
+    // silent skip (manual compactEntityIndex on a live stream dir)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$idx/commits/99"))
+    val err = intercept[Exception] {
+      graft.operators.Quality.erStreamStep(b1, 3L, idx, "pid", "blk", "nm",
+        1, 1000, 20, 0L)
+    }
+    assert(err.getMessage.contains("beyond batch"), err.getMessage)
+  }
+
   test("SCCra: streamed outlier screen accepts the binned approx model interchangeably") {
     val src = tmp("sccra-src"); val out = tmp("sccra-out"); val ck = tmp("sccra-ck")
     // continuous reference values — the metric shape the approx model
