@@ -26,7 +26,9 @@ import graft.pipelines.Curate
   *   ops default: gate,exact,boiler,budget,shuffle,dedup,simhash,annlsh,
   *   ivf,curate,passage,cdc,sem,bpe,gopher,logreg,pq,ivfpq,pqidx,dsir,
   *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi,
-  *   url,drift,span,sdecon,wfp
+  *   url,drift,span,sdecon,wfp,bdecon,prassoc,prexact,entres,routlier,
+  *   routlierx,binjoin,ghll,psi,winsor,funnel,retention,psiby,winsorby,
+  *   transitions,transhot,transhotb,lshpairs,ivfpqidx,entinc
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
