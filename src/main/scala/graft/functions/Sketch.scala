@@ -106,9 +106,13 @@ object Sketch {
     require(n >= 1, "n must be positive")
     graft.operators.Fanout(docs, idCol)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      // Guarded, not clamped: sequence(1, 0) is a descending [1, 0] in
+      // Spark, so the old greatest() clamp walked indices 0 and 1 on a
+      // sub-n document — slice(t, 0, n) throws (the Mix.ngramBuckets
+      // r11 finding, same fix). Docs shorter than n carry no n-gram.
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(t) - ${n - 1}, 0)), " +
-          s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
+        s"IF(size(t) >= $n, transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> array_join(slice(t, i, $n), ' ')), array())")).as("gram"))
   }
 
   /** Convenience: the corpus n-gram sketch in one call. */

@@ -331,9 +331,16 @@ object Mix {
     val cc = carry.map(col)
     val t = Fanout(docs, idCol).select(col(idCol).as("doc_id") +: cc :+
       split(col(textCol), " ").as("t"): _*)
+    // The bigram leg must be GUARDED, not clamped: Spark's
+    // sequence(1, 0) is a DESCENDING [1, 0], not empty, so the old
+    // greatest(size-1, 0) clamp made every 1-token document crash with
+    // an out-of-bounds element_at (r11 finding, caught by the STDRIFTB
+    // fixture; DuckDB's range(1, 1) really is empty, so the oracles
+    // always had the IF semantics).
     t.select(col("doc_id") +: cc :+ explode(concat(col("t"),
-        expr("transform(sequence(1, greatest(size(t) - 1, 0))," +
-          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))).as("g"): _*)
+        expr("IF(size(t) >= 2, transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))," +
+          " array())"))).as("g"): _*)
       .select(col("doc_id") +: cc :+
         ((conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
           % buckets).as("bucket")): _*)

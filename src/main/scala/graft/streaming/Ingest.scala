@@ -1515,6 +1515,36 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Grouped sibling of [[driftCountsStream]] (the
+    * [[groupedHistogramIngestStream]] relationship, on the text side):
+    * each micro-batch lands its (group, bucket, n)
+    * `Quality.driftCountsBy` cells — ≤ groups × buckets rows, however
+    * large the batch — as a per-batch-id OVERWRITE partition. Cells
+    * are ADDITIVE per (group, bucket) over disjoint batches, and
+    * [[graft.operators.Quality.driftFromCountsBy]] sums landed
+    * multi-batch cells itself (r11), so the per-segment monitor is
+    * pure batch composition: `driftFromCountsBy(referenceCells,
+    * landed-cells-as-read)` == one-shot `corpusDriftBy` bit for bit
+    * (StreamingSpec STDRIFTB law, raw landed cells, across replay). */
+  def driftCountsByStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, countsDir: String, checkpoint: String,
+      groupCol: String, buckets: Int = 1024,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Quality.driftCountsBy(batch, groupCol, buckets)
+          .write.mode("overwrite").parquet(s"$countsDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming BM25 ingest: each micro-batch of documents is indexed
     * alone (postings/doclens/stats are all ADDITIVE over disjoint doc
     * batches — [[graft.functions.TextAnalysis.appendBm25Index]]'s

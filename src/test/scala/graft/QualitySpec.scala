@@ -224,6 +224,20 @@ class QualitySpec extends SparkSpec {
       Quality.psiFromHistogramsBy(gm, gRef, 4).collect().map(_.toSeq).toSet)
   }
 
+  test("corpusDrift survives 1-token and empty documents (descending-sequence regression)") {
+    // Spark's sequence(1, 0) is [1, 0], NOT empty — the old
+    // greatest(size-1, 0) clamp in the bigram leg crashed every
+    // 1-token doc with an out-of-bounds element_at (r11, caught by
+    // STDRIFTB's fixture). A 1-token doc contributes its unigram and
+    // no bigram, matching DuckDB's empty range(1, 1).
+    val a = corpus((1L, "solo"), (2L, ""), (3L, "two tokens"))
+    val out = Quality.corpusDrift(a, a, buckets = 16)
+      .select("ca").as[Long].collect()
+    assert(out.length == 16)
+    // unigrams: solo, "", two, tokens (4) + bigram: "two tokens" (1)
+    assert(out.sum == 5, out.toSeq.toString)
+  }
+
   test("resolveEntities closes match chains transitively and picks one canonical row") {
     // aaaa ~1~ aaab ~1~ aabb, but aaaa vs aabb is 2 edits: only the
     // transitive closure puts all three in one entity

@@ -74,6 +74,20 @@ class SketchSpec extends SparkSpec {
     assert(sk2 == sk)
   }
 
+  test("wordNgrams: docs shorter than n carry no gram (descending-sequence regression)") {
+    // sequence(1, 0) is [1, 0] in Spark — the old greatest() clamp
+    // walked index 0 on sub-n docs and slice(t, 0, n) throws (the
+    // Mix.ngramBuckets r11 finding, same fix here).
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c d"), (4L, ""))
+      .toDF("doc_id", "text")
+    val tri = Sketch.wordNgrams(docs, n = 3)
+      .as[(Long, String)].collect().toSet
+    assert(tri == Set((3L, "a b c"), (3L, "b c d")), tri.toString)
+    val uni = Sketch.wordNgrams(docs, n = 1)
+      .as[(Long, String)].collect().length
+    assert(uni == 8) // every token incl. the empty-string split token
+  }
+
   test("misra-gries summary obeys the frequency bounds and its computable miss bound") {
     // heavy head + long flat tail, budget far under the vocabulary so
     // compressions actually run (vocab 203 >> 2*budget)

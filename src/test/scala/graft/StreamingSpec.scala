@@ -871,6 +871,38 @@ class StreamingSpec extends SparkSpec {
     assert(summed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
   }
 
+  test("STDRIFTB: streamed grouped cells + driftFromCountsBy == one-shot corpusDriftBy; raw cells; replay clean") {
+    val src = tmp("stdb-src"); val out = tmp("stdb-out"); val ck = tmp("stdb-ck")
+    val ref = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "eins zwei"))
+      .toDF("doc_id", "lang", "text")
+    val b1 = Seq((10L, "en", "alpha beta"), (11L, "de", "spam spam"))
+      .toDF("doc_id", "lang", "text")
+    val b2 = Seq((12L, "en", "delta epsilon"), (13L, "xx", "neu"))
+      .toDF("doc_id", "lang", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.driftCountsByStream(spark, b1.schema, src, out, ck, "lang",
+      buckets = 32)
+    val refCells = graft.operators.Quality.driftCountsBy(ref, "lang",
+      buckets = 32)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("group", "bucket", "ca", "cb", "pa", "pb", "js_term")
+      .collect().map(_.toSeq).toSet
+    // the landed cells feed the monitor RAW — multi-batch duplicates
+    // per (group, bucket) and the batch_id partition column included;
+    // driftFromCountsBy sums and prunes them itself (the r10 advisor
+    // fix, exercised end to end)
+    def monitor = graft.operators.Quality.driftFromCountsBy(refCells,
+      spark.read.parquet(out), buckets = 32)
+    val oneShot = graft.operators.Quality.corpusDriftBy(ref,
+      b1.unionByName(b2), "lang", buckets = 32)
+    assert(rows(monitor) == rows(oneShot))
+    // restart on the same checkpoint: nothing re-lands, monitor stable
+    Ingest.driftCountsByStream(spark, b1.schema, src, out, ck, "lang",
+      buckets = 32)
+    assert(rows(monitor) == rows(oneShot))
+  }
+
   test("STHQ: streamed histograms sum to the one-shot quantiles; replay clean") {
     val src = tmp("sthq-src"); val out = tmp("sthq-out"); val ck = tmp("sthq-ck")
     val b1 = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "x")
