@@ -22,24 +22,48 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 floor = {}
 seen_rounds = []
 
-# Fold in the existing floor file first: BENCH_DETAIL.json is
-# overwritten by every full run, so a floor recorded from a
-# since-overwritten quiet run would otherwise be lost on regeneration.
+PREV_FOLDED = []
 if os.path.exists("BASELINE-bench.json"):
     try:
         prev = json.load(open("BASELINE-bench.json"))
-        for name, row in prev.get("queries", {}).items():
-            floor[name] = {"sec": row["sec"], "src": row.get("src", "prev")}
+        PREV_FOLDED = list(prev.get("queries", {}).items())
         seen_rounds.append("prev-floor")
     except (json.JSONDecodeError, OSError, KeyError):
         pass
 
 
+# Queries whose DEFINITION changed, keyed to the last round whose
+# recorded values belong to the old definition: folds from BENCH_r<=N
+# (and the inherited prev-floor entry) are skipped so the floor
+# re-baselines at the current definition instead of reading as a
+# permanent regression.
+REBASELINED = {
+    # r11: dense groups x buckets JS spine (1280 output rows vs the
+    # sparse 448) — the r01..r10 values measured the sparse definition
+    "r101_drift_by": 10,
+}
+
+
 def take(name, sec, src):
     if sec <= 0:
         return
+    cut = REBASELINED.get(name)
+    if cut is not None:
+        m = re.match(r"BENCH_r0*(\d+)$", src)
+        # old-definition sources: the named rounds, or an inherited
+        # floor entry whose provenance cannot prove it is post-cutoff
+        if (m and int(m.group(1)) <= cut) or not m and src != "BENCH_DETAIL":
+            return
     if name not in floor or sec < floor[name]["sec"]:
         floor[name] = {"sec": round(float(sec), 3), "src": src}
+
+
+# Fold the previous floor file FIRST (through take(), so REBASELINED
+# filtering applies to inherited entries too): BENCH_DETAIL.json is
+# overwritten by every full run, so a floor recorded from a
+# since-overwritten quiet run would otherwise be lost on regeneration.
+for _name, _row in PREV_FOLDED:
+    take(_name, _row["sec"], _row.get("src", "prev"))
 
 
 def compact_lines(text):
