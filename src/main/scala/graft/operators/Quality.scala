@@ -560,9 +560,7 @@ object Quality {
     val emptyRemap = spark.range(0)
       .select(col("id").as("src"), col("id").as("dst"))
     def readPart(kind: String): Option[DataFrame] =
-      if (live.isEmpty) None
-      else Some(live.map(s => spark.read.parquet(s"$path/$kind/step=$s"))
-        .reduce(_ unionByName _))
+      if (live.isEmpty) None else Some(readSteps(spark, path, kind, live))
     val priorRows = readPart("rows")
     val priorRemap = readPart("remap")
     val cur = priorRows match {
@@ -619,11 +617,20 @@ object Quality {
       case s => s.max
     }
     val live = steps.map(_._1).filter(_ >= baseStep).sorted
-    def part(kind: String) = live
-      .map(s => spark.read.parquet(s"$path/$kind/step=$s"))
-      .reduce(_ unionByName _)
-    composeIndex(part("rows"), part("remap"))
+    composeIndex(readSteps(spark, path, "rows", live),
+      readSteps(spark, path, "remap", live))
   }
+
+  /** ONE partition-discovered read of the committed step dirs, pruned
+    * to `live` — a per-step read reduced by unionByName grows the plan
+    * linearly with the number of live micro-batches (hundreds between
+    * compactions), where a `step` partition-column filter is O(1) plan
+    * with static pruning; uncommitted orphan dirs (always > every
+    * committed step) are excluded by the isin, never scanned. */
+  private def readSteps(spark: org.apache.spark.sql.SparkSession,
+      path: String, kind: String, live: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$path/$kind")
+      .where(col("step").isin(live: _*)).drop("step")
 
   /** The frame form of the composition — shared by the disk reads and
     * [[erStreamStep]]'s in-step folds. Extra columns on `rows` are
