@@ -60,6 +60,41 @@ class SqlParitySpec extends SparkSpec {
     (cols, rows)
   }
 
+  /** r/p rows whose oracle SQL happens to be Spark-parseable TODAY —
+    * probed across all 128 (r11): these 29 ran AND matched the
+    * DataFrame form bit for bit, and ZERO parseable rows differed (the
+    * other 99 fail to parse on DuckDB list comprehensions /
+    * list_reduce / table functions). Asserted as a fixed regression
+    * list: an edit that makes one of these stop matching — or stop
+    * parsing — fails here. */
+  private val extendedParity = Seq(
+    "p11_fingerprints", "p15_fuzzy_dedup", "r100_winsorize_by",
+    "r102_transitions_bucketed", "r33_pivot", "r34_cube",
+    "r35_union_dedup", "r36_lag", "r37_asof_join", "r38_sliding_window",
+    "r40_grouping_sets", "r43_session_window", "r46_stratified_sample",
+    "r50_domain_mix", "r54_temperature_mix", "r56_corpus_diff",
+    "r73_histogram_quantiles", "r79_range_join", "r80_overlap_join",
+    "r81_topk_agg", "r83_bloom_join", "r85_salted_join",
+    "r88_temporal_split", "r90_robust_binned", "r93_psi_drift",
+    "r94_profile_diff", "r95_funnel", "r97_winsorize", "r98_transitions")
+
+  test("extended parity: the 29 Spark-parseable r/p oracle rows match the DataFrame form") {
+    tables.foreach(t =>
+      Tables.load(spark, sf, t).createOrReplaceTempView(t))
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    extendedParity.foreach { name =>
+      try {
+        val viaSql = canon(spark.sql(shim(SparkEntry.oracleSql(name))))
+        val viaDf = canon(SparkEntry.queries(name)(spark, sf))
+        if (viaSql != viaDf) problems += s"$name: sql != df"
+      } catch {
+        case e: Throwable => problems += s"$name: ${e.getClass.getSimpleName}"
+      }
+      spark.catalog.clearCache()
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
   test("q-rows: spark.sql(oracle SQL) == DataFrame form; exclusion set exact") {
     tables.foreach(t =>
       Tables.load(spark, sf, t).createOrReplaceTempView(t))
