@@ -125,6 +125,35 @@ class LawsSpec extends SparkSpec {
     assert(rev == Map(1L -> "added", 3L -> "changed", 5L -> "removed"))
   }
 
+  test("transitionPairsBucketed == transitionPairs over random skewed streams and random grids") {
+    import graft.operators.Behavior
+    // Random event streams with a planted hot user (60% of rows), a
+    // tiny ts range (forces same-ts ties, which must never straddle a
+    // bucket), and TWO grids per draw — the calendar one and a random
+    // coarse modulus — both monotone in ts, the only contract.
+    val genEvents: Gen[List[(Long, String, Int)]] = for {
+      n <- Gen.choose(30, 150)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.frequency((6, Gen.const(0L)), (4, Gen.choose(1L, 5L)))
+        t <- Gen.oneOf("a", "b", "c")
+        s <- Gen.choose(0, 5000)
+      } yield (u, t, s))
+    } yield evs
+    for ((evs, i) <- samples(genEvents, 6).zipWithIndex) {
+      val df = evs.toDF("user_id", "event_type", "secs")
+        .withColumn("ts", timestamp_seconds(col("secs"))).drop("secs")
+      val plain = Behavior.transitionPairs(df).collect().map(_.toSeq).toSet
+      val grids = Seq(
+        date_trunc("hour", col("ts")),
+        floor(unix_timestamp(col("ts")) / lit(97 + i * 13)))
+      grids.foreach { g =>
+        val bucketed = Behavior.transitionPairsBucketed(df, g)
+          .collect().map(_.toSeq).toSet
+        assert(bucketed == plain, s"draw $i grid $g")
+      }
+    }
+  }
+
   test("urlHost + hostPrior: host grouping, mean math, non-URL visibility") {
     import graft.operators.Quality
     val docs = Seq(
