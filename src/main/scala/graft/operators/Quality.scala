@@ -413,23 +413,87 @@ object Quality {
       }.toSeq
   }
 
+  // ---- blk-hash file bucketing of the ER row store (r11) ----------
+  // Every rows/step=N dir is sub-partitioned blkb=pmod(xxhash64(blk),
+  // B): an incremental step's prior-state read then prunes to the
+  // batch's TOUCHED buckets at the FILE level — per-step read cost
+  // ∝ touched blocks, not index size (without this, the touched-block
+  // semi-join still SCANNED the whole row store every batch, the one
+  // index-sized term left in the step). B is pinned per index by a
+  // write-once `meta/blkb=B` marker at seed time — a reader hashing
+  // with a different B would prune the WRONG buckets and silently
+  // drop old rows, so B always comes from the marker, never a
+  // parameter. No marker = a pre-r11 (unbucketed) index: reads skip
+  // pruning and writes stay unbucketed, so layouts never mix.
+
+  private def erBlkb(b: Int): Column =
+    pmod(xxhash64(col("blk")), lit(b.toLong)).cast("int")
+
+  private def erBlkbOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] = {
+    val fs = erFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("blkb="))
+      .map(_.stripPrefix("blkb=").toInt).headOption
+  }
+
+  private def writeErBlkbMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, b: Int): Unit = {
+    val fs = erFs(spark, path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/meta"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/meta/blkb=$b"), true)
+      .close()
+  }
+
+  /** Land a rows frame as step `n`, blkb-bucketed when the index is.
+    * The frame is repartitioned ON the bucket key before the
+    * partitionBy write: without it every task writes into every
+    * bucket dir (buckets × shufflePartitions small files — measured
+    * 3.7 vs 2.3 s/step against the flat layout at 900k rows, pure
+    * listing overhead); with it each bucket is one task's file(s),
+    * and AQE splits genuinely large buckets. */
+  private def writeErRows(rows: DataFrame, path: String, n: Long,
+      blkbOpt: Option[Int]): Unit = blkbOpt match {
+    case Some(b) =>
+      rows.withColumn("blkb", erBlkb(b))
+        .repartition(col("blkb"))
+        .write.partitionBy("blkb").mode("overwrite")
+        .parquet(s"$path/rows/step=$n")
+    case None =>
+      rows.write.mode("overwrite").parquet(s"$path/rows/step=$n")
+  }
+
+  /** The batch's touched bucket ids — bounded by B (≤ 256 ints to the
+    * driver, the ivfPqSearchIndex routing-table discipline), applied
+    * as a STATIC partition predicate on the rows read. */
+  private def touchedBuckets(nb: DataFrame, b: Int): Seq[Int] =
+    nb.select(erBlkb(b).as("blkb")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+
   /** Seed the persisted index: full [[resolveEntities]]-equivalent
-    * resolution of `df`, landed as committed base step 0. At scale,
-    * write the row store bucketed by `blk` so incremental steps prune
-    * to touched blocks. */
+    * resolution of `df`, landed as committed base step 0, with the
+    * row store blkb-bucketed (`blkBuckets` pinned in the meta marker)
+    * so incremental steps prune their prior-state read to touched
+    * buckets at the file level. */
   def writeEntityIndex(df: DataFrame, id: Column, blockKey: Column,
       matchCol: Column, path: String, maxDist: Int = 1,
-      maxBlock: Int = 1000, maxIter: Int = 20): Unit = {
+      maxBlock: Int = 1000, maxIter: Int = 20,
+      blkBuckets: Int = 64): Unit = {
+    require(blkBuckets >= 1, "blkBuckets must be positive")
     val spark = df.sparkSession
+    writeErBlkbMarker(spark, path, blkBuckets)
     val nb = normalizeErBatch(df, id, blockKey, matchCol)
     val pairs = fuzzyDuplicatesBlocked(df, id, blockKey, matchCol,
         maxDist, maxBlock)
       .select(col("id1").as("d1"), col("id2").as("d2"))
     val comp = Dedup.components(pairs, maxIter)
-    nb.join(comp, Seq("id"), "left")
-      .select(col("id"), col("blk"), col("m"),
-        coalesce(col("comp"), col("id")).as("comp"))
-      .write.mode("overwrite").parquet(s"$path/rows/step=0")
+    writeErRows(
+      nb.join(comp, Seq("id"), "left")
+        .select(col("id"), col("blk"), col("m"),
+          coalesce(col("comp"), col("id")).as("comp")),
+      path, 0, Some(blkBuckets))
     spark.range(0).select(col("id").as("src"), col("id").as("dst"))
       .write.mode("overwrite").parquet(s"$path/remap/step=0")
     commitErStep(spark, path, 0, base = true)
@@ -448,7 +512,13 @@ object Quality {
     val spark = newDf.sparkSession
     val nb = normalizeErBatch(newDf, id, blockKey, matchCol)
       .localCheckpoint(true)
-    val cur = currentIndex(spark, path)
+    // Prior state PRUNED to the batch's touched blkb buckets (file-
+    // level, a superset of the exact blk semi-join erStepParts keeps):
+    // the step's read cost is ∝ touched blocks, not index size.
+    val cur = erBlkbOf(spark, path) match {
+      case Some(b) => currentIndexPruned(spark, path, touchedBuckets(nb, b))
+      case None => currentIndex(spark, path)
+    }
     val (newRows, remap) = erStepParts(nb, cur, maxDist, maxBlock, maxIter)
     val steps = committedErSteps(spark, path)
     // A flat pre-committed-step index READS fine (currentIndex's
@@ -459,7 +529,7 @@ object Quality {
         "flat (pre-committed-step) index must be re-seeded with " +
         "writeEntityIndex before incremental use")
     val n = steps.map(_._1).max + 1
-    newRows.write.mode("overwrite").parquet(s"$path/rows/step=$n")
+    writeErRows(newRows, path, n, erBlkbOf(spark, path))
     remap.write.mode("overwrite").parquet(s"$path/remap/step=$n")
     commitErStep(spark, path, n, base = false)
     entityIndexSnapshot(spark, path)
@@ -479,8 +549,7 @@ object Quality {
     val steps = committedErSteps(spark, path)
     require(steps.nonEmpty, s"compactEntityIndex: nothing committed under $path")
     val n = steps.map(_._1).max + 1
-    currentIndex(spark, path)
-      .write.mode("overwrite").parquet(s"$path/rows/step=$n")
+    writeErRows(currentIndex(spark, path), path, n, erBlkbOf(spark, path))
     spark.range(0).select(col("id").as("src"), col("id").as("dst"))
       .write.mode("overwrite").parquet(s"$path/remap/step=$n")
     commitErStep(spark, path, n, base = true)
@@ -526,7 +595,8 @@ object Quality {
     * crash mid-delete leaves invisible garbage, never a double-count. */
   private[graft] def erStreamStep(batch: DataFrame, id: Long, path: String,
       idCol: String, blkCol: String, matchCol: String, maxDist: Int,
-      maxBlock: Int, maxIter: Int, maxRemapRows: Long): Unit = {
+      maxBlock: Int, maxIter: Int, maxRemapRows: Long,
+      blkBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     def gc(): Unit = {
       val cs = committedErSteps(spark, path)
@@ -557,17 +627,34 @@ object Quality {
         "(auto-compaction via maxRemapRows replaces it)")
     val base = steps.filter(_._2).map(_._1).maxOption.getOrElse(Long.MinValue)
     val live = steps.map(_._1).filter(_ >= base).sorted
+    // Seed the blkb marker with the stream's OWN batch 0 (the stream
+    // owns its dir); a pre-existing unmarked index keeps the legacy
+    // unbucketed layout so files never mix bucketing schemes.
+    if (live.isEmpty && erBlkbOf(spark, path).isEmpty)
+      writeErBlkbMarker(spark, path, blkBuckets)
+    val blkbOpt = erBlkbOf(spark, path)
     val emptyRemap = spark.range(0)
       .select(col("id").as("src"), col("id").as("dst"))
     def readPart(kind: String): Option[DataFrame] =
-      if (live.isEmpty) None else Some(readSteps(spark, path, kind, live))
+      if (live.isEmpty) None
+      else Some(readSteps(spark, path, kind, live,
+        bucketed = kind == "rows" && blkbOpt.isDefined))
     val priorRows = readPart("rows")
     val priorRemap = readPart("remap")
-    val cur = priorRows match {
-      case None => emptyEntityIndex(spark)
-      case Some(r) => composeIndex(r, priorRemap.getOrElse(emptyRemap))
-    }
     val nb = normalizeErBatch(batch, col(idCol), col(blkCol), col(matchCol))
+    // The step-parts input is PRUNED to the batch's touched blkb
+    // buckets (file-level; erStepParts' blk semi-join stays as the
+    // exact filter) — the full-rows frame is only composed on the
+    // compaction branch, which rewrites everything anyway.
+    val cur = (priorRows, blkbOpt) match {
+      case (None, _) => emptyEntityIndex(spark)
+      case (Some(_), Some(b)) =>
+        composeIndex(
+          readStepsRowsPruned(spark, path, live, touchedBuckets(nb, b)),
+          priorRemap.getOrElse(emptyRemap))
+      case (Some(r), None) =>
+        composeIndex(r, priorRemap.getOrElse(emptyRemap))
+    }
     val (newRows0, remap0) = erStepParts(nb, cur, maxDist, maxBlock, maxIter)
     // Materialize BEFORE writing: the plans read the very dirs the
     // writes extend (the dedupIngestStream lesson).
@@ -578,13 +665,14 @@ object Quality {
       if (liveRemapRows > maxRemapRows) {
         // land the step as a BASE: full snapshot, closure folded,
         // empty remap — reads pin to it, the log replay resets to zero
-        composeIndex(priorRows.map(_.unionByName(nr)).getOrElse(nr),
-            priorRemap.map(_.unionByName(rm)).getOrElse(rm))
-          .write.mode("overwrite").parquet(s"$path/rows/step=$id")
+        writeErRows(
+          composeIndex(priorRows.map(_.unionByName(nr)).getOrElse(nr),
+            priorRemap.map(_.unionByName(rm)).getOrElse(rm)),
+          path, id, blkbOpt)
         emptyRemap.write.mode("overwrite").parquet(s"$path/remap/step=$id")
         commitErStep(spark, path, id, base = true)
       } else {
-        nr.write.mode("overwrite").parquet(s"$path/rows/step=$id")
+        writeErRows(nr, path, id, blkbOpt)
         rm.write.mode("overwrite").parquet(s"$path/remap/step=$id")
         commitErStep(spark, path, id, base = false)
       }
@@ -617,8 +705,10 @@ object Quality {
       case s => s.max
     }
     val live = steps.map(_._1).filter(_ >= baseStep).sorted
-    composeIndex(readSteps(spark, path, "rows", live),
-      readSteps(spark, path, "remap", live))
+    composeIndex(
+      readSteps(spark, path, "rows", live,
+        bucketed = erBlkbOf(spark, path).isDefined),
+      readSteps(spark, path, "remap", live, bucketed = false))
   }
 
   /** ONE partition-discovered read of the committed step dirs, pruned
@@ -627,10 +717,59 @@ object Quality {
     * compactions), where a `step` partition-column filter is O(1) plan
     * with static pruning; uncommitted orphan dirs (always > every
     * committed step) are excluded by the isin, never scanned. */
+  /** The fixed on-disk schemas (normalizeErBatch pins the column
+    * types), provided EXPLICITLY to every step read: an empty
+    * micro-batch's bucketed step dir carries no data file at all (a
+    * partitionBy write of zero rows emits nothing), so schema
+    * inference over the parent would fail exactly when the index
+    * starts with an empty batch. */
+  private def erReadSchema(kind: String,
+      bucketed: Boolean): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val base =
+      if (kind == "rows")
+        new StructType().add("id", LongType).add("blk", StringType)
+          .add("m", StringType).add("comp", LongType)
+      else new StructType().add("src", LongType).add("dst", LongType)
+    val s = base.add("step", LongType)
+    if (bucketed) s.add("blkb", IntegerType) else s
+  }
+
   private def readSteps(spark: org.apache.spark.sql.SparkSession,
-      path: String, kind: String, live: Seq[Long]): DataFrame =
-    spark.read.parquet(s"$path/$kind")
-      .where(col("step").isin(live: _*)).drop("step")
+      path: String, kind: String, live: Seq[Long],
+      bucketed: Boolean): DataFrame =
+    spark.read.schema(erReadSchema(kind, bucketed))
+      .parquet(s"$path/$kind")
+      .where(col("step").isin(live: _*)).drop("step", "blkb")
+
+  /** [[readSteps]] for rows, additionally pruned to the touched blkb
+    * partitions — BOTH predicates are static partition filters, so an
+    * incremental step lists and reads only the touched buckets' files
+    * of the live steps, never the whole row store. */
+  private def readStepsRowsPruned(spark: org.apache.spark.sql.SparkSession,
+      path: String, live: Seq[Long], buckets: Seq[Int]): DataFrame =
+    spark.read.schema(erReadSchema("rows", bucketed = true))
+      .parquet(s"$path/rows")
+      .where(col("step").isin(live: _*) && col("blkb").isin(buckets: _*))
+      .drop("step", "blkb")
+
+  /** [[currentIndex]] restricted to the touched blkb buckets' rows
+    * (full remap — the closure is merge-log-sized regardless): the
+    * incremental batch form's pruned prior-state read. Labels are
+    * exact for every returned row (composition is row-wise). */
+  private def currentIndexPruned(spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Seq[Int]): DataFrame = {
+    val steps = committedErSteps(spark, path)
+    require(steps.nonEmpty,
+      s"no committed entity-index steps under $path (seed with writeEntityIndex)")
+    val baseStep = steps.filter(_._2).map(_._1) match {
+      case s if s.isEmpty => 0L
+      case s => s.max
+    }
+    val live = steps.map(_._1).filter(_ >= baseStep).sorted
+    composeIndex(readStepsRowsPruned(spark, path, live, buckets),
+      readSteps(spark, path, "remap", live, bucketed = false))
+  }
 
   /** The frame form of the composition — shared by the disk reads and
     * [[erStreamStep]]'s in-step folds. Extra columns on `rows` are

@@ -1699,7 +1699,7 @@ object Ingest {
       idCol: String, blkCol: String, matchCol: String,
       maxDist: Int = 1, maxBlock: Int = 1000, maxIter: Int = 20,
       maxFilesPerTrigger: Int = 1,
-      maxRemapRows: Long = 1000000L): Unit = {
+      maxRemapRows: Long = 1000000L, blkBuckets: Int = 64): Unit = {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -1708,7 +1708,7 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.Quality.erStreamStep(batch, id, indexPath,
           idCol, blkCol, matchCol, maxDist, maxBlock, maxIter,
-          maxRemapRows)
+          maxRemapRows, blkBuckets)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

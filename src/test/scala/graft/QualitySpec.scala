@@ -312,6 +312,50 @@ class QualitySpec extends SparkSpec {
     assert(after.size > before.size, "new batches append row files")
   }
 
+  test("ER blkb bucketing: steps land under blkb= dirs; legacy unmarked index stays flat") {
+    // bucketed: every rows step dir is blkb=-partitioned, pinned by
+    // the meta marker, so an incremental step's prior read prunes to
+    // the batch's touched buckets at the file level
+    val path = java.nio.file.Files.createTempDirectory("er-blkb").toString
+    val b1 = (1L to 40L).map(i => (i, s"blk${i % 7}", "p" + "x" * (i % 5).toInt))
+      .toDF("pid", "blk", "nm")
+    val b2 = Seq((100L, "blk1", "p"), (101L, "blk2", "px"))
+      .toDF("pid", "blk", "nm")
+    Quality.writeEntityIndex(b1, col("pid"), col("blk"), col("nm"), path,
+      blkBuckets = 8)
+    def sub(dir: String) = new java.io.File(dir).listFiles() match {
+      case null => Set.empty[String]
+      case a => a.map(_.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+    }
+    assert(sub(s"$path/meta") == Set("blkb=8"))
+    assert(sub(s"$path/rows/step=0").forall(_.startsWith("blkb=")))
+    assert(sub(s"$path/rows/step=0").size > 1, "multiple buckets expected")
+    val snap = Quality.resolveEntitiesIncremental(b2, col("pid"),
+        col("blk"), col("nm"), path)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(sub(s"$path/rows/step=1").forall(_.startsWith("blkb=")))
+    val full = Quality.resolveEntities(b1.unionByName(b2), col("pid"),
+        col("blk"), col("nm")).select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(snap == full)
+    // legacy: a pre-r11 committed-step index (flat rows, no meta
+    // marker) keeps reading AND appending FLAT — layouts never mix
+    val leg = java.nio.file.Files.createTempDirectory("er-legacy").toString
+    Quality.normalizeErBatch(b1, col("pid"), col("blk"), col("nm"))
+      .withColumn("comp", col("id"))
+      .write.mode("overwrite").parquet(s"$leg/rows/step=0")
+    spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+      .write.mode("overwrite").parquet(s"$leg/remap/step=0")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$leg/commits"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$leg/commits/0.base"))
+    Quality.resolveEntitiesIncremental(b2, col("pid"), col("blk"),
+      col("nm"), leg)
+    assert(sub(s"$leg/rows/step=1").forall(!_.startsWith("blkb=")),
+      "legacy index must keep the flat layout")
+    assert(Quality.entityIndexSnapshot(spark, leg).count() == 42)
+  }
+
   test("ER index compaction: snapshot unchanged, remap folded away, superseded steps dropped") {
     val path = java.nio.file.Files.createTempDirectory("er-compact").toString
     def rows(ids: Seq[Long]) = ids.map(i => (i, "blk1", "p" + "x" * i.toInt))
@@ -357,9 +401,11 @@ class QualitySpec extends SparkSpec {
     val b2 = rows(Seq(3L, 4L)).toDF("pid", "blk", "nm")
     Quality.writeEntityIndex(b1, col("pid"), col("blk"), col("nm"), path)
     // simulate a step that crashed between its writes and its commit:
-    // orphan rows (even a divergent id) land but no marker appears
-    Seq((999L, "blk1", "junk", 999L)).toDF("id", "blk", "m", "comp")
-      .write.mode("overwrite").parquet(s"$path/rows/step=1")
+    // orphan rows (even a divergent id) land — bucketed, as the real
+    // writer lands them — but no marker appears
+    Seq((999L, "blk1", "junk", 999L, 0)).toDF("id", "blk", "m", "comp", "blkb")
+      .write.partitionBy("blkb").mode("overwrite")
+      .parquet(s"$path/rows/step=1")
     val orphanSnap = Quality.entityIndexSnapshot(spark, path)
       .as[(Long, Long, Boolean)].collect().toSet
     assert(!orphanSnap.exists(_._1 == 999L),

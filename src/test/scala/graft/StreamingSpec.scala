@@ -1189,10 +1189,11 @@ class StreamingSpec extends SparkSpec {
     val afterTwo = snap
     // Simulate a compaction attempt for batch 2 that crashed AFTER its
     // parquet writes but BEFORE the commit marker: complete-looking
-    // step dirs, no marker — exactly what erStreamStep's write order
-    // can leave behind.
-    spark.read.parquet(s"$idx/rows/step=1")
-      .write.mode("overwrite").parquet(s"$idx/rows/step=2")
+    // step dirs (bucketed, as the real writer lands them), no marker —
+    // exactly what erStreamStep's write order can leave behind.
+    spark.read.parquet(s"$idx/rows/step=1") // discovers blkb
+      .write.partitionBy("blkb").mode("overwrite")
+      .parquet(s"$idx/rows/step=2")
     spark.range(0).select(col("id").as("src"), col("id").as("dst"))
       .write.mode("overwrite").parquet(s"$idx/remap/step=2")
     // the orphan is INVISIBLE to reads: snapshot unchanged
@@ -1220,6 +1221,26 @@ class StreamingSpec extends SparkSpec {
         1, 1000, 20, 0L)
     }
     assert(err.getMessage.contains("beyond batch"), err.getMessage)
+  }
+
+  test("SCCerE: empty FIRST batch — bucketed step dirs carry no schema file, reads still work") {
+    // A partitionBy write of zero rows emits no data file at all, so a
+    // schema-inferring parent read would fail exactly when an index
+    // starts with an empty batch; the readers' explicit schemas make
+    // it a zero-row step instead.
+    val src = tmp("sccere-src"); val idx = tmp("sccere-idx"); val ck = tmp("sccere-ck")
+    val empty = Seq.empty[(Long, String, String)].toDF("pid", "blk", "nm")
+    val b2 = Seq((1L, "blk1", "px"), (2L, "blk1", "pxx")).toDF("pid", "blk", "nm")
+    empty.coalesce(1).write.mode("append").parquet(src)
+    Ingest.erIngestStream(spark, empty.schema, src, idx, ck, "pid", "blk", "nm")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.erIngestStream(spark, empty.schema, src, idx, ck, "pid", "blk", "nm")
+    val snap = graft.operators.Quality.entityIndexSnapshot(spark, idx)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val full = graft.operators.Quality.resolveEntities(b2, col("pid"),
+        col("blk"), col("nm")).select("pid", "entity", "canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(snap == full && snap.nonEmpty)
   }
 
   test("SCCra: streamed outlier screen accepts the binned approx model interchangeably") {
