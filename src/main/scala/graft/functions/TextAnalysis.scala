@@ -143,6 +143,17 @@ object TextAnalysis {
   val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "[0-9]{3}-[0-9]{4}"
 
+  /** IPv4 with octet range validation in the pattern itself (0–255),
+    * word-bounded so it never fires inside a longer dotted-number run.
+    * RE2 ∩ Java (no lookaround), identical in the oracle. */
+  val Ipv4Re = "\\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+    "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
+
+  /** Payment-card CANDIDATE: a word-bounded run of 13–19 digits (the
+    * PAN length range). Candidacy is syntactic; validity is the Luhn
+    * checksum, applied per candidate by [[scrubPiiExtended]]. */
+  val CardRe = "\\b[0-9]{13,19}\\b"
+
   /** PII redaction — the scrub stage an LLM training corpus runs
     * before anything else: count and replace email/phone matches with
     * typed placeholder tokens. Pure column expressions (codegen'd
@@ -157,6 +168,51 @@ object TextAnalysis {
         .cast("long").as("n_phones"),
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("scrubbed"))
+
+  /** Structured-identifier PII scrub — the tier above [[scrubPii]]'s
+    * email/phone regexes: IPv4 addresses (octet-validated in the
+    * pattern) and payment-card numbers, where a bare digit-run regex
+    * over-fires badly (order ids, timestamps) so candidates are
+    * verified by the Luhn checksum before they count or redact. The
+    * checksum is an integer fold over the candidate's own digits
+    * (from the rightmost digit every second one doubles, minus 9 when
+    * > 9; valid iff the sum ≡ 0 mod 10) — codegen'd, no shuffle, one
+    * narrow pass like [[scrubPii]]; integer arithmetic only, so the
+    * verdict is bit-identical in any engine.
+    *
+    * Redaction replaces each Luhn-valid candidate as a word-bounded
+    * run (the candidate regex's own boundary rule), so the same digit
+    * string embedded inside a LONGER run — which was never a
+    * candidate — is left alone. Candidates that fail Luhn are left in
+    * place (and reported as n_card_candidates − n_cards) so a blind
+    * sweep of every long number never destroys non-PII data.
+    * Output: doc_id, n_ips, n_card_candidates, n_cards, scrubbed. */
+  def scrubPiiExtended(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"),
+        regexp_extract_all(col(textCol), lit(CardRe), lit(0)).as("cands"))
+      .select(col("doc_id"), col("t"), col("cands"),
+        // Luhn as an expr fold: position-from-right parity (length(c)
+        // - i odd for the i-th char from the left) picks the doubling.
+        expr(
+          """filter(cands, c -> pmod(aggregate(sequence(1, length(c)), 0,
+            |  (acc, i) -> acc + (CASE
+            |    WHEN pmod(length(c) - i, 2) = 1 THEN (CASE
+            |      WHEN 2 * CAST(substr(c, i, 1) AS INT) > 9
+            |      THEN 2 * CAST(substr(c, i, 1) AS INT) - 9
+            |      ELSE 2 * CAST(substr(c, i, 1) AS INT) END)
+            |    ELSE CAST(substr(c, i, 1) AS INT) END)), 10) = 0)
+            |""".stripMargin).as("valid"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        size(col("cands")).cast("long").as("n_card_candidates"),
+        size(col("valid")).cast("long").as("n_cards"),
+        aggregate(col("valid"),
+          regexp_replace(col("t"), Ipv4Re, "<IP>"),
+          (acc, c) => regexp_replace(acc,
+            concat(lit("\\b"), c, lit("\\b")), lit("<CARD>")))
+          .as("scrubbed"))
 
   /** Repetition metrics (the Gopher-style repetition filters): the
     * fraction of all word bigrams taken by the single most frequent
@@ -1457,5 +1513,134 @@ object TextAnalysis {
         ratio(col("tp"), col("tp") + col("fp")).as("precision"),
         ratio(col("tp"), col("tp") + col("fn")).as("recall"),
         ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Zipf-law fit over the corpus token-frequency head — the corpus
+    * health check a curation pipeline runs after every major filter:
+    * natural-language corpora follow `freq ∝ rank^s` with s ≈ −1;
+    * boilerplate floods (s steepens) and template/spam floods
+    * (s flattens) both show up as a slope shift long before they are
+    * visible in per-doc metrics. The fit is ordinary least squares of
+    * `ln freq` on `ln rank` over the TOP-K tokens only — the head is
+    * where Zipf holds and, crucially, where the computation stays
+    * bounded: token counts are one partial-aggregable explode+groupBy
+    * (map-side combine crushes hot tokens), the head is TakeOrdered
+    * (never a global sort), and the OLS runs over K rows. The corpus
+    * totals (n_tokens, n_vocab) ride the same counts frame.
+    *
+    * Determinism (the dsir discipline): ranks and frequencies are
+    * exact ints; each `ln` is 6dp-rounded; the four OLS sums are
+    * ascending sorted folds over the K-row term lists; slope is
+    * rounded BEFORE it feeds the intercept so both engines use the
+    * identical value. Ties in frequency rank by token ascending.
+    * Output (1 row): k, n_tokens, n_vocab, slope, intercept. */
+  def zipfFit(docs: DataFrame, topK: Int = 200, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("c"))
+    val totals = counts.agg(sum("c").cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_vocab"))
+    val head = counts.orderBy(col("c").desc, col("tok").asc).limit(topK)
+    // bounded frame: the global rank window runs AFTER limit(topK),
+    // over at most topK rows — never corpus data.
+    val ranked = head.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
+      .select(round(log(col("r").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+    def fold(c: Column) = aggregate(sort_array(c), lit(0d), _ + _)
+    val sums = ranked.agg(
+      count(lit(1)).cast("long").as("k"),
+      fold(collect_list(col("x"))).as("sx"),
+      fold(collect_list(col("y"))).as("sy"),
+      fold(collect_list(col("x") * col("y"))).as("sxy"),
+      fold(collect_list(col("x") * col("x"))).as("sxx"))
+    val kd = col("k").cast("double")
+    val den = kd * col("sxx") - col("sx") * col("sx")
+    val slope = when(den =!= 0d,
+      round((kd * col("sxy") - col("sx") * col("sy")) / den, 6))
+    sums.crossJoin(totals) // both sides are 1-row aggregates
+      .select(col("k"), col("n_tokens"), col("n_vocab"),
+        slope.as("slope"),
+        when(den =!= 0d,
+          round((col("sy") - slope * col("sx")) / kd, 6)).as("intercept"))
+  }
+
+  /** Flesch reading-ease readability — the classic fluency signal the
+    * length/repetition/entropy gates miss: machine-generated keyword
+    * stuffing and OCR shred both score far outside the natural-prose
+    * band (roughly 30–90). Words are the whitespace tokens, sentences
+    * the [[sentences]] regex tier, and syllables the standard
+    * vowel-group approximation (`[aeiouy]+` runs, minimum 1 per word)
+    * — all three reproducible by the identical regexes in any RE2/Java
+    * engine, so the score is oracle-checkable. One narrow codegen'd
+    * projection, no shuffle: every count is an in-place fold over the
+    * doc's own token array.
+    *
+    * `flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words)` — IEEE arithmetic over exact-int ratios, rounded 4dp.
+    * Docs with no words or no sentences keep a visible null-score row.
+    * Output: doc_id, n_words, n_sentences, n_syllables, flesch. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = filter(split(coalesce(col(textCol), lit("")), " "),
+      w => w =!= "")
+    val sylls = aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))
+          .cast("long")))
+    docs.select(col(idCol).as("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(sentenceArray(textCol)).cast("long").as("n_sentences"),
+        sylls.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(206.835d)
+            - lit(1.015d) * (col("n_words").cast("double")
+                / col("n_sentences").cast("double"))
+            - lit(84.6d) * (col("n_syllables").cast("double")
+                / col("n_words").cast("double")), 4)).as("flesch"))
+  }
+
+  /** Inter-annotator agreement (Cohen's kappa) between two boolean
+    * verdict frames — the measurement that tells a curation team
+    * whether two gates (a rule tier vs a learned filter, or two human
+    * labeling passes) agree beyond chance before one is trusted to
+    * replace the other. [[classifierMetrics]] answers "how well does
+    * A predict B"; kappa is symmetric and chance-corrected, the
+    * standard for annotator consistency. One equi-join + one 1-row
+    * aggregation — summary-sized at any corpus scale.
+    *
+    * po = (n11+n00)/n, pe = pa1·pb1 + pa0·pb0, kappa = (po−pe)/(1−pe)
+    * — every ratio an IEEE division of exact ints in a fixed operand
+    * order, outputs rounded 6dp; kappa is null when pe = 1 (both
+    * annotators constant — agreement beyond chance is undefined).
+    * Output (1 row): n, n11, n10, n01, n00, po, pe, kappa. */
+  def labelAgreement(a: DataFrame, b: DataFrame, aCol: String = "kept",
+      bCol: String = "kept", idCol: String = "doc_id"): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val joined = a.select(col(idCol).as("doc_id"),
+        col(aCol).cast("boolean").as("va"))
+      .join(b.select(col(idCol).as("doc_id"),
+        col(bCol).cast("boolean").as("vb")), "doc_id")
+    val counted = joined.agg(
+      count(lit(1)).cast("long").as("n"),
+      cnt(col("va") && col("vb")).as("n11"),
+      cnt(col("va") && !col("vb")).as("n10"),
+      cnt(!col("va") && col("vb")).as("n01"),
+      cnt(!col("va") && !col("vb")).as("n00"))
+    val nd = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nd
+    val pe = ((col("n11") + col("n10")).cast("double") / nd) *
+      ((col("n11") + col("n01")).cast("double") / nd) +
+      ((col("n01") + col("n00")).cast("double") / nd) *
+      ((col("n10") + col("n00")).cast("double") / nd)
+    counted.select(col("n"), col("n11"), col("n10"), col("n01"),
+      col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(lit(1d) - pe =!= 0d,
+        round((po - pe) / (lit(1d) - pe), 6)).as("kappa"))
   }
 }

@@ -1027,4 +1027,116 @@ object Ann {
         round(coalesce(col("hits"), lit(0L)).cast("double") / k, 4).as("recall"))
       .orderBy("q_id")
   }
+
+  /** Exact long-form covariance of the embedding column — the one-pass
+    * second-moment summary PCA/whitening starts from, built for
+    * cross-engine exactness and 100 TB shape at once. Each vector's
+    * components are scaled by 1e6 and TRUNCATED to longs (float·1e6 is
+    * exact in a double — 24+20 mantissa bits — and truncation toward
+    * zero is identical in every engine, where rounding tie rules are
+    * not); each row then emits its own d(d+1)/2 upper-triangle products
+    * as a NARROW explode, and one partial-aggregable groupBy(i, j) sums
+    * them as decimal(38,0) — exact integer sums are order-independent,
+    * so the artifact is bit-stable under any partitioning. Map-side
+    * combine reduces every partition to ≤ d(d+1)/2 cells before the
+    * exchange; no join touches corpus rows (the d-row mean sums and the
+    * 1-row count broadcast onto the cell frame).
+    *
+    * cov = (Sxy/n − (Sx/n)(Sy/n)) / 1e12 in a fixed operand order,
+    * 6dp-rounded (the dsir determinism discipline); the exact integer
+    * sums ride along so a consumer can re-derive at full precision or
+    * MERGE two corpora's summaries by addition. Component magnitudes
+    * up to ~1e3 are safe (per-pair product ≤ 1e18 in the long).
+    * Output: i, j (i ≤ j), n, sxy, sx, sy, cov — d(d+1)/2 rows. */
+  def covarianceLongForm(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = vecs.select(
+      expr(s"transform($vecCol, v -> CAST(v * 1000000.0D AS BIGINT))")
+        .as("q"))
+    val cells = q.select(explode(expr(
+        """flatten(transform(sequence(0, size(q) - 1), i ->
+          |  transform(sequence(i, size(q) - 1), j ->
+          |    struct(i AS i, j AS j, q[i] * q[j] AS p))))""".stripMargin))
+        .as("z"))
+      .select(col("z.i").as("i"), col("z.j").as("j"), col("z.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("sxy"))
+    val means = q.select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("i").agg(sum(col("v").cast("decimal(38,0)")).as("sx"))
+    val n = q.agg(count(lit(1)).cast("long").as("n"))
+    val nd = col("n").cast("double")
+    def d(c: Column) = c.cast("double")
+    cells
+      .join(broadcast(means), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sy"))),
+        Seq("j"))
+      .crossJoin(broadcast(n)) // 1-row count onto the d(d+1)/2 cells
+      .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"),
+        col("sy"),
+        round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
+          (d(col("sy")) / nd)) / lit(1e12), 6).as("cov"))
+  }
+
+  /** Top-k principal components from [[covarianceLongForm]]'s summary —
+    * the deterministic driver-side eigensolve: the collected frame is
+    * d(d+1)/2 bounded rows (never corpus data), and power iteration
+    * with deflation runs on the dense d×d matrix in milliseconds. The
+    * start vector for each component is the basis axis of the largest
+    * remaining diagonal entry (a pure function of the matrix — no RNG),
+    * a fixed `iters` sweeps, sign fixed so the largest-|.| coordinate
+    * is positive. Returns (means, eigenvalues, components[k][d]). */
+  def pcaComponents(vecs: DataFrame, k: Int, iters: Int = 100,
+      vecCol: String = "embedding"): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val rows = covarianceLongForm(vecs, vecCol = vecCol).collect()
+    require(rows.nonEmpty, "pcaComponents: empty input")
+    val dDim = rows.iterator.map(_.getInt(1)).max + 1
+    val n = rows.head.getLong(2).toDouble
+    val mean = new Array[Double](dDim)
+    val c = Array.ofDim[Double](dDim, dDim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val cov = r.getDouble(6)
+      c(i)(j) = cov; c(j)(i) = cov
+      if (i == j) mean(i) = r.getDecimal(4).doubleValue() / n / 1e6
+    }
+    val comps = Array.ofDim[Double](k, dDim)
+    val eigs = new Array[Double](k)
+    for (m <- 0 until k) {
+      var v = new Array[Double](dDim)
+      v(Array.tabulate(dDim)(i => i).maxBy(i => c(i)(i))) = 1.0
+      for (_ <- 0 until iters) {
+        val w = Array.tabulate(dDim)(i =>
+          (0 until dDim).foldLeft(0d)((a, j) => a + c(i)(j) * v(j)))
+        val nn = math.sqrt(w.foldLeft(0d)((a, x) => a + x * x))
+        v = if (nn > 0) w.map(_ / nn) else w
+      }
+      val lam = (0 until dDim).foldLeft(0d)((a, i) =>
+        a + v(i) * (0 until dDim).foldLeft(0d)((b, j) => b + c(i)(j) * v(j)))
+      // sign convention: the largest-|coordinate| entry is positive
+      val big = v.indices.maxBy(i => math.abs(v(i)))
+      val s = if (v(big) < 0) -1.0 else 1.0
+      for (i <- 0 until dDim) comps(m)(i) = v(i) * s
+      eigs(m) = lam
+      for (i <- 0 until dDim; j <- 0 until dDim)
+        c(i)(j) -= lam * v(i) * v(j) // deflate
+    }
+    (mean, eigs, comps)
+  }
+
+  /** Project every vector onto the given components (mean-centered) —
+    * the dimensionality-reduction write path: components broadcast as
+    * literals, one narrow codegen'd map per vector, scores 6dp-rounded.
+    * Output: idCol, pc0..pc{k-1}. */
+  def pcaProject(vecs: DataFrame, means: Array[Double],
+      comps: Array[Array[Double]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centered = zip_with(
+      expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
+      typedLit(means.toSeq), (a, b) => a - b)
+    val scores = comps.zipWithIndex.map { case (cm, m) =>
+      round(aggregate(zip_with(centered, typedLit(cm.toSeq),
+        (a, b) => a * b), lit(0d), _ + _), 6).as(s"pc$m")
+    }
+    vecs.select(col(idCol) +: scores.toSeq: _*)
+  }
 }

@@ -4435,6 +4435,174 @@ object PipelineInventory {
               |FROM perq p LEFT JOIN ideal i USING (q_id) LEFT JOIN tot t USING (q_id)
               |ORDER BY q_id""".stripMargin)),
 
+    // Zipf-law fit over the token-frequency head: OLS of ln(freq) on
+    // ln(rank) for the top-200 tokens — the corpus-health slope check.
+    // Both engines: exact-int counts, 6dp-rounded lns, sorted-fold OLS
+    // sums, slope rounded before it feeds the intercept.
+    QueryDef("r103_zipf_fit",
+      (s, d) => TextAnalysis.zipfFit(T(s, d, "documents"), topK = 200),
+      Some(s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+              |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+              |      WHERE tok <> '' GROUP BY tok),
+              |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+              |               CAST(COUNT(*) AS BIGINT) AS n_vocab FROM c),
+              |hd AS (SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT 200),
+              |rk AS (SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r, c FROM hd),
+              |xy AS (SELECT ${rrepr("ln(CAST(r AS DOUBLE))", 6)} AS x,
+              |              ${rrepr("ln(CAST(c AS DOUBLE))", 6)} AS y FROM rk),
+              |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              |  list_reduce(list_prepend(0.0, list_sort(list(x))), (a, b) -> a + b) AS sx,
+              |  list_reduce(list_prepend(0.0, list_sort(list(y))), (a, b) -> a + b) AS sy,
+              |  list_reduce(list_prepend(0.0, list_sort(list(x * y))), (a, b) -> a + b) AS sxy,
+              |  list_reduce(list_prepend(0.0, list_sort(list(x * x))), (a, b) -> a + b) AS sxx
+              |  FROM xy),
+              |fit AS (SELECT k, sx, sy,
+              |    CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx <> 0.0
+              |      THEN ${rrepr("(CAST(k AS DOUBLE) * sxy - sx * sy) / (CAST(k AS DOUBLE) * sxx - sx * sx)", 6)}
+              |    END AS slope,
+              |    (CAST(k AS DOUBLE) * sxx - sx * sx) AS den
+              |  FROM sm)
+              |SELECT k, n_tokens, n_vocab, slope,
+              |  CASE WHEN den <> 0.0
+              |    THEN ${rrepr("(sy - slope * sx) / CAST(k AS DOUBLE)", 6)}
+              |  END AS intercept
+              |FROM fit CROSS JOIN tot""".stripMargin)),
+
+    // Structured-identifier PII: Luhn-verified payment cards + octet-
+    // validated IPv4, planted per customer — one valid PAN (redacted),
+    // one checksum-invalid sibling (kept, counted as candidate only),
+    // one 23-digit run (never a candidate: no word-bounded 13-19 slice)
+    // and one malformed IP (999.300.x — octet rule rejects).
+    QueryDef("r104_pii_extended",
+      (s, d) => TextAnalysis.scrubPiiExtended(
+        T(s, d, "customer").select(col("c_custkey").as("doc_id"),
+          concat(lit("card 4111111111111111 alt 4111111111111112 ip 10."),
+            pmod(col("c_custkey"), lit(256)).cast("string"),
+            lit(".0.1 bad 999.300.1.1 run 12345678901234567890123 end"))
+            .as("text")))
+        .orderBy("doc_id"),
+      Some {
+        val wb = "\\b"
+        s"""WITH t AS (SELECT c_custkey AS doc_id,
+           |    'card 4111111111111111 alt 4111111111111112 ip 10.' ||
+           |    CAST(c_custkey % 256 AS VARCHAR) ||
+           |    '.0.1 bad 999.300.1.1 run 12345678901234567890123 end' AS text
+           |  FROM customer),
+           |c AS (SELECT doc_id, text,
+           |    regexp_extract_all(text, '${TextAnalysis.CardRe}') AS cands
+           |  FROM t),
+           |v AS (SELECT doc_id, text, cands,
+           |    list_filter(cands, c -> list_reduce(
+           |      list_prepend(0, range(1, len(c) + 1)),
+           |      (acc, i) -> acc + (CASE
+           |        WHEN (len(c) - i) % 2 = 1 THEN (CASE
+           |          WHEN 2 * CAST(substr(c, i, 1) AS INT) > 9
+           |          THEN 2 * CAST(substr(c, i, 1) AS INT) - 9
+           |          ELSE 2 * CAST(substr(c, i, 1) AS INT) END)
+           |        ELSE CAST(substr(c, i, 1) AS INT) END)) % 10 = 0) AS valid
+           |  FROM c)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+           |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+           |  CAST(len(valid) AS BIGINT) AS n_cards,
+           |  list_reduce(
+           |    list_prepend(regexp_replace(text, '${TextAnalysis.Ipv4Re}', '<IP>', 'g'), valid),
+           |    (acc, c) -> regexp_replace(acc, '$wb' || c || '$wb', '<CARD>', 'g')) AS scrubbed
+           |FROM v ORDER BY doc_id""".stripMargin }),
+
+    // Cohen's kappa between two gates (a char-length rule vs a token-
+    // count rule) — chance-corrected agreement, one join + one 1-row
+    // aggregation; every ratio an IEEE division of exact ints in a
+    // fixed operand order.
+    QueryDef("r105_label_agreement",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.labelAgreement(
+          docs.select(col("doc_id"), (col("n_chars") >= 150).as("kept")),
+          docs.select(col("doc_id"),
+            (size(split(coalesce(col("text"), lit("")), " ")) >= 30)
+              .as("kept")))
+      },
+      Some(s"""WITH j AS (SELECT (n_chars >= 150) AS va,
+              |    (len(string_split(COALESCE(text, ''), ' ')) >= 30) AS vb
+              |  FROM documents),
+              |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |  CAST(SUM(CASE WHEN va AND vb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+              |  CAST(SUM(CASE WHEN va AND NOT vb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+              |  CAST(SUM(CASE WHEN NOT va AND vb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+              |  CAST(SUM(CASE WHEN NOT va AND NOT vb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+              |  FROM j),
+              |p AS (SELECT *,
+              |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+              |    (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+              |      (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+              |    (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+              |      (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+              |  FROM cc)
+              |SELECT n, n11, n10, n01, n00,
+              |  ${rrepr("po", 6)} AS po, ${rrepr("pe", 6)} AS pe,
+              |  CASE WHEN 1.0 - pe <> 0.0
+              |    THEN ${rrepr("(po - pe) / (1.0 - pe)", 6)}
+              |  END AS kappa
+              |FROM p""".stripMargin)),
+
+    // Exact long-form embedding covariance: components scaled 1e6 and
+    // TRUNCATED to longs (identical in both engines, where rounding
+    // ties are not), upper-triangle products summed as decimal(38,0) —
+    // order-independent exact integer sums, so the whole artifact is
+    // hash-stable; cov derived in a fixed IEEE operand order, 6dp.
+    QueryDef("r106_embed_covariance",
+      (s, d) => Ann.covarianceLongForm(T(s, d, "embeddings"))
+        .orderBy("i", "j"),
+      Some(s"""WITH v AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings),
+              |px AS (SELECT q, unnest(range(0, len(q))) AS i FROM v),
+              |sx AS (SELECT CAST(i AS INT) AS i,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx
+              |       FROM px GROUP BY 1),
+              |pj AS (SELECT q, i, unnest(range(i, len(q))) AS j FROM px),
+              |cells AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              |            CAST(SUM(q[i + 1] * q[j + 1]) AS DECIMAL(38,0)) AS sxy
+              |          FROM pj GROUP BY 1, 2),
+              |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+              |SELECT c.i, c.j, nn.n, c.sxy, a.sx AS sx, b.sx AS sy,
+              |  ${rrepr("(CAST(c.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE) - (CAST(a.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)) * (CAST(b.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS cov
+              |FROM cells c JOIN sx a ON a.i = c.i JOIN sx b ON b.i = c.j
+              |CROSS JOIN nn ORDER BY c.i, c.j""".stripMargin)),
+
+    // Flesch reading-ease over punctuation-augmented docs (the fixture
+    // corpus has no terminators, so sentence structure is planted; the
+    // doc_id % 7 rows exercise the empty-text null-score edge).
+    QueryDef("r107_readability",
+      (s, d) => TextAnalysis.readability(
+        T(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(""))
+            .otherwise(concat(lit("Intro words here. "),
+              coalesce(col("text"), lit("")), lit(" Final!")))
+            .as("text")))
+        .orderBy("doc_id"),
+      Some(s"""WITH aug AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN ''
+              |         ELSE 'Intro words here. ' || COALESCE(text, '') || ' Final!'
+              |    END AS text
+              |  FROM documents),
+              |w AS (SELECT doc_id,
+              |    [x FOR x IN string_split(COALESCE(text, ''), ' ') IF x <> ''] AS ws,
+              |    [x FOR x IN [trim(y) FOR y IN regexp_extract_all(text, '[^.!?]+([.!?]+|$$)')] IF x <> ''] AS ss
+              |  FROM aug),
+              |m AS (SELECT doc_id,
+              |    CAST(len(ws) AS BIGINT) AS n_words,
+              |    CAST(len(ss) AS BIGINT) AS n_sentences,
+              |    CAST(list_reduce(list_prepend(0,
+              |      [greatest(1, len(regexp_extract_all(lower(x), '[aeiouy]+'))) FOR x IN ws]),
+              |      (a, b) -> a + b) AS BIGINT) AS n_syllables
+              |  FROM w)
+              |SELECT doc_id, n_words, n_sentences, n_syllables,
+              |  CASE WHEN n_words > 0 AND n_sentences > 0
+              |    THEN ${rrepr("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))", 4)}
+              |  END AS flesch
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

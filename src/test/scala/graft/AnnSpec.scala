@@ -601,4 +601,87 @@ class AnnSpec extends SparkSpec {
       .select("q_id", "vec_id", "sim", "rn").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("covarianceLongForm matches the scaled-truncated formula and is partition-invariant") {
+    val vs = emb((0L, Seq(1.0f, 2.0f, -0.5f)), (1L, Seq(3.0f, 5.0f, 0.25f)),
+      (2L, Seq(-1.0f, 0.5f, 2.0f)), (3L, Seq(0.125f, -2.5f, 1.5f)))
+    val got = Ann.covarianceLongForm(vs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDecimal(3).longValueExact(),
+          r.getDecimal(4).longValueExact(), r.getDecimal(5).longValueExact(),
+          r.getDouble(6)))).toMap
+    val raw = Seq(Seq(1.0f, 2.0f, -0.5f), Seq(3.0f, 5.0f, 0.25f),
+      Seq(-1.0f, 0.5f, 2.0f), Seq(0.125f, -2.5f, 1.5f))
+      .map(_.map(v => (v.toDouble * 1000000.0).toLong))
+    assert(got.size == 6) // d(d+1)/2 upper-triangle cells
+    for (i <- 0 until 3; j <- i until 3) {
+      val sxy = raw.map(q => q(i) * q(j)).sum
+      val sx = raw.map(_(i)).sum
+      val sy = raw.map(_(j)).sum
+      val n = raw.size.toDouble
+      // Spark's round: HALF_UP on the shortest-decimal repr (toString)
+      val cov = BigDecimal(((sxy / n - (sx / n) * (sy / n)) / 1e12).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((i, j)) == ((4L, sxy, sx, sy, cov)), s"cell ($i,$j)")
+    }
+    val re = Ann.covarianceLongForm(vs.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(3).longValueExact())
+      .toMap
+    assert(re == got.map { case (k, v) => k -> v._2 }) // exact-int sums
+  }
+
+  test("covarianceLongForm summaries merge by addition across corpus batches") {
+    val a = emb((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, -1.0f)))
+    val b = emb((2L, Seq(0.5f, 4.0f)), (3L, Seq(-2.0f, 0.25f)))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Ann.covarianceLongForm(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDecimal(3).longValueExact(),
+            r.getDecimal(4).longValueExact(),
+            r.getDecimal(5).longValueExact()))).toMap
+    val (sa, sb, su) = (sums(a), sums(b), sums(a.unionByName(b)))
+    su.foreach { case (k, (n, sxy, sx, sy)) =>
+      assert(n == sa(k)._1 + sb(k)._1)
+      assert(sxy == sa(k)._2 + sb(k)._2)
+      assert(sx == sa(k)._3 + sb(k)._3)
+      assert(sy == sa(k)._4 + sb(k)._4)
+    }
+  }
+
+  test("pcaComponents: planted 2-factor corpus recovers both directions, orthonormal") {
+    // strong factor along (0.6, 0.8), weak factor along (−0.8, 0.6)·0.1:
+    // comp0 → (0.6, 0.8) (sign fix: big coord positive), comp1 ⊥ comp0
+    val pts = for (t <- -5 to 5; s <- Seq(-1, 1)) yield
+      ((t + 5).toLong * 2 + (s + 1) / 2,
+        Seq(0.6f * t - 0.08f * s, 0.8f * t + 0.06f * s))
+    val (means, eigs, comps) = Ann.pcaComponents(emb(pts: _*), k = 2)
+    assert(math.abs(comps(0)(0) - 0.6) < 1e-3, comps(0).toSeq.toString)
+    assert(math.abs(comps(0)(1) - 0.8) < 1e-3)
+    val n0 = comps(0).map(x => x * x).sum
+    val n1 = comps(1).map(x => x * x).sum
+    assert(math.abs(n0 - 1.0) < 1e-9 && math.abs(n1 - 1.0) < 1e-9)
+    val dot01 = comps(0).zip(comps(1)).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot01) < 1e-3)
+    assert(eigs(0) > eigs(1) && eigs(1) > 0)
+    assert(means.forall(m => math.abs(m) < 1e-3)) // symmetric around 0
+  }
+
+  test("pcaProject: pc0 carries the variance; projection is partition-invariant") {
+    val pts = (-5 to 5).map(t =>
+      (t.toLong + 5L, Seq(0.6f * t + 0.01f * (t % 2), 0.8f * t)))
+    val d = emb(pts: _*)
+    val (means, _, comps) = Ann.pcaComponents(d, k = 2)
+    val proj = Ann.pcaProject(d, means, comps).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v0 = variance(proj.values.map(_._1).toSeq)
+    val v1 = variance(proj.values.map(_._2).toSeq)
+    assert(v0 > v1 * 100, s"pc0 var $v0 vs pc1 var $v1")
+    val re = Ann.pcaProject(d.repartition(5), means, comps).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(re == proj)
+  }
 }

@@ -735,4 +735,84 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fr(6L).isEmpty)
     assert(math.abs(fr(3L).get - 10.0 / 16) < 1e-3)
   }
+
+  test("zipfFit: planted power-law corpus recovers slope near -1") {
+    // token r appears floor(600/r) times, r = 1..40: ln f ≈ ln 600 − ln r
+    val text = (1 to 40).flatMap(r =>
+      Seq.fill(600 / r)(f"tok$r%02d")).mkString(" ")
+    val row = TextAnalysis.zipfFit(docs((1L, text)), topK = 40)
+      .collect().head
+    assert(row.getAs[Long]("k") == 40L)
+    assert(row.getAs[Long]("n_vocab") == 40L)
+    assert(row.getAs[Long]("n_tokens") == (1 to 40).map(600 / _).sum.toLong)
+    val slope = row.getAs[Double]("slope")
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope")
+  }
+
+  test("zipfFit: k caps at the vocabulary; degenerate 1-token corpus has null slope") {
+    val r = TextAnalysis.zipfFit(docs((1L, "a a b")), topK = 200).collect().head
+    assert(r.getAs[Long]("k") == 2L)
+    val r1 = TextAnalysis.zipfFit(docs((1L, "a a a")), topK = 200).collect().head
+    // one rank → x is constant → zero OLS denominator → null fit
+    assert(r1.getAs[Long]("k") == 1L)
+    assert(r1.isNullAt(r1.fieldIndex("slope")))
+    assert(r1.isNullAt(r1.fieldIndex("intercept")))
+  }
+
+  test("readability: hand-computed Flesch; empty doc keeps a null-score row") {
+    val m = TextAnalysis.readability(docs(
+        (1L, "The cat sat. The dog ran."), (2L, ""), (3L, "zzz qqq")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 6 words / 2 sentences / 6 syllables (one vowel group each):
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(m(1L).getAs[Long]("n_words") == 6L)
+    assert(m(1L).getAs[Long]("n_sentences") == 2L)
+    assert(m(1L).getAs[Long]("n_syllables") == 6L)
+    assert(m(1L).getAs[Double]("flesch") == 119.19)
+    assert(m(2L).getAs[Long]("n_words") == 0L)
+    assert(m(2L).isNullAt(m(2L).fieldIndex("flesch")))
+    // vowel-free words still count the 1-syllable floor
+    assert(m(3L).getAs[Long]("n_syllables") == 2L)
+  }
+
+  test("scrubPiiExtended: Luhn gates redaction; long digit runs are never candidates") {
+    val m = TextAnalysis.scrubPiiExtended(docs(
+        (1L, "pay 4111111111111111 or 4111111111111112 from 10.0.0.1 " +
+          "code 12345678901234567890123 bad 999.300.1.1"),
+        (2L, "embedded 994111111111111111994 and 4111111111111111 end")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getAs[Long]("n_card_candidates") == 2L)
+    assert(r1.getAs[Long]("n_cards") == 1L) // only the Luhn-valid PAN
+    assert(r1.getAs[Long]("n_ips") == 1L)   // 999.300.1.1 fails octets
+    val s1 = r1.getAs[String]("scrubbed")
+    assert(s1.contains("<CARD>") && !s1.contains("4111111111111111 "))
+    assert(s1.contains("4111111111111112")) // invalid checksum: kept
+    assert(s1.contains("<IP>") && s1.contains("999.300.1.1"))
+    assert(s1.contains("12345678901234567890123")) // 23 digits: no slice
+    // the valid PAN embedded in a longer run is NOT redacted there
+    // (word-bounded replace), only its standalone occurrence is
+    val s2 = m(2L).getAs[String]("scrubbed")
+    assert(s2.contains("994111111111111111994"))
+    assert(s2.contains("<CARD>"))
+  }
+
+  test("labelAgreement: hand confusion matrix, perfect and constant edges") {
+    def gate(keep: Set[Long]) = (1L to 10L).map(i => (i, keep(i)))
+      .toDF("doc_id", "kept")
+    val r = TextAnalysis.labelAgreement(
+      gate(Set(1L, 2L, 3L, 4L, 5L, 6L)),
+      gate(Set(1L, 2L, 3L, 4L, 7L, 8L))).collect().head
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) == ((4L, 2L, 2L, 2L)))
+    assert(r.getAs[Double]("po") == 0.6)
+    assert(r.getAs[Double]("pe") == 0.52)
+    assert(r.getAs[Double]("kappa") == 0.166667) // (0.6−0.52)/0.48
+    val perfect = TextAnalysis.labelAgreement(
+      gate(Set(1L, 2L)), gate(Set(1L, 2L))).collect().head
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+    val const = TextAnalysis.labelAgreement(
+      gate((1L to 10L).toSet), gate((1L to 10L).toSet)).collect().head
+    assert(const.isNullAt(const.fieldIndex("kappa"))) // pe = 1
+  }
 }
