@@ -1049,6 +1049,16 @@ object Ann {
     * up to ~1e3 are safe (per-pair product ≤ 1e18 in the long).
     * Output: i, j (i ≤ j), n, sxy, sx, sy, cov — d(d+1)/2 rows. */
   def covarianceLongForm(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    covarianceFromCells(covarianceCells(vecs, idCol, vecCol))
+
+  /** One batch's covariance summary WITHOUT the derived cov column —
+    * (i, j, n, sxy, sx, sy) per upper-triangle cell, every component an
+    * exact integer sum, so summaries from disjoint batches merge by
+    * plain addition ([[covarianceFromCells]]). This is the streamed
+    * form's landing unit ([[graft.streaming.Ingest]] covIngestStream):
+    * ≤ d(d+1)/2 rows per batch regardless of batch bytes. */
+  def covarianceCells(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = vecs.select(
       expr(s"transform($vecCol, v -> CAST(v * 1000000.0D AS BIGINT))")
@@ -1064,17 +1074,33 @@ object Ann {
     val means = q.select(posexplode(col("q")).as(Seq("i", "v")))
       .groupBy("i").agg(sum(col("v").cast("decimal(38,0)")).as("sx"))
     val n = q.agg(count(lit(1)).cast("long").as("n"))
-    val nd = col("n").cast("double")
-    def d(c: Column) = c.cast("double")
     cells
       .join(broadcast(means), Seq("i"))
       .join(broadcast(means.select(col("i").as("j"), col("sx").as("sy"))),
         Seq("j"))
       .crossJoin(broadcast(n)) // 1-row count onto the d(d+1)/2 cells
       .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"),
-        col("sy"),
-        round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
-          (d(col("sy")) / nd)) / lit(1e12), 6).as("cov"))
+        col("sy"))
+  }
+
+  /** Merge per-batch [[covarianceCells]] summaries (raw multi-batch
+    * cells welcome — duplicates per (i, j) and any batch_id partition
+    * column are summed/pruned here) and derive cov in the same fixed
+    * IEEE operand order as the one-shot form: merged-then-derived ==
+    * [[covarianceLongForm]] of the concatenated corpus bit for bit,
+    * because every input to the derivation is an exact integer. */
+  def covarianceFromCells(cells: DataFrame): DataFrame = {
+    val merged = cells.groupBy("i", "j").agg(
+      sum("n").cast("long").as("n"),
+      sum("sxy").cast("decimal(38,0)").as("sxy"),
+      sum("sx").cast("decimal(38,0)").as("sx"),
+      sum("sy").cast("decimal(38,0)").as("sy"))
+    val nd = col("n").cast("double")
+    def d(c: Column) = c.cast("double")
+    merged.select(col("i"), col("j"), col("n"), col("sxy"), col("sx"),
+      col("sy"),
+      round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
+        (d(col("sy")) / nd)) / lit(1e12), 6).as("cov"))
   }
 
   /** Top-k principal components from [[covarianceLongForm]]'s summary —

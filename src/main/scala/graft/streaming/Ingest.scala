@@ -1487,6 +1487,35 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming covariance monitor: each micro-batch of vectors reduces
+    * to its `Ann.covarianceCells` summary (≤ d(d+1)/2 exact-integer
+    * rows — the exchange is summary-sized regardless of batch bytes)
+    * landed as a per-batch-id OVERWRITE partition, so checkpoint
+    * replay re-lands identical files instead of double-counting (the
+    * driftCountsStream discipline). Cells are ADDITIVE over disjoint
+    * batches, so the covariance/PCA consumer is pure batch
+    * composition: `Ann.covarianceFromCells(landed)` == one-shot
+    * `Ann.covarianceLongForm` bit for bit (SCCOV law) — a PCA model
+    * can be refreshed from the landed cells without ever re-reading
+    * the vector corpus. */
+  def covIngestStream(spark: SparkSession, vecSchema: StructType,
+      srcDir: String, covDir: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Ann.covarianceCells(batch)
+          .write.mode("overwrite").parquet(s"$covDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming drift monitor: each micro-batch of documents reduces to
     * its `Quality.driftCounts` bucket summary (≤ buckets rows — the
     * exchange is summary-sized regardless of batch bytes) landed as a

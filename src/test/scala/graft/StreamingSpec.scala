@@ -871,6 +871,31 @@ class StreamingSpec extends SparkSpec {
     assert(summed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
   }
 
+  test("SCCOV: streamed covariance cells merge to the one-shot summary bit for bit; replay clean") {
+    val src = tmp("sccov-src"); val out = tmp("sccov-out"); val ck = tmp("sccov-ck")
+    val b1 = Seq((0L, Seq(1.0f, 2.0f, -0.5f)), (1L, Seq(3.0f, 5.0f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((2L, Seq(-1.0f, 0.5f, 2.0f)), (3L, Seq(0.125f, -2.5f, 1.5f)))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.covIngestStream(spark, b1.schema, src, out, ck)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("i", "j", "n", "sxy", "sx", "sy", "cov")
+      .collect().map(_.toSeq).toSet
+    // raw landed cells (multi-batch duplicates per (i, j), batch_id
+    // partition column included) merge to the one-shot form exactly
+    def merged = graft.operators.Ann
+      .covarianceFromCells(spark.read.parquet(out))
+    val oneShot = graft.operators.Ann
+      .covarianceLongForm(b1.unionByName(b2))
+    assert(rows(merged) == rows(oneShot))
+    assert(spark.read.parquet(out).select("batch_id").distinct().count() == 2)
+    // restart on the same checkpoint: nothing re-lands, merge stable
+    Ingest.covIngestStream(spark, b1.schema, src, out, ck)
+    assert(rows(merged) == rows(oneShot))
+  }
+
   test("STDRIFTB: streamed grouped cells + driftFromCountsBy == one-shot corpusDriftBy; raw cells; replay clean") {
     val src = tmp("stdb-src"); val out = tmp("stdb-out"); val ck = tmp("stdb-ck")
     val ref = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "eins zwei"))
