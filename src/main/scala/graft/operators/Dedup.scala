@@ -597,6 +597,37 @@ object Dedup {
     }
   }
 
+  /** Cross-source duplication-leakage matrix — the governance report a
+    * multi-source corpus needs before mixing: for every unordered pair
+    * of sources, how many verified near-dup pairs (exact Jaccard ≥
+    * `threshold` over LSH candidates — the p02 machinery, banded and
+    * hot-bucket-capped, so no quadratic escapes) CROSS that boundary.
+    * Off-diagonal mass means one source is republishing another
+    * (syndication, mirrors, licensed-set overlap) — which breaks
+    * held-out splits drawn "by source" and double-spends the mixing
+    * budget; the diagonal is ordinary within-source duplication. The
+    * source lookup is one doc-keyed equi-join per pair side onto the
+    * (id, source) projection — ~tens of bytes per doc, never text —
+    * and the output is bounded by sources², summary-sized at any
+    * corpus scale. Output: source_a ≤ source_b, n_pairs. */
+  def crossSourceLeakage(docs: DataFrame, groupCol: String = "source",
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("src"), col(textCol).as("text"))
+    val byDoc = docSignatures(shingleHashes(base))
+    val pairs = jaccardVerify(byDoc, lshCandidates(lshBands(byDoc),
+        maxBucket))
+      .filter(col("jaccard") >= threshold)
+    val src = base.select(col("doc_id"), col("src"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("src").as("s1")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("src").as("s2")), Seq("d2"))
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
+
   /** The whole near-dup dedup pipeline as one call: shingle → minhash →
     * LSH candidates → exact-Jaccard verify at `threshold` → connected
     * components → one survivor per component. The shingle frame's

@@ -4603,6 +4603,38 @@ object PipelineInventory {
               |  END AS flesch
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Cross-source duplication-leakage matrix: verified near-dup pairs
+    // (the p02 LSH chain at Jaccard >= 0.5) grouped by the unordered
+    // source pair they connect — off-diagonal rows are syndication/
+    // mirror leakage that breaks by-source held-out splits. The oracle
+    // shares the p02 CTE prefix, so the two rows cannot drift.
+    QueryDef("r108_dup_leakage",
+      (s, d) => Dedup.crossSourceLeakage(T(s, d, "documents"),
+          threshold = 0.5)
+        .orderBy("source_a", "source_b"),
+      Some(s"""WITH $mhCte,
+              |bandc AS (SELECT * FROM (SELECT z.*, COUNT(*) OVER (PARTITION BY band, bh) AS bc
+              |                         FROM bands z) t WHERE bc <= 100),
+              |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+              |         FROM bandc x JOIN bandc y
+              |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+              |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS ninter
+              |          FROM sh s1 JOIN sh s2
+              |            ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              |          GROUP BY s1.doc_id, s2.doc_id)
+              |SELECT least(da.source, db.source) AS source_a,
+              |       greatest(da.source, db.source) AS source_b,
+              |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |FROM cand c
+              |JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+              |JOIN cnt c1 ON c.d1 = c1.doc_id
+              |JOIN cnt c2 ON c.d2 = c2.doc_id
+              |JOIN documents da ON c.d1 = da.doc_id
+              |JOIN documents db ON c.d2 = db.doc_id
+              |WHERE i.ninter / (c1.n + c2.n - i.ninter) >= 0.5
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

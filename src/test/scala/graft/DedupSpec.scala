@@ -723,4 +723,22 @@ class DedupSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(noB == out)
   }
+
+  test("crossSourceLeakage: planted mirror lands off-diagonal; unordered keys; unique doc silent") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, "crawl", shared),                       // original
+      (2L, "mirror", shared),                      // cross-source copy
+      (3L, "crawl", shared + " lambda"),           // within-source near-dup
+      (4L, "mirror", "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "source", "text")
+    val m = graft.operators.Dedup.crossSourceLeakage(d, threshold = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (1,2) exact copy cross, (1,3) within crawl, (2,3) cross —
+    // all above 0.5 Jaccard on 3-gram shingles
+    assert(m(("crawl", "mirror")) == 2L)
+    assert(m(("crawl", "crawl")) == 1L)
+    assert(m.size == 2) // doc 4 pairs with nothing
+  }
 }
