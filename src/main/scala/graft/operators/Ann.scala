@@ -1060,9 +1060,18 @@ object Ann {
     * ≤ d(d+1)/2 rows per batch regardless of batch bytes. */
   def covarianceCells(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = vecs.select(
-      expr(s"transform($vecCol, v -> CAST(v * 1000000.0D AS BIGINT))")
-        .as("q"))
+    // Fan-out BEFORE the product stage: the d(d+1)/2-per-vector explode
+    // costs ~1000x the float scan that feeds it, so it must not run at
+    // the scan's split count (measured: 26 s at BOTH 100k and 500k
+    // vectors — constant time = single-digit tasks doing all the work;
+    // with fan-out 7.4/13.3 s, see SCALE.md cov rows). At cluster scale
+    // the scan already carries enough splits and Fanout is a no-op; the
+    // exchange it adds locally also becomes the ReuseExchange serving
+    // point for the three consumers (cells, means, n) below.
+    val q = Fanout(vecs.select(col(idCol).as("vid"), col(vecCol).as("v")),
+        "vid")
+      .select(
+        expr("transform(v, x -> CAST(x * 1000000.0D AS BIGINT))").as("q"))
     val cells = q.select(explode(expr(
         """flatten(transform(sequence(0, size(q) - 1), i ->
           |  transform(sequence(i, size(q) - 1), j ->
@@ -1110,7 +1119,11 @@ object Ann {
     * start vector for each component is the basis axis of the largest
     * remaining diagonal entry (a pure function of the matrix — no RNG),
     * a fixed `iters` sweeps, sign fixed so the largest-|.| coordinate
-    * is positive. Returns (means, eigenvalues, components[k][d]). */
+    * is positive. At corpus scale, fit on a SAMPLE (the dsirModel
+    * fit/apply pattern — ~100k vectors is statistically plenty for
+    * d = 64) and apply with [[pcaProject]] everywhere; the projection
+    * is the narrow corpus-sized pass, the fit is not.
+    * Returns (means, eigenvalues, components[k][d]). */
   def pcaComponents(vecs: DataFrame, k: Int, iters: Int = 100,
       vecCol: String = "embedding"): (Array[Double], Array[Double], Array[Array[Double]]) = {
     val rows = covarianceLongForm(vecs, vecCol = vecCol).collect()

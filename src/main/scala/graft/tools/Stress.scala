@@ -28,7 +28,8 @@ import graft.pipelines.Curate
   *   bm25,qsurv,csample,hh,rm3,domains,pagerank,hits,html,ccnet,doremi,
   *   url,drift,span,sdecon,wfp,bdecon,prassoc,prexact,entres,routlier,
   *   routlierx,binjoin,ghll,psi,winsor,funnel,retention,psiby,winsorby,
-  *   transitions,transhot,transhotb,lshpairs,ivfpqidx,entinc
+  *   transitions,transhot,transhotb,lshpairs,ivfpqidx,entinc,cov,
+  *   pcaproj,leak,zipf
   * The generated corpus is cached under `baseDir/n<N>` and reused.
   * Emits one final JSON line (stress protocol, parsed by nothing —
   * recorded into SCALE.md by hand).
@@ -46,7 +47,8 @@ object Stress {
     "url", "drift", "span", "sdecon", "wfp", "bdecon", "prassoc", "prexact",
     "entres", "routlier", "routlierx", "binjoin", "ghll", "psi", "winsor",
     "funnel", "retention", "psiby", "winsorby", "transitions",
-    "transhot", "transhotb", "lshpairs", "ivfpqidx", "entinc")
+    "transhot", "transhotb", "lshpairs", "ivfpqidx", "entinc",
+    "cov", "pcaproj", "leak", "zipf")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -484,6 +486,28 @@ object Stress {
         val w = TextAnalysis.trainDomainLogreg(feats,
           docs.select(col("doc_id"), col("source").as("domain")))
         TextAnalysis.scoreDomains(feats, w)
+      case "cov" =>
+        // the r106 shape at scale: d(d+1)/2 = 2080 products exploded
+        // per vector, crushed by map-side combine to <= 2080 cells per
+        // partition before the one exchange — cost is the narrow
+        // explode's CPU, linear in n
+        Ann.covarianceLongForm(emb)
+      case "pcaproj" =>
+        // full PCA lifecycle: the covariance pass + driver-side power
+        // iteration (d x d — milliseconds) + the narrow projection
+        // write of every vector's top-8 scores
+        val (means, _, comps) = Ann.pcaComponents(emb, k = 8)
+        Ann.pcaProject(emb, means, comps)
+      case "leak" =>
+        // r108: the lshpairs chain + two doc-keyed (id, source) joins
+        // + a sources^2-bounded aggregate — the delta vs lshpairs is
+        // the price of the governance matrix
+        Dedup.crossSourceLeakage(docs)
+      case "zipf" =>
+        // r103: token counts (partial-aggregable), TakeOrdered head,
+        // 1-row OLS — nothing downstream of the count exchange scales
+        // with n
+        TextAnalysis.zipfFit(docs)
     }
 
     // This sandbox is a microVM with invisible neighbor load (see
