@@ -1028,6 +1028,38 @@ object Ann {
       .orderBy("q_id")
   }
 
+  /** Semantic decontamination against a held-out evaluation set — the
+    * DENSE sibling of the text-side `Dedup.dedupAgainst`/p45 split
+    * decontamination: a paraphrased or re-chunked benchmark item
+    * shares no 8-gram with its source but still sits next to it in
+    * embedding space, so an embedding sweep is the tier that catches
+    * what shingle overlap cannot. Every train vector is scored by its
+    * MAX cosine to any eval vector; `contaminated` = that max ≥
+    * threshold, and every train row stays visible (the audit-trail
+    * rule — a downstream filter drops, this reports).
+    *
+    * Scale shape: the eval side is benchmark-sized by nature and
+    * BROADCASTS; the train side is scanned once, narrow, and the
+    * per-(train × eval) scores never shuffle — the max partial-
+    * aggregates to one row per train vector before the exchange (the
+    * p06 brute shape with an agg instead of a window). At corpus scale
+    * over-fetch via the IVF shortlist first if |eval| is large.
+    * Output: vec_id, max_sim (3dp), contaminated. */
+  def semDecontaminate(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val t = withNorm(train)
+    val e = withNorm(eval).select(col("vec_id").as("e_id"),
+      col("emb").as("eemb"), col("nrm").as("enrm"))
+    t.crossJoin(broadcast(e))
+      .select(col("vec_id"),
+        (dot(col("emb"), col("eemb")) / (col("nrm") * col("enrm")))
+          .as("sim"))
+      .groupBy("vec_id")
+      .agg(max("sim").as("mx"))
+      .select(col("vec_id"), round(col("mx"), 3).as("max_sim"),
+        (col("mx") >= threshold).as("contaminated"))
+  }
+
   /** Exact long-form covariance of the embedding column — the one-pass
     * second-moment summary PCA/whitening starts from, built for
     * cross-engine exactness and 100 TB shape at once. Each vector's

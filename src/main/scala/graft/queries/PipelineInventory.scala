@@ -4635,6 +4635,27 @@ object PipelineInventory {
               |WHERE i.ninter / (c1.n + c2.n - i.ninter) >= 0.5
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Semantic decontamination: train vectors scored by max cosine to
+    // the held-out eval slice (vec_id % 5 == 0) — the dense tier that
+    // catches paraphrased benchmark leakage 8-gram overlap cannot.
+    // Eval side broadcast, max partial-aggregated: the p06 brute shape
+    // with an agg instead of a window.
+    QueryDef("r109_sem_decontaminate",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.semDecontaminate(emb.filter(col("vec_id") % 5 =!= 0),
+            emb.filter(col("vec_id") % 5 === 0), threshold = 0.95)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $embCte,
+              |tr AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+              |ev AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+              |mx AS (SELECT t.vec_id, MAX(${dcos("t.emb", "v.emb")}) AS mx
+              |       FROM tr t, ev v GROUP BY t.vec_id)
+              |SELECT vec_id, ${rrepr("mx", 3)} AS max_sim,
+              |       (mx >= 0.95) AS contaminated
+              |FROM mx ORDER BY vec_id""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

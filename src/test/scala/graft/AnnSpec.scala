@@ -602,6 +602,23 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("semDecontaminate: planted twin flags, orthogonal vector passes, all rows visible") {
+    val train = emb((1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f)))
+    val eval = emb((100L, Seq(1f, 0f, 0f)), (101L, Seq(0f, 0f, 1f)))
+    val m = Ann.semDecontaminate(train, eval, threshold = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(m.size == 3) // every train row visible
+    assert(m(1L) == ((1.0, true)))   // exact twin of eval 100
+    assert(m(2L)._2 == false)        // orthogonal to both eval vecs
+    assert(m(3L)._1 > 0.9 && m(3L)._2 == true) // 0.9/|(0.9,0.1)| ≈ 0.994
+    // threshold flip: nothing contaminated at 1.01 — max_sim unchanged
+    val strict = Ann.semDecontaminate(train, eval, threshold = 1.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(strict.values.forall(_ == false))
+  }
+
   test("covarianceLongForm matches the scaled-truncated formula and is partition-invariant") {
     val vs = emb((0L, Seq(1.0f, 2.0f, -0.5f)), (1L, Seq(3.0f, 5.0f, 0.25f)),
       (2L, Seq(-1.0f, 0.5f, 2.0f)), (3L, Seq(0.125f, -2.5f, 1.5f)))

@@ -295,6 +295,15 @@ class PlanSpec extends SparkSpec {
       "r93_psi_drift",      // two one-row totals (na, nb) broadcast
                             // onto the ≤bins-row joined histograms —
                             // the r70 drift shape for numeric columns
+      "r109_sem_decontaminate", // benchmark-sized eval-slice broadcast
+                            // crossJoin (the p06 query-vector shape);
+                            // the max partial-aggregates to one row
+                            // per train vector before any exchange
+      "r103_zipf_fit",      // 1-row OLS-sums frame crossed with the
+                            // 1-row corpus-totals frame (the p32
+                            // one-row-total shape, both sides)
+      "r106_embed_covariance", // 1-row vector count broadcast onto the
+                            // d(d+1)/2 cell frame (the p32 shape)
       "r99_psi_by",         // the r93 shape keyed by group, plus the
                             // dense groups × range(bins) spine cross —
                             // all frames ≤ groups × bins rows
