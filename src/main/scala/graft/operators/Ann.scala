@@ -1194,6 +1194,35 @@ object Ann {
     (mean, eigs, comps)
   }
 
+  /** PCA reconstruction-residual outlier score — the embedding-space
+    * junk detector the text gates cannot see: corrupted embeddings,
+    * wrong-model vectors, and OOD content all sit far OFF the corpus's
+    * principal subspace, so their residual `‖x−μ‖² − Σ_j ⟨x−μ, c_j⟩²`
+    * (orthonormal components) is large while in-distribution vectors—
+    * however extreme along the subspace — score near zero. Fit
+    * [[pcaComponents]] on a sample, score everywhere: one narrow
+    * codegen'd map per vector, components broadcast as literals (the
+    * [[pcaProject]] shape plus the centered self-dot). Score 6dp-
+    * rounded; `outlier` = residual ≥ threshold, every row visible.
+    * Output: idCol, resid, outlier. */
+  def pcaResiduals(vecs: DataFrame, means: Array[Double],
+      comps: Array[Array[Double]], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centered = zip_with(
+      expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
+      typedLit(means.toSeq), (a, b) => a - b)
+    val self = aggregate(zip_with(centered, centered, (a, b) => a * b),
+      lit(0d), _ + _)
+    val resid = comps.foldLeft(self) { (acc, cm) =>
+      val p = aggregate(zip_with(centered, typedLit(cm.toSeq),
+        (a, b) => a * b), lit(0d), _ + _)
+      acc - p * p
+    }
+    vecs.select(col(idCol), round(resid, 6).as("resid"))
+      .select(col(idCol), col("resid"),
+        (col("resid") >= threshold).as("outlier"))
+  }
+
   /** Project every vector onto the given components (mean-centered) —
     * the dimensionality-reduction write path: components broadcast as
     * literals, one narrow codegen'd map per vector, scores 6dp-rounded.

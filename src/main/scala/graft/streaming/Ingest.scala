@@ -1383,6 +1383,31 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Streaming semantic decontamination — arriving train-vector
+    * batches scored against a FIXED held-out eval set
+    * ([[graft.operators.Ann.semDecontaminate]]: eval broadcast, max
+    * partial-aggregated), landed as per-batch-id OVERWRITE partitions
+    * (the [[dsirScoreStream]] discipline: scoring is stateless per
+    * vector against the frozen eval frame, so streamed scores == the
+    * batch form row for row and replay re-lands identical files). */
+  def semDeconStream(spark: SparkSession, vecSchema: StructType,
+      srcDir: String, outDir: String, eval: DataFrame, checkpoint: String,
+      threshold: Double = 0.9, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Ann.semDecontaminate(batch, eval, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming URL-level dedup — the first-stage crawl dedup
     * ([[graft.operators.Quality.urlDedup]]) run incrementally: each
     * micro-batch dedups within itself (min doc_id per canonical URL),

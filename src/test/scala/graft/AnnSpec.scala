@@ -683,6 +683,27 @@ class AnnSpec extends SparkSpec {
     assert(means.forall(m => math.abs(m) < 1e-3)) // symmetric around 0
   }
 
+  test("pcaResiduals: off-subspace junk scores high, in-plane extremes near zero") {
+    // corpus lives in the (x, y) plane of 3-space; junk points off it
+    val plane = (-5 to 5).flatMap(t => Seq(
+      ((t + 5).toLong * 2, Seq(0.6f * t, 0.8f * t, 0f)),
+      ((t + 5).toLong * 2 + 1, Seq(-0.08f * t, 0.06f * t, 0f))))
+    val junk = Seq((100L, Seq(0f, 0f, 3f)), (101L, Seq(1f, 1f, -2f)))
+    val d = emb((plane ++ junk): _*)
+    val (means, _, comps) = Ann.pcaComponents(emb(plane: _*), k = 2)
+    val r = Ann.pcaResiduals(d, means, comps, threshold = 1.0)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2))))
+      .toMap
+    assert(r.size == plane.size + 2) // every row visible
+    // in-plane points (even the extreme t = ±5) reconstruct ~exactly
+    plane.foreach { case (id, _) =>
+      assert(math.abs(r(id)._1) < 1e-3, s"id $id resid ${r(id)._1}")
+      assert(!r(id)._2)
+    }
+    assert(r(100L)._1 > 8.9 && r(100L)._2) // z² = 9 off-plane
+    assert(r(101L)._1 > 3.9 && r(101L)._2) // z² = 4 off-plane
+  }
+
   test("pcaProject: pc0 carries the variance; projection is partition-invariant") {
     val pts = (-5 to 5).map(t =>
       (t.toLong + 5L, Seq(0.6f * t + 0.01f * (t % 2), 0.8f * t)))

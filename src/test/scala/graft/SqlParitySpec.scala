@@ -64,7 +64,9 @@ class SqlParitySpec extends SparkSpec {
     * probed across all 128 (r11): these 29 ran AND matched the
     * DataFrame form bit for bit, and ZERO parseable rows differed (the
     * other 99 fail to parse on DuckDB list comprehensions /
-    * list_reduce / table functions). Asserted as a fixed regression
+    * list_reduce / table functions; the 7 r103–r109 rows added later
+    * in r11 are all list-comprehension/list_reduce/string_split-bound
+    * and fail to parse the same way). Asserted as a fixed regression
     * list: an edit that makes one of these stop matching — or stop
     * parsing — fails here. */
   private val extendedParity = Seq(

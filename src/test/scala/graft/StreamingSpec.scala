@@ -871,6 +871,29 @@ class StreamingSpec extends SparkSpec {
     assert(summed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
   }
 
+  test("SCSEM: streamed sem-decontamination scores == batch form; replay clean") {
+    val src = tmp("scsem-src"); val out = tmp("scsem-out"); val ck = tmp("scsem-ck")
+    val eval = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.semDeconStream(spark, b1.schema, src, out, eval, ck,
+      threshold = 0.9)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "max_sim", "contaminated")
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Ann.semDecontaminate(
+      b1.unionByName(b2), eval, threshold = 0.9)
+    assert(rows(spark.read.parquet(out)) == rows(oneShot))
+    // restart on the same checkpoint: nothing re-lands
+    Ingest.semDeconStream(spark, b1.schema, src, out, eval, ck,
+      threshold = 0.9)
+    assert(rows(spark.read.parquet(out)) == rows(oneShot))
+  }
+
   test("SCCOV: streamed covariance cells merge to the one-shot summary bit for bit; replay clean") {
     val src = tmp("sccov-src"); val out = tmp("sccov-out"); val ck = tmp("sccov-ck")
     val b1 = Seq((0L, Seq(1.0f, 2.0f, -0.5f)), (1L, Seq(3.0f, 5.0f, 0.25f)))
