@@ -597,6 +597,40 @@ object Dedup {
     }
   }
 
+  /** N-gram commonality — the per-document memorization-risk /
+    * boilerplate score: what fraction of a doc's distinct word
+    * `n`-grams occur in at least `minDf` documents corpus-wide. High
+    * fraction = the doc is mostly text the model will see many times
+    * (templates, licenses, syndicated wire copy) — the slice
+    * memorization audits sample first, and a gate the pairwise dedup
+    * tier cannot express (a doc can be 80% boilerplate without being
+    * a near-dup of any single other doc). Work: the [[wordShingles]]
+    * narrow distinct explode, one gram-keyed df count (partial-
+    * aggregable), one gram-keyed join back, one doc-keyed rollup — the
+    * r64/bm25 df shape. At 100 TB the df table can be replaced by a
+    * CMS/Bloom of high-df grams ([[graft.functions.Sketch]]) to skip
+    * the join's gram-keyed exchange; this exact form is the audit
+    * baseline. Sub-n docs keep a visible zero row.
+    * Output: doc_id, n_grams, n_common, common_frac (4dp). */
+  def ngramCommonality(docs: DataFrame, n: Int = 8, minDf: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = wordShingles(docs, n, idCol, textCol)
+    val df = grams.groupBy("shingle")
+      .agg(count(lit(1)).cast("long").as("df"))
+    val perDoc = grams.join(df, Seq("shingle"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_grams") > 0,
+          round(col("n_common").cast("double") /
+            col("n_grams").cast("double"), 4)).as("common_frac"))
+  }
+
   /** Cross-source duplication-leakage matrix — the governance report a
     * multi-source corpus needs before mixing: for every unordered pair
     * of sources, how many verified near-dup pairs (exact Jaccard ≥

@@ -4656,6 +4656,31 @@ object PipelineInventory {
               |       (mx >= 0.95) AS contaminated
               |FROM mx ORDER BY vec_id""".stripMargin)),
 
+    // Memorization-risk score: fraction of each doc's distinct 8-grams
+    // occurring in >= 2 docs corpus-wide — boilerplate/template mass
+    // the pairwise dedup tier cannot express. The r64/bm25 df shape.
+    QueryDef("r110_ngram_commonality",
+      (s, d) => Dedup.ngramCommonality(T(s, d, "documents"), n = 8,
+          minDf = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |g AS (SELECT DISTINCT doc_id, gram FROM (
+              |  SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+              |                         FOR i IN range(1, len(t) - 6)]) AS gram
+              |  FROM toks WHERE len(t) >= 8) raw),
+              |fd AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY gram),
+              |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+              |         CAST(SUM(CASE WHEN fd.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+              |       FROM g JOIN fd USING (gram) GROUP BY doc_id)
+              |SELECT d2.doc_id,
+              |  COALESCE(pd.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+              |  COALESCE(pd.n_common, CAST(0 AS BIGINT)) AS n_common,
+              |  CASE WHEN pd.n_grams > 0
+              |    THEN ${rrepr("CAST(pd.n_common AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)", 4)}
+              |  END AS common_frac
+              |FROM (SELECT DISTINCT doc_id FROM documents) d2
+              |LEFT JOIN pd USING (doc_id) ORDER BY d2.doc_id""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

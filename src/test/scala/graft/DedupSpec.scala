@@ -724,6 +724,24 @@ class DedupSpec extends SparkSpec {
     assert(noB == out)
   }
 
+  test("ngramCommonality: shared block scores high, unique doc zero, sub-n doc visible") {
+    val block = "one two three four five six seven eight" // exactly 8 tokens
+    val d = docs(
+      (1L, block + " tail1 t1b"),     // 3 grams, 1 common (the block)
+      (2L, block + " tail2 t2b"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // 2 grams, none shared
+      (4L, "short doc"))              // < 8 tokens
+    val m = graft.operators.Dedup.ngramCommonality(d, n = 8, minDf = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_common"),
+          Option(r.getAs[java.lang.Double]("common_frac"))))).toMap
+    assert(m(1L)._1 == 3L && m(1L)._2 == 1L)
+    assert(m(1L)._3.contains(0.3333))
+    assert(m(3L) == ((2L, 0L, Some(0.0))))
+    assert(m(4L) == ((0L, 0L, None))) // visible zero row, null frac
+  }
+
   test("crossSourceLeakage: planted mirror lands off-diagonal; unordered keys; unique doc silent") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d = Seq(
