@@ -1144,6 +1144,30 @@ object Ann {
         (d(col("sy")) / nd)) / lit(1e12), 6).as("cov"))
   }
 
+  /** Pearson correlation long-form, derived from the SAME cells as
+    * [[covarianceFromCells]] — `corr_ij = cov_ij / √(cov_ii·cov_jj)`
+    * over the 6dp-rounded covariances (so the two reports can never
+    * disagree about their shared inputs): the dimension-health check
+    * that reads identically at any scale where raw covariances do not
+    * (dead dimensions → null row, duplicated/linearly-tied dimensions
+    * → |corr| ≈ 1 — both common embedding-pipeline faults). All math
+    * past the cell merge is d(d+1)/2-row summary work; the diagonal
+    * broadcasts back onto the cells.
+    * Output: i, j, cov, corr (null when either variance is 0). */
+  def correlationFromCells(cells: DataFrame): DataFrame = {
+    val cov = covarianceFromCells(cells)
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov").as("v"))
+    cov
+      .join(broadcast(diag.select(col("d").as("i"), col("v").as("vi"))),
+        Seq("i"))
+      .join(broadcast(diag.select(col("d").as("j"), col("v").as("vj"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("cov"),
+        when(col("vi") * col("vj") > 0,
+          round(col("cov") / sqrt(col("vi") * col("vj")), 6)).as("corr"))
+  }
+
   /** Top-k principal components from [[covarianceLongForm]]'s summary —
     * the deterministic driver-side eigensolve: the collected frame is
     * d(d+1)/2 bounded rows (never corpus data), and power iteration

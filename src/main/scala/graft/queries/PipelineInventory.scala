@@ -4681,6 +4681,36 @@ object PipelineInventory {
               |FROM (SELECT DISTINCT doc_id FROM documents) d2
               |LEFT JOIN pd USING (doc_id) ORDER BY d2.doc_id""".stripMargin)),
 
+    // Correlation long-form derived from the r106 cells: corr over the
+    // 6dp covariances, diagonal broadcast back — dead dimensions null,
+    // linearly-tied dimensions read |corr| ~ 1.
+    QueryDef("r111_embed_correlation",
+      (s, d) => Ann.correlationFromCells(
+          Ann.covarianceCells(T(s, d, "embeddings")))
+        .orderBy("i", "j"),
+      Some(s"""WITH v AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings),
+              |px AS (SELECT q, unnest(range(0, len(q))) AS i FROM v),
+              |sx AS (SELECT CAST(i AS INT) AS i,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx
+              |       FROM px GROUP BY 1),
+              |pj AS (SELECT q, i, unnest(range(i, len(q))) AS j FROM px),
+              |cells AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              |            CAST(SUM(q[i + 1] * q[j + 1]) AS DECIMAL(38,0)) AS sxy
+              |          FROM pj GROUP BY 1, 2),
+              |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+              |cv AS (SELECT c.i, c.j,
+              |  ${rrepr("(CAST(c.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE) - (CAST(a.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)) * (CAST(b.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS cov
+              |  FROM cells c JOIN sx a ON a.i = c.i JOIN sx b ON b.i = c.j
+              |  CROSS JOIN nn),
+              |dg AS (SELECT i AS d, cov AS v FROM cv WHERE i = j)
+              |SELECT cv.i, cv.j, cv.cov,
+              |  CASE WHEN di.v * dj.v > 0
+              |    THEN ${rrepr("cv.cov / sqrt(di.v * dj.v)", 6)}
+              |  END AS corr
+              |FROM cv JOIN dg di ON di.d = cv.i JOIN dg dj ON dj.d = cv.j
+              |ORDER BY cv.i, cv.j""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

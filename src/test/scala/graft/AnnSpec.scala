@@ -665,6 +665,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("correlationFromCells: duplicated dim reads 1, anti-tied -1, dead dim null") {
+    val vs = emb(
+      (0L, Seq(1.0f, 1.0f, -1.0f, 0.5f)), (1L, Seq(3.0f, 3.0f, -3.0f, 0.5f)),
+      (2L, Seq(-2.0f, -2.0f, 2.0f, 0.5f)), (3L, Seq(0.5f, 0.5f, -0.5f, 0.5f)))
+    val m = Ann.correlationFromCells(Ann.covarianceCells(vs)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    assert(m((0, 1)).contains(1.0))   // dim1 duplicates dim0
+    assert(m((0, 2)).contains(-1.0))  // dim2 = -dim0
+    assert(m((0, 3)).isEmpty)         // dim3 constant: zero variance
+    assert(m((3, 3)).isEmpty)
+    assert(m((0, 0)).contains(1.0))
+  }
+
   test("pcaComponents: planted 2-factor corpus recovers both directions, orthonormal") {
     // strong factor along (0.6, 0.8), weak factor along (−0.8, 0.6)·0.1:
     // comp0 → (0.6, 0.8) (sign fix: big coord positive), comp1 ⊥ comp0

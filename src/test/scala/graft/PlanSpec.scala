@@ -304,6 +304,8 @@ class PlanSpec extends SparkSpec {
                             // one-row-total shape, both sides)
       "r106_embed_covariance", // 1-row vector count broadcast onto the
                             // d(d+1)/2 cell frame (the p32 shape)
+      "r111_embed_correlation", // the r106 shape + the d-row diagonal
+                            // broadcast back onto the cell frame
       "r99_psi_by",         // the r93 shape keyed by group, plus the
                             // dense groups × range(bins) spine cross —
                             // all frames ≤ groups × bins rows
