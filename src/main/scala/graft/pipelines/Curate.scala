@@ -35,7 +35,8 @@ object Curate {
       afterDecontam: Long = -1L, afterSemDedup: Long = -1L,
       afterDsir: Long = -1L, afterCcnet: Long = -1L,
       afterBlocklist: Long = -1L, afterUrlDedup: Long = -1L,
-      afterSpan: Long = -1L, afterSpanDecontam: Long = -1L)
+      afterSpan: Long = -1L, afterSpanDecontam: Long = -1L,
+      afterReadability: Long = -1L, afterCommonality: Long = -1L)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -67,7 +68,9 @@ object Curate {
       ccnetTailDrop: Boolean = false,
       blocklist: Option[DataFrame] = None,
       urlDedup: Boolean = false,
-      spanN: Option[Int] = None): (DataFrame, Option[Stats]) = {
+      spanN: Option[Int] = None,
+      readabilityBand: Option[(Double, Double)] = None,
+      commonalityMax: Option[Double] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
@@ -109,8 +112,24 @@ object Curate {
       case Some(w) => TextAnalysis.scoreQualityLogreg(
         TextAnalysis.qualityFeatures(docsP), w).filter(col("kept"))
     }
-    val gatedRaw = docsP.join(gateKept.select("doc_id"), "doc_id")
-    val afterGate = countIf(gatedRaw)
+    val gatedRaw0 = docsP.join(gateKept.select("doc_id"), "doc_id")
+    val afterGate = countIf(gatedRaw0)
+    // Optional readability band (`readabilityBand = Some((lo, hi))`):
+    // the Flesch fluency gate — keyword stuffing and OCR shred score
+    // far outside the natural-prose band, in either direction, while
+    // passing the rule gate's length/stopword checks. Docs with a
+    // null score (no words or no sentences) drop: a curation output
+    // has no use for them and the rule gate has already had its say.
+    val gatedRaw = readabilityBand match {
+      case None => gatedRaw0
+      case Some((lo, hi)) => gatedRaw0.join(
+        TextAnalysis.readability(gatedRaw0)
+          .filter(col("flesch").isNotNull &&
+            col("flesch") >= lo && col("flesch") <= hi)
+          .select("doc_id"), "doc_id")
+    }
+    val afterReadability =
+      if (readabilityBand.isDefined) countIf(gatedRaw) else -1L
     // Optional boilerplate pass (the RefinedWeb line-dedup stage),
     // BEFORE doc-level dedup: a shared header/footer inflates the
     // Jaccard between otherwise-distinct docs, so stripping it first
@@ -134,16 +153,32 @@ object Curate {
           .checkpoint()
     }
     val afterBoilerplate = if (boilerplateMaxDocs.isDefined) countIf(gated) else -1L
+    // Optional commonality cap (`commonalityMax = Some(f)`): docs more
+    // than `f` composed of corpus-shared 8-grams drop — template/
+    // license mass the pairwise near-dup stage below cannot see (a doc
+    // can be 80% boilerplate without near-dupping any single doc).
+    // Runs AFTER line-level boilerplate strip (which may have removed
+    // the shared chrome and saved the doc) and BEFORE dedup. Sub-n
+    // docs (null fraction) pass — they carry no measured gram mass.
+    val gatedC = commonalityMax match {
+      case None => gated
+      case Some(mx) => gated.join(
+        Dedup.ngramCommonality(gated)
+          .filter(col("common_frac").isNull || col("common_frac") <= mx)
+          .select("doc_id"), "doc_id")
+    }
+    val afterCommonality =
+      if (commonalityMax.isDefined) countIf(gatedC) else -1L
     // Survivor policy: min-id by default; `qualitySurvivors = true`
     // keeps each near-dup cluster's HIGHEST-quality doc instead
     // (Dedup.dedupCorpusByScore over the p09 heuristic score) — same
     // cluster structure, better survivors when duplicates differ in
     // extraction quality.
     val dedupedDocs =
-      if (!qualitySurvivors) Dedup.dedupCorpus(gated, jaccardThreshold)
-      else gated.join(
-        Dedup.dedupCorpusByScore(gated,
-            TextAnalysis.qualityScore(gated).select("doc_id", "score"),
+      if (!qualitySurvivors) Dedup.dedupCorpus(gatedC, jaccardThreshold)
+      else gatedC.join(
+        Dedup.dedupCorpusByScore(gatedC,
+            TextAnalysis.qualityScore(gatedC).select("doc_id", "score"),
             jaccardThreshold)
           .filter(col("keep")).select("doc_id"), "doc_id")
     val afterDedup = countIf(dedupedDocs)
@@ -291,7 +326,8 @@ object Curate {
       if (stats) Some(Stats(input, afterGate, afterDedup, afterPrune,
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
         afterDecontam, afterSemDedup, afterDsir, afterCcnet,
-        afterBlocklist, afterUrlDedup, afterSpan, afterSpanDecontam))
+        afterBlocklist, afterUrlDedup, afterSpan, afterSpanDecontam,
+        afterReadability, afterCommonality))
       else None
     (packed, st)
   }
@@ -315,7 +351,9 @@ object Curate {
     stage("domain_blocklist", st.afterBlocklist)
     stage("url_dedup", st.afterUrlDedup)
     stage("quality_gate", st.afterGate)
+    stage("readability_band", st.afterReadability)
     stage("boilerplate_strip", st.afterBoilerplate)
+    stage("commonality_cap", st.afterCommonality)
     stage("near_dup_dedup", st.afterDedup)
     stage("subdoc_cdc_dedup", st.afterSubdoc)
     stage("span_dedup", st.afterSpan)

@@ -460,4 +460,39 @@ class CurateSpec extends SparkSpec {
     assert(card(1).getLong(1) == stA.get.afterBlocklist)
     assert(card(1).getLong(2) == stA.get.afterUrlDedup)
   }
+
+  test("readability band and commonality cap stages drop exactly the planted docs") {
+    // A 120-word stopword-laced run-on "license passage" shared by
+    // docs 2 and 3; doc 1 is clean prose. Doc 2 wraps the passage in
+    // its own sentences (in the Flesch band, commonality 113/132 =
+    // 0.856); doc 3 is one unpunctuated 130-word sentence, 92% shared
+    // grams and Flesch < 0 — the doc BOTH new stages exist to drop.
+    val passage = (1 to 40).map(i => s"the w$i of").mkString(" ")
+    val docs = Seq(
+      (1L, "The cat is on the mat. The dog is in the park. " +
+        "You are with me now.", "en", "s0"),
+      (2L, "He was at the shop for a bit. She is of the old town too. " +
+        s"It can be so. $passage", "en", "s0"),
+      (3L, s"We see it all go by and then some more $passage", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    // Baseline: all three docs pass the rule gate; new stages off
+    val (_, st0) = Curate.run(docs, pruneP = 1.0)
+    assert(st0.get.afterGate == 3L, st0.get.toString)
+    assert(st0.get.afterReadability == -1L) // stage off: unaccounted
+    assert(st0.get.afterCommonality == -1L)
+    // Commonality cap at 0.89: doc 3 (0.919) drops, doc 2 (0.856) and
+    // doc 1 (0.0 — every gram unique) stay
+    val (_, st1) = Curate.run(docs, pruneP = 1.0,
+      commonalityMax = Some(0.89))
+    assert(st1.get.afterCommonality == 2L, st1.get.toString)
+    // Readability band (0, 200): doc 3's single 130-word sentence
+    // scores below zero; docs 1-2 sit in the band
+    val (_, st2) = Curate.run(docs, pruneP = 1.0,
+      readabilityBand = Some((0.0, 200.0)))
+    assert(st2.get.afterReadability == 2L, st2.get.toString)
+    val card1 = Curate.dataCard(spark, st1.get).collect().map(_.getString(0))
+    val card2 = Curate.dataCard(spark, st2.get).collect().map(_.getString(0))
+    assert(card1.contains("commonality_cap") && !card1.contains("readability_band"))
+    assert(card2.contains("readability_band") && !card2.contains("commonality_cap"))
+  }
 }
