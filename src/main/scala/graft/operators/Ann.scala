@@ -1044,6 +1044,8 @@ object Ann {
     * aggregates to one row per train vector before the exchange (the
     * p06 brute shape with an agg instead of a window). At corpus scale
     * over-fetch via the IVF shortlist first if |eval| is large.
+    * `eval` must be non-empty — an empty eval set has nothing to
+    * score against and yields an empty frame, not an all-clean one.
     * Output: vec_id, max_sim (3dp), contaminated. */
   def semDecontaminate(train: DataFrame, eval: DataFrame,
       threshold: Double = 0.9): DataFrame = {
@@ -1100,8 +1102,11 @@ object Ann {
     // the scan already carries enough splits and Fanout is a no-op; the
     // exchange it adds locally also becomes the ReuseExchange serving
     // point for the three consumers (cells, means, n) below.
-    val q = Fanout(vecs.select(col(idCol).as("vid"), col(vecCol).as("v")),
-        "vid")
+    // null vectors are EXCLUDED before the count (a null row would
+    // inflate n while contributing nothing to any sum — silently
+    // biasing every cov toward zero); vectors must share one dimension
+    val q = Fanout(vecs.select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .filter(col("v").isNotNull), "vid")
       .select(
         expr("transform(v, x -> CAST(x * 1000000.0D AS BIGINT))").as("q"))
     val cells = q.select(explode(expr(
