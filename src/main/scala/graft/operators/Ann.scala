@@ -1062,6 +1062,34 @@ object Ann {
         (col("mx") >= threshold).as("contaminated"))
   }
 
+  /** [[semDecontaminate]]'s scale path — IVF-bucketed: train vectors
+    * are assigned to their nearest centroid once (the write-path
+    * assignment; on a persisted [[writeIvfIndex]] layout the c_id is
+    * already a partition column), each eval vector probes its `nprobe`
+    * nearest clusters, and only train vectors in PROBED clusters are
+    * scored — work ∝ (probed fraction of train) × |eval| instead of
+    * train × eval. Same trade as [[ivfTopK]]: nprobe is the recall
+    * knob; a contaminated pair whose cluster the eval vector did not
+    * probe is missed, so AnnSpec pins probed-everything == brute. A
+    * train vector in no probed cluster reports max_sim null /
+    * contaminated false — the audit row stays visible.
+    * Output: vec_id, max_sim (3dp), contaminated. */
+  def semDecontaminateIvf(train: DataFrame, eval: DataFrame,
+      centroids: DataFrame, threshold: Double = 0.9,
+      nprobe: Int = 4): DataFrame = {
+    val t = withNorm(train).join(assignClusters(train, centroids), "vec_id")
+    val probes = probeRank(centroids, eval, nprobe)
+    val mx = t.join(broadcast(probes), Seq("c_id"))
+      .select(col("vec_id"),
+        (dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm")))
+          .as("sim"))
+      .groupBy("vec_id").agg(max("sim").as("mx"))
+    train.select(col("vec_id")).distinct()
+      .join(mx, Seq("vec_id"), "left")
+      .select(col("vec_id"), round(col("mx"), 3).as("max_sim"),
+        coalesce(col("mx") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** Exact long-form covariance of the embedding column — the one-pass
     * second-moment summary PCA/whitening starts from, built for
     * cross-engine exactness and 100 TB shape at once. Each vector's

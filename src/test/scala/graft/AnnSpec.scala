@@ -665,6 +665,37 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("semDecontaminateIvf: probe-everything == brute; narrow probe misses only unprobed clusters") {
+    val train = emb((1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f)), (4L, Seq(0f, 0f, 1f)))
+    val eval = emb((100L, Seq(1f, 0f, 0f)), (101L, Seq(0f, 0f, 1f)))
+    // centroids on the axes: clusters = {1,3}, {2}, {4}
+    val cents = emb((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0f, 0f, 1f)))
+    val brute = Ann.semDecontaminate(train, eval, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[java.lang.Double]("max_sim")), r.getBoolean(2))))
+      .toMap
+    // nprobe = #centroids: every cluster probed — identical to brute
+    val full = Ann.semDecontaminateIvf(train, eval, cents,
+        threshold = 0.95, nprobe = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[java.lang.Double]("max_sim")), r.getBoolean(2))))
+      .toMap
+    assert(full == brute)
+    // nprobe = 1: eval 100 probes only the x-cluster {1,3}, eval 101
+    // only the z-cluster {4} — train 2's cluster is never probed, so
+    // it reports a visible null/clean row instead of its brute score
+    val narrow = Ann.semDecontaminateIvf(train, eval, cents,
+        threshold = 0.95, nprobe = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[java.lang.Double]("max_sim")), r.getBoolean(2))))
+      .toMap
+    assert(narrow(1L)._2 && narrow(3L)._2 && narrow(4L)._2)
+    assert(narrow(2L) == ((None, false)))
+    assert(narrow.size == 4)
+  }
+
   test("correlationFromCells: duplicated dim reads 1, anti-tied -1, dead dim null") {
     val vs = emb(
       (0L, Seq(1.0f, 1.0f, -1.0f, 0.5f)), (1L, Seq(3.0f, 3.0f, -3.0f, 0.5f)),
