@@ -46,6 +46,11 @@ object Main {
         |  bm25-index <sfDir> <indexDir>
         |  bm25-search <sfDir> <indexDir> <nQueries> <k>
         |  hybrid-search <sfDir> <nQueries> <k>
+        |  embed-stats <sfDir> <outDir>
+        |  pca-project <sfDir> <outDir> <k>
+        |  sem-decon <sfDir> <outDir> <threshold> [nprobe]
+        |  corpus-health <sfDir> <outDir>
+        |  pii-scan <sfDir> <outDir>
         |  sql <sfDir> <statement>""".stripMargin)
     sys.exit(2)
   }
@@ -268,6 +273,59 @@ object Main {
         graft.operators.Ann.writeIvfIndex(emb,
           emb.filter(org.apache.spark.sql.functions.col("vec_id") < k.toLong), indexDir)
         println(s"IVF index at $indexDir (cluster-partitioned, $k centroids)")
+      case "embed-stats" :: sfDir :: outDir :: Nil =>
+        // exact covariance + correlation long-form (the r106/r111 rows)
+        // as a persisted, batch-mergeable artifact
+        val cells = graft.operators.Ann.covarianceCells(
+          Tables.load(spark, sfDir, "embeddings"))
+        graft.operators.Ann.correlationFromCells(cells)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"embedding covariance/correlation cells at $outDir")
+      case "pca-project" :: sfDir :: outDir :: k :: Nil =>
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val (means, eigs, comps) =
+          graft.operators.Ann.pcaComponents(emb, k.toInt)
+        graft.operators.Ann.pcaProject(emb, means, comps)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"top-$k PCA projection at $outDir " +
+          s"(eigenvalues ${eigs.map(e => f"$e%.4f").mkString(", ")})")
+      case "sem-decon" :: sfDir :: outDir :: threshold :: rest
+          if rest.size <= 1 =>
+        // eval slice = vec_id % 5 == 0 (the r109 convention); nprobe
+        // given -> IVF scale path over trained centroids
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val c = org.apache.spark.sql.functions.col("vec_id")
+        val (train, eval) = (emb.filter(c % 5 =!= 0), emb.filter(c % 5 === 0))
+        val scored = rest match {
+          case Nil => graft.operators.Ann.semDecontaminate(
+            train, eval, threshold.toDouble)
+          case np :: Nil =>
+            // trainCentroids emits (c_id, cemb); the ANN entry points
+            // take centroids in corpus schema (vec_id, embedding)
+            val cents = graft.operators.Ann.trainCentroids(train, 16)
+              .select(org.apache.spark.sql.functions.col("c_id").as("vec_id"),
+                org.apache.spark.sql.functions.col("cemb").as("embedding"))
+            graft.operators.Ann.semDecontaminateIvf(
+              train, eval, cents, threshold.toDouble, np.toInt)
+        }
+        scored.write.mode("overwrite").parquet(outDir)
+        println(s"semantic decontamination verdicts at $outDir")
+      case "corpus-health" :: sfDir :: outDir :: Nil =>
+        // the corpus-level health checks: Zipf fit + per-doc
+        // readability + n-gram commonality, one artifact each
+        val docs = Tables.load(spark, sfDir, "documents")
+        graft.functions.TextAnalysis.zipfFit(docs)
+          .write.mode("overwrite").parquet(s"$outDir/zipf")
+        graft.functions.TextAnalysis.readability(docs)
+          .write.mode("overwrite").parquet(s"$outDir/readability")
+        graft.operators.Dedup.ngramCommonality(docs)
+          .write.mode("overwrite").parquet(s"$outDir/commonality")
+        println(s"corpus health artifacts (zipf/readability/commonality) under $outDir")
+      case "pii-scan" :: sfDir :: outDir :: Nil =>
+        graft.functions.TextAnalysis.scrubPiiExtended(
+            Tables.load(spark, sfDir, "documents"))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"structured-identifier PII scan (Luhn cards + IPv4) at $outDir")
       case _ => usage()
     } finally spark.stop()
   }
