@@ -1157,6 +1157,71 @@ object Ann {
         col("sy"))
   }
 
+  /** Grouped sibling of [[covarianceCells]] (the psiBy/winsorizeBy
+    * relationship, on the embedding side): one exact cell summary PER
+    * GROUP — per-class embedding statistics for stratified PCA,
+    * per-source drift of the embedding distribution, or a per-model
+    * A/B of two encoders sharing a corpus. Same mechanics — the
+    * narrow per-vector product explode just carries the group key, so
+    * map-side combine reduces each partition to ≤ groups × d(d+1)/2
+    * cells; the group-keyed mean/count frames are summary-sized
+    * (groups × d rows) and broadcast back. Null groups are kept (a
+    * visible stratum, the histogramQuantilesBy rule).
+    * Output: groupCol, i, j, n, sxy, sx, sy. */
+  def covarianceCellsBy(vecs: DataFrame, groupCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = Fanout(vecs.select(col(idCol).as("vid"),
+          col(groupCol).as("g"), col(vecCol).as("v"))
+        .filter(col("v").isNotNull), "vid")
+      .select(col("g"),
+        expr("transform(v, x -> CAST(x * 1000000.0D AS BIGINT))").as("q"))
+    val cells = q.select(col("g"), explode(expr(
+        """flatten(transform(sequence(0, size(q) - 1), i ->
+          |  transform(sequence(i, size(q) - 1), j ->
+          |    struct(i AS i, j AS j, q[i] * q[j] AS p))))""".stripMargin))
+        .as("z"))
+      .select(col("g"), col("z.i").as("i"), col("z.j").as("j"),
+        col("z.p").as("p"))
+      .groupBy("g", "i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("sxy"))
+    val means = q.select(col("g"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("g", "i").agg(sum(col("v").cast("decimal(38,0)")).as("sx"))
+    val n = q.groupBy("g").agg(count(lit(1)).cast("long").as("n"))
+    // null-safe group joins (the psiBy/histogramQuantilesBy rule —
+    // a plain equi-join would silently drop the null stratum)
+    val mi = means.select(col("g").as("gi"), col("i").as("mi"), col("sx"))
+    val mj = means.select(col("g").as("gj"), col("i").as("mj"),
+      col("sx").as("sy"))
+    val nn = n.select(col("g").as("gn"), col("n"))
+    cells
+      .join(broadcast(mi), col("g") <=> col("gi") && col("i") === col("mi"))
+      .join(broadcast(mj), col("g") <=> col("gj") && col("j") === col("mj"))
+      .join(broadcast(nn), col("g") <=> col("gn"))
+      .select(col("g").as(groupCol), col("i"), col("j"), col("n"),
+        col("sxy"), col("sx"), col("sy"))
+  }
+
+  /** [[covarianceFromCells]] keyed by the group column: merge raw
+    * multi-batch grouped cells and derive cov per (group, i, j) in the
+    * identical operand order — each group's rows equal the ungrouped
+    * [[covarianceLongForm]] of that group's slice bit for bit (AnnSpec
+    * law). `groupCol` must be the cells' first column (the
+    * [[covarianceCellsBy]] layout). */
+  def covarianceFromCellsBy(cells: DataFrame): DataFrame = {
+    val g = cells.columns.head
+    val merged = cells.groupBy(g, "i", "j").agg(
+      sum("n").cast("long").as("n"),
+      sum("sxy").cast("decimal(38,0)").as("sxy"),
+      sum("sx").cast("decimal(38,0)").as("sx"),
+      sum("sy").cast("decimal(38,0)").as("sy"))
+    val nd = col("n").cast("double")
+    def d(c: Column) = c.cast("double")
+    merged.select(col(g), col("i"), col("j"), col("n"), col("sxy"),
+      col("sx"), col("sy"),
+      round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
+        (d(col("sy")) / nd)) / lit(1e12), 6).as("cov"))
+  }
+
   /** Merge per-batch [[covarianceCells]] summaries (raw multi-batch
     * cells welcome — duplicates per (i, j) and any batch_id partition
     * column are summed/pruned here) and derive cov in the same fixed

@@ -4711,6 +4711,32 @@ object PipelineInventory {
               |FROM cv JOIN dg di ON di.d = cv.i JOIN dg dj ON dj.d = cv.j
               |ORDER BY cv.i, cv.j""".stripMargin)),
 
+    // Per-label embedding covariance (the grouped r106): one exact
+    // cell summary per class — stratified PCA / per-source embedding
+    // drift. Each group's rows == ungrouped covariance of its slice.
+    QueryDef("r112_embed_covariance_by",
+      (s, d) => Ann.covarianceFromCellsBy(
+          Ann.covarianceCellsBy(T(s, d, "embeddings"), "label"))
+        .orderBy("label", "i", "j"),
+      Some(s"""WITH v AS (SELECT label, [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings),
+              |px AS (SELECT label, q, unnest(range(0, len(q))) AS i FROM v),
+              |sx AS (SELECT label, CAST(i AS INT) AS i,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx
+              |       FROM px GROUP BY 1, 2),
+              |pj AS (SELECT label, q, i, unnest(range(i, len(q))) AS j FROM px),
+              |cells AS (SELECT label, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              |            CAST(SUM(q[i + 1] * q[j + 1]) AS DECIMAL(38,0)) AS sxy
+              |          FROM pj GROUP BY 1, 2, 3),
+              |nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1)
+              |SELECT c.label, c.i, c.j, nn.n, c.sxy, a.sx AS sx, b.sx AS sy,
+              |  ${rrepr("(CAST(c.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE) - (CAST(a.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)) * (CAST(b.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS cov
+              |FROM cells c
+              |JOIN sx a ON a.label = c.label AND a.i = c.i
+              |JOIN sx b ON b.label = c.label AND b.i = c.j
+              |JOIN nn ON nn.label = c.label
+              |ORDER BY c.label, c.i, c.j""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

@@ -710,6 +710,34 @@ class AnnSpec extends SparkSpec {
     assert(m((0, 0)).contains(1.0))
   }
 
+  test("covarianceCellsBy: each group's rows == ungrouped covariance of its slice; null group kept") {
+    val vs = Seq(
+      (0L, "a", Seq(1.0f, 2.0f)), (1L, "a", Seq(3.0f, -1.0f)),
+      (2L, "b", Seq(0.5f, 4.0f)), (3L, "b", Seq(-2.0f, 0.25f)),
+      (4L, "b", Seq(1.5f, 1.5f)), (5L, null, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "grp", "embedding")
+    val grouped = Ann.covarianceFromCellsBy(
+        Ann.covarianceCellsBy(vs, "grp"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDecimal(4).longValueExact(), r.getDouble(7))))
+      .toMap
+    for (g <- Seq(Some("a"), Some("b"), None)) {
+      val slice = g match {
+        case Some(x) => vs.filter(col("grp") === x)
+        case None => vs.filter(col("grp").isNull)
+      }
+      val ungrouped = Ann.covarianceLongForm(slice).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDecimal(3).longValueExact(), r.getDouble(6))))
+        .toMap
+      ungrouped.foreach { case ((i, j), v) =>
+        assert(grouped((g, i, j)) == v, s"group $g cell ($i,$j)")
+      }
+    }
+    assert(grouped.size == 3 * 3) // 3 groups (incl. null) x d(d+1)/2
+  }
+
   test("pcaComponents: planted 2-factor corpus recovers both directions, orthonormal") {
     // strong factor along (0.6, 0.8), weak factor along (−0.8, 0.6)·0.1:
     // comp0 → (0.6, 0.8) (sign fix: big coord positive), comp1 ⊥ comp0
