@@ -1535,11 +1535,27 @@ object TextAnalysis {
     * identical value. Ties in frequency rank by token ascending.
     * Output (1 row): k, n_tokens, n_vocab, slope, intercept. */
   def zipfFit(docs: DataFrame, topK: Int = 200, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val counts = docs
-      .select(explode(split(col(textCol), " ")).as("tok"))
+      textCol: String = "text"): DataFrame =
+    zipfFitFromCounts(tokenCountSummary(docs, idCol, textCol), topK)
+
+  /** The corpus token-count summary [[zipfFit]] fits over — (tok, c),
+    * one partial-aggregable explode+groupBy. ADDITIVE over disjoint
+    * batches (exact long counts), so per-batch summaries landed by a
+    * stream ([[graft.streaming.Ingest]] tokenCountsIngestStream) sum
+    * to the one-shot summary and the monitor never re-reads text. */
+  def tokenCountSummary(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).cast("long").as("c"))
+
+  /** [[zipfFit]] from a pre-built (possibly multi-batch) (tok, c)
+    * summary: raw landed cells are re-summed per token first, so
+    * streamed summaries feed this RAW and the fit equals the one-shot
+    * form bit for bit (integer counts, identical head selection). */
+  def zipfFitFromCounts(rawCounts: DataFrame, topK: Int = 200): DataFrame = {
+    val counts = rawCounts.groupBy("tok")
+      .agg(sum("c").cast("long").as("c"))
     val totals = counts.agg(sum("c").cast("long").as("n_tokens"),
       count(lit(1)).cast("long").as("n_vocab"))
     val head = counts.orderBy(col("c").desc, col("tok").asc).limit(topK)

@@ -1541,6 +1541,55 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** Grouped sibling of [[covIngestStream]]: per-batch
+    * `Ann.covarianceCellsBy` summaries (≤ groups × d(d+1)/2 rows),
+    * per-batch-id OVERWRITE; `Ann.covarianceFromCellsBy(landed)` ==
+    * one-shot grouped covariance bit for bit (SCCOVB law) — per-class
+    * embedding statistics refresh without re-reading vectors. */
+  def covByIngestStream(spark: SparkSession, vecSchema: StructType,
+      srcDir: String, covDir: String, checkpoint: String,
+      groupCol: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Ann.covarianceCellsBy(batch, groupCol)
+          .write.mode("overwrite").parquet(s"$covDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming corpus-health feed: each micro-batch lands its
+    * `TextAnalysis.tokenCountSummary` (tok, c) rows as a per-batch-id
+    * OVERWRITE partition — vocabulary-sized per batch (the
+    * bm25IngestStream postings argument: replay must overwrite, a
+    * doubled count row silently bends the Zipf slope). Counts are
+    * additive longs, so the monitor is pure batch composition:
+    * `TextAnalysis.zipfFitFromCounts(landed RAW)` == one-shot
+    * `zipfFit` bit for bit (SCZIPF law). */
+  def tokenCountsIngestStream(spark: SparkSession, docSchema: StructType,
+      srcDir: String, countsDir: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.functions.TextAnalysis.tokenCountSummary(batch)
+          .write.mode("overwrite").parquet(s"$countsDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming drift monitor: each micro-batch of documents reduces to
     * its `Quality.driftCounts` bucket summary (≤ buckets rows — the
     * exchange is summary-sized regardless of batch bytes) landed as a

@@ -894,6 +894,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(out)) == rows(oneShot))
   }
 
+  test("SCCOVB: streamed grouped covariance cells merge per class to the one-shot grouped form; replay clean") {
+    val src = tmp("sccovb-src"); val out = tmp("sccovb-out"); val ck = tmp("sccovb-ck")
+    val b1 = Seq((0L, "a", Seq(1.0f, 2.0f)), (1L, "b", Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "lbl", "embedding")
+    val b2 = Seq((2L, "a", Seq(-1.0f, 0.5f)), (3L, "b", Seq(0.25f, 1.5f)))
+      .toDF("vec_id", "lbl", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.covByIngestStream(spark, b1.schema, src, out, ck, "lbl")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("lbl", "i", "j", "n", "sxy", "sx", "sy", "cov")
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Ann.covarianceFromCellsBy(
+      graft.operators.Ann.covarianceCellsBy(b1.unionByName(b2), "lbl"))
+    def merged = graft.operators.Ann.covarianceFromCellsBy(
+      spark.read.parquet(out).drop("batch_id"))
+    assert(rows(merged) == rows(oneShot))
+    Ingest.covByIngestStream(spark, b1.schema, src, out, ck, "lbl")
+    assert(rows(merged) == rows(oneShot))
+  }
+
+  test("SCZIPF: streamed token counts feed zipfFitFromCounts raw == one-shot zipfFit; replay clean") {
+    val src = tmp("sczipf-src"); val out = tmp("sczipf-out"); val ck = tmp("sczipf-ck")
+    val text1 = (1 to 20).flatMap(r => Seq.fill(100 / r)(f"tok$r%02d")).mkString(" ")
+    val b1 = Seq((1L, text1)).toDF("doc_id", "text")
+    val b2 = Seq((2L, text1 + " tail extra tail")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.tokenCountsIngestStream(spark, b1.schema, src, out, ck)
+    def fit = graft.functions.TextAnalysis
+      .zipfFitFromCounts(spark.read.parquet(out), topK = 10)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.functions.TextAnalysis
+      .zipfFit(b1.unionByName(b2), topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(fit == oneShot)
+    Ingest.tokenCountsIngestStream(spark, b1.schema, src, out, ck)
+    assert(fit == oneShot)
+  }
+
   test("SCCOV: streamed covariance cells merge to the one-shot summary bit for bit; replay clean") {
     val src = tmp("sccov-src"); val out = tmp("sccov-out"); val ck = tmp("sccov-ck")
     val b1 = Seq((0L, Seq(1.0f, 2.0f, -0.5f)), (1L, Seq(3.0f, 5.0f, 0.25f)))
