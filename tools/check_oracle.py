@@ -5,7 +5,16 @@ outDir/oracle_sql.json in DuckDB over the sf parquet tables, loads the
 engine's outDir/<name> parquet, sorts columns by name, and compares
 row count / schema shape / values.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--lenient]
+
+STRICT by default (round-12 fix): the driver hashes the canonical
+textual rendering with NO integral-float collapse and NO numeric
+tolerance, and the r11 round shipped two driver-red rows (r106/r112,
+DECIMAL(38,0) rendered '1530811' by Spark vs '1530811.0' by DuckDB's
+pandas bridge) that this replica's lenient cell() green-lit at
+174/174. A replica laxer than the gate it replicates is worse than no
+replica. --lenient restores the old behavior for triage only — never
+for declaring a row done.
 """
 import sys, json, glob, math
 import duckdb
@@ -13,6 +22,8 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+STRICT = "--lenient" not in sys.argv
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -24,7 +35,7 @@ def cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
+        if not STRICT and v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
     return str(v)
@@ -37,7 +48,9 @@ def values_equal(a, b) -> bool:
         ca, cb = a[col], b[col]
         for x, y in zip(ca.tolist(), cb.tolist()):
             if cell(x) != cell(y):
-                # numeric tolerance fallback for float repr jitter
+                if STRICT:
+                    return False
+                # lenient-only tolerance fallback for float repr jitter
                 try:
                     fx, fy = float(x), float(y)
                     if math.isclose(fx, fy, rel_tol=1e-12, abs_tol=1e-12):
@@ -93,4 +106,8 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not STRICT:
+        print("WARNING: --lenient mode — NOT the driver's gate; "
+              "triage only")
+    main(pos[0], pos[1])
