@@ -48,6 +48,7 @@ object Main {
         |  hybrid-search <sfDir> <nQueries> <k>
         |  embed-stats <sfDir> <outDir>
         |  pca-project <sfDir> <outDir> <k>
+        |  pca-project-by <sfDir> <outDir> <k> [groupCol]
         |  sem-decon <sfDir> <outDir> <threshold> [nprobe]
         |  corpus-health <sfDir> <outDir>
         |  pii-scan <sfDir> <outDir>
@@ -289,6 +290,22 @@ object Main {
           .write.mode("overwrite").parquet(outDir)
         println(s"top-$k PCA projection at $outDir " +
           s"(eigenvalues ${eigs.map(e => f"$e%.4f").mkString(", ")})")
+      case "pca-project-by" :: sfDir :: outDir :: k :: rest
+          if rest.size <= 1 =>
+        // Stratified PCA (the r112 grouped-cells consumer): fit one
+        // deterministic eigensolve per group from a single grouped
+        // cell pass, score every vector against ITS group's fit — the
+        // per-source drift-direction report for a data card.
+        val groupCol = rest.headOption.getOrElse("label")
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val fits = graft.operators.Ann.pcaComponentsBy(emb, groupCol, k.toInt)
+        graft.operators.Ann.pcaProjectBy(emb, groupCol, fits)
+          .write.mode("overwrite").parquet(outDir)
+        fits.toSeq.sortBy(_._1.map(_.toString)).foreach { case (g, (_, eigs, _)) =>
+          println(s"group ${g.getOrElse("NULL")}: eigenvalues " +
+            eigs.map(e => f"$e%.4f").mkString(", "))
+        }
+        println(s"per-$groupCol top-$k PCA projection at $outDir")
       case "sem-decon" :: sfDir :: outDir :: threshold :: rest
           if rest.size <= 1 =>
         // eval slice = vec_id % 5 == 0 (the r109 convention); nprobe

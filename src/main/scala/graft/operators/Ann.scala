@@ -1266,6 +1266,38 @@ object Ann {
           round(col("cov") / sqrt(col("vi") * col("vj")), 6)).as("corr"))
   }
 
+  /** [[correlationFromCells]] keyed by the group column — the
+    * per-class dimension-health report completing the r111/r112
+    * family: per-source dead dimensions (null corr row only in THAT
+    * stratum) and per-class dimension ties are exactly the faults a
+    * pooled corr hides (one healthy majority source masks a
+    * degenerate minority one). Identical derivation per group —
+    * `corr_ij = cov_ij / √(cov_ii·cov_jj)` over the 6dp grouped
+    * covariances, so each group's rows equal the ungrouped
+    * [[correlationFromCells]] of its slice bit for bit (AnnSpec law).
+    * All math past the cell merge is groups × d(d+1)/2 summary work;
+    * the per-group diagonal broadcasts back onto the cells with
+    * null-safe joins (the covarianceCellsBy rule). `groupCol` must be
+    * the cells' first column (the [[covarianceCellsBy]] layout).
+    * Output: groupCol, i, j, cov, corr. */
+  def correlationFromCellsBy(cells: DataFrame): DataFrame = {
+    val g = cells.columns.head
+    val cov = covarianceFromCellsBy(cells)
+      .select(col(g), col("i"), col("j"), col("cov"))
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col(g).as("gd"), col("i").as("d"), col("cov").as("v"))
+    cov
+      .join(broadcast(diag.select(col("gd").as("gi"), col("d").as("di"),
+          col("v").as("vi"))),
+        col(g) <=> col("gi") && col("i") === col("di"))
+      .join(broadcast(diag.select(col("gd").as("gj"), col("d").as("dj"),
+          col("v").as("vj"))),
+        col(g) <=> col("gj") && col("j") === col("dj"))
+      .select(col(g), col("i"), col("j"), col("cov"),
+        when(col("vi") * col("vj") > 0,
+          round(col("cov") / sqrt(col("vi") * col("vj")), 6)).as("corr"))
+  }
+
   /** Top-k principal components from [[covarianceLongForm]]'s summary —
     * the deterministic driver-side eigensolve: the collected frame is
     * d(d+1)/2 bounded rows (never corpus data), and power iteration
@@ -1281,16 +1313,27 @@ object Ann {
   def pcaComponents(vecs: DataFrame, k: Int, iters: Int = 100,
       vecCol: String = "embedding"): (Array[Double], Array[Double], Array[Array[Double]]) = {
     val rows = covarianceLongForm(vecs, vecCol = vecCol).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDecimal(4),
+        r.getDouble(6)))
+    eigensolve(rows.toSeq, k, iters)
+  }
+
+  /** The deterministic driver-side eigensolve shared by
+    * [[pcaComponents]] and [[pcaComponentsBy]], over ONE (group's)
+    * collected cell frame `(i, j, n, sx, cov)` — d(d+1)/2 bounded
+    * rows, never corpus data (see [[pcaComponents]] scaladoc for the
+    * power-iteration/deflation/sign conventions). */
+  private def eigensolve(
+      rows: Seq[(Int, Int, Long, java.math.BigDecimal, Double)],
+      k: Int, iters: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
     require(rows.nonEmpty, "pcaComponents: empty input")
-    val dDim = rows.iterator.map(_.getInt(1)).max + 1
-    val n = rows.head.getLong(2).toDouble
+    val dDim = rows.iterator.map(_._2).max + 1
+    val n = rows.head._3.toDouble
     val mean = new Array[Double](dDim)
     val c = Array.ofDim[Double](dDim, dDim)
-    rows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val cov = r.getDouble(6)
+    rows.foreach { case (i, j, _, sx, cov) =>
       c(i)(j) = cov; c(j)(i) = cov
-      if (i == j) mean(i) = r.getDecimal(4).doubleValue() / n / 1e6
+      if (i == j) mean(i) = sx.doubleValue() / n / 1e6
     }
     val comps = Array.ofDim[Double](k, dDim)
     val eigs = new Array[Double](k)
@@ -1314,6 +1357,56 @@ object Ann {
         c(i)(j) -= lam * v(i) * v(j) // deflate
     }
     (mean, eigs, comps)
+  }
+
+  /** Per-group [[pcaComponents]] — stratified whitening and per-source
+    * embedding-drift directions, the natural consumer the grouped
+    * covariance cells ([[covarianceCellsBy]]) were built for: ONE
+    * grouped cell pass over the corpus (the collected frame is groups
+    * × d(d+1)/2 bounded summary rows, never corpus data), then the
+    * same deterministic eigensolve runs per group on the driver. Each
+    * group's fit equals the ungrouped [[pcaComponents]] of that
+    * group's slice (AnnSpec law) because the grouped cells ARE the
+    * slice's cells, exactly. Null group kept as a visible stratum
+    * (the histogramQuantilesBy rule). At corpus scale, fit on a
+    * per-group SAMPLE and apply with [[pcaProjectBy]] — the fit is
+    * summary-sized either way; only the cell pass sees the corpus.
+    * Returns groupValue -> (means, eigenvalues, components[k][d]). */
+  def pcaComponentsBy(vecs: DataFrame, groupCol: String, k: Int,
+      iters: Int = 100, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : Map[Option[Any], (Array[Double], Array[Double], Array[Array[Double]])] = {
+    // bounded collect: groups x d(d+1)/2 summary cells (annotated —
+    // the pcaComponents discipline, one frame per group)
+    val rows = covarianceFromCellsBy(
+        covarianceCellsBy(vecs, groupCol, idCol, vecCol)).collect()
+      .map(r => Option(r.get(0)) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getDecimal(5),
+          r.getDouble(7))))
+    rows.groupBy(_._1).map { case (g, cells) =>
+      g -> eigensolve(cells.map(_._2).toSeq, k, iters)
+    }
+  }
+
+  /** Per-group [[pcaProject]]: every vector scored against ITS group's
+    * components — one narrow codegen'd filtered pass per group (the
+    * group vocabulary is a bounded class/source set, so the union is
+    * a handful of corpus-parallel branches over ONE scan, not a
+    * per-row driver loop), null group matched null-safely. Rows whose
+    * group has no fit are dropped (score-against-nothing has no
+    * meaning); fit on every stratum to keep them all.
+    * Output: idCol, groupCol, pc0..pc{k-1}. */
+  def pcaProjectBy(vecs: DataFrame, groupCol: String,
+      fits: Map[Option[Any], (Array[Double], Array[Double], Array[Array[Double]])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(fits.nonEmpty, "pcaProjectBy: no fitted groups")
+    fits.iterator.map { case (g, (means, _, comps)) =>
+      pcaProject(vecs.filter(col(groupCol) <=> lit(g.orNull)),
+          means, comps, idCol, vecCol)
+        .withColumn(groupCol, lit(g.orNull))
+        .select(col(idCol) +: col(groupCol) +:
+          comps.indices.map(m => col(s"pc$m")): _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** PCA reconstruction-residual outlier score — the embedding-space

@@ -4551,11 +4551,24 @@ object PipelineInventory {
     // ties are not), upper-triangle products summed as decimal(38,0) —
     // order-independent exact integer sums, so the whole artifact is
     // hash-stable; cov derived in a fixed IEEE operand order, 6dp.
+    // The exact sums are DECLARED as strings (both sides): the values
+    // are engine-identical, but DuckDB's pandas bridge renders a
+    // DECIMAL(38,0) as float64 ('1530811.0') while Spark's parquet
+    // keeps Decimal ('1530811') — the r11 driver-hash red. CAST to
+    // VARCHAR/string renders digits-only in both engines; the operator
+    // API keeps the native decimals (they are the mergeable summary).
+    // Null embeddings are excluded on BOTH sides (the oracle's v CTE
+    // previously counted them in n — the n-inflation bias the Spark
+    // side fixed in 87fe23f, now pinned cross-engine).
     QueryDef("r106_embed_covariance",
       (s, d) => Ann.covarianceLongForm(T(s, d, "embeddings"))
+        .select(col("i"), col("j"), col("n"),
+          col("sxy").cast("string").as("sxy"),
+          col("sx").cast("string").as("sx"),
+          col("sy").cast("string").as("sy"), col("cov"))
         .orderBy("i", "j"),
       Some(s"""WITH v AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
-              |  FROM embeddings),
+              |  FROM embeddings WHERE embedding IS NOT NULL),
               |px AS (SELECT q, unnest(range(0, len(q))) AS i FROM v),
               |sx AS (SELECT CAST(i AS INT) AS i,
               |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx
@@ -4565,7 +4578,10 @@ object PipelineInventory {
               |            CAST(SUM(q[i + 1] * q[j + 1]) AS DECIMAL(38,0)) AS sxy
               |          FROM pj GROUP BY 1, 2),
               |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
-              |SELECT c.i, c.j, nn.n, c.sxy, a.sx AS sx, b.sx AS sy,
+              |SELECT c.i, c.j, nn.n,
+              |  CAST(c.sxy AS VARCHAR) AS sxy,
+              |  CAST(a.sx AS VARCHAR) AS sx,
+              |  CAST(b.sx AS VARCHAR) AS sy,
               |  ${rrepr("(CAST(c.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE) - (CAST(a.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)) * (CAST(b.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS cov
               |FROM cells c JOIN sx a ON a.i = c.i JOIN sx b ON b.i = c.j
               |CROSS JOIN nn ORDER BY c.i, c.j""".stripMargin)),
@@ -4689,7 +4705,7 @@ object PipelineInventory {
           Ann.covarianceCells(T(s, d, "embeddings")))
         .orderBy("i", "j"),
       Some(s"""WITH v AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
-              |  FROM embeddings),
+              |  FROM embeddings WHERE embedding IS NOT NULL),
               |px AS (SELECT q, unnest(range(0, len(q))) AS i FROM v),
               |sx AS (SELECT CAST(i AS INT) AS i,
               |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx
@@ -4714,12 +4730,21 @@ object PipelineInventory {
     // Per-label embedding covariance (the grouped r106): one exact
     // cell summary per class — stratified PCA / per-source embedding
     // drift. Each group's rows == ungrouped covariance of its slice.
+    // Same presentation rules as r106: exact sums declared as strings
+    // (the DECIMAL(38,0) pandas-bridge rendering red), null embeddings
+    // excluded both sides; the label joins are null-safe (IS NOT
+    // DISTINCT FROM) to match the Spark side's <=> — a plain equality
+    // would silently drop a NULL-label stratum the engine keeps.
     QueryDef("r112_embed_covariance_by",
       (s, d) => Ann.covarianceFromCellsBy(
           Ann.covarianceCellsBy(T(s, d, "embeddings"), "label"))
+        .select(col("label"), col("i"), col("j"), col("n"),
+          col("sxy").cast("string").as("sxy"),
+          col("sx").cast("string").as("sx"),
+          col("sy").cast("string").as("sy"), col("cov"))
         .orderBy("label", "i", "j"),
       Some(s"""WITH v AS (SELECT label, [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
-              |  FROM embeddings),
+              |  FROM embeddings WHERE embedding IS NOT NULL),
               |px AS (SELECT label, q, unnest(range(0, len(q))) AS i FROM v),
               |sx AS (SELECT label, CAST(i AS INT) AS i,
               |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx
@@ -4729,13 +4754,54 @@ object PipelineInventory {
               |            CAST(SUM(q[i + 1] * q[j + 1]) AS DECIMAL(38,0)) AS sxy
               |          FROM pj GROUP BY 1, 2, 3),
               |nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1)
-              |SELECT c.label, c.i, c.j, nn.n, c.sxy, a.sx AS sx, b.sx AS sy,
+              |SELECT c.label, c.i, c.j, nn.n,
+              |  CAST(c.sxy AS VARCHAR) AS sxy,
+              |  CAST(a.sx AS VARCHAR) AS sx,
+              |  CAST(b.sx AS VARCHAR) AS sy,
               |  ${rrepr("(CAST(c.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE) - (CAST(a.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)) * (CAST(b.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS cov
               |FROM cells c
-              |JOIN sx a ON a.label = c.label AND a.i = c.i
-              |JOIN sx b ON b.label = c.label AND b.i = c.j
-              |JOIN nn ON nn.label = c.label
+              |JOIN sx a ON a.label IS NOT DISTINCT FROM c.label AND a.i = c.i
+              |JOIN sx b ON b.label IS NOT DISTINCT FROM c.label AND b.i = c.j
+              |JOIN nn ON nn.label IS NOT DISTINCT FROM c.label
               |ORDER BY c.label, c.i, c.j""".stripMargin)),
+
+    // Per-label correlation (the grouped r111, completing the
+    // r106/r111/r112 embedding-statistics family): per-source dead
+    // dimensions and per-class dimension ties are exactly what a
+    // pooled corr hides — one healthy majority source masks a
+    // degenerate minority one. Derived doubles only (the r111
+    // presentation pattern — no raw decimals declared), null-safe
+    // label joins, null embeddings excluded both sides.
+    QueryDef("r113_embed_correlation_by",
+      (s, d) => Ann.correlationFromCellsBy(
+          Ann.covarianceCellsBy(T(s, d, "embeddings"), "label"))
+        .orderBy("label", "i", "j"),
+      Some(s"""WITH v AS (SELECT label, [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings WHERE embedding IS NOT NULL),
+              |px AS (SELECT label, q, unnest(range(0, len(q))) AS i FROM v),
+              |sx AS (SELECT label, CAST(i AS INT) AS i,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx
+              |       FROM px GROUP BY 1, 2),
+              |pj AS (SELECT label, q, i, unnest(range(i, len(q))) AS j FROM px),
+              |cells AS (SELECT label, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              |            CAST(SUM(q[i + 1] * q[j + 1]) AS DECIMAL(38,0)) AS sxy
+              |          FROM pj GROUP BY 1, 2, 3),
+              |nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+              |cv AS (SELECT c.label, c.i, c.j,
+              |  ${rrepr("(CAST(c.sxy AS DOUBLE) / CAST(nn.n AS DOUBLE) - (CAST(a.sx AS DOUBLE) / CAST(nn.n AS DOUBLE)) * (CAST(b.sx AS DOUBLE) / CAST(nn.n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS cov
+              |  FROM cells c
+              |  JOIN sx a ON a.label IS NOT DISTINCT FROM c.label AND a.i = c.i
+              |  JOIN sx b ON b.label IS NOT DISTINCT FROM c.label AND b.i = c.j
+              |  JOIN nn ON nn.label IS NOT DISTINCT FROM c.label),
+              |dg AS (SELECT label, i AS d, cov AS v FROM cv WHERE i = j)
+              |SELECT cv.label, cv.i, cv.j, cv.cov,
+              |  CASE WHEN di.v * dj.v > 0
+              |    THEN ${rrepr("cv.cov / sqrt(di.v * dj.v)", 6)}
+              |  END AS corr
+              |FROM cv
+              |JOIN dg di ON di.label IS NOT DISTINCT FROM cv.label AND di.d = cv.i
+              |JOIN dg dj ON dj.label IS NOT DISTINCT FROM cv.label AND dj.d = cv.j
+              |ORDER BY cv.label, cv.i, cv.j""".stripMargin)),
 
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the

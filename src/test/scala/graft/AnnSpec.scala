@@ -795,4 +795,107 @@ class AnnSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     assert(re == proj)
   }
+
+  test("covariance cells exclude null embeddings from n and the sums (grouped and ungrouped)") {
+    // the n-inflation pin (r11 advisor): a null vector contributes
+    // nothing to any sum, so counting it in n would bias every cov
+    // toward zero — the cells of a corpus WITH planted null vectors
+    // must equal the cells of the clean corpus exactly
+    val base = Seq(
+      (0L, "a", Seq(1.0f, 2.0f)), (1L, "a", Seq(3.0f, -1.0f)),
+      (2L, "b", Seq(0.5f, 4.0f)), (3L, "b", Seq(-2.0f, 0.25f)))
+    val nulls = Seq((9L, "a", null.asInstanceOf[Seq[Float]]),
+      (10L, null.asInstanceOf[String], null.asInstanceOf[Seq[Float]]))
+    def df(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.map { case (id, g, v) =>
+        (id, g, Option(v).map(_.toArray).orNull) }
+        .toDF("vec_id", "grp", "embedding")
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      Ann.covarianceLongForm(d).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDecimal(3).longValueExact(),
+            r.getDecimal(4).longValueExact(), r.getDouble(6)))).toMap
+    assert(cells(df(base ++ nulls)) == cells(df(base)))
+    // grouped: group "a" unchanged by its planted null vector; the
+    // all-null group (10L) has NO surviving vectors -> no stratum at
+    // all (n = 0 has no covariance), not a zero-row
+    def cellsBy(d: org.apache.spark.sql.DataFrame) =
+      Ann.covarianceFromCellsBy(Ann.covarianceCellsBy(d, "grp"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getInt(1), r.getInt(2)) ->
+          ((r.getLong(3), r.getDecimal(4).longValueExact()))).toMap
+    val dirty = cellsBy(df(base ++ nulls))
+    assert(dirty == cellsBy(df(base)))
+    assert(dirty.keySet.map(_._1) == Set(Some("a"), Some("b")))
+  }
+
+  test("correlationFromCellsBy: each group's rows == ungrouped correlation of its slice; per-group dead dim null only in its stratum") {
+    // group "a": dim1 duplicates dim0 (corr 1); group "b": dim1 is
+    // CONSTANT (dead -> null corr) while dim0 varies — the per-class
+    // fault a pooled correlation would hide behind group "a"'s health
+    val rows = Seq(
+      (0L, "a", Seq(1.0f, 1.0f)), (1L, "a", Seq(3.0f, 3.0f)),
+      (2L, "a", Seq(-2.0f, -2.0f)),
+      (3L, "b", Seq(0.5f, 2.0f)), (4L, "b", Seq(4.0f, 2.0f)),
+      (5L, "b", Seq(-1.0f, 2.0f)))
+    val d = rows.map { case (id, g, v) => (id, g, v.toArray) }
+      .toDF("vec_id", "grp", "embedding")
+    val got = Ann.correlationFromCellsBy(Ann.covarianceCellsBy(d, "grp"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getDouble(3), Option(r.getAs[java.lang.Double]("corr")))))
+      .toMap
+    assert(got.size == 2 * 3) // 2 groups x d(d+1)/2
+    for (g <- Seq("a", "b")) {
+      val exp = Ann.correlationFromCells(
+          Ann.covarianceCells(d.filter(col("grp") === g)))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getDouble(2), Option(r.getAs[java.lang.Double]("corr")))))
+        .toMap
+      exp.foreach { case ((i, j), v) =>
+        assert(got((g, i, j)) == v, s"group $g cell ($i,$j)")
+      }
+    }
+    assert(got(("a", 0, 1))._2.contains(1.0)) // duplicated dim in a
+    assert(got(("b", 0, 1))._2.isEmpty)       // dead dim ONLY in b
+    assert(got(("b", 0, 0))._2.contains(1.0))
+  }
+
+  test("pcaComponentsBy: each group's fit == ungrouped pcaComponents of its slice; projectBy scores by own group") {
+    // three strata with different principal directions, incl. a null
+    // group (kept: a visible stratum, the covarianceCellsBy rule)
+    val pts = (-5 to 5).flatMap(t => Seq(
+      (t.toLong + 5L, "a", Seq(0.6f * t + 0.01f * (t % 2), 0.8f * t)),
+      (t.toLong + 50L, "b", Seq(0.9f * t, -0.1f * t + 0.02f * (t % 2))),
+      (t.toLong + 100L, null.asInstanceOf[String],
+        Seq(0.2f * t, 0.3f * t + 0.01f * (t % 2)))))
+    val d = pts.map { case (id, g, v) => (id, g, v.toArray) }
+      .toDF("vec_id", "grp", "embedding")
+    val fits = Ann.pcaComponentsBy(d, "grp", k = 2)
+    assert(fits.keySet == Set[Option[Any]](Some("a"), Some("b"), None))
+    def slice(g: Option[Any]) = g match {
+      case Some(x) => d.filter(col("grp") === x.toString)
+      case None => d.filter(col("grp").isNull)
+    }
+    for (g <- fits.keys) {
+      // identical cells in, deterministic eigensolve on top: the
+      // grouped fit equals the slice's ungrouped fit BIT FOR BIT
+      val (ms, es, cs) = Ann.pcaComponents(slice(g), k = 2)
+      val (gm, ge, gc) = fits(g)
+      assert(gm.toSeq == ms.toSeq && ge.toSeq == es.toSeq, s"group $g")
+      assert(gc.map(_.toSeq).toSeq == cs.map(_.toSeq).toSeq, s"group $g")
+    }
+    val proj = Ann.pcaProjectBy(d, "grp", fits).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(proj.size == pts.size) // every row scored, null group incl.
+    for (g <- fits.keys) {
+      val (ms, _, cs) = fits(g)
+      Ann.pcaProject(slice(g), ms, cs).collect().foreach { r =>
+        assert(proj(r.getLong(0)) ==
+          ((g, r.getDouble(1), r.getDouble(2))), s"id ${r.getLong(0)}")
+      }
+    }
+  }
 }
