@@ -39,6 +39,52 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(""""n":0"""))
   }
 
+  test("episodeMultiplier: uniform inflation reads as the median ratio; a single spike does not move it") {
+    val floors = (1 to 20).map(i => f"q$i%02d" -> 1.0).toMap
+    // uniform 1.6x episode: median = 1.6 (machine weather signature)
+    val uniform = (1 to 20).map(i => f"q$i%02d" -> 1.6)
+    assert(Bench.episodeMultiplier(uniform, floors).contains(1.6))
+    // one real 8x regression on an otherwise-idle run: median stays ~1
+    val spike = (1 to 19).map(i => f"q$i%02d" -> 1.0) :+ ("q20" -> 8.0)
+    assert(Bench.episodeMultiplier(spike, floors).contains(1.0))
+    // even-count median averages the middle pair
+    val even = Seq("q01" -> 1.0, "q02" -> 1.0, "q03" -> 1.0, "q04" -> 1.0,
+      "q05" -> 2.0, "q06" -> 2.0, "q07" -> 2.0, "q08" -> 2.0)
+    assert(Bench.episodeMultiplier(even, floors).contains(1.5))
+  }
+
+  test("episodeMultiplier omitted with no floors, sub-0.01s floors, or a small SPARK_GRAFT_ONLY overlap") {
+    val ok = (1 to 20).map(i => f"q$i%02d" -> 1.0)
+    assert(Bench.episodeMultiplier(ok, Map.empty).isEmpty)
+    // scheduler-jitter floors below 10ms never enter the ratio pool
+    val tiny = (1 to 20).map(i => f"q$i%02d" -> 0.001).toMap
+    assert(Bench.episodeMultiplier(ok, tiny).isEmpty)
+    // 7 overlapping queries: too few to call host weather
+    val seven = (1 to 7).map(i => f"q$i%02d" -> 1.0).toMap
+    assert(Bench.episodeMultiplier(ok, seven).isEmpty)
+  }
+
+  test("loadFloors: pulls query floors out of the committed artifact shape; missing file is empty") {
+    val f = java.io.File.createTempFile("floors", ".json")
+    val w = new java.io.PrintWriter(f)
+    try w.println(
+      """{
+        | "note": "per-query idle floor",
+        | "n_queries": 2,
+        | "total_floor_sec": 3.1,
+        | "queries": {
+        |  "p01_minhash_bands": {"sec": 1.85, "src": "BENCH_DETAIL"},
+        |  "q01_agg": {"sec": 1.25, "src": "BENCH_r04"}
+        | }
+        |}""".stripMargin) finally w.close()
+    val m = Bench.loadFloors(f.getAbsolutePath)
+    assert(m("p01_minhash_bands") == 1.85 && m("q01_agg") == 1.25)
+    // top-level scalars don't match the {"sec": N} object shape
+    assert(!m.contains("n_queries") && !m.contains("total_floor_sec"))
+    assert(Bench.loadFloors("/nonexistent/floors.json").isEmpty)
+    f.delete()
+  }
+
   test("decimal rendering is locale-independent") {
     val dflt = java.util.Locale.getDefault
     try {
