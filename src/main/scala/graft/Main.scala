@@ -49,6 +49,7 @@ object Main {
         |  embed-stats <sfDir> <outDir>
         |  pca-project <sfDir> <outDir> <k>
         |  pca-project-by <sfDir> <outDir> <k> [groupCol]
+        |  pca-outliers <sfDir> <outDir> <k> <residThresh> <mahaThresh>
         |  sem-decon <sfDir> <outDir> <threshold> [nprobe]
         |  corpus-health <sfDir> <outDir>
         |  pii-scan <sfDir> <outDir>
@@ -306,6 +307,21 @@ object Main {
             eigs.map(e => f"$e%.4f").mkString(", "))
         }
         println(s"per-$groupCol top-$k PCA projection at $outDir")
+      case "pca-outliers" :: sfDir :: outDir :: k :: rt :: mt :: Nil =>
+        // The two complementary embedding outlier axes in one report:
+        // residual (junk OFF the corpus subspace) + Mahalanobis
+        // (extremes ALONG it, σ-weighted) — each a narrow
+        // broadcast-literal map, joined on the id.
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val (means, eigs, comps) =
+          graft.operators.Ann.pcaComponents(emb, k.toInt)
+        graft.operators.Ann.pcaResiduals(emb, means, comps, rt.toDouble)
+          .withColumnRenamed("outlier", "resid_outlier")
+          .join(graft.operators.Ann.pcaMahalanobis(emb, means, eigs,
+              comps, mt.toDouble)
+            .withColumnRenamed("outlier", "maha_outlier"), "vec_id")
+          .write.mode("overwrite").parquet(outDir)
+        println(s"PCA outlier report (resid >= $rt, maha >= $mt) at $outDir")
       case "sem-decon" :: sfDir :: outDir :: threshold :: rest
           if rest.size <= 1 =>
         // eval slice = vec_id % 5 == 0 (the r109 convention); nprobe

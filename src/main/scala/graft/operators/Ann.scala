@@ -1298,6 +1298,143 @@ object Ann {
           round(col("cov") / sqrt(col("vi") * col("vj")), 6)).as("corr"))
   }
 
+  /** Per-group per-dimension embedding drift vs the POOLED corpus —
+    * the "did source X's encoder move" report: for every (group, dim),
+    * the group's mean/variance plus the standardized mean shift
+    * `mean_z = (mean_g − mean_pool) / √var_pool` and the variance
+    * ratio `var_g / var_pool` (both null where the pooled dim is
+    * constant — a dead dim has no drift scale). This is the
+    * embedding-side sibling of the scalar psiBy drift monitor: a
+    * re-embedded or drifted source shows |mean_z| ≫ 0 / var_ratio far
+    * from 1 on many dims at once, while a healthy stratum hovers near
+    * (0, 1) everywhere.
+    *
+    * Scale shape: the only corpus pass is the diagonal of the grouped
+    * cells ([[covarianceCellsBy]] mechanics — narrow per-vector
+    * explode, map-side combine to ≤ groups × d diagonal cells); the
+    * pooled spine is the SUM of the grouped cells (exact integer
+    * summaries merge by addition — no second corpus pass) and
+    * broadcasts back as d rows. Derived doubles follow the r111
+    * discipline: each report column is computed from the 6dp-rounded
+    * mean/var columns in a fixed operand order, so the report can
+    * never disagree with itself and is hash-stable cross-engine.
+    * Output: groupCol, i, n, mean, variance, mean_z, var_ratio. */
+  def embeddingDriftBy(vecs: DataFrame, groupCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    driftFromDiag(diagCellsBy(vecs, groupCol, idCol, vecCol))
+
+  /** Diagonal-only grouped second-moment pass — (group, i, n, sxy,
+    * sx) with `sxy = Σ xᵢ²`: the drift reports need ONLY the d
+    * diagonal cells, and deriving them from the full
+    * [[covarianceCellsBy]] product triangle would burn ~d/2× the
+    * needed CPU on off-diagonal products it then throws away (d = 64:
+    * 2080 products per vector vs 64 squares). Same Fanout'd narrow
+    * explode (posexplode, no pair generation), same scaled-truncated
+    * longs and exact decimal sums — so the diagonal of
+    * covarianceCellsBy equals this bit for bit, which the
+    * multi-batch merge-law spec pins cross-implementation. */
+  private def diagCellsBy(vecs: DataFrame, groupCol: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val q = Fanout(vecs.select(col(idCol).as("vid"),
+          col(groupCol).as("g"), col(vecCol).as("v"))
+        .filter(col("v").isNotNull), "vid")
+      .select(col("g"),
+        expr("transform(v, x -> CAST(x * 1000000.0D AS BIGINT))").as("q"))
+    q.select(col("g"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("g", "i")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"))
+      .select(col("g").as(groupCol), col("i"), col("n"), col("sxy"),
+        col("sx"))
+  }
+
+  /** [[embeddingDriftBy]] from an already-landed grouped cell frame
+    * (raw multi-batch cells welcome — duplicate (group, i, j) rows are
+    * merged by addition first): the monitoring path. A streamed
+    * covariance landing ([[graft.streaming.Ingest]] covByIngestStream)
+    * refreshes the drift report from summary-sized cells WITHOUT
+    * re-reading the vector corpus, the covarianceFromCells(landed)
+    * relationship. `groupCol` = the cells' first column. */
+  def embeddingDriftFromCellsBy(cells: DataFrame): DataFrame = {
+    val g = cells.columns.head
+    driftFromDiag(cells.filter(col("i") === col("j"))
+      .select(col(g), col("i"), col("n"), col("sxy"), col("sx")))
+  }
+
+  /** Shared drift derivation over a raw (group, i, n, sxy, sx)
+    * diagonal frame: merge duplicate (group, i) rows by addition
+    * (multi-batch landings), derive per-group mean/variance, broadcast
+    * the pooled d-row spine back, report in the fixed 6dp operand
+    * order ([[embeddingDriftBy]] scaladoc). */
+  private def driftFromDiag(diagRaw: DataFrame): DataFrame = {
+    val g = diagRaw.columns.head
+    val diag = diagRaw
+      .groupBy(g, "i").agg( // merge multi-batch landings by addition
+        sum("n").cast("long").as("n"),
+        sum("sxy").cast("decimal(38,0)").as("sxy"),
+        sum("sx").cast("decimal(38,0)").as("sx"))
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    val grouped = diag.select(col(g), col("i"), col("n"),
+      round(d(col("sx")) / nd / lit(1e6), 6).as("mean"),
+      round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
+        (d(col("sx")) / nd)) / lit(1e12), 6).as("variance"))
+    val npd = d(col("np"))
+    val pooled = diag.groupBy("i").agg(
+        sum("n").cast("long").as("np"),
+        sum("sxy").cast("decimal(38,0)").as("sxyp"),
+        sum("sx").cast("decimal(38,0)").as("sxp"))
+      .select(col("i").as("pi"),
+        round(d(col("sxp")) / npd / lit(1e6), 6).as("mean_p"),
+        round((d(col("sxyp")) / npd - (d(col("sxp")) / npd) *
+          (d(col("sxp")) / npd)) / lit(1e12), 6).as("var_p"))
+    grouped
+      .join(broadcast(pooled), col("i") === col("pi")) // d-row spine
+      .select(col(g), col("i"), col("n"), col("mean"),
+        col("variance"),
+        when(col("var_p") > 0,
+          round((col("mean") - col("mean_p")) / sqrt(col("var_p")), 6))
+          .as("mean_z"),
+        when(col("var_p") > 0, round(col("variance") / col("var_p"), 6))
+          .as("var_ratio"))
+  }
+
+  /** Two-corpus embedding drift — `cur` scored against a REFERENCE
+    * corpus (the corpus-diff / release-gate form of
+    * [[embeddingDriftBy]], where the baseline is an explicit frozen
+    * snapshot rather than the pooled mixture): per dimension,
+    * `mean_z = (mean_cur − mean_ref) / √var_ref` and
+    * `var_ratio = var_cur / var_ref` (null where the reference dim is
+    * constant). One diagonal-only pass over each corpus (the
+    * [[diagCellsBy]] shape — d squares per vector, NOT the d(d+1)/2
+    * product triangle; the reference side is summary-sized and
+    * typically a PERSISTED artifact re-read for pennies), d-row
+    * broadcast join, 6dp fixed-order derivations.
+    * Output: i, n_ref, n_cur, mean_ref, mean_cur, mean_z, var_ratio. */
+  def embeddingDriftAgainst(ref: DataFrame, cur: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val nd = d(col("n"))
+    def diagStats(vecs: DataFrame, tag: String) =
+      diagCellsBy(vecs.select(col(idCol), lit(tag).as("side"),
+          col(vecCol)), "side", idCol, vecCol)
+        .select(col("i").as(s"i_$tag"), col("n").as(s"n_$tag"),
+          round(d(col("sx")) / nd / lit(1e6), 6).as(s"mean_$tag"),
+          round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
+            (d(col("sx")) / nd)) / lit(1e12), 6).as(s"var_$tag"))
+    diagStats(ref, "ref")
+      .join(broadcast(diagStats(cur, "cur")),
+        col("i_ref") === col("i_cur")) // d-row spine
+      .select(col("i_ref").as("i"), col("n_ref"), col("n_cur"),
+        col("mean_ref"), col("mean_cur"),
+        when(col("var_ref") > 0,
+          round((col("mean_cur") - col("mean_ref")) /
+            sqrt(col("var_ref")), 6)).as("mean_z"),
+        when(col("var_ref") > 0,
+          round(col("var_cur") / col("var_ref"), 6)).as("var_ratio"))
+  }
+
   /** Top-k principal components from [[covarianceLongForm]]'s summary —
     * the deterministic driver-side eigensolve: the collected frame is
     * d(d+1)/2 bounded rows (never corpus data), and power iteration
@@ -1436,6 +1573,62 @@ object Ann {
     vecs.select(col(idCol), round(resid, 6).as("resid"))
       .select(col(idCol), col("resid"),
         (col("resid") >= threshold).as("outlier"))
+  }
+
+  /** PCA whitening — [[pcaProject]] with each score scaled by
+    * 1/√eigenvalue, so the output coordinates are unit-variance and
+    * decorrelated: the standard embedding normalization before
+    * distance-based downstream work (a raw PCA score space lets the
+    * dominant direction swamp every cosine/euclidean comparison; the
+    * whitened space weights directions by information, not energy).
+    * Same execution shape as the projection — components AND the
+    * 1/√λ scales fold into broadcast literals, one narrow codegen'd
+    * map per vector, no shuffle. Components with λ ≤ 0 (deflation
+    * residue past the true rank) produce null scores rather than an
+    * infinity. Output: idCol, wc0..wc{k-1}. */
+  def pcaWhiten(vecs: DataFrame, means: Array[Double],
+      eigs: Array[Double], comps: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centered = zip_with(
+      expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
+      typedLit(means.toSeq), (a, b) => a - b)
+    val scores = comps.zip(eigs).zipWithIndex.map { case ((cm, lam), m) =>
+      val p = aggregate(zip_with(centered, typedLit(cm.toSeq),
+        (a, b) => a * b), lit(0d), _ + _)
+      (if (lam > 0) round(p / lit(math.sqrt(lam)), 6)
+       else lit(null).cast("double")).as(s"wc$m")
+    }
+    vecs.select(col(idCol) +: scores.toSeq: _*)
+  }
+
+  /** Mahalanobis outlier score in the RETAINED principal subspace —
+    * `Σ_m pc_m²/λ_m`, the in-plane complement of [[pcaResiduals]]:
+    * residuals catch junk OFF the corpus subspace but are blind to a
+    * vector that is extreme ALONG it (a 20σ outlier on the dominant
+    * direction reconstructs perfectly and scores residual ≈ 0);
+    * Mahalanobis weights each retained direction by its variance, so
+    * σ-units are comparable across directions and the two scores
+    * together cover both failure axes. Same narrow broadcast-literal
+    * map as the projection (λ ≤ 0 components are skipped — they
+    * carry no variance scale). Score 6dp; `outlier` = score ≥
+    * threshold, every row visible.
+    * Output: idCol, maha, outlier. */
+  def pcaMahalanobis(vecs: DataFrame, means: Array[Double],
+      eigs: Array[Double], comps: Array[Array[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centered = zip_with(
+      expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
+      typedLit(means.toSeq), (a, b) => a - b)
+    val score = comps.zip(eigs).filter(_._2 > 0)
+      .foldLeft(lit(0d)) { case (acc, (cm, lam)) =>
+        val p = aggregate(zip_with(centered, typedLit(cm.toSeq),
+          (a, b) => a * b), lit(0d), _ + _)
+        acc + p * p / lit(lam)
+      }
+    vecs.select(col(idCol), round(score, 6).as("maha"))
+      .select(col(idCol), col("maha"),
+        (col("maha") >= threshold).as("outlier"))
   }
 
   /** Project every vector onto the given components (mean-centered) —

@@ -4803,6 +4803,90 @@ object PipelineInventory {
               |JOIN dg dj ON dj.label IS NOT DISTINCT FROM cv.label AND dj.d = cv.j
               |ORDER BY cv.label, cv.i, cv.j""".stripMargin)),
 
+    // Per-label per-dimension embedding drift vs the pooled corpus
+    // (the embedding-side psiBy): standardized mean shift and variance
+    // ratio per (label, dim) — a re-embedded/drifted source reads
+    // |mean_z| >> 0 / var_ratio far from 1 on many dims at once. Only
+    // corpus pass = the grouped diagonal cells; pooled spine = SUM of
+    // the grouped summaries (exact integers merge by addition).
+    QueryDef("r114_embed_drift_by",
+      (s, d) => Ann.embeddingDriftBy(T(s, d, "embeddings"), "label")
+        .orderBy("label", "i"),
+      Some(s"""WITH v AS (SELECT label, [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings WHERE embedding IS NOT NULL),
+              |px AS (SELECT label, q, unnest(range(0, len(q))) AS i FROM v),
+              |dg AS (SELECT label, CAST(i AS INT) AS i,
+              |         CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx,
+              |         CAST(SUM(q[i + 1] * q[i + 1]) AS DECIMAL(38,0)) AS sxy
+              |       FROM px GROUP BY 1, 2),
+              |gr AS (SELECT label, i, n,
+              |  ${rrepr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)} AS mean,
+              |  ${rrepr("(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS variance
+              |  FROM dg),
+              |pl AS (SELECT i, CAST(SUM(n) AS BIGINT) AS np,
+              |         CAST(SUM(sx) AS DECIMAL(38,0)) AS sxp,
+              |         CAST(SUM(sxy) AS DECIMAL(38,0)) AS sxyp
+              |       FROM dg GROUP BY 1),
+              |pp AS (SELECT i,
+              |  ${rrepr("CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)} AS mean_p,
+              |  ${rrepr("(CAST(sxyp AS DOUBLE) / CAST(np AS DOUBLE) - (CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE)) * (CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS var_p
+              |  FROM pl)
+              |SELECT g.label, g.i, g.n, g.mean, g.variance,
+              |  CASE WHEN p.var_p > 0
+              |    THEN ${rrepr("(g.mean - p.mean_p) / sqrt(p.var_p)", 6)}
+              |  END AS mean_z,
+              |  CASE WHEN p.var_p > 0
+              |    THEN ${rrepr("g.variance / p.var_p", 6)}
+              |  END AS var_ratio
+              |FROM gr g JOIN pp p ON p.i = g.i
+              |ORDER BY g.label, g.i""".stripMargin)),
+
+    // Two-corpus embedding drift (the release-gate form: a frozen
+    // REFERENCE snapshot as the baseline instead of the pooled
+    // mixture). Fixture split: even vec_id = reference, odd = current
+    // (the deterministic-slice convention of r109's eval split).
+    QueryDef("r115_embed_drift_against",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        Ann.embeddingDriftAgainst(e.filter(col("vec_id") % 2 === 0),
+            e.filter(col("vec_id") % 2 === 1))
+          .orderBy("i")
+      },
+      Some(s"""WITH vr AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+              |vc AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+              |pr AS (SELECT q, unnest(range(0, len(q))) AS i FROM vr),
+              |pu AS (SELECT q, unnest(range(0, len(q))) AS i FROM vc),
+              |dr AS (SELECT CAST(i AS INT) AS i,
+              |         CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx,
+              |         CAST(SUM(q[i + 1] * q[i + 1]) AS DECIMAL(38,0)) AS sxy
+              |       FROM pr GROUP BY 1),
+              |du AS (SELECT CAST(i AS INT) AS i,
+              |         CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx,
+              |         CAST(SUM(q[i + 1] * q[i + 1]) AS DECIMAL(38,0)) AS sxy
+              |       FROM pu GROUP BY 1),
+              |gr AS (SELECT i, n AS n_ref,
+              |  ${rrepr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)} AS mean_ref,
+              |  ${rrepr("(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS var_ref
+              |  FROM dr),
+              |gc AS (SELECT i, n AS n_cur,
+              |  ${rrepr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)} AS mean_cur,
+              |  ${rrepr("(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS var_cur
+              |  FROM du)
+              |SELECT gr.i, gr.n_ref, gc.n_cur, gr.mean_ref, gc.mean_cur,
+              |  CASE WHEN gr.var_ref > 0
+              |    THEN ${rrepr("(gc.mean_cur - gr.mean_ref) / sqrt(gr.var_ref)", 6)}
+              |  END AS mean_z,
+              |  CASE WHEN gr.var_ref > 0
+              |    THEN ${rrepr("gc.var_cur / gr.var_ref", 6)}
+              |  END AS var_ratio
+              |FROM gr JOIN gc ON gc.i = gr.i
+              |ORDER BY gr.i""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).

@@ -862,6 +862,117 @@ class AnnSpec extends SparkSpec {
     assert(got(("b", 0, 0))._2.contains(1.0))
   }
 
+  test("pcaWhiten: unit variance along every retained direction; zero-eigenvalue component scores null") {
+    val pts = for (t <- -5 to 5; s <- Seq(-1, 1)) yield
+      ((t + 5).toLong * 2 + (s + 1) / 2,
+        Seq(0.6f * t - 0.08f * s, 0.8f * t + 0.06f * s))
+    val d = emb(pts: _*)
+    val (means, eigs, comps) = Ann.pcaComponents(d, k = 2)
+    val w = Ann.pcaWhiten(d, means, eigs, comps).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    def popVar(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+    }
+    // raw projection variances differ by ~100x (strong vs weak factor);
+    // whitened, both read 1 — that is the whole point
+    assert(math.abs(popVar(w.map(_._1).toSeq) - 1.0) < 1e-2)
+    assert(math.abs(popVar(w.map(_._2).toSeq) - 1.0) < 1e-2)
+    // deflation residue past the true rank: an explicit zero
+    // eigenvalue must yield null, not a division blow-up
+    val z = Ann.pcaWhiten(d, Array(0.0, 0.0), Array(4.0, 0.0),
+        Array(Array(1.0, 0.0), Array(0.0, 1.0))).collect()
+    assert(z.forall(r => !r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("pcaMahalanobis catches the in-plane extreme that pcaResiduals is blind to") {
+    val base = for (t <- -5 to 5; s <- Seq(-1, 1)) yield
+      ((t + 5).toLong * 2 + (s + 1) / 2,
+        Seq(0.6f * t - 0.08f * s, 0.8f * t + 0.06f * s))
+    // 100L: ON the principal direction but 10x the corpus extent —
+    // reconstructs perfectly (residual ~ 0) yet is a 15σ outlier
+    val extreme = Seq((100L, Seq(0.6f * 50, 0.8f * 50)))
+    val d = emb((base ++ extreme): _*)
+    val (means, eigs, comps) = Ann.pcaComponents(emb(base: _*), k = 2)
+    val resid = Ann.pcaResiduals(d, means, comps, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!resid(100L)) // residual CANNOT see it
+    val maha = Ann.pcaMahalanobis(d, means, eigs, comps, threshold = 50.0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(maha(100L)._2 && maha(100L)._1 > 100.0) // ~50^2/var(t)=250
+    base.foreach { case (id, _) =>
+      assert(!maha(id)._2, s"id $id maha ${maha(id)._1}")
+    }
+  }
+
+  test("embeddingDriftBy: shifted stratum loud on its dim, healthy dim near (0,1), dead pooled dim null") {
+    // dim0: group b shifted +10 vs a -> both strata drift symmetric
+    //   (pooled mean 5, pooled var 35 = within 10 + between 25):
+    //   mean_z = ±5/√35, var_ratio = 10/35
+    // dim1: identical distribution both groups -> (0, 1) exactly
+    // dim2: pooled-CONSTANT -> no drift scale -> null mean_z/var_ratio
+    val a = (-5 to 5).map(t =>
+      (t.toLong + 5L, "a", Seq(t.toFloat, t.toFloat, 2.0f)))
+    val b = (-5 to 5).map(t =>
+      (t.toLong + 50L, "b", Seq(t.toFloat + 10f, t.toFloat, 2.0f)))
+    val d = (a ++ b).map { case (id, g, v) => (id, g, v.toArray) }
+      .toDF("vec_id", "grp", "embedding")
+    val m = Ann.embeddingDriftBy(d, "grp").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.getAs[java.lang.Double]("mean_z")),
+          Option(r.getAs[java.lang.Double]("var_ratio"))))).toMap
+    assert(m.size == 2 * 3)
+    assert(m(("a", 0)) == ((11L, 0.0, 10.0,
+      Some(-0.845154), Some(0.285714)))) // -5/√35, 10/35 at 6dp
+    assert(m(("b", 0)) == ((11L, 10.0, 10.0,
+      Some(0.845154), Some(0.285714))))
+    assert(m(("a", 1)) == ((11L, 0.0, 10.0, Some(0.0), Some(1.0))))
+    assert(m(("b", 1)) == ((11L, 0.0, 10.0, Some(0.0), Some(1.0))))
+    assert(m(("a", 2)) == ((11L, 2.0, 0.0, None, None)))
+    assert(m(("b", 2)) == ((11L, 2.0, 0.0, None, None)))
+  }
+
+  test("embeddingDriftFromCellsBy: multi-batch landed cells merge to the one-shot drift report bit for bit") {
+    val b1 = Seq((0L, "a", Seq(1.0f, 2.0f)), (1L, "b", Seq(3.0f, -1.0f)),
+      (2L, "a", Seq(0.5f, 4.0f)))
+      .map { case (id, g, v) => (id, g, v.toArray) }
+      .toDF("vec_id", "grp", "embedding")
+    val b2 = Seq((3L, "a", Seq(-2.0f, 0.25f)), (4L, "b", Seq(1.5f, 1.5f)),
+      (5L, "b", Seq(2.0f, 2.0f)))
+      .map { case (id, g, v) => (id, g, v.toArray) }
+      .toDF("vec_id", "grp", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.getAs[java.lang.Double]("mean_z")),
+          Option(r.getAs[java.lang.Double]("var_ratio"))))).toMap
+    // the streamed landing shape: two batches' raw cells concatenated
+    val landed = Ann.covarianceCellsBy(b1, "grp")
+      .unionByName(Ann.covarianceCellsBy(b2, "grp"))
+    assert(key(Ann.embeddingDriftFromCellsBy(landed)) ==
+      key(Ann.embeddingDriftBy(b1.unionByName(b2), "grp")))
+  }
+
+  test("embeddingDriftAgainst: shifted current corpus loud vs frozen reference; dead REF dim null even where cur varies") {
+    // dim0: cur shifted +10 over an identical spread -> mean_z = 10/√10
+    // dim1: ref CONSTANT, cur varies -> no reference scale -> null
+    val ref = (-5 to 5).map(t => (t.toLong * 2, Seq(t.toFloat, 2.0f)))
+    val cur = (-5 to 5).map(t =>
+      (t.toLong * 2 + 1, Seq(t.toFloat + 10f, t.toFloat)))
+    val m = Ann.embeddingDriftAgainst(emb(ref: _*), emb(cur: _*))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.getAs[java.lang.Double]("mean_z")),
+          Option(r.getAs[java.lang.Double]("var_ratio"))))).toMap
+    assert(m.size == 2)
+    // 10/√10 = 3.162278 at 6dp; var_ratio 10/10 = 1
+    assert(m(0) == ((11L, 11L, 0.0, 10.0, Some(3.162278), Some(1.0))))
+    assert(m(1) == ((11L, 11L, 2.0, 0.0, None, None)))
+  }
+
   test("pcaComponentsBy: each group's fit == ungrouped pcaComponents of its slice; projectBy scores by own group") {
     // three strata with different principal directions, incl. a null
     // group (kept: a visible stratum, the covarianceCellsBy rule)
