@@ -48,7 +48,7 @@ object Stress {
     "entres", "routlier", "routlierx", "binjoin", "ghll", "psi", "winsor",
     "funnel", "retention", "psiby", "winsorby", "transitions",
     "transhot", "transhotb", "lshpairs", "ivfpqidx", "entinc",
-    "cov", "pcaproj", "leak", "zipf")
+    "cov", "pcaproj", "leak", "zipf", "covby", "edrift")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Stress <nDocs> [ops-csv] [baseDir]")
@@ -508,6 +508,18 @@ object Stress {
         // 1-row OLS — nothing downstream of the count exchange scales
         // with n
         TextAnalysis.zipfFit(docs)
+      case "covby" =>
+        // the r112 shape at scale: the cov explode keyed by the
+        // 8-class label — map-side combine crushes each partition to
+        // <= 8 x 2080 cells; everything after the one exchange is
+        // groups x d(d+1)/2 summary work
+        Ann.covarianceFromCellsBy(Ann.covarianceCellsBy(emb, "label"))
+      case "edrift" =>
+        // the r114 shape at scale: diagonal-ONLY pass (64 squares per
+        // vector, not 2080 products — the ~d/2x diet vs covby) + the
+        // d-row pooled spine broadcast; expect ~linear in n with a
+        // much smaller constant than covby
+        Ann.embeddingDriftBy(emb, "label")
     }
 
     // This sandbox is a microVM with invisible neighbor load (see
