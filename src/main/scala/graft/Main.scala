@@ -47,9 +47,12 @@ object Main {
         |  bm25-search <sfDir> <indexDir> <nQueries> <k>
         |  hybrid-search <sfDir> <nQueries> <k>
         |  embed-stats <sfDir> <outDir>
+        |  embed-drift <sfDir> <outDir> [groupCol]
+        |  embed-drift-against <refDir> <curDir> <outDir>
         |  pca-project <sfDir> <outDir> <k>
         |  pca-project-by <sfDir> <outDir> <k> [groupCol]
         |  pca-outliers <sfDir> <outDir> <k> <residThresh> <mahaThresh>
+        |  pca-outliers-by <sfDir> <outDir> <k> <residThresh> <mahaThresh> [groupCol]
         |  sem-decon <sfDir> <outDir> <threshold> [nprobe]
         |  corpus-health <sfDir> <outDir>
         |  pii-scan <sfDir> <outDir>
@@ -283,6 +286,22 @@ object Main {
         graft.operators.Ann.correlationFromCells(cells)
           .write.mode("overwrite").parquet(outDir)
         println(s"embedding covariance/correlation cells at $outDir")
+      case "embed-drift" :: sfDir :: outDir :: rest if rest.size <= 1 =>
+        // Per-group embedding drift vs the pooled corpus (r114): the
+        // monitoring report a data card quotes per source/class.
+        val groupCol = rest.headOption.getOrElse("label")
+        graft.operators.Ann.embeddingDriftBy(
+            Tables.load(spark, sfDir, "embeddings"), groupCol)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"per-$groupCol embedding drift report at $outDir")
+      case "embed-drift-against" :: refDir :: curDir :: outDir :: Nil =>
+        // Release-gate drift: current corpus vs a frozen reference
+        // snapshot (r115).
+        graft.operators.Ann.embeddingDriftAgainst(
+            Tables.load(spark, refDir, "embeddings"),
+            Tables.load(spark, curDir, "embeddings"))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"embedding drift vs reference at $outDir")
       case "pca-project" :: sfDir :: outDir :: k :: Nil =>
         val emb = Tables.load(spark, sfDir, "embeddings")
         val (means, eigs, comps) =
@@ -322,6 +341,18 @@ object Main {
             .withColumnRenamed("outlier", "maha_outlier"), "vec_id")
           .write.mode("overwrite").parquet(outDir)
         println(s"PCA outlier report (resid >= $rt, maha >= $mt) at $outDir")
+      case "pca-outliers-by" :: sfDir :: outDir :: k :: rt :: mt :: rest
+          if rest.size <= 1 =>
+        // Stratified: each vector judged against ITS group's fit —
+        // catches the cross-source junk a pooled subspace reconstructs
+        // perfectly (it spans every source's manifold at once).
+        val groupCol = rest.headOption.getOrElse("label")
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val fits = graft.operators.Ann.pcaComponentsBy(emb, groupCol, k.toInt)
+        graft.operators.Ann.pcaOutliersBy(emb, groupCol, fits,
+            rt.toDouble, mt.toDouble)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"per-$groupCol PCA outlier report at $outDir")
       case "sem-decon" :: sfDir :: outDir :: threshold :: rest
           if rest.size <= 1 =>
         // eval slice = vec_id % 5 == 0 (the r109 convention); nprobe

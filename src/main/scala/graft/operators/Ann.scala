@@ -1631,6 +1631,48 @@ object Ann {
         (col("maha") >= threshold).as("outlier"))
   }
 
+  /** Stratified embedding outlier report — BOTH outlier axes
+    * ([[pcaResiduals]] off-subspace + [[pcaMahalanobis]] in-subspace)
+    * scored against each vector's OWN group's fit
+    * ([[pcaComponentsBy]]): the per-source junk detector a pooled fit
+    * structurally cannot be. A vector sitting on source B's manifold
+    * but labeled source A is perfectly reconstructed by a pooled PCA
+    * (whose subspace spans both sources → residual ≈ 0) yet is loud
+    * junk under A's own fit — exactly the mislabeled/cross-
+    * contaminated case (AnnSpec plants it). Both scores come from ONE
+    * narrow broadcast-literal projection per group (the shared
+    * centered fold feeds residual and Σpc²/λ together — no join, no
+    * shuffle; groups are a bounded vocabulary, so the union is a
+    * handful of corpus-parallel branches over one scan). Rows whose
+    * group has no fit are dropped — fit every stratum to keep them.
+    * Output: idCol, groupCol, resid, resid_outlier, maha,
+    * maha_outlier. */
+  def pcaOutliersBy(vecs: DataFrame, groupCol: String,
+      fits: Map[Option[Any], (Array[Double], Array[Double], Array[Array[Double]])],
+      residThreshold: Double, mahaThreshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(fits.nonEmpty, "pcaOutliersBy: no fitted groups")
+    fits.iterator.map { case (g, (means, eigs, comps)) =>
+      val centered = zip_with(
+        expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
+        typedLit(means.toSeq), (a, b) => a - b)
+      val self = aggregate(zip_with(centered, centered, (a, b) => a * b),
+        lit(0d), _ + _)
+      val (resid, maha) = comps.zip(eigs)
+        .foldLeft((self, lit(0d))) { case ((r, m), (cm, lam)) =>
+          val p = aggregate(zip_with(centered, typedLit(cm.toSeq),
+            (a, b) => a * b), lit(0d), _ + _)
+          (r - p * p, if (lam > 0) m + p * p / lit(lam) else m)
+        }
+      vecs.filter(col(groupCol) <=> lit(g.orNull))
+        .select(col(idCol), lit(g.orNull).as(groupCol),
+          round(resid, 6).as("resid"), round(maha, 6).as("maha"))
+        .select(col(idCol), col(groupCol), col("resid"),
+          (col("resid") >= residThreshold).as("resid_outlier"),
+          col("maha"), (col("maha") >= mahaThreshold).as("maha_outlier"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Project every vector onto the given components (mean-centered) —
     * the dimensionality-reduction write path: components broadcast as
     * literals, one narrow codegen'd map per vector, scores 6dp-rounded.

@@ -934,6 +934,56 @@ class AnnSpec extends SparkSpec {
     assert(m(("b", 2)) == ((11L, 2.0, 0.0, None, None)))
   }
 
+  test("pcaOutliersBy: per-group scores == ungrouped of the slice; catches cross-source junk the pooled fit reconstructs perfectly") {
+    // group a lives on the x-axis, group b on the y-axis (k=1 fits);
+    // 100L sits on B's manifold but carries A's label — the
+    // mislabeled/cross-contaminated case; 101L is A's in-line extreme
+    val base = (-5 to 5).flatMap(t => Seq(
+      (t.toLong + 5L, "a", Seq(t.toFloat, 0f)),
+      (t.toLong + 50L, "b", Seq(0f, t.toFloat))))
+    val junk = Seq((100L, "a", Seq(0f, 3f)), (101L, "a", Seq(50f, 0f)))
+    def df(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.map { case (id, g, v) => (id, g, v.toArray) }
+        .toDF("vec_id", "grp", "embedding")
+    val fits = Ann.pcaComponentsBy(df(base), "grp", k = 1)
+    val all = df(base ++ junk)
+    val got = Ann.pcaOutliersBy(all, "grp", fits,
+        residThreshold = 1.0, mahaThreshold = 50.0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getBoolean(3),
+          r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.size == base.size + 2)
+    // 100L: pc0 along x = 0 -> residual = 9 (loud), maha = 0
+    assert(got(100L) == (("a", 9.0, true, 0.0, false)))
+    // 101L: on A's line -> residual 0, maha = 2500/var(t)=250 (loud)
+    assert(got(101L)._2 == 0.0 && !got(101L)._3)
+    assert(got(101L)._5 && got(101L)._4 > 100.0)
+    base.foreach { case (id, _, _) =>
+      assert(!got(id)._3 && !got(id)._5, s"id $id")
+    }
+    // the pooled fit is structurally blind to 100L: its k=2 subspace
+    // spans BOTH axes, so the cross-source junk reconstructs exactly
+    val (pm, _, pc) = Ann.pcaComponents(df(base), k = 2)
+    val pooled = Ann.pcaResiduals(all, pm, pc, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!pooled(100L))
+    // per-group law: each group's scores == the ungrouped operators
+    // run on that group's slice with that group's fit
+    for (g <- Seq("a", "b")) {
+      val slice = all.filter(col("grp") === g)
+      val (ms, es, cs) = fits(Some(g))
+      val er = Ann.pcaResiduals(slice, ms, cs, threshold = 1.0)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(1), r.getBoolean(2)))).toMap
+      val em = Ann.pcaMahalanobis(slice, ms, es, cs, threshold = 50.0)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(1), r.getBoolean(2)))).toMap
+      er.foreach { case (id, (rv, ro)) =>
+        assert(got(id) == ((g, rv, ro, em(id)._1, em(id)._2)), s"id $id")
+      }
+    }
+  }
+
   test("embeddingDriftFromCellsBy: multi-batch landed cells merge to the one-shot drift report bit for bit") {
     val b1 = Seq((0L, "a", Seq(1.0f, 2.0f)), (1L, "b", Seq(3.0f, -1.0f)),
       (2L, "a", Seq(0.5f, 4.0f)))

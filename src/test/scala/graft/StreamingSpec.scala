@@ -913,6 +913,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows(merged) == rows(oneShot))
     Ingest.covByIngestStream(spark, b1.schema, src, out, ck, "lbl")
     assert(rows(merged) == rows(oneShot))
+    // the drift monitoring feed rides the same landing: the report
+    // derived from the landed raw cells == one-shot embeddingDriftBy
+    // of the full corpus, bit for bit (and cross-implementation: the
+    // one-shot side runs the diagonal-only pass, the landed side the
+    // full-cells diag filter)
+    val driftLanded = graft.operators.Ann.embeddingDriftFromCellsBy(
+        spark.read.parquet(out).drop("batch_id"))
+      .collect().map(_.toSeq).toSet
+    val driftOneShot = graft.operators.Ann.embeddingDriftBy(
+        b1.unionByName(b2), "lbl")
+      .collect().map(_.toSeq).toSet
+    assert(driftLanded == driftOneShot)
   }
 
   test("SCZIPF: streamed token counts feed zipfFitFromCounts raw == one-shot zipfFit; replay clean") {
