@@ -421,6 +421,92 @@ object Multimodal {
     hammingPairs(imageHashes(media).withColumnRenamed("dhash", "h"),
       maxDist, maxBucket)
 
+  /** Cosine basis for the 32-point DCT-II, low 8 frequencies only
+    * (`dctCos(u)(x) = cos(pi*(2x+1)*u/64)`). StrictMath keeps the
+    * table bit-identical across JVMs/platforms, so pHash values are
+    * reproducible between a build machine and a cluster. */
+  private val dctCos: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, x) =>
+      StrictMath.cos(math.Pi * (2 * x + 1) * u / 64.0))
+
+  /** DCT perceptual hash (pHash) over a decoded BMP: nearest-neighbor
+    * resample to a 32×32 luma grid, separable 2-D DCT-II, keep the
+    * low-frequency 8×8 block, threshold each coefficient against the
+    * MEDIAN of the 63 AC terms (DC excluded — it carries only global
+    * brightness) → 64 bits. Where [[dHash64]]'s strict neighbor
+    * comparisons flip under small brightness/clamping/noise edits,
+    * pHash's low-frequency signs survive them (MultimodalSpec plants
+    * a clamped-brightness duplicate dHash misses and pHash catches);
+    * a uniform brightness shift moves ONLY the DC term, so the hash
+    * is exactly invariant to it. None for undecodable payloads. */
+  def pHash64(payload: Array[Byte]): Option[Long] =
+    decodeBmpPixels(payload).map { case (w, h, rgb) =>
+      val n = 32
+      val g = new Array[Double](n * n)
+      var y = 0
+      while (y < n) {
+        val sy = math.min(h - 1, y * h / n)
+        var x = 0
+        while (x < n) {
+          val sx = math.min(w - 1, x * w / n)
+          val p = (sy * w + sx) * 3
+          g(y * n + x) = ((rgb(p) & 0xff) * 299 + (rgb(p + 1) & 0xff) * 587 +
+            (rgb(p + 2) & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      // separable DCT: rows first (32×8), then columns (8×8)
+      val t = Array.ofDim[Double](n, 8)
+      var yy = 0
+      while (yy < n) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var x = 0
+          while (x < n) { s += g(yy * n + x) * dctCos(u)(x); x += 1 }
+          t(yy)(u) = s; u += 1
+        }
+        yy += 1
+      }
+      val c = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var yz = 0
+          while (yz < n) { s += t(yz)(u) * dctCos(v)(yz); yz += 1 }
+          c(v * 8 + u) = s; u += 1
+        }
+        v += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(c, 1, 64)
+      java.util.Arrays.sort(ac)
+      val m = ac(31)
+      var bits = 0L; var i = 0
+      while (i < 64) { if (c(i) > m) bits |= (1L << i); i += 1 }
+      bits
+    }
+
+  /** One (doc_id, phash) row per media row — null for undecodable
+    * payloads. A narrow mapPartitions; no shuffle (the [[pHash64]]
+    * sibling of [[imageHashes]]). */
+  def pHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r => (r.doc_id, pHash64(r.payload))))
+      .toDF("doc_id", "phash")
+  }
+
+  /** Image near-dup pairs under the DCT hash: same pigeonhole-blocked
+    * hamming join as [[nearDupImages]], swapping dHash for [[pHash64]]
+    * — the variant that survives brightness / clamping / mild-noise
+    * edits a scraped-image dedup pass hits constantly.
+    * Output: d1, d2, dist. */
+  def nearDupImagesPHash(media: Dataset[MediaRow], maxDist: Int = 3,
+      maxBucket: Int = 100): DataFrame =
+    hammingPairs(pHashes(media).withColumnRenamed("phash", "h"),
+      maxDist, maxBucket)
+
   /** Shared pigeonhole candidate machinery for 64-bit perceptual
     * hashes (`(doc_id, h)` input; null hashes dropped): any pair
     * within hamming distance 3 agrees on at least one of the four
@@ -469,6 +555,47 @@ object Multimodal {
       idx += 1
     }
     encodeBmp(w, h, rgb)
+  }
+
+  /** splitmix64 finalizer — the stateless per-index mixer used by the
+    * pHash fixture texture (same construction as gen.DataGen's
+    * deterministic columns). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic 32×32 grayscale BMP planting BRIGHTNESS-SHIFTED
+    * duplicates for the p63 pHash gate: doc 2k is a pseudo-random
+    * (splitmix64) texture with pixels in [0, 191]; doc 2k+1 is the
+    * SAME texture +40 on every pixel — no clamping (max 231), so the
+    * shift moves only the DC term of the DCT and [[pHash64]]'s
+    * DC-excluded median hash is identical within a pair, while
+    * distinct textures give independent well-separated hashes. The
+    * oracle asserts exactly the planted (2k, 2k+1, dist=0) pair set —
+    * a hash that is NOT brightness-invariant (raw pixels, histograms)
+    * breaks every pair; a hash that pairs unrelated textures adds
+    * rows. Grayscale keeps the luma transform exact (identity). */
+  def pHashImageFixture(id: Long): Array[Byte] = {
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    val shift = if (id % 2 == 1) 40 else 0
+    var idx = 0
+    while (idx < w * h) {
+      val v = ((mix64((id / 2) * 4096L + idx) >>> 16) % 192 + shift).toByte
+      rgb(3 * idx) = v; rgb(3 * idx + 1) = v; rgb(3 * idx + 2) = v
+      idx += 1
+    }
+    encodeBmp(w, h, rgb)
+  }
+
+  def pHashImageFixtures(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, pHashImageFixture(id), "image", 32, 32, 0L))
   }
 
   /** Deterministic 650-sample PCM16 mono WAV for doc `id`: sample i is

@@ -2021,6 +2021,26 @@ object PipelineInventory {
         .orderBy("d1", "d2"),
       Some(hammingOracle(ahashCte, "ahash"))),
 
+    // DCT perceptual hash (pHash) image dedup: where p33's dHash
+    // compares neighboring grid cells, pHash thresholds the low 8x8
+    // DCT coefficients against their AC median — invariant to a
+    // uniform brightness shift (only the excluded DC term moves) and
+    // robust to the clamping/noise edits that flip dHash bits
+    // (MultimodalSpec plants one dHash misses). The fixture plants
+    // doc 2k+1 = doc 2k with every pixel +40 (no clamping), so the
+    // oracle is the planted ground truth itself: exactly the
+    // (2k, 2k+1) pairs at distance 0 — a non-brightness-invariant
+    // hash breaks every pair, a colliding hash adds rows. Pairing is
+    // the same capped pigeonhole hamming join as p33.
+    QueryDef("p63_image_phash",
+      (s, d) => Multimodal.nearDupImagesPHash(
+          Multimodal.pHashImageFixtures(T(s, d, "documents")), maxDist = 0)
+        .orderBy("d1", "d2"),
+      Some("""SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS dist
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Content-defined-chunking dedup — the distributed ExactSubstr
     // answer: boundaries cut where md5(token) % 8 == 0, so verbatim
     // spans produce identical chunks at ANY offset and keep-first

@@ -185,6 +185,74 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("pHash catches the clamped-brightness duplicate dHash misses") {
+    // One deterministic 32x32 grayscale image: a splitmix noise
+    // texture (pixels <= 191, so +40 cannot clamp it) with FIVE
+    // bright pixels (216..220) planted exactly on dHash's row-0
+    // sample points sx = 0,3,7,10,14 in strictly ascending order.
+    // The edit is clamp(v + 40, 255): the five bright pixels saturate
+    // to a tie, flipping dHash bits 0..3 (strict '<' comparisons) ->
+    // hamming >= 4, outside the dedup gate. pHash sees the same edit
+    // as a uniform DC shift plus a 5-pixel perturbation bounded by
+    // sum(clamp deltas) = 1+2+3+4+5 = 15 per DCT coefficient, far
+    // under the noise texture's median gaps -> hamming stays <= 3.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val brightCols = Seq(0, 3, 7, 10, 14)
+    def img(edited: Boolean): Array[Byte] = {
+      val rgb = new Array[Byte](32 * 32 * 3)
+      for (idx <- 0 until 32 * 32) {
+        val y = idx / 32; val x = idx % 32
+        val base =
+          if (y == 0 && brightCols.contains(x)) 216 + brightCols.indexOf(x)
+          else ((mix(idx.toLong) >>> 16) % 192).toInt
+        val v = if (edited) math.min(255, base + 40) else base
+        rgb(3 * idx) = v.toByte; rgb(3 * idx + 1) = v.toByte
+        rgb(3 * idx + 2) = v.toByte
+      }
+      rgb
+    }
+    val a = Multimodal.encodeBmp(32, 32, img(edited = false))
+    val b = Multimodal.encodeBmp(32, 32, img(edited = true))
+    val dA = Multimodal.dHash64(a).get; val dB = Multimodal.dHash64(b).get
+    val pA = Multimodal.pHash64(a).get; val pB = Multimodal.pHash64(b).get
+    assert(java.lang.Long.bitCount(dA ^ dB) >= 4,
+      s"dHash was expected to MISS (>3 bits): ${java.lang.Long.bitCount(dA ^ dB)}")
+    assert(java.lang.Long.bitCount(pA ^ pB) <= 3,
+      s"pHash was expected to CATCH (<=3 bits): ${java.lang.Long.bitCount(pA ^ pB)}")
+    // and through the full operators: the dHash gate drops the pair,
+    // the pHash gate keeps it
+    val m = Seq(
+      Multimodal.MediaRow(1L, a, "image", 32, 32, 0L),
+      Multimodal.MediaRow(2L, b, "image", 32, 32, 0L)).toDS()
+    assert(Multimodal.nearDupImages(m).count() == 0L)
+    val pPairs = Multimodal.nearDupImagesPHash(m).collect()
+    assert(pPairs.length == 1 && pPairs.head.getLong(0) == 1L &&
+      pPairs.head.getLong(1) == 2L)
+  }
+
+  test("pHash fixture corpus: brightness-shifted pairs are EXACT collisions (p63 contract)") {
+    // doc 2k+1 = doc 2k with every pixel +40 and no clamping: only the
+    // DC term of the DCT moves, so the DC-excluded median hash must be
+    // bit-identical within a pair — and distinct noise textures must
+    // not collide (maxDist = 0 gate, matching p63's oracle).
+    val ids = (0L until 20L).toDF("doc_id")
+    val hs = Multimodal.pHashes(Multimodal.pHashImageFixtures(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { k =>
+      assert(hs(2 * k) == hs(2 * k + 1), s"pair ${2 * k} not shift-invariant")
+    }
+    assert(hs.values.toSet.size == 10, "distinct textures collided")
+    val pairs = Multimodal.nearDupImagesPHash(
+        Multimodal.pHashImageFixtures(ids), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == (0L until 10L).map(k => (2 * k, 2 * k + 1, 0L)).toSet)
+  }
+
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
     // the oracle-checked gate queries rely on the bump reaching only
     // the documented grid cells / energy windows — pin that here so a
