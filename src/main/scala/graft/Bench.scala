@@ -57,7 +57,14 @@ object Bench {
     * single-query spike above a ~1.0 median is a real regression. The
     * median runs over ALL benched queries rather than an "untouched"
     * subset (the bench cannot see the round's diff): the handful of
-    * queries any round touches cannot move a 177-query median. */
+    * queries any round touches cannot move a 177-query median.
+    * CAVEAT (r12 advisor): the multiplier alone cannot distinguish a
+    * neighbor-load episode from a genuine global regression that
+    * slows every query uniformly (a session-config or shared-operator
+    * change). Before discounting, cross-check the artifact's OWN load
+    * readings: an episode shows high per-rep loads / "gated":false
+    * rows; a uniform multiplier over QUIET load readings is a real
+    * regression — bisect it, don't discount it (SCALE.md rule). */
   private[graft] def episodeMultiplier(ok: Seq[(String, Double)],
       floors: Map[String, Double]): Option[Double] = {
     val ratios = ok.flatMap { case (n, s) =>
@@ -71,20 +78,44 @@ object Bench {
   }
 
   /** Pull the name -> floor-sec map out of BASELINE-bench.json without
-    * a JSON dependency: each floor entry is `"<name>": {"sec": N, ...}`
-    * (tools/bench_floor.py's shape), and only that object shape
-    * matches the regex — top-level scalars (n_queries,
-    * total_floor_sec) don't. Missing/unreadable file -> empty map ->
-    * no episode_multiplier field (the bench must not fail over a
-    * dev-tree artifact). */
+    * a JSON dependency: each floor entry is a `"<name>": {...}` object
+    * containing a `"sec": N` pair ANYWHERE inside it (key order and
+    * extra keys don't matter — tools/bench_floor.py's shape today, but
+    * a reorder must not silently drop the floors), and only flat
+    * objects match — top-level scalars (n_queries, total_floor_sec)
+    * don't. Missing/unreadable file -> empty map -> no
+    * episode_multiplier field (the bench must not fail over a
+    * dev-tree artifact); a file that EXISTS but parses to zero floors
+    * is a format drift worth flagging, so that case warns on stderr
+    * instead of silently dropping the self-label. */
   private[graft] def loadFloors(path: String): Map[String, Double] = {
     try {
       val src = scala.io.Source.fromFile(path)
       val txt = try src.mkString finally src.close()
-      val re = """"([A-Za-z0-9_]+)"\s*:\s*\{\s*"sec"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val obj = """"([A-Za-z0-9_]+)"\s*:\s*\{([^{}]*)\}""".r
+      val sec = """"sec"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+      val floors = obj.findAllMatchIn(txt).flatMap { m =>
+        sec.findFirstMatchIn(m.group(2)).map(s => m.group(1) -> s.group(1).toDouble)
+      }.toMap
+      if (floors.isEmpty)
+        System.err.println(s"[bench] $path exists but no floor entries " +
+          "parsed — format drift? episode_multiplier will be omitted")
+      floors
     } catch { case _: Throwable => Map.empty }
   }
+
+  /** Per-query episode-victim self-label (r12 verdict ask #4): TRUE
+    * when no rep of the query ever saw a quiet window (gated=false)
+    * AND even its min rep reads >= 2x the committed idle floor — the
+    * exact evidence shape that cleared r11's p46 and r12's r113 as
+    * load victims, but which previously required cross-referencing a
+    * separately committed quiet run. A victim row says "this number
+    * is episode-inflated, re-measure before treating it as a
+    * regression"; it never discounts a query that DID see a quiet rep
+    * (that reading is trusted) or one without a committed floor. */
+  private[graft] def episodeVictim(gated: Boolean, sec: Double,
+      floor: Option[Double]): Boolean =
+    !gated && floor.exists(f => f >= 0.01 && sec >= 2 * f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -212,9 +243,14 @@ object Bench {
 
     // Full-precision detail goes to a file (and an early stdout line);
     // the final stdout line is the compact driver-parsed form.
+    // "episode_victim":true marks rows whose number is load-inflated
+    // by the artifact's own evidence (no quiet rep AND >= 2x floor) —
+    // self-adjudicating, no cross-referencing a separate quiet run.
     val fullQs = ok.map { case (name, sec, reps, gated) =>
+      val victim = if (episodeVictim(gated, sec, floors.get(name)))
+        ""","episode_victim":true""" else ""
       s""""$name":{"sec":$sec,"reps":[${reps.map(_._1).mkString(",")}],""" +
-        s""""loads":[${reps.map(r => fmt2(r._2)).mkString(",")}],"gated":$gated}"""
+        s""""loads":[${reps.map(r => fmt2(r._2)).mkString(",")}],"gated":$gated$victim}"""
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","per_query":"min over ALL cold reps (noise only inflates); extra reps to $maxReps until one sees pre-rep 1-min load <= start+$gateDelta (load.gate); gated:false = no rep saw load <= max(start+$gateDelta, cpus/4) (load.floor), so even the min may be episode-inflated","errors":$errs$loadStats,"queries":$fullQs,"sf":"$sfDir"}"""

@@ -1410,7 +1410,11 @@ object Ann {
     * [[diagCellsBy]] shape — d squares per vector, NOT the d(d+1)/2
     * product triangle; the reference side is summary-sized and
     * typically a PERSISTED artifact re-read for pennies), d-row
-    * broadcast join, 6dp fixed-order derivations.
+    * spine join, 6dp fixed-order derivations. The spine join is FULL
+    * OUTER: a dimensionality mismatch between the corpora (e.g. one
+    * side re-embedded at a different d) surfaces as rows with a null
+    * side instead of silently truncating the report to the common
+    * dims — a drift gate must fail loudly on exactly that change.
     * Output: i, n_ref, n_cur, mean_ref, mean_cur, mean_z, var_ratio. */
   def embeddingDriftAgainst(ref: DataFrame, cur: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -1424,9 +1428,10 @@ object Ann {
           round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
             (d(col("sx")) / nd)) / lit(1e12), 6).as(s"var_$tag"))
     diagStats(ref, "ref")
-      .join(broadcast(diagStats(cur, "cur")),
-        col("i_ref") === col("i_cur")) // d-row spine
-      .select(col("i_ref").as("i"), col("n_ref"), col("n_cur"),
+      .join(diagStats(cur, "cur"),
+        col("i_ref") === col("i_cur"), "full_outer") // d-row spine
+      .select(coalesce(col("i_ref"), col("i_cur")).as("i"),
+        col("n_ref"), col("n_cur"),
         col("mean_ref"), col("mean_cur"),
         when(col("var_ref") > 0,
           round((col("mean_cur") - col("mean_ref")) /
@@ -1526,24 +1531,35 @@ object Ann {
   }
 
   /** Per-group [[pcaProject]]: every vector scored against ITS group's
-    * components — one narrow codegen'd filtered pass per group (the
-    * group vocabulary is a bounded class/source set, so the union is
-    * a handful of corpus-parallel branches over ONE scan, not a
-    * per-row driver loop), null group matched null-safely. Rows whose
-    * group has no fit are dropped (score-against-nothing has no
-    * meaning); fit on every stratum to keep them all.
+    * components in ONE narrow codegen'd pass — each output score is a
+    * CASE chain over the bounded group vocabulary (group matched
+    * null-safely), so the corpus is scanned exactly once and each row
+    * evaluates only its own group's broadcast-literal fold; no union,
+    * no cache, nothing left to exchange reuse. Rows whose group has
+    * no fit are dropped (score-against-nothing has no meaning); fit
+    * on every stratum to keep them all.
     * Output: idCol, groupCol, pc0..pc{k-1}. */
   def pcaProjectBy(vecs: DataFrame, groupCol: String,
       fits: Map[Option[Any], (Array[Double], Array[Double], Array[Array[Double]])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(fits.nonEmpty, "pcaProjectBy: no fitted groups")
-    fits.iterator.map { case (g, (means, _, comps)) =>
-      pcaProject(vecs.filter(col(groupCol) <=> lit(g.orNull)),
-          means, comps, idCol, vecCol)
-        .withColumn(groupCol, lit(g.orNull))
-        .select(col(idCol) +: col(groupCol) +:
-          comps.indices.map(m => col(s"pc$m")): _*)
-    }.reduce(_.unionByName(_))
+    val fitSeq = fits.toSeq
+    val k = fitSeq.head._2._3.length
+    def centered(means: Array[Double]) = zip_with(
+      expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
+      typedLit(means.toSeq), (a, b) => a - b)
+    val scores = (0 until k).map { m =>
+      fitSeq.foldLeft(lit(null).cast("double")) {
+        case (acc, (g, (means, _, comps))) =>
+          when(col(groupCol) <=> lit(g.orNull),
+            round(aggregate(zip_with(centered(means),
+              typedLit(comps(m).toSeq), (a, b) => a * b),
+              lit(0d), _ + _), 6)).otherwise(acc)
+      }.as(s"pc$m")
+    }
+    vecs.filter(fitSeq.map { case (g, _) => col(groupCol) <=> lit(g.orNull) }
+        .reduce(_ || _))
+      .select(col(idCol) +: col(groupCol) +: scores: _*)
   }
 
   /** PCA reconstruction-residual outlier score — the embedding-space
@@ -1639,12 +1655,12 @@ object Ann {
     * but labeled source A is perfectly reconstructed by a pooled PCA
     * (whose subspace spans both sources → residual ≈ 0) yet is loud
     * junk under A's own fit — exactly the mislabeled/cross-
-    * contaminated case (AnnSpec plants it). Both scores come from ONE
-    * narrow broadcast-literal projection per group (the shared
-    * centered fold feeds residual and Σpc²/λ together — no join, no
-    * shuffle; groups are a bounded vocabulary, so the union is a
-    * handful of corpus-parallel branches over one scan). Rows whose
-    * group has no fit are dropped — fit every stratum to keep them.
+    * contaminated case (AnnSpec plants it). Both scores are CASE
+    * chains over the bounded group vocabulary, so the corpus is
+    * scanned exactly ONCE and each row evaluates only its own group's
+    * broadcast-literal fold (no union, no join, no shuffle, nothing
+    * left to exchange reuse). Rows whose group has no fit are dropped
+    * — fit every stratum to keep them.
     * Output: idCol, groupCol, resid, resid_outlier, maha,
     * maha_outlier. */
   def pcaOutliersBy(vecs: DataFrame, groupCol: String,
@@ -1652,25 +1668,35 @@ object Ann {
       residThreshold: Double, mahaThreshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(fits.nonEmpty, "pcaOutliersBy: no fitted groups")
-    fits.iterator.map { case (g, (means, eigs, comps)) =>
+    val fitSeq = fits.toSeq
+    def scoreFor(means: Array[Double], eigs: Array[Double],
+        comps: Array[Array[Double]]): (Column, Column) = {
       val centered = zip_with(
         expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
         typedLit(means.toSeq), (a, b) => a - b)
       val self = aggregate(zip_with(centered, centered, (a, b) => a * b),
         lit(0d), _ + _)
-      val (resid, maha) = comps.zip(eigs)
-        .foldLeft((self, lit(0d))) { case ((r, m), (cm, lam)) =>
-          val p = aggregate(zip_with(centered, typedLit(cm.toSeq),
-            (a, b) => a * b), lit(0d), _ + _)
-          (r - p * p, if (lam > 0) m + p * p / lit(lam) else m)
-        }
-      vecs.filter(col(groupCol) <=> lit(g.orNull))
-        .select(col(idCol), lit(g.orNull).as(groupCol),
-          round(resid, 6).as("resid"), round(maha, 6).as("maha"))
-        .select(col(idCol), col(groupCol), col("resid"),
-          (col("resid") >= residThreshold).as("resid_outlier"),
-          col("maha"), (col("maha") >= mahaThreshold).as("maha_outlier"))
-    }.reduce(_.unionByName(_))
+      comps.zip(eigs).foldLeft((self, lit(0d))) { case ((r, m), (cm, lam)) =>
+        val p = aggregate(zip_with(centered, typedLit(cm.toSeq),
+          (a, b) => a * b), lit(0d), _ + _)
+        (r - p * p, if (lam > 0) m + p * p / lit(lam) else m)
+      }
+    }
+    val (resid, maha) = fitSeq.foldLeft(
+        (lit(null).cast("double"), lit(null).cast("double"))) {
+      case ((ra, ma), (g, (means, eigs, comps))) =>
+        val (r, m) = scoreFor(means, eigs, comps)
+        val hit = col(groupCol) <=> lit(g.orNull)
+        (when(hit, round(r, 6)).otherwise(ra),
+         when(hit, round(m, 6)).otherwise(ma))
+    }
+    vecs.filter(fitSeq.map { case (g, _) => col(groupCol) <=> lit(g.orNull) }
+        .reduce(_ || _))
+      .select(col(idCol), col(groupCol),
+        resid.as("resid"), maha.as("maha"))
+      .select(col(idCol), col(groupCol), col("resid"),
+        (col("resid") >= residThreshold).as("resid_outlier"),
+        col("maha"), (col("maha") >= mahaThreshold).as("maha_outlier"))
   }
 
   /** Project every vector onto the given components (mean-centered) —

@@ -1023,6 +1023,24 @@ class AnnSpec extends SparkSpec {
     assert(m(1) == ((11L, 11L, 2.0, 0.0, None, None)))
   }
 
+  test("embeddingDriftAgainst: a dimensionality mismatch surfaces as null-sided rows, never silent truncation") {
+    // r12 advisor: ref at d=2 vs cur re-embedded at d=3 must NOT
+    // quietly report only the common dims — the extra dim appears
+    // with a null reference side (the loudest possible drift signal)
+    val ref = (-5 to 5).map(t => (t.toLong * 2, Seq(t.toFloat, 2.0f)))
+    val cur = (-5 to 5).map(t =>
+      (t.toLong * 2 + 1, Seq(t.toFloat, t.toFloat, 7.0f)))
+    val rows = Ann.embeddingDriftAgainst(emb(ref: _*), emb(cur: _*))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((Option(r.getAs[java.lang.Long]("n_ref")),
+          Option(r.getAs[java.lang.Long]("n_cur"))))).toMap
+    assert(rows.size == 3, s"expected all 3 dims visible, got $rows")
+    assert(rows(0) == ((Some(11L), Some(11L))))
+    assert(rows(1) == ((Some(11L), Some(11L))))
+    assert(rows(2) == ((None, Some(11L))), "cur-only dim must surface")
+  }
+
   test("pcaComponentsBy: each group's fit == ungrouped pcaComponents of its slice; projectBy scores by own group") {
     // three strata with different principal directions, incl. a null
     // group (kept: a visible stratum, the covarianceCellsBy rule)

@@ -85,6 +85,32 @@ class BenchSpec extends AnyFunSuite {
     f.delete()
   }
 
+  test("loadFloors survives key reorder / extra keys inside a floor object") {
+    // r12 advisor: the old parse anchored on "sec" being the FIRST key
+    // and a format tweak silently returned an empty map
+    val f = java.io.File.createTempFile("floors2", ".json")
+    val w = new java.io.PrintWriter(f)
+    try w.println(
+      """{"queries": {
+        |  "a_q": {"src": "BENCH_r12", "sec": 0.42},
+        |  "b_q": {"reps": 4, "sec": 1.5, "src": "quiet"}
+        |}}""".stripMargin) finally w.close()
+    val m = Bench.loadFloors(f.getAbsolutePath)
+    assert(m == Map("a_q" -> 0.42, "b_q" -> 1.5))
+    f.delete()
+  }
+
+  test("episodeVictim: flags only no-quiet-rep rows at >= 2x a committed floor") {
+    // the self-adjudication rule (r12 verdict ask #4): gated=false AND
+    // min >= 2x floor -> victim; a quiet rep, a sane ratio, or a
+    // missing/degenerate floor all mean the number stands on its own
+    assert(Bench.episodeVictim(gated = false, sec = 4.0, floor = Some(1.0)))
+    assert(!Bench.episodeVictim(gated = true, sec = 4.0, floor = Some(1.0)))
+    assert(!Bench.episodeVictim(gated = false, sec = 1.9, floor = Some(1.0)))
+    assert(!Bench.episodeVictim(gated = false, sec = 4.0, floor = None))
+    assert(!Bench.episodeVictim(gated = false, sec = 4.0, floor = Some(0.001)))
+  }
+
   test("decimal rendering is locale-independent") {
     val dflt = java.util.Locale.getDefault
     try {
