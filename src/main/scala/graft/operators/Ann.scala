@@ -1417,18 +1417,53 @@ object Ann {
     * dims — a drift gate must fail loudly on exactly that change.
     * Output: i, n_ref, n_cur, mean_ref, mean_cur, mean_z, var_ratio. */
   def embeddingDriftAgainst(ref: DataFrame, cur: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    driftAgainstFromDiag(diagCells(ref, idCol, vecCol),
+      diagCells(cur, idCol, vecCol))
+
+  /** [[embeddingDriftAgainst]] where the REFERENCE side is an
+    * already-landed diagonal cell artifact `(i, n, sxy, sx)` — the
+    * production release-gate shape: the frozen snapshot is persisted
+    * once as d summary rows ([[diagCells]]) and every later corpus is
+    * gated against it without ever re-reading the reference vectors.
+    * Raw multi-batch cell rows welcome (duplicate `i` rows merge by
+    * addition — the streamed-landing law), so a snapshot appended
+    * batch-by-batch gates identically to a one-shot one (AnnSpec). */
+  def embeddingDriftAgainstCells(refCells: DataFrame, cur: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    driftAgainstFromDiag(refCells, diagCells(cur, idCol, vecCol))
+
+  /** Ungrouped diagonal second-moment cells `(i, n, sxy, sx)` with
+    * `sxy = Σ xᵢ²` — the persistable snapshot artifact
+    * [[embeddingDriftAgainstCells]] gates against: ONE narrow pass
+    * over the corpus, d summary rows out (same scaled-truncated longs
+    * and exact decimal sums as [[covarianceCells]], so batches sum). */
+  def diagCells(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    diagCellsBy(vecs.select(col(idCol), lit("all").as("side"),
+        col(vecCol)), "side", idCol, vecCol)
+      .select("i", "n", "sxy", "sx")
+
+  /** Shared core of the two-corpus drift forms: merge each side's raw
+    * diagonal cells by addition (multi-batch landings), derive 6dp
+    * fixed-order mean/variance, FULL-OUTER join the d-row spines (a
+    * dimensionality mismatch surfaces as null-sided rows — see
+    * [[embeddingDriftAgainst]]) and report z/ratio. */
+  private def driftAgainstFromDiag(refDiag: DataFrame,
+      curDiag: DataFrame): DataFrame = {
     def d(c: Column) = c.cast("double")
     val nd = d(col("n"))
-    def diagStats(vecs: DataFrame, tag: String) =
-      diagCellsBy(vecs.select(col(idCol), lit(tag).as("side"),
-          col(vecCol)), "side", idCol, vecCol)
+    def diagStats(cells: DataFrame, tag: String) =
+      cells.groupBy("i").agg( // merge multi-batch landings by addition
+          sum("n").cast("long").as("n"),
+          sum("sxy").cast("decimal(38,0)").as("sxy"),
+          sum("sx").cast("decimal(38,0)").as("sx"))
         .select(col("i").as(s"i_$tag"), col("n").as(s"n_$tag"),
           round(d(col("sx")) / nd / lit(1e6), 6).as(s"mean_$tag"),
           round((d(col("sxy")) / nd - (d(col("sx")) / nd) *
             (d(col("sx")) / nd)) / lit(1e12), 6).as(s"var_$tag"))
-    diagStats(ref, "ref")
-      .join(diagStats(cur, "cur"),
+    diagStats(refDiag, "ref")
+      .join(diagStats(curDiag, "cur"),
         col("i_ref") === col("i_cur"), "full_outer") // d-row spine
       .select(coalesce(col("i_ref"), col("i_cur")).as("i"),
         col("n_ref"), col("n_cur"),

@@ -17,8 +17,8 @@ import graft.operators.{Dedup, Mix, Quality}
   *   [C4 sentence-span dedup] →
   *   [held-out decontamination] → [semantic dedup] →
   *   [DSIR target-likeness selection] → [CCNet LM tail drop] →
-  *   per-domain score pruning → temperature-mixture resampling →
-  *   chunk → pack
+  *   per-domain score pruning → [embedding-drift release gate] →
+  *   temperature-mixture resampling → chunk → pack
   *
   * (bracketed stages optional).
   *
@@ -36,7 +36,30 @@ object Curate {
       afterDsir: Long = -1L, afterCcnet: Long = -1L,
       afterBlocklist: Long = -1L, afterUrlDedup: Long = -1L,
       afterSpan: Long = -1L, afterSpanDecontam: Long = -1L,
-      afterReadability: Long = -1L, afterCommonality: Long = -1L)
+      afterReadability: Long = -1L, afterCommonality: Long = -1L,
+      driftedDims: Long = -1L)
+
+  /** Config for the optional embedding-drift RELEASE gate (the r115
+    * operator as a curate stage): the final pruned corpus's embedding
+    * distribution is scored against a FROZEN reference snapshot
+    * persisted as d diagonal summary cells
+    * ([[graft.operators.Ann.diagCells]]), and a dimension counts as
+    * DRIFTED when the spine row is null-sided (dimensionality
+    * mismatch), |mean_z| exceeds `maxAbsMeanZ`, var_ratio leaves
+    * `varRatioBand`, or the reference dim is constant while the
+    * current one moved. This is a corpus-level gate, not a row
+    * filter — it drops no documents; it either records the drifted-
+    * dim count in Stats/the data card (`failOnDrift = false`, the
+    * monitoring posture) or fails the run loudly listing the drifted
+    * dims (`failOnDrift = true`, the release posture). Cost: one
+    * narrow diagonal pass over the alive embeddings + a d-row join —
+    * the reference vectors are never re-read. */
+  final case class DriftGate(
+      referenceCells: DataFrame,
+      embeddings: DataFrame,
+      maxAbsMeanZ: Double = 4.0,
+      varRatioBand: (Double, Double) = (0.25, 4.0),
+      failOnDrift: Boolean = false)
 
   /** Returns (packed sequences, per-stage stats). `docs` must carry
     * doc_id, text, lang, source. Copies from resampling get a
@@ -70,7 +93,8 @@ object Curate {
       urlDedup: Boolean = false,
       spanN: Option[Int] = None,
       readabilityBand: Option[(Double, Double)] = None,
-      commonalityMax: Option[Double] = None): (DataFrame, Option[Stats]) = {
+      commonalityMax: Option[Double] = None,
+      embeddingDriftGate: Option[DriftGate] = None): (DataFrame, Option[Stats]) = {
     Dedup.ensureCheckpointDir(docs.sparkSession)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(docs)
@@ -310,6 +334,36 @@ object Curate {
       TextAnalysis.qualityPrune(bucketed, pruneP).select("doc_id"), "doc_id")
       .checkpoint()
     val afterPrune = countIf(pruned)
+    // Optional embedding-drift release gate ([[DriftGate]]): the FINAL
+    // pruned corpus — the set that actually trains — is the right
+    // point to score against the frozen snapshot; gating earlier would
+    // blame the reference for docs a later stage was about to drop.
+    // Runs regardless of `stats` (failOnDrift needs the verdict and
+    // the report is d rows, not corpus-sized); embeddings restricted
+    // to alive docs, the semDedup rule. No rows drop here.
+    val driftedDims = embeddingDriftGate match {
+      case None => -1L
+      case Some(g) =>
+        val (lo, hi) = g.varRatioBand
+        val alive = g.embeddings.join(
+          pruned.select(col("doc_id").as("vec_id")), "vec_id")
+        val drifted = graft.operators.Ann
+          .embeddingDriftAgainstCells(g.referenceCells, alive)
+          .filter(col("n_ref").isNull || col("n_cur").isNull ||
+            abs(col("mean_z")) > g.maxAbsMeanZ ||
+            col("var_ratio") < lo || col("var_ratio") > hi ||
+            (col("mean_z").isNull && !(col("mean_cur") <=> col("mean_ref"))))
+        if (!g.failOnDrift) drifted.count()
+        else {
+          // bounded collect: the report is d rows, drifted ⊆ d
+          val rows = drifted.select("i", "mean_z", "var_ratio").collect()
+          require(rows.isEmpty,
+            "embeddingDriftGate: current corpus drifted from the frozen " +
+              "reference on dims " + rows.map(r => s"i=${r.get(0)} " +
+              s"(mean_z=${r.get(1)}, var_ratio=${r.get(2)})").mkString("; "))
+          0L
+        }
+    }
     val weights = Mix.temperatureWeights(pruned, Seq("lang", "source"), tau)
       .select(col("lang"), col("source"), col("weight"))
     val resampled = Mix.resampleByWeight(pruned.select("lang", "source", "doc_id"),
@@ -327,7 +381,7 @@ object Curate {
         resampledCopies, nChunks, shards, afterSubdoc, afterBoilerplate,
         afterDecontam, afterSemDedup, afterDsir, afterCcnet,
         afterBlocklist, afterUrlDedup, afterSpan, afterSpanDecontam,
-        afterReadability, afterCommonality))
+        afterReadability, afterCommonality, driftedDims))
       else None
     (packed, st)
   }
@@ -363,6 +417,10 @@ object Curate {
     stage("dsir_select", st.afterDsir)
     stage("ccnet_tail_drop", st.afterCcnet)
     stage("quality_prune", st.afterPrune)
+    // the drift gate is corpus-level (pass/fail against the frozen
+    // reference, driftedDims in Stats) — it drops no rows, so its card
+    // row documents that it RAN: rows_in == rows_out, drop_frac 0
+    if (st.driftedDims >= 0) stage("embedding_drift_gate", prev)
     stage("resample", st.resampledCopies)
     stage("chunk", st.chunks)
     import spark.implicits._

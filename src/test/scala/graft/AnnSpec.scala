@@ -1041,6 +1041,23 @@ class AnnSpec extends SparkSpec {
     assert(rows(2) == ((None, Some(11L))), "cur-only dim must surface")
   }
 
+  test("embeddingDriftAgainstCells: a multi-batch persisted snapshot gates identically to the batch form") {
+    // the release-gate production shape: the frozen reference lives as
+    // d diagonal summary cells; appending it batch-by-batch (raw cell
+    // rows concatenated, merged by addition inside the operator) must
+    // reproduce embeddingDriftAgainst(ref, cur) EXACTLY
+    val ref = (-6 to 6).map(t => (t.toLong, Seq(t.toFloat, 0.5f * t, 3f)))
+    val cur = (-6 to 6).map(t =>
+      (t.toLong + 100, Seq(t.toFloat + 2f, 0.5f * t, 3f)))
+    val (b1, b2) = ref.splitAt(5)
+    val landed = Ann.diagCells(emb(b1: _*)).unionByName(
+      Ann.diagCells(emb(b2: _*)))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("i").collect().map(_.toSeq).toSeq
+    assert(key(Ann.embeddingDriftAgainstCells(landed, emb(cur: _*))) ==
+      key(Ann.embeddingDriftAgainst(emb(ref: _*), emb(cur: _*))))
+  }
+
   test("pcaComponentsBy: each group's fit == ungrouped pcaComponents of its slice; projectBy scores by own group") {
     // three strata with different principal directions, incl. a null
     // group (kept: a visible stratum, the covarianceCellsBy rule)

@@ -495,4 +495,48 @@ class CurateSpec extends SparkSpec {
     assert(card1.contains("commonality_cap") && !card1.contains("readability_band"))
     assert(card2.contains("readability_band") && !card2.contains("commonality_cap"))
   }
+
+  test("embedding drift gate: quiet corpus passes, planted drift is counted, failOnDrift fails loudly, no rows drop") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source")
+    // deterministic per-doc embeddings keyed by doc_id (the DriftGate
+    // contract), uniform-ish in [0, 10) per dim
+    val emb = docs.select(col("doc_id").as("vec_id"),
+      expr("transform(sequence(0, 7), " +
+        "k -> CAST(pmod(hash(doc_id, k), 1000) AS FLOAT) / 100.0F)")
+        .as("embedding"))
+    val refCells = graft.operators.Ann.diagCells(emb)
+    // gate OFF: sentinel stats, no card row
+    val (packed0, st0) = Curate.run(docs)
+    assert(st0.get.driftedDims == -1L)
+    assert(!Curate.dataCard(spark, st0.get).collect()
+      .map(_.getString(0)).contains("embedding_drift_gate"))
+    // gate ON against the corpus's own snapshot: zero drifted dims,
+    // card records the stage with rows_in == rows_out (corpus-level
+    // gate, never a row filter), packed output IDENTICAL to gate-off
+    val (packed1, st1) = Curate.run(docs,
+      embeddingDriftGate = Some(Curate.DriftGate(refCells, emb)))
+    assert(st1.get.driftedDims == 0L, st1.get.toString)
+    val card = Curate.dataCard(spark, st1.get).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(card("embedding_drift_gate") ==
+      ((st1.get.afterPrune, st1.get.afterPrune)))
+    assert(packed1.exceptAll(packed0).isEmpty &&
+      packed0.exceptAll(packed1).isEmpty)
+    // planted drift: a reference whose dim 3 sits +50 away (same
+    // spread) -> mean_z ~ 17 >> 4 on exactly that dim
+    val shifted = emb.select(col("vec_id"),
+      expr("transform(embedding, (x, k) -> " +
+        "CASE WHEN k = 3 THEN x + 50.0F ELSE x END)").as("embedding"))
+    val refShifted = graft.operators.Ann.diagCells(shifted)
+    val (_, st2) = Curate.run(docs,
+      embeddingDriftGate = Some(Curate.DriftGate(refShifted, emb)))
+    assert(st2.get.driftedDims == 1L, st2.get.toString)
+    // release posture: the same drift FAILS the run, naming the dim
+    val e = intercept[IllegalArgumentException] {
+      Curate.run(docs, embeddingDriftGate =
+        Some(Curate.DriftGate(refShifted, emb, failOnDrift = true)))
+    }
+    assert(e.getMessage.contains("drifted") && e.getMessage.contains("i=3"))
+  }
 }
