@@ -317,6 +317,29 @@ object Ann {
       .select(col("c_id"), col("dim").cast("int").as("dim"), col("n"),
         round(col("ssum") / col("n"), 6).as("mean"))
 
+  /** Per-batch assignment-drift signal — the IVF retrain trigger: one
+    * [[kmeansStep]] over the batch against the index's FIXED centroids
+    * gives the per-cluster mean the batch would pull each centroid to;
+    * the euclidean distance between that implied mean and the current
+    * centroid is the drift. In-distribution batches imply means near
+    * the centroids (dist ≈ within-cluster sigma/√n); a distribution
+    * shift (new embedding model, new content domain) lands far-off
+    * vectors whose implied means sit whole cluster-radii away — the
+    * signal a production index maintenance loop watches to schedule
+    * the full re-cluster ([[writeIvfIndex]] rebuild; appends keep the
+    * old centroids by contract). Cost: batch-sized assignment + a
+    * centroids×d aggregate — never index-sized.
+    * Output: c_id, n, dist (6dp), clusters the batch touched only. */
+  def assignmentDrift(batch: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("c_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("dim", "cv")))
+    kmeansStep(batch, centroids)
+      .join(cent, Seq("c_id", "dim"))
+      .groupBy("c_id")
+      .agg(max("n").cast("long").as("n"), // n is per-cluster, same each dim
+        round(sqrt(sum(pow(col("mean") - col("cv"), lit(2)))), 6).as("dist"))
+  }
+
   /** Iterated Lloyd training: seed = the first k vectors, then `iters`
     * rounds of assign + per-dimension mean. All DataFrame ops — the
     * per-iteration state is k centroid rows, never data-sized. The

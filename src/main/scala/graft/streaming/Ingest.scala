@@ -1333,10 +1333,25 @@ object Ingest {
     * at-least-once batch sibling). The index root reads back with
     * (batch_id, c_id) as discovered partition columns — cluster
     * pruning on c_id works across every batch directory, so
-    * `Ann.ivfSearchIndex` queries the streamed index unchanged. */
+    * `Ann.ivfSearchIndex` queries the streamed index unchanged.
+    *
+    * RETRAIN TRIGGER (`signalPath` nonempty): after each append, the
+    * batch's assignment drift is scored
+    * ([[graft.operators.Ann.assignmentDrift]] — one Lloyd step's
+    * implied per-cluster mean vs the fixed centroid, batch-sized, the
+    * index is never rescanned) and lands beside the index as a
+    * per-batch-id OVERWRITE partition of (c_id, n, dist, retrain) with
+    * `retrain = dist > retrainDist`. The stream itself never
+    * re-clusters: a mid-stream rebuild would invalidate concurrent
+    * searches and break the fixed-centroid append contract — the
+    * signal is what the maintenance cadence watches to schedule the
+    * full [[graft.operators.Ann.writeIvfIndex]] rebuild (read it back
+    * with [[retrainSignals]]). The signal is a pure function of
+    * (batch, centroids), so replay re-lands identical rows. */
   def vectorIngestStream(spark: SparkSession, vecSchema: StructType,
       srcDir: String, indexPath: String, centroids: DataFrame,
-      checkpoint: String, maxFilesPerTrigger: Int = 1): Unit = {
+      checkpoint: String, maxFilesPerTrigger: Int = 1,
+      signalPath: String = "", retrainDist: Double = 0.5): Unit = {
     val q = spark.readStream.schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -1345,12 +1360,28 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.Ann.writeIvf(batch, centroids,
           s"$indexPath/batch_id=$id", "overwrite")
+        if (signalPath.nonEmpty)
+          graft.operators.Ann.assignmentDrift(batch, centroids)
+            .withColumn("retrain", col("dist") > retrainDist)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$signalPath/batch_id=$id")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** The landed retrain-signal history of a [[vectorIngestStream]] run:
+    * (batch_id, c_id, n, dist, retrain), one row per (batch, touched
+    * cluster). `ANY(retrain)` over it is the rebuild verdict; the
+    * per-cluster rows say WHICH region of the space drifted. */
+  def retrainSignals(spark: SparkSession, signalPath: String): DataFrame =
+    spark.read.parquet(signalPath)
+      // partition discovery types batch_id as INT; the stream's ids
+      // are longs — pin the read-back type
+      .select(col("batch_id").cast("long").as("batch_id"), col("c_id"),
+        col("n"), col("dist"), col("retrain"))
 
   /** Streaming DSIR scoring: each micro-batch of documents is scored
     * against a FIXED fitted bucket model

@@ -1041,6 +1041,16 @@ class AnnSpec extends SparkSpec {
     assert(rows(2) == ((None, Some(11L))), "cur-only dim must surface")
   }
 
+  test("assignmentDrift: euclidean delta between the batch-implied mean and the fixed centroid, touched clusters only") {
+    val cents = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val batch = emb(10L -> Seq(0.99f, 0.01f), 11L -> Seq(1f, 0f))
+    val got = Ann.assignmentDrift(batch, cents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // both vectors assign to centroid 0; implied mean (0.995, 0.005),
+    // dist = sqrt(2 * 0.005^2) = 0.007071; centroid 1 untouched
+    assert(got == Map(0L -> ((2L, 0.007071))), got.toString)
+  }
+
   test("embeddingDriftAgainstCells: a multi-batch persisted snapshot gates identically to the batch form") {
     // the release-gate production shape: the frozen reference lives as
     // d diagonal summary cells; appending it batch-by-batch (raw cell

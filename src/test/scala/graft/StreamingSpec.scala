@@ -1494,6 +1494,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 5)
   }
 
+  test("STIVF: retrain trigger fires on a planted drifted batch, stays quiet in-distribution; index law intact; replay clean") {
+    val src = tmp("stivf-src"); val ck = tmp("stivf-ck")
+    val idx = src + "-idx"; val sig = src + "-sig"
+    // fixed index centroids at (1,0) and (0,1)
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // batch 1: in-distribution (implied per-cluster means sit within
+    // ~0.03 of the centroids); batch 2: a distribution shift — vectors
+    // whose implied mean is whole cluster-radii away
+    val b1 = Seq((0L, Seq(0.99f, 0.01f)), (1L, Seq(0.02f, 0.98f)),
+      (2L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val b2 = Seq((3L, Seq(6f, 4f)), (4L, Seq(5f, 1f)))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.vectorIngestStream(spark, b1.schema, src, idx, cents, ck,
+      signalPath = sig, retrainDist = 0.5)
+    // the signal history: batch 0 quiet on every touched cluster,
+    // batch 1 (the planted drift) fires
+    val signals = Ingest.retrainSignals(spark, sig)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toSeq
+    val byBatch = signals.groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
+    assert(byBatch(0L) == false, s"in-distribution batch fired: $signals")
+    assert(byBatch(1L) == true, s"drifted batch did not fire: $signals")
+    // the signal sink does not perturb the index law: cluster-pruned
+    // search over the streamed index == the one-shot batch index
+    val full = tmp("stivf-full") + "-w"
+    graft.operators.Ann.writeIvfIndex(spark.read.parquet(src), cents, full)
+    def top(p: String) =
+      graft.operators.Ann.ivfSearchIndex(spark, p, cents, Seq(1.0, 0.0), k = 3, nprobe = 1)
+        .as[(Long, Double)].collect().toSeq
+    assert(top(idx) == top(full))
+    // restart on the same checkpoint: signals and index land nothing new
+    Ingest.vectorIngestStream(spark, b1.schema, src, idx, cents, ck,
+      signalPath = sig, retrainDist = 0.5)
+    assert(Ingest.retrainSignals(spark, sig).count() == signals.size)
+    assert(spark.read.parquet(idx).count() == 5)
+  }
+
   test("STP: streamed PQ-code ingest equals the batch index; IVFPQ layout prunes across batches") {
     import graft.operators.Ann
     import graft.functions.Vectors
