@@ -780,6 +780,58 @@ object TextAnalysis {
         round(col("s") / col("n_bi"), 6).as("score"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score — the sharper sibling of
+    * [[bigramScore]] at the low-count tail a dedup'd corpus is full
+    * of: each bigram instance scores
+    * `max(c(w1,w2) − D, 0)/c(w1,·) + D·N1+(w1,·)/c(w1,·) · P_cont(w2)`
+    * with `P_cont(w2) = N1+(·,w2)/N1+(·,·)` — the CONTINUATION
+    * probability (how many distinct contexts w2 follows), not the raw
+    * unigram. That is KN's whole point: a token that is frequent but
+    * glued to one context ("francisco" after "san") gets high
+    * Jelinek-Mercer backoff mass yet tiny KN mass in a novel context,
+    * while a token seen after many contexts backs off high — the
+    * TextAnalysisSpec fixture plants exactly that inversion. The
+    * absolute discount D (default 0.75, exact in binary) bleeds mass
+    * from every seen bigram to the continuation distribution, and the
+    * interpolated form sums to exactly 1 over the vocabulary per seen
+    * context. Linear probabilities + sorted per-doc fold for the same
+    * cross-engine bit-exactness as [[bigramScore]]; same two-explode /
+    * keyed-groupBy shuffle shape (the continuation counts are one
+    * extra partial-aggregable groupBy over bigram TYPES, cheaper than
+    * the token-occurrence aggregates beside it).
+    * Output: doc_id, n_bi, score. */
+  def bigramScoreKN(docs: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val tf = toks.filter(size(col("t")) >= 2)
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(t) - 1), " +
+          "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))) AS b")
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).cast("long").as("tf"))
+    val bc = tf.groupBy("w1", "w2").agg(sum("tf").cast("long").as("bc"))
+    // context totals AND distinct-continuation counts in one pass
+    val cc = bc.groupBy("w1").agg(sum("bc").cast("long").as("cc"),
+      count(lit(1)).cast("long").as("n1f"))
+    val n1p = bc.groupBy("w2").agg(count(lit(1)).cast("long").as("n1p"))
+    val n1all = bc.agg(count(lit(1)).cast("long").as("n1all"))
+    tf.join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .join(n1p, Seq("w2"))
+      .crossJoin(broadcast(n1all))
+      .select(col("doc_id"), col("tf"),
+        (col("tf").cast("double") *
+          (greatest(col("bc") - lit(discount), lit(0d)) / col("cc") +
+            lit(discount) * col("n1f") / col("cc") *
+              (col("n1p").cast("double") / col("n1all")))).as("w"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_bi"),
+        aggregate(sort_array(collect_list(col("w"))), lit(0d), _ + _).as("s"))
+      .select(col("doc_id"), col("n_bi"),
+        round(col("s") / col("n_bi"), 6).as("score"))
+  }
+
   /** CCNet-style per-language LM bucketing (Wenzek et al. 2020): split
     * each language's documents into head / middle / tail by their
     * language-model score, so downstream mixing can keep the head,

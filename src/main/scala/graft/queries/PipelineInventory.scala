@@ -2114,6 +2114,42 @@ object PipelineInventory {
               |SELECT doc_id, n_bi, ${rrepr("s / n_bi", 6)} AS score
               |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // Kneser-Ney bigram LM score (absolute discount 0.75, CONTINUATION
+    // backoff): p37's sibling that stays sharp at the low-count tail —
+    // a frequent-but-glued token ("francisco" after "san") gets tiny
+    // backoff mass in a novel context where JM hands it the full
+    // unigram weight (TextAnalysisSpec plants the inversion). The
+    // oracle mirrors the arithmetic operand for operand: greatest(bc
+    // - D, 0)/cc + D*n1f/cc*(n1p/n1all), all ::DOUBLE-forced (same
+    // cross-engine discipline as p37), distinct-continuation counts
+    // over bigram TYPES.
+    QueryDef("r116_bigram_kn",
+      (s, d) => TextAnalysis.bigramScoreKN(T(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |bi AS (SELECT doc_id,
+              |         unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+              |         unnest([t[i+1] FOR i IN range(1, len(t))]) AS w2
+              |       FROM t WHERE len(t) >= 2),
+              |tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+              |       FROM bi GROUP BY doc_id, w1, w2),
+              |bc AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS bc FROM tf GROUP BY w1, w2),
+              |cc AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS cc,
+              |              CAST(COUNT(*) AS BIGINT) AS n1f FROM bc GROUP BY w1),
+              |np AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM bc GROUP BY w2),
+              |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM bc),
+              |p AS (SELECT f.doc_id, f.tf,
+              |             f.tf * (greatest(b.bc - 0.75::DOUBLE, 0.0::DOUBLE) / c.cc +
+              |                     0.75::DOUBLE * c.n1f / c.cc *
+              |                       (CAST(np.n1p AS DOUBLE) / na.n1all)) AS w
+              |      FROM tf f JOIN bc b USING (w1, w2) JOIN cc c USING (w1)
+              |      JOIN np ON np.w2 = f.w2 CROSS JOIN na),
+              |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bi,
+              |              list_reduce(list_sort(list(w)), (x, y) -> x + y) AS s
+              |       FROM p GROUP BY doc_id)
+              |SELECT doc_id, n_bi, ${rrepr("s / n_bi", 6)} AS score
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // DoReMi-style domain reweighting: per-doc excess loss = how much
     // the bigram LM (reference) improves on the unigram LM (proxy),
     // clipped at 0; per-domain mean excess -> one multiplicative-

@@ -250,6 +250,7 @@ class PlanSpec extends SparkSpec {
       "p21_ann_quantized", "p25_kmeans_step", "p29_semdedup", // centroid / shortlist broadcast
       "p32_unigram_lm",     // one-row corpus-total broadcast
       "p37_bigram_lm",      // one-row corpus-total broadcast (same shape as p32)
+      "r116_bigram_kn",     // one-row bigram-type-total broadcast (p37 shape)
       "p43_ann_pq",         // ADC scan: broadcast per-query LUT crossJoin
                             // (3 query rows; the pqTopK plan shape)
       "p44_ann_ivfpq",      // probe/LUT broadcasts over <= 8 coarse

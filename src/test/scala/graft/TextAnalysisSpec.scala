@@ -338,6 +338,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L)._1 == 1L && math.abs(m(2L)._2 - pac) < 5e-7)
   }
 
+  test("bigramScoreKN: continuation backoff inverts JM's glued-token preference; hand values exact") {
+    // The San-Francisco fixture: "francisco" is FREQUENT (21
+    // occurrences) but glued to one training context; "glasses" is
+    // rare (5) but follows many contexts. Both test docs present the
+    // token in the SAME novel context "the", so the only difference
+    // is the backoff distribution: JM hands francisco its big raw
+    // unigram mass, KN hands it its tiny continuation mass.
+    val corpus = docs(((1L to 20L).map(i => (i, "san francisco")) ++
+      Seq(21L -> "my glasses", 22L -> "your glasses", 23L -> "his glasses",
+        24L -> "her glasses", 100L -> "the francisco",
+        101L -> "the glasses")).toSeq: _*)
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val jm = scores(TextAnalysis.bigramScore(corpus))
+    val kn = scores(TextAnalysis.bigramScoreKN(corpus))
+    // JM prefers the glued token's novel context...
+    assert(jm(100L) > jm(101L), s"jm: $jm")
+    // ...KN inverts it: N1+(.,francisco) = 2 contexts {san, the} vs
+    // N1+(.,glasses) = 5 {my, your, his, her, the}; 7 bigram types
+    assert(kn(101L) > kn(100L), s"kn: $kn")
+    // hand computation: c(the,.) = 2, both test bigrams seen once ->
+    // max(1 - 0.75, 0)/2 = 0.125; discount mass 0.75*n1f(the)/2 = 0.75
+    // KN(A) = 0.125 + 0.75*(2/7) = 0.339286 (6dp)
+    // KN(B) = 0.125 + 0.75*(5/7) = 0.660714
+    assert(kn(100L) == 0.339286 && kn(101L) == 0.660714, kn.toString)
+    // the rare-continuation doc carries LOWER perplexity (higher
+    // linear score) under KN than under JM — the low-count-tail
+    // sharpness the smoothing exists for
+    assert(kn(101L) > jm(101L))
+  }
+
   test("bigramScore matches a sequential reference bit-for-bit on random corpora") {
     // Reference replays the operator's exact double-arithmetic
     // sequence: w = tf * (0.75*bc/cc + 0.25*cnt/total), per-doc sum in
