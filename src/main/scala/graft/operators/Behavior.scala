@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over an event stream — the funnel and
   * cohort-retention primitives every product/finance warehouse runs on
-  * its events table (reference analog: the events feed the reference's
-  * warehouse lands; these are the queries its BI layer asks of it).
+  * its events table. Reference analog: the reference declares its
+  * analytics layer as dashboards over the landed event/transaction
+  * feeds ("Customer acquisition trends", "Daily transaction volumes" —
+  * README.md:34-40); funnels and cohort retention are the standard BI
+  * queries behind exactly those panels.
   * Both are pure declarative plans over (user, type, ts) triples: no
   * sessionization state, no window over the raw corpus.
   */

@@ -22,10 +22,12 @@ import graft.expressions.GraftFunctions
   * non-deterministic-looking subtree, a dim frame the optimizer can't
   * size, or a reduction reused across several downstream joins.
   *
-  * Reference analog: the warehouse's fact-to-filtered-dim joins
-  * (analytics/models/marts fct_* ← dim_* with WHERE on the dim side);
-  * at warehouse scale dbt leaves the reduction to the engine — here it
-  * is a first-class operator.
+  * Reference analog: none concrete — the reference plans its
+  * dimensional-model layer as a roadmap item (README.md:24-28,
+  * "Install dbt and create dimensional models"); this operator is the
+  * industry-standard fact-to-filtered-dim join that layer would run
+  * (dbt marts leave the reduction to the engine — here it is a
+  * first-class operator).
   */
 object Joins {
 

@@ -206,8 +206,11 @@ object Quality {
       .select("id1", "id2", "dist")
   }
 
-  /** End-to-end entity resolution (the MDM step the warehouse's
-    * fuzzy-duplicate report stops short of): blocked edit-distance
+  /** End-to-end entity resolution — the MDM step downstream of the
+    * reference's own planted duplicate customers (oltp_seeder.py:111-125
+    * seeds ~8% near-duplicate names by design; its "Silver layer
+    * (cleaned, deduplicated)" is a roadmap item, README.md:25): blocked
+    * edit-distance
     * match pairs ([[fuzzyDuplicatesBlocked]]) closed TRANSITIVELY into
     * entity clusters via [[graft.operators.Dedup.components]] — "J.
     * Smith" ~ "Jo Smith" ~ "Joe Smith" is ONE customer even though the

@@ -93,9 +93,10 @@ object Windows {
     * likewise drop. Both input frames keep all their columns in the
     * output (the `_bin` key is internal).
     *
-    * Reference analog: the warehouse models band lookups as scalar
-    * CASE chains (analytics/models/marts, e.g. fct_transactions'
-    * amount-tier buckets); this is the same banding as data — an
+    * Industry analog (the reference's dimensional-model layer is a
+    * roadmap item, README.md:24-28): warehouse marts model band
+    * lookups as scalar CASE chains (amount-tier buckets over a
+    * transactions fact); this is the same banding as DATA — an
     * interval TABLE — at join scale. */
   def rangeJoinBinned(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

@@ -31,8 +31,10 @@ object Meta {
     else fs.getContentSummary(p).getLength
   }
 
-  /** One-pass column profiler (the warehouse's "describe + dbt tests"
-    * stats surface as data): one row per column with row count, null
+  /** One-pass column profiler — the stats surface behind the
+    * reference's planned "data quality tests with dbt tests" roadmap
+    * item (README.md:28) and its printed seeder quality summary
+    * (oltp_seeder.py:154), as data: one row per column with row count, null
     * count, distinct count, and typed min/max — numerics and
     * timestamps land in `min_num`/`max_num` (timestamps as epoch
     * seconds, micros in the fraction — the cross-engine-exact double),
