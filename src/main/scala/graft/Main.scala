@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{abs, col}
 import graft.gen.DataGen
 import graft.operators.Quality
 import graft.sources.{Lake, Tables}
@@ -49,6 +50,9 @@ object Main {
         |  embed-stats <sfDir> <outDir>
         |  embed-drift <sfDir> <outDir> [groupCol]
         |  embed-drift-against <refDir> <curDir> <outDir>
+        |  snapshot-cells <sfDir> <outDir>
+        |  drift-gate <sfDir> <snapshotDir> <outDir> [maxAbsZ] [ratioLo] [ratioHi]
+        |  gold-mart <sfDir> <outRoot>
         |  pca-project <sfDir> <outDir> <k>
         |  pca-project-by <sfDir> <outDir> <k> [groupCol]
         |  pca-outliers <sfDir> <outDir> <k> <residThresh> <mahaThresh>
@@ -302,6 +306,43 @@ object Main {
             Tables.load(spark, curDir, "embeddings"))
           .write.mode("overwrite").parquet(outDir)
         println(s"embedding drift vs reference at $outDir")
+      case "snapshot-cells" :: sfDir :: outDir :: Nil =>
+        // Freeze the corpus's embedding distribution as d diagonal
+        // summary cells — the persisted reference artifact the drift
+        // gate scores later corpora against (Ann.diagCells; batches
+        // appended later merge by addition).
+        graft.operators.Ann.diagCells(Tables.load(spark, sfDir, "embeddings"))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"frozen embedding snapshot cells at $outDir")
+      case "drift-gate" :: sfDir :: snapDir :: outDir :: rest
+          if rest.size <= 3 =>
+        // The release-gate verdict (the Curate.DriftGate stage as a
+        // standalone report): current corpus vs the frozen snapshot,
+        // with the drifted predicate materialized per dimension.
+        val maxZ = rest.headOption.map(_.toDouble).getOrElse(4.0)
+        val lo = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.25)
+        val hi = rest.drop(2).headOption.map(_.toDouble).getOrElse(4.0)
+        val rep = graft.operators.Ann.embeddingDriftAgainstCells(
+            spark.read.parquet(snapDir),
+            Tables.load(spark, sfDir, "embeddings"))
+          .withColumn("drifted",
+            col("n_ref").isNull || col("n_cur").isNull ||
+              abs(col("mean_z")) > maxZ ||
+              col("var_ratio") < lo || col("var_ratio") > hi ||
+              (col("mean_z").isNull && !(col("mean_cur") <=> col("mean_ref"))))
+        rep.write.mode("overwrite").parquet(outDir)
+        val n = rep.filter(col("drifted")).count()
+        println(s"drift-gate report at $outDir: $n drifted dims" +
+          (if (n > 0) " — RETRAIN/INVESTIGATE before release" else " (gate passes)"))
+      case "gold-mart" :: sfDir :: outRoot :: Nil =>
+        // Materialize the reference's declared dashboard set (README
+        // 34-40) — one parquet dir per panel query.
+        for ((panel, frames) <- graft.queries.GoldMart.all(spark, sfDir);
+             (q, df) <- frames) {
+          df.write.mode("overwrite").parquet(s"$outRoot/$panel/$q")
+          println(s"$panel/$q materialized")
+        }
+        println(s"gold mart at $outRoot")
       case "pca-project" :: sfDir :: outDir :: k :: Nil =>
         val emb = Tables.load(spark, sfDir, "embeddings")
         val (means, eigs, comps) =
