@@ -4943,6 +4943,78 @@ object PipelineInventory {
               |FROM gr JOIN gc ON gc.i = gr.i
               |ORDER BY gr.i""".stripMargin)),
 
+    // The embedding-drift RELEASE GATE verdict (Curate.DriftGate's
+    // predicate) as an oracle row: the reference side is the persisted
+    // diagCells snapshot (the production shape — frozen corpus never
+    // re-read), the current side is the odd-id slice with dims 0-7
+    // shifted +1.0 (double arithmetic both sides for exact parity;
+    // z = 1/sigma ~ 8 >> the 4.0 gate), so `drifted` must read TRUE on
+    // exactly those 8 dims and FALSE on the other 56 — a gate that
+    // over- or under-fires breaks the hash. Thresholds are the
+    // DriftGate defaults (|z| > 4, var_ratio outside [0.25, 4],
+    // null-sided spine rows, constant-ref movement).
+    QueryDef("r117_drift_gate",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+        val ref = e.filter(col("vec_id") % 2 === 0)
+        val cur = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            expr("transform(embedding, (x, k) -> CASE WHEN k < 8 " +
+              "THEN CAST(x AS DOUBLE) + CAST(1.0 AS DOUBLE) " +
+              "ELSE CAST(x AS DOUBLE) END)").as("embedding"))
+        Ann.embeddingDriftAgainstCells(Ann.diagCells(ref), cur)
+          .withColumn("drifted",
+            col("n_ref").isNull || col("n_cur").isNull ||
+              abs(col("mean_z")) > 4.0 ||
+              col("var_ratio") < 0.25 || col("var_ratio") > 4.0 ||
+              (col("mean_z").isNull && !(col("mean_cur") <=> col("mean_ref"))))
+          .orderBy("i")
+      },
+      Some(s"""WITH vr AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT) FOR x IN embedding] AS q
+              |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+              |pu AS (SELECT CAST(gs - 1 AS BIGINT) AS i,
+              |         CAST(trunc((CASE WHEN gs <= 8
+              |                     THEN CAST(x AS DOUBLE) + 1.0::DOUBLE
+              |                     ELSE CAST(x AS DOUBLE) END) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v
+              |       FROM (SELECT unnest(embedding) AS x,
+              |                    generate_subscripts(embedding, 1) AS gs
+              |             FROM embeddings
+              |             WHERE embedding IS NOT NULL AND vec_id % 2 = 1)),
+              |pr AS (SELECT q, unnest(range(0, len(q))) AS i FROM vr),
+              |dr AS (SELECT CAST(i AS INT) AS i,
+              |         CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(q[i + 1]) AS DECIMAL(38,0)) AS sx,
+              |         CAST(SUM(q[i + 1] * q[i + 1]) AS DECIMAL(38,0)) AS sxy
+              |       FROM pr GROUP BY 1),
+              |du AS (SELECT CAST(i AS INT) AS i,
+              |         CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(v) AS DECIMAL(38,0)) AS sx,
+              |         CAST(SUM(v * v) AS DECIMAL(38,0)) AS sxy
+              |       FROM pu GROUP BY 1),
+              |gr AS (SELECT i, n AS n_ref,
+              |  ${rrepr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)} AS mean_ref,
+              |  ${rrepr("(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS var_ref
+              |  FROM dr),
+              |gc AS (SELECT i, n AS n_cur,
+              |  ${rrepr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)} AS mean_cur,
+              |  ${rrepr("(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(1000000000000 AS DOUBLE)", 6)} AS var_cur
+              |  FROM du),
+              |rep AS (SELECT gr.i, gr.n_ref, gc.n_cur, gr.mean_ref, gc.mean_cur,
+              |  CASE WHEN gr.var_ref > 0
+              |    THEN ${rrepr("(gc.mean_cur - gr.mean_ref) / sqrt(gr.var_ref)", 6)}
+              |  END AS mean_z,
+              |  CASE WHEN gr.var_ref > 0
+              |    THEN ${rrepr("gc.var_cur / gr.var_ref", 6)}
+              |  END AS var_ratio
+              |  FROM gr FULL OUTER JOIN gc ON gc.i = gr.i)
+              |SELECT i, n_ref, n_cur, mean_ref, mean_cur, mean_z, var_ratio,
+              |  (n_ref IS NULL OR n_cur IS NULL
+              |   OR abs(mean_z) > 4.0::DOUBLE
+              |   OR var_ratio < 0.25::DOUBLE OR var_ratio > 4.0::DOUBLE
+              |   OR (mean_z IS NULL
+              |       AND NOT (mean_cur IS NOT DISTINCT FROM mean_ref))) AS drifted
+              |FROM rep ORDER BY i""".stripMargin)),
+
     // A8 at scale: HLL approximate distinct (no cross-engine oracle —
     // sketch internals differ; driver records a rows-only check; the
     // portable alternative with a full oracle is r77).
