@@ -262,6 +262,71 @@ object Multimodal {
       bits
     }
 
+  /** Cosine basis for the 128-point DCT-II, low 64 frequencies only —
+    * the audio-envelope sibling of the image [[dctCos]] table
+    * (StrictMath for cross-JVM bit-stability). */
+  private val dctCosA: Array[Array[Double]] =
+    Array.tabulate(64, 128)((u, x) =>
+      StrictMath.cos(math.Pi * (2 * x + 1) * u / 256.0))
+
+  /** Spectral audio hash — [[pHash64]]'s idea over time: the mono
+    * stream's MEAN-ENERGY envelope on a fixed 128-window grid, 1-D
+    * DCT-II, low 64 coefficients thresholded at the median of the 63
+    * AC terms → 64 bits. Where [[audioHash64]]'s strict adjacent-
+    * window comparisons flip when neighboring windows are near-ties
+    * (small noise, re-dithering), the envelope's low-frequency DCT
+    * signs survive (MultimodalSpec plants an edit audioHash64 misses
+    * and this catches). EXACTLY gain-invariant for power-of-two gain
+    * (samples ×2 scale every energy, every DCT partial sum, and the
+    * median by ×4 — an exponent shift, bit-exact in IEEE — so the
+    * comparisons are identical; arbitrary gains are invariant up to
+    * integer re-quantization noise). None for undecodable payloads or
+    * streams shorter than the 128-window grid. */
+  def audioSpectralHash64(payload: Array[Byte]): Option[Long] =
+    decodeWavSamples(payload).collect { case (_, mono) if mono.length >= 128 =>
+      val win = 128
+      val e = new Array[Double](win)
+      var w = 0
+      while (w < win) {
+        val lo = (w.toLong * mono.length / win).toInt
+        val hi = ((w + 1).toLong * mono.length / win).toInt
+        var sum = 0.0; var i = lo
+        while (i < hi) { val v = mono(i).toDouble; sum += v * v; i += 1 }
+        e(w) = if (hi > lo) sum / (hi - lo) else 0.0
+        w += 1
+      }
+      val c = new Array[Double](64)
+      var u = 0
+      while (u < 64) {
+        var s = 0.0; var x = 0
+        while (x < win) { s += e(x) * dctCosA(u)(x); x += 1 }
+        c(u) = s; u += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(c, 1, 64)
+      java.util.Arrays.sort(ac)
+      val m = ac(31)
+      var bits = 0L; var i = 0
+      while (i < 64) { if (c(i) > m) bits |= (1L << i); i += 1 }
+      bits
+    }
+
+  /** One (doc_id, shash) row per media row — the [[audioSpectralHash64]]
+    * sibling of [[audioHashes]]; narrow map, no shuffle. */
+  def audioSpectralHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r => (r.doc_id, audioSpectralHash64(r.payload))))
+      .toDF("doc_id", "shash")
+  }
+
+  /** Audio near-dup pairs under the spectral hash — same capped
+    * pigeonhole hamming join as [[nearDupAudio]].
+    * Output: d1, d2, dist. */
+  def nearDupAudioSpectral(media: Dataset[MediaRow], maxDist: Int = 3,
+      maxBucket: Int = 100): DataFrame =
+    hammingPairs(audioSpectralHashes(media).withColumnRenamed("shash", "h"),
+      maxDist, maxBucket)
+
   /** One (doc_id, ahash) row per media row — null for undecodable or
     * too-short payloads (kept visible). Narrow map, no shuffle. */
   def audioHashes(media: Dataset[MediaRow]): DataFrame = {
@@ -615,6 +680,35 @@ object Multimodal {
       i += 1
     }
     encodeWavSamples(8000, 1, samples)
+  }
+
+  /** Deterministic 640-sample PCM16 mono WAV planting GAIN-SCALED
+    * duplicates for the p64 spectral-hash gate: doc 2k is a
+    * pseudo-random texture with samples in [0, 127]; doc 2k+1 is the
+    * SAME stream with every sample ×2 (max 254, far inside PCM16).
+    * A ×2 gain scales every window energy, DCT partial sum, and the
+    * AC median by exactly ×4 — an IEEE exponent shift — so
+    * [[audioSpectralHash64]] is BIT-IDENTICAL within a pair while
+    * distinct textures give independent hashes; p64's oracle asserts
+    * exactly the planted (2k, 2k+1, dist=0) set. 640 = 128 windows
+    * × 5 samples, the spectral grid. */
+  def spectralAudioFixture(id: Long): Array[Byte] = {
+    val n = 640
+    val gain = if (id % 2 == 1) 2 else 1
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (((mix64((id / 2) * 8192L + i) >>> 16) % 128).toInt * gain).toShort
+      i += 1
+    }
+    encodeWavSamples(8000, 1, samples)
+  }
+
+  def spectralAudioFixtures(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, spectralAudioFixture(id), "audio", 0, 0, 640L * 1000 / 8000))
   }
 
   /** The fixture corpora as media frames — the perceptual-dedup gate

@@ -2041,6 +2041,24 @@ object PipelineInventory {
              |WHERE a.doc_id % 2 = 0
              |ORDER BY d1, d2""".stripMargin)),
 
+    // Spectral audio near-dup (p63's audio sibling): DCT over the
+    // 128-window energy envelope, low-64 coefficients vs the AC
+    // median — survives the near-tie window noise that flips p34's
+    // adjacent-window comparisons (MultimodalSpec plants one). The
+    // fixture plants doc 2k+1 = doc 2k with every sample ×2: a
+    // power-of-two gain scales energies, DCT partials, and the median
+    // by an exact IEEE exponent shift, so pairs collide BIT-IDENTICAL
+    // at dist 0 and the oracle is the planted ground truth — a hash
+    // that is not gain-invariant breaks every pair.
+    QueryDef("p64_audio_spectral",
+      (s, d) => Multimodal.nearDupAudioSpectral(
+          Multimodal.spectralAudioFixtures(T(s, d, "documents")), maxDist = 0)
+        .orderBy("d1", "d2"),
+      Some("""SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS dist
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Content-defined-chunking dedup — the distributed ExactSubstr
     // answer: boundaries cut where md5(token) % 8 == 0, so verbatim
     // spans produce identical chunks at ANY offset and keep-first

@@ -253,6 +253,65 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == (0L until 10L).map(k => (2 * k, 2 * k + 1, 0L)).toSet)
   }
 
+  test("spectral audio hash catches the near-tie noise edit audioHash64 misses; x2 gain is an exact collision") {
+    // Base stream: four PLANTED near-tie adjacent 65-grid window pairs
+    // (window 2k+1 = copy of window 2k with one sample +1, so
+    // e(2k) < e(2k+1) by the thinnest possible margin), noise after.
+    // The edit bumps one sample of each LEFT window by +2 — enough to
+    // flip all four strict comparisons (audioHash64 bits 0,2,4,6 ->
+    // hamming >= 4, missed) but a rounding-sized perturbation to the
+    // 64 low-frequency envelope DCT coefficients (spectral <= 3 bits).
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def stream(edited: Boolean): Array[Short] = {
+      val n = 650 // 65 windows x 10 samples (the audioHash64 grid)
+      val s = new Array[Short](n)
+      for (i <- 0 until n) s(i) = ((mix(i.toLong) >>> 16) % 128).toShort
+      for (k <- 0 until 4) {
+        val w = 20 * k // windows 2k / 2k+1 start here
+        for (j <- 0 until 10) s(w + 10 + j) = s(w + j) // exact copy
+        s(w + 10) = (s(w + 10) + 1).toShort            // right wins by a hair
+        if (edited) s(w) = (s(w) + 2).toShort          // left overtakes
+      }
+      s
+    }
+    val a = Multimodal.encodeWavSamples(8000, 1, stream(edited = false))
+    val b = Multimodal.encodeWavSamples(8000, 1, stream(edited = true))
+    val eA = Multimodal.audioHash64(a).get; val eB = Multimodal.audioHash64(b).get
+    val sA = Multimodal.audioSpectralHash64(a).get
+    val sB = Multimodal.audioSpectralHash64(b).get
+    assert(java.lang.Long.bitCount(eA ^ eB) >= 4,
+      s"audioHash64 was expected to MISS: ${java.lang.Long.bitCount(eA ^ eB)}")
+    assert(java.lang.Long.bitCount(sA ^ sB) <= 3,
+      s"spectral hash was expected to CATCH: ${java.lang.Long.bitCount(sA ^ sB)}")
+    val m = Seq(
+      Multimodal.MediaRow(1L, a, "audio", 0, 0, 0L),
+      Multimodal.MediaRow(2L, b, "audio", 0, 0, 0L)).toDS()
+    assert(Multimodal.nearDupAudio(m).count() == 0L)
+    val pairs = Multimodal.nearDupAudioSpectral(m).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L &&
+      pairs.head.getLong(1) == 2L)
+  }
+
+  test("spectral audio fixture: x2-gain pairs are EXACT collisions (p64 contract)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val hs = Multimodal.audioSpectralHashes(
+        Multimodal.spectralAudioFixtures(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { k =>
+      assert(hs(2 * k) == hs(2 * k + 1), s"pair ${2 * k} not gain-invariant")
+    }
+    assert(hs.values.toSet.size == 10, "distinct streams collided")
+    val pairs = Multimodal.nearDupAudioSpectral(
+        Multimodal.spectralAudioFixtures(ids), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == (0L until 10L).map(k => (2 * k, 2 * k + 1, 0L)).toSet)
+  }
+
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
     // the oracle-checked gate queries rely on the bump reaching only
     // the documented grid cells / energy windows — pin that here so a
