@@ -1456,6 +1456,28 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     driftAgainstFromDiag(refCells, diagCells(cur, idCol, vecCol))
 
+  /** The fully-landed drift gate — BOTH sides already summary cells:
+    * the streaming release-gate shape, where the frozen reference is a
+    * persisted [[diagCells]] artifact and the CURRENT corpus's cells
+    * arrive from a streamed landing
+    * ([[graft.streaming.Ingest]] covIngestStream — per-batch additive
+    * cell partitions), so the gate verdict refreshes per micro-batch
+    * without ever re-reading a vector corpus on either side. Accepts
+    * diagonal cell frames or FULL covariance cell frames (a `j` column
+    * marks the latter; the diagonal is filtered out here — bit-equal
+    * to diagCells by the shared scaled-truncated-long construction).
+    * Raw multi-batch rows merge by addition on both sides, so the
+    * streamed landing gates identically to the one-shot batch form
+    * (StreamingSpec STGATE law). */
+  def embeddingDriftAgainstLanded(refCells: DataFrame,
+      curCells: DataFrame): DataFrame =
+    driftAgainstFromDiag(diagOf(refCells), diagOf(curCells))
+
+  private def diagOf(cells: DataFrame): DataFrame =
+    if (cells.columns.contains("j"))
+      cells.filter(col("i") === col("j")).select("i", "n", "sxy", "sx")
+    else cells.select("i", "n", "sxy", "sx")
+
   /** Ungrouped diagonal second-moment cells `(i, n, sxy, sx)` with
     * `sxy = Σ xᵢ²` — the persistable snapshot artifact
     * [[embeddingDriftAgainstCells]] gates against: ONE narrow pass

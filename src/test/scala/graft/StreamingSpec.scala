@@ -971,6 +971,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(merged) == rows(oneShot))
   }
 
+  test("STGATE: streamed current-corpus cells gate against the frozen snapshot identically to the batch form") {
+    // the streaming release gate: reference = a persisted diagCells
+    // artifact, current = covIngestStream's per-batch FULL cell
+    // landing (diagonal filtered inside the operator) — the verdict
+    // refreshes per micro-batch with no vector re-read on either side
+    val src = tmp("stgate-src"); val out = tmp("stgate-out"); val ck = tmp("stgate-ck")
+    val ref = Seq((100L, Seq(1.0f, 2.0f, -0.5f)), (101L, Seq(3.0f, 5.0f, 0.25f)),
+      (102L, Seq(0.5f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val b1 = Seq((0L, Seq(1.5f, 2.5f, -0.25f)), (1L, Seq(2.0f, 4.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((2L, Seq(-1.0f, 0.5f, 2.0f)), (3L, Seq(0.125f, -2.5f, 1.5f)))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.covIngestStream(spark, b1.schema, src, out, ck)
+    val refCells = graft.operators.Ann.diagCells(ref)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("i").collect().map(_.toSeq).toSeq
+    val streamed = graft.operators.Ann.embeddingDriftAgainstLanded(
+      refCells, spark.read.parquet(out))
+    val batch = graft.operators.Ann.embeddingDriftAgainst(
+      ref, b1.unionByName(b2))
+    assert(key(streamed) == key(batch))
+    // replay: re-running the stream re-lands nothing, verdict stable
+    Ingest.covIngestStream(spark, b1.schema, src, out, ck)
+    assert(key(graft.operators.Ann.embeddingDriftAgainstLanded(
+      refCells, spark.read.parquet(out))) == key(batch))
+  }
+
   test("STDRIFTB: streamed grouped cells + driftFromCountsBy == one-shot corpusDriftBy; raw cells; replay clean") {
     val src = tmp("stdb-src"); val out = tmp("stdb-out"); val ck = tmp("stdb-ck")
     val ref = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "eins zwei"))
