@@ -728,6 +728,103 @@ object Multimodal {
       .map(id => MediaRow(id, audioFixture(id), "audio", 0, 0, 650L * 1000 / 8000))
   }
 
+  /** REAL video container decode: the payload is a sequence of
+    * back-to-back 24bpp BMP frames (the uncompressed-MJPEG idea — each
+    * frame's byte length comes from its own header's bfSize field), so
+    * the walk is pure byte arithmetic like the WAV chunk walk. None
+    * for malformed payloads: a frame without the magic, a declared
+    * size running past the payload, or trailing garbage all reject the
+    * whole container rather than decoding a prefix. */
+  def parseBmpSequence(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 0
+    while (off < payload.length) {
+      if (off + 54 > payload.length ||
+          payload(off) != 'B' || payload(off + 1) != 'M') return None
+      val size = leU32(payload, off + 2)
+      if (size < 54 || off + size > payload.length) return None
+      frames += java.util.Arrays.copyOfRange(payload, off, off + size.toInt)
+      off += size.toInt
+    }
+    if (frames.isEmpty) None else Some(frames.toSeq)
+  }
+
+  /** One (doc_id, frame_idx, fhash) row per decodable video frame —
+    * the keyframe-fingerprint table real video dedup runs on: each
+    * frame hashed with [[pHash64]] (brightness/noise-robust), the walk
+    * and hash both narrow (flatMap, no shuffle). Videos the container
+    * codec rejects are absent; individual undecodable frames keep a
+    * null hash. */
+  def videoFrameHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseBmpSequence(r.payload).toSeq.flatMap(_.zipWithIndex.map {
+        case (f, idx) => (r.doc_id, idx, pHash64(f))
+      })
+    }).toDF("doc_id", "frame_idx", "fhash")
+  }
+
+  /** Video near-dup pairs by FRAME-FINGERPRINT intersection: two
+    * videos match when at least `minFrames` DISTINCT frame pHashes
+    * collide — the sequence-level robustness a single aggregated hash
+    * cannot give (a trimmed or re-cut copy still shares most keyframe
+    * fingerprints; a brightness-graded copy shares ALL of them, since
+    * pHash is shift-invariant per frame). Candidates come from an
+    * equi-join on the 64-bit frame hash over the distinct
+    * (doc, fhash) set — never all-pairs — with hot hashes (a black
+    * frame shared corpus-wide) capped by the same skew-safe
+    * `capBuckets` as every other blocking scheme.
+    * Output: d1, d2, matched (distinct shared fingerprints). */
+  def nearDupVideos(media: Dataset[MediaRow], minFrames: Int = 4,
+      maxBucket: Int = 100): DataFrame = {
+    val fh = videoFrameHashes(media)
+      .filter(col("fhash").isNotNull)
+      .select("doc_id", "fhash").distinct()
+    val capped = Dedup.capBuckets(fh, Seq("fhash"), maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).cast("long").as("matched"))
+      .filter(col("matched") >= minFrames)
+  }
+
+  /** Deterministic 6-frame 32×32 grayscale BMP-sequence video planting
+    * TRIMMED + BRIGHTNESS-GRADED duplicates for the p65 gate: video 2k
+    * is six distinct pseudo-random textures; video 2k+1 is frames 0-4
+    * of the SAME textures (last frame trimmed) with every pixel +40 —
+    * no clamping, so each surviving frame's pHash is bit-identical
+    * ([[pHashImageFixture]]'s argument) and the pair shares exactly 5
+    * distinct fingerprints: the oracle asserts the planted
+    * (2k, 2k+1, matched=5) set, proving trim AND brightness robustness
+    * in one row. Distinct textures never collide. */
+  def videoFixture(id: Long): Array[Byte] = {
+    val nFrames = if (id % 2 == 1) 5 else 6
+    val shift = if (id % 2 == 1) 40 else 0
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val rgb = new Array[Byte](32 * 32 * 3)
+      var idx = 0
+      while (idx < 32 * 32) {
+        val v = ((mix64((id / 2) * 65536L + f * 4096L + idx) >>> 16) % 192 + shift).toByte
+        rgb(3 * idx) = v; rgb(3 * idx + 1) = v; rgb(3 * idx + 2) = v
+        idx += 1
+      }
+      out.write(encodeBmp(32, 32, rgb))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  def videoFixtures(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, videoFixture(id), "video", 32, 32,
+        (if (id % 2 == 1) 5L else 6L) * 1000))
+  }
+
   /** REAL image resize: decode the BMP payload, nearest-neighbor
     * resample so the longest edge is `maxDim`, re-encode, and update
     * the metadata. A narrow mapPartitions (one "codec init" per

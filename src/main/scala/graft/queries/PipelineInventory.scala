@@ -2059,6 +2059,24 @@ object PipelineInventory {
              |WHERE a.doc_id % 2 = 0
              |ORDER BY d1, d2""".stripMargin)),
 
+    // Video near-dup by frame-fingerprint intersection: per-frame
+    // pHash over a REAL concatenated-BMP container walk, candidates
+    // from a capped equi-join on the 64-bit fingerprints, pairs kept
+    // at >= 4 distinct shared frames. The fixture plants video 2k+1 =
+    // video 2k TRIMMED to 5 of 6 frames AND brightness-shifted +40
+    // (per-frame pHash exactly invariant, p63's argument), so the
+    // oracle is the planted ground truth (2k, 2k+1, matched=5) — one
+    // row proving trim AND brightness robustness; a hash that loses
+    // either breaks every pair, a colliding texture adds rows.
+    QueryDef("p65_video_neardup",
+      (s, d) => Multimodal.nearDupVideos(
+          Multimodal.videoFixtures(T(s, d, "documents")))
+        .orderBy("d1", "d2"),
+      Some("""SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(5 AS BIGINT) AS matched
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Content-defined-chunking dedup — the distributed ExactSubstr
     // answer: boundaries cut where md5(token) % 8 == 0, so verbatim
     // spans produce identical chunks at ANY offset and keep-first

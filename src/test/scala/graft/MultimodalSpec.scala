@@ -312,6 +312,36 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == (0L until 10L).map(k => (2 * k, 2 * k + 1, 0L)).toSet)
   }
 
+  test("video container walk: round-trip, frame hashes, malformed payloads rejected whole") {
+    val f1 = Multimodal.imageFixture(0L) // any valid BMPs work as frames
+    val f2 = Multimodal.imageFixture(2L)
+    val video = f1 ++ f2
+    val frames = Multimodal.parseBmpSequence(video)
+    assert(frames.exists(_.size == 2))
+    assert(frames.get.map(_.toSeq) == Seq(f1.toSeq, f2.toSeq))
+    // per-frame hashes equal the standalone image hashes, in order
+    val m = Seq(Multimodal.MediaRow(7L, video, "video", 32, 32, 0L)).toDS()
+    val fh = Multimodal.videoFrameHashes(m).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(fh == Map(0 -> Multimodal.pHash64(f1).get, 1 -> Multimodal.pHash64(f2).get))
+    // trailing garbage, truncated second frame, bad magic: all -> None
+    assert(Multimodal.parseBmpSequence(video ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseBmpSequence(video.dropRight(10)).isEmpty)
+    assert(Multimodal.parseBmpSequence("XX".getBytes ++ video).isEmpty)
+    assert(Multimodal.parseBmpSequence(Array.emptyByteArray).isEmpty)
+  }
+
+  test("video fixture: trimmed + brightness-graded copies share exactly 5 fingerprints (p65 contract)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val pairs = Multimodal.nearDupVideos(Multimodal.videoFixtures(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == (0L until 10L).map(k => (2 * k, 2 * k + 1, 5L)).toSet)
+    // raising the bar above the planted overlap drops every pair —
+    // matched counts are exact intersections, not approximations
+    assert(Multimodal.nearDupVideos(Multimodal.videoFixtures(ids),
+      minFrames = 6).count() == 0L)
+  }
+
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
     // the oracle-checked gate queries rely on the bump reaching only
     // the documented grid cells / energy windows — pin that here so a
