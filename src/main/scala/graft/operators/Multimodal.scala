@@ -572,6 +572,83 @@ object Multimodal {
     hammingPairs(pHashes(media).withColumnRenamed("phash", "h"),
       maxDist, maxBucket)
 
+  /** Persist a corpus's image fingerprints as a (doc_id, h, blk, bv)
+    * block index — the IMAGE sibling of the text band index
+    * (`Dedup.writeBandIndex`): later batches dedup against ~32-byte
+    * block rows, never against pixels. */
+  def writePHashIndex(media: Dataset[MediaRow], path: String): Unit =
+    hashBlocks(pHashes(media).withColumnRenamed("phash", "h"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's (post-dedup survivor) fingerprints. */
+  def appendPHashIndex(media: Dataset[MediaRow], path: String): Unit =
+    hashBlocks(pHashes(media).withColumnRenamed("phash", "h"))
+      .write.mode("append").parquet(path)
+
+  /** One batch's fingerprints as a per-batch OVERWRITE dir — the
+    * exactly-once streaming index sink
+    * ([[graft.streaming.Ingest]] imageIngestStream layout;
+    * [[appendPHashIndex]] is the at-least-once batch sibling). */
+  def writePHashIndexBatch(media: Dataset[MediaRow], batchDir: String): Unit =
+    hashBlocks(pHashes(media).withColumnRenamed("phash", "h"))
+      .write.mode("overwrite").parquet(batchDir)
+
+  /** Incremental image dedup: survivors of a NEW batch against a
+    * persisted fingerprint index ([[writePHashIndex]]) plus within the
+    * batch itself — the image form of `Dedup.dedupAgainstIndex`, same
+    * keep/drop law: a batch image drops iff it hamming-matches an
+    * indexed image within `maxDist`, sits in a within-batch component
+    * CONTAINING such a match (transitive contamination), or is not the
+    * min id of its clean within-batch component. With batch ids above
+    * all indexed ids this equals a full [[nearDupImagesPHash]]-based
+    * recompute over old ∪ new restricted to the batch (MultimodalSpec
+    * proves it). Only the batch's pixels are ever decoded — the old
+    * side contributes block rows; the bucket cap counts old+new
+    * occupancy together, so a corpus-hot block stays dropped for new
+    * batches. Returns the surviving media rows. */
+  def dedupImagesAgainstIndex(media: Dataset[MediaRow], indexBlocks: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 100, maxIter: Int = 20): DataFrame = {
+    Dedup.ensureCheckpointDir(media.sparkSession)
+    val newBlocks = hashBlocks(pHashes(media).withColumnRenamed("phash", "h"))
+      .withColumn("is_new", lit(true))
+    val idx = indexBlocks.select("doc_id", "h", "blk", "bv")
+      .withColumn("is_new", lit(false))
+    val all = Dedup.capBuckets(newBlocks.unionByName(idx), Seq("blk", "bv"),
+      maxBucket)
+    val newSide = all.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("h").as("nh"),
+        col("blk"), col("bv"))
+    // candidate pipeline checkpointed ONCE into a bounded pair table
+    // (three consumers below — the dedupAgainstIndexBands discipline)
+    val cand = all
+      .select(col("doc_id").as("other_id"), col("h").as("oh"),
+        col("blk"), col("bv"), col("is_new"))
+      .join(newSide, Seq("blk", "bv"))
+      .filter(col("other_id") =!= col("new_id") &&
+        (!col("is_new") || col("new_id") < col("other_id")))
+      .select(col("new_id"), col("other_id"),
+        col("is_new").as("other_is_new"),
+        expr("CAST(bit_count(nh ^ oh) AS BIGINT)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+      .checkpoint()
+    val newNew = cand.filter(col("other_is_new"))
+      .select(least(col("new_id"), col("other_id")).as("d1"),
+        greatest(col("new_id"), col("other_id")).as("d2"))
+      .distinct()
+    val oldMatched = cand.filter(!col("other_is_new"))
+      .select(col("new_id").as("id")).distinct()
+    val comp = Dedup.components(newNew, maxIter)
+    val contaminated = comp.join(oldMatched, "id").select("comp").distinct()
+    media.toDF()
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(oldMatched.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+      .join(contaminated.withColumnRenamed("comp", "ccomp"),
+        col("comp") === col("ccomp"), "left_anti")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .drop("comp", "ccomp")
+  }
+
   /** Shared pigeonhole candidate machinery for 64-bit perceptual
     * hashes (`(doc_id, h)` input; null hashes dropped): any pair
     * within hamming distance 3 agrees on at least one of the four
@@ -580,14 +657,21 @@ object Multimodal {
     * skew-safe `capBuckets` as text SimHash — and the exact
     * `bit_count(xor)` filter prunes the rest. maxDist > 3 weakens the
     * pigeonhole guarantee. Output: d1, d2, dist. */
-  private[operators] def hammingPairs(hashes: DataFrame, maxDist: Int,
-      maxBucket: Int): DataFrame = {
-    val nonNull = hashes.filter(col("h").isNotNull)
-    val blocks = nonNull.select(col("doc_id"), col("h"),
+  /** (doc_id, h, blk, bv) block rows of a 64-bit hash frame — the
+    * pigeonhole unit shared by the in-corpus pair join AND the
+    * persisted fingerprint index ([[writePHashIndex]]): 4×16-bit
+    * blocks, so any pair within hamming distance 3 shares a block.
+    * Null hashes dropped. */
+  private[operators] def hashBlocks(hashes: DataFrame): DataFrame =
+    hashes.filter(col("h").isNotNull)
+      .select(col("doc_id"), col("h"),
         explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
           expr(s"(h >> ${b * 16}) & 65535").as("bv"))): _*)).as("x"))
       .select(col("doc_id"), col("h"), col("x.blk").as("blk"), col("x.bv").as("bv"))
-    val capped = Dedup.capBuckets(blocks, Seq("blk", "bv"), maxBucket)
+
+  private[operators] def hammingPairs(hashes: DataFrame, maxDist: Int,
+      maxBucket: Int): DataFrame = {
+    val capped = Dedup.capBuckets(hashBlocks(hashes), Seq("blk", "bv"), maxBucket)
     capped.as("a").join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -1383,6 +1383,52 @@ object Ingest {
       .select(col("batch_id").cast("long").as("batch_id"), col("c_id"),
         col("n"), col("dist"), col("retrain"))
 
+  /** Streaming IMAGE ingest with incremental perceptual dedup — the
+    * media sibling of [[dedupIngestStream]]: each micro-batch of media
+    * rows is pHash-deduped against the persisted fingerprint-block
+    * index (only the batch's pixels are ever decoded — old images
+    * contribute ~32-byte block rows), survivors land in the silver
+    * media corpus and their blocks in the index, duplicates drop. The
+    * first batch bootstraps from its own within-batch survivor set.
+    * Both sinks are per-batch OVERWRITE partitions read back
+    * restricted to earlier batch ids, so checkpoint replay reproduces
+    * the original accept-or-drop decision exactly. */
+  def imageIngestStream(spark: SparkSession, mediaSchema: StructType,
+      srcDir: String, corpusDir: String, indexPath: String,
+      checkpoint: String, maxDist: Int = 3, maxBucket: Int = 100,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.Multimodal
+    val q = spark.readStream.schema(mediaSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        val media = batch.as[Multimodal.MediaRow]
+        val idx = earlierBatchPartitions(ss, indexPath, id,
+          "imageIngestStream index")
+        val survivors = idx match {
+          case Some(i) => Multimodal.dedupImagesAgainstIndex(media, i,
+            maxDist, maxBucket)
+          case None => graft.operators.Dedup.survivors(batch,
+            Multimodal.nearDupImagesPHash(media, maxDist, maxBucket))
+        }
+        // survivors read the index the block write mutates: eager
+        // materialization first (the dedupIngestStream rule)
+        val kept = survivors.localCheckpoint(true)
+        try {
+          kept.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$id")
+          Multimodal.writePHashIndexBatch(kept.as[Multimodal.MediaRow],
+            s"$indexPath/batch_id=$id")
+        } finally { kept.unpersist(); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming DSIR scoring: each micro-batch of documents is scored
     * against a FIXED fitted bucket model
     * ([[graft.operators.Mix.dsirModel]], pre-materialized — fit once

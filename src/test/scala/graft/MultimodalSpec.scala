@@ -342,6 +342,35 @@ class MultimodalSpec extends SparkSpec {
       minFrames = 6).count() == 0L)
   }
 
+  test("incremental image dedup against the fingerprint index == full recompute restricted to the batch") {
+    import Multimodal.{MediaRow, pHashImageFixture}
+    def m(id: Long, tex: Long) = MediaRow(id, pHashImageFixture(tex), "image", 32, 32, 0L)
+    // indexed corpus: five distinct textures (fixture evens)
+    val old = Seq(m(0, 0), m(2, 2), m(4, 4), m(6, 6), m(8, 8)).toDS()
+    val idxDir = java.nio.file.Files.createTempDirectory("phidx").toString + "/idx"
+    Multimodal.writePHashIndex(old, idxDir)
+    // new batch (ids above all indexed ids — the equality precondition):
+    //  100: brightness-shifted copy of texture 0  -> old match, drops
+    //  101: shifted copy of texture 2             -> old match, drops
+    //  102/103: a FRESH within-batch dup pair     -> keep min (102)
+    //  104: fresh                                  -> kept
+    //  105/106: within-batch dups whose twin 105 ALSO matches indexed
+    //           texture 8 -> the whole component is contaminated, both drop
+    val batch = Seq(m(100, 1), m(101, 3), m(102, 20), m(103, 21),
+      m(104, 30), m(105, 9), m(106, 9)).toDS()
+    val kept = Multimodal.dedupImagesAgainstIndex(batch,
+        spark.read.parquet(idxDir), maxDist = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L, 104L), kept.toString)
+    // the law: equals the full recompute over old ∪ new, restricted
+    // to the batch
+    val all = old.unionByName(batch)
+    val full = graft.operators.Dedup.survivors(all.toDF(),
+        Multimodal.nearDupImagesPHash(all, maxDist = 0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == full.filter(_ >= 100L), s"full=$full kept=$kept")
+  }
+
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
     // the oracle-checked gate queries rely on the bump reaching only
     // the documented grid cells / energy windows — pin that here so a

@@ -1523,6 +1523,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 5)
   }
 
+  test("STIMG: streamed image ingest drops cross-batch perceptual dups, appends the fingerprint index, replay clean") {
+    import graft.operators.Multimodal
+    import Multimodal.{MediaRow, pHashImageFixture}
+    val src = tmp("stimg-src"); val ck = tmp("stimg-ck")
+    val corpus = src + "-corpus"; val idx = src + "-idx"
+    def m(id: Long, tex: Long) = MediaRow(id, pHashImageFixture(tex), "image", 32, 32, 0L)
+    // batch 1: two distinct textures; batch 2: a brightness-shifted
+    // copy of batch 1's first image (cross-batch dup) + a fresh one
+    val b1 = Seq(m(1, 0), m(2, 2)).toDS()
+    val b2 = Seq(m(3, 1), m(4, 10)).toDS() // tex 1 = shifted twin of tex 0
+    b1.toDF().coalesce(1).write.mode("append").parquet(src)
+    b2.toDF().coalesce(1).write.mode("append").parquet(src)
+    Ingest.imageIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck,
+      maxDist = 0)
+    val keptIds = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptIds == Set(1L, 2L, 4L), s"got $keptIds")
+    // the index carries exactly the survivors' fingerprints, per batch
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.select("batch_id").distinct().count() == 2)
+    assert(idxDf.select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    // restart on the same checkpoint: nothing new, nothing doubled
+    Ingest.imageIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck,
+      maxDist = 0)
+    assert(spark.read.parquet(corpus).count() == 3)
+    assert(spark.read.parquet(idx).count() == idxDf.count())
+  }
+
   test("STIVF: retrain trigger fires on a planted drifted batch, stays quiet in-distribution; index law intact; replay clean") {
     val src = tmp("stivf-src"); val ck = tmp("stivf-ck")
     val idx = src + "-idx"; val sig = src + "-sig"
