@@ -607,9 +607,42 @@ object Multimodal {
     * occupancy together, so a corpus-hot block stays dropped for new
     * batches. Returns the surviving media rows. */
   def dedupImagesAgainstIndex(media: Dataset[MediaRow], indexBlocks: DataFrame,
-      maxDist: Int = 3, maxBucket: Int = 100, maxIter: Int = 20): DataFrame = {
-    Dedup.ensureCheckpointDir(media.sparkSession)
-    val newBlocks = hashBlocks(pHashes(media).withColumnRenamed("phash", "h"))
+      maxDist: Int = 3, maxBucket: Int = 100, maxIter: Int = 20): DataFrame =
+    dedupHashesAgainstIndex(media.toDF(),
+      pHashes(media).withColumnRenamed("phash", "h"), indexBlocks,
+      maxDist, maxBucket, maxIter)
+
+  /** Incremental AUDIO dedup against a persisted spectral-hash block
+    * index — the same keep/drop law as [[dedupImagesAgainstIndex]]
+    * through the shared core; build/extend the index with
+    * [[writeSpectralIndex]]/[[appendSpectralIndex]]. */
+  def dedupAudioAgainstIndex(media: Dataset[MediaRow], indexBlocks: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 100, maxIter: Int = 20): DataFrame =
+    dedupHashesAgainstIndex(media.toDF(),
+      audioSpectralHashes(media).withColumnRenamed("shash", "h"), indexBlocks,
+      maxDist, maxBucket, maxIter)
+
+  /** Persist an audio corpus's spectral fingerprints as block rows —
+    * the audio sibling of [[writePHashIndex]]. */
+  def writeSpectralIndex(media: Dataset[MediaRow], path: String): Unit =
+    hashBlocks(audioSpectralHashes(media).withColumnRenamed("shash", "h"))
+      .write.mode("overwrite").parquet(path)
+
+  def appendSpectralIndex(media: Dataset[MediaRow], path: String): Unit =
+    hashBlocks(audioSpectralHashes(media).withColumnRenamed("shash", "h"))
+      .write.mode("append").parquet(path)
+
+  /** The shared incremental-dedup core over any 64-bit perceptual
+    * hash frame `(doc_id, h)` + a persisted block index: candidates
+    * from the capped pigeonhole union join (old+new occupancy counted
+    * together), exact hamming filter, within-batch components,
+    * old-match + transitive-contamination drops, min-id survivors —
+    * the `Dedup.dedupAgainstIndexBands` law re-expressed for hashes. */
+  private def dedupHashesAgainstIndex(rows: DataFrame, hashes: DataFrame,
+      indexBlocks: DataFrame, maxDist: Int, maxBucket: Int,
+      maxIter: Int): DataFrame = {
+    Dedup.ensureCheckpointDir(rows.sparkSession)
+    val newBlocks = hashBlocks(hashes)
       .withColumn("is_new", lit(true))
     val idx = indexBlocks.select("doc_id", "h", "blk", "bv")
       .withColumn("is_new", lit(false))
@@ -640,7 +673,7 @@ object Multimodal {
       .select(col("new_id").as("id")).distinct()
     val comp = Dedup.components(newNew, maxIter)
     val contaminated = comp.join(oldMatched, "id").select("comp").distinct()
-    media.toDF()
+    rows
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .join(oldMatched.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
       .join(contaminated.withColumnRenamed("comp", "ccomp"),

@@ -371,6 +371,26 @@ class MultimodalSpec extends SparkSpec {
     assert(kept == full.filter(_ >= 100L), s"full=$full kept=$kept")
   }
 
+  test("incremental audio dedup against the spectral index == full recompute restricted to the batch") {
+    import Multimodal.{MediaRow, spectralAudioFixture}
+    def m(id: Long, tex: Long) = MediaRow(id, spectralAudioFixture(tex), "audio", 0, 0, 0L)
+    val old = Seq(m(0, 0), m(2, 2), m(4, 4)).toDS()
+    val idxDir = java.nio.file.Files.createTempDirectory("spidx").toString + "/idx"
+    Multimodal.writeSpectralIndex(old, idxDir)
+    // 100: x2-gain copy of indexed texture 0 -> drops; 101/102: fresh
+    // within-batch gain-dup pair -> keep min; 103: fresh -> kept
+    val batch = Seq(m(100, 1), m(101, 20), m(102, 21), m(103, 30)).toDS()
+    val kept = Multimodal.dedupAudioAgainstIndex(batch,
+        spark.read.parquet(idxDir), maxDist = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L, 103L), kept.toString)
+    val all = old.unionByName(batch)
+    val full = graft.operators.Dedup.survivors(all.toDF(),
+        Multimodal.nearDupAudioSpectral(all, maxDist = 0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == full.filter(_ >= 100L), s"full=$full kept=$kept")
+  }
+
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
     // the oracle-checked gate queries rely on the bump reaching only
     // the documented grid cells / energy windows — pin that here so a
