@@ -1,0 +1,99 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal}
+import graft.operators.Multimodal.MediaRow
+
+/** The MEDIA curation pipeline — [[Curate]]'s sibling for binary
+  * payloads, composing the multimodal operators into the one call a
+  * scraped-media corpus runs before training:
+  *
+  *   decode-validate (kind-appropriate REAL codec walk; undecodable
+  *   payloads drop and are counted) →
+  *   per-modality perceptual dedup (images: DCT pHash pigeonhole;
+  *   audio: spectral-envelope hash; video: frame-fingerprint
+  *   intersection — min-id survivors via connected components, the
+  *   text pipeline's transitive rule) →
+  *   [fingerprint index write — the artifact later batches dedup
+  *   against incrementally via `dedupImagesAgainstIndex` /
+  *   `dedupAudioAgainstIndex`]
+  *
+  * No new distributed logic: every stage is one of the spec-proven /
+  * oracle-checked operators (p63/p64/p65 and the index laws), so the
+  * 100 TB story is the sum of its stages — narrow decode + hashing,
+  * capped pigeonhole joins, edge-local components. Unknown kinds pass
+  * through validation untouched (absence of a codec is not evidence
+  * of corruption) and skip dedup. */
+object CurateMedia {
+
+  final case class MediaStats(input: Long, decodable: Long,
+      afterDedup: Long, images: Long, audio: Long, video: Long)
+
+  /** Returns (surviving media rows, stats). `indexRoot`, when set,
+    * persists the survivors' fingerprint indexes under
+    * `<root>/image_phash` and `<root>/audio_spectral` — the
+    * incremental-dedup handoff for the next batch. `stats = false`
+    * skips the accounting counts (same contract as [[Curate.run]]);
+    * the survivor output is identical either way. */
+  def run(media: Dataset[MediaRow], maxDist: Int = 3,
+      minFrames: Int = 4, maxBucket: Int = 100,
+      indexRoot: Option[String] = None,
+      stats: Boolean = true): (DataFrame, Option[MediaStats]) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Dedup.ensureCheckpointDir(spark)
+    def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
+    val input = countIf(media.toDF())
+    // 1. decode-validate: one narrow pass, kind-appropriate codec walk
+    val valid = media.filter(r => r.kind match {
+      case "image" => Multimodal.parseBmp(r.payload).isDefined
+      case "audio" => Multimodal.parseWav(r.payload).isDefined
+      case "video" => Multimodal.parseBmpSequence(r.payload).isDefined
+      case _ => true // no codec -> no verdict; kept visible
+    })
+    val decodable = countIf(valid.toDF())
+    // 2. per-modality perceptual dedup. The three hash pipelines are
+    // independent narrow stages over disjoint slices of ONE corpus;
+    // each modality's pairs collapse to min-id survivors through the
+    // same components machinery as the text pipeline.
+    val images = valid.filter(col("kind") === "image")
+    val audio = valid.filter(col("kind") === "audio")
+    val video = valid.filter(col("kind") === "video")
+    val other = valid.filter(!col("kind").isin("image", "audio", "video"))
+    val keptImages = Dedup.survivors(images.toDF(),
+      Multimodal.nearDupImagesPHash(images, maxDist, maxBucket))
+    val keptAudio = Dedup.survivors(audio.toDF(),
+      Multimodal.nearDupAudioSpectral(audio, maxDist, maxBucket))
+    val keptVideo = Dedup.survivors(video.toDF(),
+      Multimodal.nearDupVideos(video, minFrames, maxBucket)
+        .select(col("d1"), col("d2")))
+    val survivors = keptImages.unionByName(keptAudio)
+      .unionByName(keptVideo).unionByName(other.toDF())
+    val afterDedup = countIf(survivors)
+    // 3. optional fingerprint-index handoff (the incremental contract:
+    // only SURVIVORS index — a dropped duplicate must never become
+    // the fingerprint that shadows a later clean arrival)
+    indexRoot.foreach { root =>
+      Multimodal.writePHashIndex(keptImages.as[MediaRow], s"$root/image_phash")
+      Multimodal.writeSpectralIndex(keptAudio.as[MediaRow], s"$root/audio_spectral")
+    }
+    val st = if (stats) Some(MediaStats(input, decodable, afterDedup,
+      keptImages.count(), keptAudio.count(), keptVideo.count()))
+    else None
+    (survivors, st)
+  }
+
+  /** Data card: one row per stage, the [[Curate.dataCard]] shape. */
+  def dataCard(spark: org.apache.spark.sql.SparkSession,
+      st: MediaStats): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("decode_validate", st.input, st.decodable),
+      ("perceptual_dedup", st.decodable, st.afterDedup))
+      .map { case (n, in, out) =>
+        (n, in, out, in - out,
+          if (in > 0) math.rint((in - out).toDouble / in * 10000) / 10000 else 0.0)
+      }.toDF("stage", "rows_in", "rows_out", "rows_dropped", "drop_frac")
+  }
+}

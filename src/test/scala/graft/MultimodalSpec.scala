@@ -391,6 +391,41 @@ class MultimodalSpec extends SparkSpec {
     assert(kept == full.filter(_ >= 100L), s"full=$full kept=$kept")
   }
 
+  test("CurateMedia: validate -> per-modality dedup -> index handoff, stage accounting exact") {
+    import Multimodal.MediaRow
+    import graft.pipelines.CurateMedia
+    val corpus = Seq(
+      MediaRow(1L, Multimodal.pHashImageFixture(0), "image", 32, 32, 0L),
+      MediaRow(2L, Multimodal.pHashImageFixture(1), "image", 32, 32, 0L), // graded dup of 1
+      MediaRow(3L, "not-an-image".getBytes, "image", 0, 0, 0L),           // undecodable
+      MediaRow(4L, Multimodal.spectralAudioFixture(0), "audio", 0, 0, 0L),
+      MediaRow(5L, Multimodal.spectralAudioFixture(1), "audio", 0, 0, 0L), // gain dup of 4
+      MediaRow(6L, Multimodal.videoFixture(0), "video", 32, 32, 0L),
+      MediaRow(7L, Multimodal.videoFixture(1), "video", 32, 32, 0L),       // trimmed dup of 6
+      MediaRow(8L, "just text".getBytes, "text", 0, 0, 0L)).toDS()         // no codec: passes
+    val idxRoot = java.nio.file.Files.createTempDirectory("cmidx").toString
+    val (out, st) = CurateMedia.run(corpus, maxDist = 0,
+      indexRoot = Some(idxRoot))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L, 8L), kept.toString)
+    assert(st.get == CurateMedia.MediaStats(8L, 7L, 4L, 1L, 1L, 1L),
+      st.get.toString)
+    val card = CurateMedia.dataCard(spark, st.get).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(card == Map("decode_validate" -> ((8L, 7L)),
+      "perceptual_dedup" -> ((7L, 4L))))
+    // the handoff contract: a graded copy arriving in the NEXT batch
+    // is dropped against the persisted survivor index
+    val next = Seq(MediaRow(100L, Multimodal.pHashImageFixture(1),
+      "image", 32, 32, 0L)).toDS()
+    assert(Multimodal.dedupImagesAgainstIndex(next,
+      spark.read.parquet(s"$idxRoot/image_phash"), maxDist = 0).count() == 0L)
+    // stats = false: identical survivors, no counts
+    val (out2, st2) = CurateMedia.run(corpus, maxDist = 0, stats = false)
+    assert(st2.isEmpty)
+    assert(out2.select("doc_id").as[Long].collect().toSet == kept)
+  }
+
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
     // the oracle-checked gate queries rely on the bump reaching only
     // the documented grid cells / energy windows — pin that here so a
