@@ -328,16 +328,21 @@ object Ann {
     * signal a production index maintenance loop watches to schedule
     * the full re-cluster ([[writeIvfIndex]] rebuild; appends keep the
     * old centroids by contract). Cost: batch-sized assignment + a
-    * centroids×d aggregate — never index-sized.
+    * centroids×d aggregate — never index-sized. The d-term squared
+    * sum runs as an ORDERED fold (the kmeansStep oracle-exactness
+    * concession — it is centroids-sized, not data-sized; a plain sum
+    * is the cluster-scale form, same values up to last-ulp).
     * Output: c_id, n, dist (6dp), clusters the batch touched only. */
   def assignmentDrift(batch: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = centroids.select(col("vec_id").as("c_id"),
       posexplode(asDouble(col("embedding"))).as(Seq("dim", "cv")))
+    val d2 = (col("mean") - col("cv")) * (col("mean") - col("cv"))
     kmeansStep(batch, centroids)
       .join(cent, Seq("c_id", "dim"))
       .groupBy("c_id")
       .agg(max("n").cast("long").as("n"), // n is per-cluster, same each dim
-        round(sqrt(sum(pow(col("mean") - col("cv"), lit(2)))), 6).as("dist"))
+        round(sqrt(aggregate(sort_array(collect_list(d2)),
+          lit(0d), _ + _)), 6).as("dist"))
   }
 
   /** Iterated Lloyd training: seed = the first k vectors, then `iters`

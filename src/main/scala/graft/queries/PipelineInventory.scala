@@ -927,6 +927,43 @@ object PipelineInventory {
               |SELECT c_id, dim, n, ${rrepr("ssum / n", 6)} AS mean
               |FROM g ORDER BY c_id, dim""".stripMargin)),
 
+    // The streaming-IVF RETRAIN TRIGGER's arithmetic, oracle-checked:
+    // one Lloyd step's implied per-cluster mean vs the fixed centroid,
+    // euclidean distance per touched cluster (p25's assignment
+    // machinery + a d-term ordered-fold delta; explicit x*x, not
+    // pow — Math.pow(x, 2) can differ from x*x in the last ulp).
+    QueryDef("r118_assignment_drift",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Ann.assignmentDrift(emb, emb.filter(col("vec_id") < 8))
+          .orderBy("c_id")
+      },
+      Some(s"""WITH $embCte,
+              |c AS (SELECT vec_id AS c_id, emb AS cemb FROM e WHERE vec_id < 8),
+              |ascored AS (SELECT e.vec_id, c.c_id,
+              |                   ${rrepr(dcos("e.emb", "c.cemb"), 6)} AS csim
+              |            FROM e, c),
+              |assign AS (SELECT vec_id, c_id FROM (
+              |    SELECT vec_id, c_id,
+              |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS crn
+              |    FROM ascored) t WHERE crn = 1),
+              |x AS (SELECT a.c_id, CAST(i - 1 AS INT) AS dim, e.emb[i] AS v
+              |      FROM assign a JOIN e ON a.vec_id = e.vec_id, range(1, 65) r(i)),
+              |g AS (SELECT c_id, dim, CAST(COUNT(*) AS BIGINT) AS n,
+              |             list_reduce(list_sort(list(v)), (p, q) -> p + q) AS ssum
+              |      FROM x GROUP BY c_id, dim),
+              |m AS (SELECT c_id, dim, n, ${rrepr("ssum / n", 6)} AS mean FROM g),
+              |cent AS (SELECT vec_id AS c_id, CAST(i - 1 AS INT) AS dim, emb[i] AS cv
+              |         FROM e, range(1, 65) r(i) WHERE vec_id < 8),
+              |dd AS (SELECT m.c_id, m.n,
+              |         list_reduce(list_prepend(0.0::DOUBLE,
+              |           list_sort(list((m.mean - cent.cv) * (m.mean - cent.cv)))),
+              |           (p, q) -> p + q) AS ss
+              |       FROM m JOIN cent ON cent.c_id = m.c_id AND cent.dim = m.dim
+              |       GROUP BY m.c_id, m.n)
+              |SELECT c_id, n, ${rrepr("sqrt(ss)", 6)} AS dist
+              |FROM dd ORDER BY c_id""".stripMargin)),
+
     // Quantized ANN: int8-code candidate scan (p17's 4x-smaller codes)
     // with exact float re-rank of a per-query shortlist — the
     // storage-bandwidth scale path for brute-force search. Integer

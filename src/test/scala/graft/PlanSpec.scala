@@ -248,6 +248,8 @@ class PlanSpec extends SparkSpec {
       "p05_embed_neardup",  // bounded all-pairs audit baseline (test above)
       "p06_ann_brute", "p07_ann_ivf", "p19_ann_ivf_batch",   // query-vector / centroid broadcast
       "p21_ann_quantized", "p25_kmeans_step", "p29_semdedup", // centroid / shortlist broadcast
+      "r118_assignment_drift", // p25's centroid broadcast + a
+                            // centroids×d delta join on top
       "p32_unigram_lm",     // one-row corpus-total broadcast
       "p37_bigram_lm",      // one-row corpus-total broadcast (same shape as p32)
       "r116_bigram_kn",     // one-row bigram-type-total broadcast (p37 shape)
