@@ -35,6 +35,30 @@ object Golden {
 
   val goldenPath = "src/test/resources/goldens-sf0.001.txt"
   val curateGoldenPath = "src/test/resources/golden-curate-sf0.001.txt"
+  val mediaGoldenPath = "src/test/resources/golden-curate-media-sf0.001.txt"
+
+  /** Canonical digest of the MEDIA curation pipeline's survivors at
+    * default settings over the deterministic fixture corpus (one
+    * image + one audio + one video row per doc id — the p63/p64/p65
+    * fixtures, so planted dups exist in every modality): payload
+    * digested by md5, metadata verbatim. The end-to-end composition
+    * golden for `pipelines.CurateMedia`, like [[curateDigest]] for
+    * the text pipeline. */
+  def curateMediaDigest(spark: SparkSession, sf: String): String = {
+    import org.apache.spark.sql.functions.{col, md5}
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val media = graft.operators.Multimodal.pHashImageFixtures(docs)
+      .unionByName(graft.operators.Multimodal
+        .spectralAudioFixtures(docs)
+        .map(r => r.copy(doc_id = r.doc_id + 1000000L)))
+      .unionByName(graft.operators.Multimodal.videoFixtures(docs)
+        .map(r => r.copy(doc_id = r.doc_id + 2000000L)))
+    val (out, _) = graft.pipelines.CurateMedia.run(media, stats = false)
+    digest(out.select(col("doc_id"), md5(col("payload")).as("p"),
+        col("kind"), col("width"), col("height"), col("duration_ms"))
+      .orderBy("doc_id"))
+  }
 
   /** Canonical digest of the flagship 17-stage curation pipeline's
     * PACKED output at default settings — the end-to-end golden the
@@ -63,6 +87,9 @@ object Golden {
     Files.writeString(Paths.get(curateGoldenPath),
       curateDigest(spark, sf) + "\n")
     println(s"wrote curate golden to $curateGoldenPath")
+    Files.writeString(Paths.get(mediaGoldenPath),
+      curateMediaDigest(spark, sf) + "\n")
+    println(s"wrote curate-media golden to $mediaGoldenPath")
     spark.stop()
   }
 }

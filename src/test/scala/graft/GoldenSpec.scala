@@ -34,4 +34,13 @@ class GoldenSpec extends SparkSpec {
       s"curate packed digest $got != $want — if the change is " +
         "intentional, regenerate with `runMain graft.tools.Golden`")
   }
+
+  test("the media curation pipeline's survivors match their end-to-end golden") {
+    val src = Source.fromResource("golden-curate-media-sf0.001.txt")
+    val want = try src.getLines().next().trim finally src.close()
+    val got = Golden.curateMediaDigest(spark, sf)
+    assert(got == want,
+      s"curate-media digest $got != $want — if the change is " +
+        "intentional, regenerate with `runMain graft.tools.Golden`")
+  }
 }
