@@ -2327,6 +2327,55 @@ object PipelineInventory {
            |ORDER BY s.doc_id""".stripMargin
       }),
 
+    // p55 under the Kneser-Ney LM (r116): the sharper perplexity
+    // filter feeding the SAME per-language head/middle/tail cuts —
+    // the composition a CCNet-style pipeline would actually deploy
+    // once KN is available (bucket membership shifts where JM
+    // over-credits glued-token docs). Oracle = the r116 scoring CTEs
+    // chained into p55's quantile-cut machinery.
+    QueryDef("r119_ccnet_kn", {
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.ccnetBuckets(
+            TextAnalysis.bigramScoreKN(docs), docs)
+          .orderBy("doc_id")
+      }},
+      Some {
+        val (lo, hi) = (1.0 / 3, 2.0 / 3)
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |bi AS (SELECT doc_id,
+           |         unnest([t[i] FOR i IN range(1, len(t))]) AS w1,
+           |         unnest([t[i+1] FOR i IN range(1, len(t))]) AS w2
+           |       FROM t WHERE len(t) >= 2),
+           |tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM bi GROUP BY doc_id, w1, w2),
+           |bc AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS bc FROM tf GROUP BY w1, w2),
+           |cc AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS cc,
+           |              CAST(COUNT(*) AS BIGINT) AS n1f FROM bc GROUP BY w1),
+           |np AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM bc GROUP BY w2),
+           |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM bc),
+           |p AS (SELECT f.doc_id, f.tf,
+           |             f.tf * (greatest(b.bc - 0.75::DOUBLE, 0.0::DOUBLE) / c.cc +
+           |                     0.75::DOUBLE * c.n1f / c.cc *
+           |                       (CAST(np.n1p AS DOUBLE) / na.n1all)) AS w
+           |      FROM tf f JOIN bc b USING (w1, w2) JOIN cc c USING (w1)
+           |      JOIN np ON np.w2 = f.w2 CROSS JOIN na),
+           |sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bi,
+           |              list_reduce(list_sort(list(w)), (x, y) -> x + y) AS s
+           |       FROM p GROUP BY doc_id),
+           |scd AS (SELECT sc.doc_id, d.lang, ${rrepr("s / n_bi", 6)} AS score
+           |        FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+           |cut AS (SELECT lang, ${rrepr(s"quantile_cont(score, $lo)", 6)} AS cut_lo,
+           |               ${rrepr(s"quantile_cont(score, $hi)", 6)} AS cut_hi
+           |        FROM scd GROUP BY lang)
+           |SELECT s.doc_id, s.lang, s.score,
+           |       CASE WHEN s.score >= c.cut_hi THEN 'head'
+           |            WHEN s.score >= c.cut_lo THEN 'middle'
+           |            ELSE 'tail' END AS bucket
+           |FROM scd s JOIN cut c ON c.lang IS NOT DISTINCT FROM s.lang
+           |ORDER BY s.doc_id""".stripMargin
+      }),
+
     // Boilerplate removal (RefinedWeb/Dolma line-dedup semantics):
     // a passage in MORE THAN ONE distinct doc is removed from EVERY
     // doc — keep-first p30 instead leaves one copy in the corpus.

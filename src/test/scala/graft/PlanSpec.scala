@@ -271,6 +271,9 @@ class PlanSpec extends SparkSpec {
       "p53_ann_recall",     // composes p19's probe + p06's brute legs —
                             // both sides' 5-query-vector broadcasts;
                             // the recall join itself is k×queries rows
+      "r119_ccnet_kn",      // bigramScoreKN's one-row type-total
+                            // broadcast (the r116 shape) under p55's
+                            // lang-keyed cut join
       "p55_ccnet_buckets",  // bigramScore's one-row corpus-total
                             // broadcast (the p37 shape); the cut join
                             // itself is lang-keyed, not cartesian
