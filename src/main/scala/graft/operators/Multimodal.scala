@@ -632,6 +632,12 @@ object Multimodal {
     hashBlocks(audioSpectralHashes(media).withColumnRenamed("shash", "h"))
       .write.mode("append").parquet(path)
 
+  /** One batch's spectral fingerprints as a per-batch OVERWRITE dir —
+    * the [[writePHashIndexBatch]] sibling for the audio stream. */
+  def writeSpectralIndexBatch(media: Dataset[MediaRow], batchDir: String): Unit =
+    hashBlocks(audioSpectralHashes(media).withColumnRenamed("shash", "h"))
+      .write.mode("overwrite").parquet(batchDir)
+
   /** The shared incremental-dedup core over any 64-bit perceptual
     * hash frame `(doc_id, h)` + a persisted block index: candidates
     * from the capped pigeonhole union join (old+new occupancy counted

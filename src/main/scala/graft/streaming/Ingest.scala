@@ -1398,6 +1398,44 @@ object Ingest {
       checkpoint: String, maxDist: Int = 3, maxBucket: Int = 100,
       maxFilesPerTrigger: Int = 1): Unit = {
     import graft.operators.Multimodal
+    mediaDedupIngestStream(spark, mediaSchema, srcDir, corpusDir,
+      indexPath, checkpoint, "imageIngestStream index", maxFilesPerTrigger,
+      dedupAgainst = (m, i) =>
+        Multimodal.dedupImagesAgainstIndex(m, i, maxDist, maxBucket),
+      bootstrapPairs = m => Multimodal.nearDupImagesPHash(m, maxDist, maxBucket),
+      writeBatch = Multimodal.writePHashIndexBatch)
+  }
+
+  /** [[imageIngestStream]]'s AUDIO sibling — the spectral-hash
+    * fingerprint index ([[graft.operators.Multimodal]]
+    * writeSpectralIndex family) fed per micro-batch through the same
+    * exactly-once layout and dedup law. */
+  def audioIngestStream(spark: SparkSession, mediaSchema: StructType,
+      srcDir: String, corpusDir: String, indexPath: String,
+      checkpoint: String, maxDist: Int = 3, maxBucket: Int = 100,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.Multimodal
+    mediaDedupIngestStream(spark, mediaSchema, srcDir, corpusDir,
+      indexPath, checkpoint, "audioIngestStream index", maxFilesPerTrigger,
+      dedupAgainst = (m, i) =>
+        Multimodal.dedupAudioAgainstIndex(m, i, maxDist, maxBucket),
+      bootstrapPairs = m => Multimodal.nearDupAudioSpectral(m, maxDist, maxBucket),
+      writeBatch = Multimodal.writeSpectralIndexBatch)
+  }
+
+  /** Shared incremental media-dedup stream: per batch, dedup against
+    * the earlier-batch fingerprint index (first batch bootstraps from
+    * its own within-batch pairs), land survivors + their fingerprint
+    * blocks as per-batch OVERWRITE partitions. Exactly-once under
+    * checkpoint replay — the [[dedupIngestStream]] discipline. */
+  private def mediaDedupIngestStream(spark: SparkSession,
+      mediaSchema: StructType, srcDir: String, corpusDir: String,
+      indexPath: String, checkpoint: String, what: String,
+      maxFilesPerTrigger: Int,
+      dedupAgainst: (org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow], DataFrame) => DataFrame,
+      bootstrapPairs: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] => DataFrame,
+      writeBatch: (org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow], String) => Unit): Unit = {
+    import graft.operators.Multimodal
     val q = spark.readStream.schema(mediaSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -1407,21 +1445,18 @@ object Ingest {
         val ss = batch.sparkSession
         import ss.implicits._
         val media = batch.as[Multimodal.MediaRow]
-        val idx = earlierBatchPartitions(ss, indexPath, id,
-          "imageIngestStream index")
+        val idx = earlierBatchPartitions(ss, indexPath, id, what)
         val survivors = idx match {
-          case Some(i) => Multimodal.dedupImagesAgainstIndex(media, i,
-            maxDist, maxBucket)
+          case Some(i) => dedupAgainst(media, i)
           case None => graft.operators.Dedup.survivors(batch,
-            Multimodal.nearDupImagesPHash(media, maxDist, maxBucket))
+            bootstrapPairs(media))
         }
         // survivors read the index the block write mutates: eager
         // materialization first (the dedupIngestStream rule)
         val kept = survivors.localCheckpoint(true)
         try {
           kept.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$id")
-          Multimodal.writePHashIndexBatch(kept.as[Multimodal.MediaRow],
-            s"$indexPath/batch_id=$id")
+          writeBatch(kept.as[Multimodal.MediaRow], s"$indexPath/batch_id=$id")
         } finally { kept.unpersist(); () }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

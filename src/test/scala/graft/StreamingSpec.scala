@@ -1552,6 +1552,25 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == idxDf.count())
   }
 
+  test("STAUD: streamed audio ingest drops cross-batch gain dups via the spectral index, replay clean") {
+    import graft.operators.Multimodal
+    import Multimodal.{MediaRow, spectralAudioFixture}
+    val src = tmp("staud-src"); val ck = tmp("staud-ck")
+    val corpus = src + "-corpus"; val idx = src + "-idx"
+    def m(id: Long, tex: Long) = MediaRow(id, spectralAudioFixture(tex), "audio", 0, 0, 0L)
+    val b1 = Seq(m(1, 0), m(2, 2)).toDS()
+    val b2 = Seq(m(3, 1), m(4, 10)).toDS() // tex 1 = x2-gain twin of tex 0
+    b1.toDF().coalesce(1).write.mode("append").parquet(src)
+    b2.toDF().coalesce(1).write.mode("append").parquet(src)
+    Ingest.audioIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck,
+      maxDist = 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    Ingest.audioIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck,
+      maxDist = 0)
+    assert(spark.read.parquet(corpus).count() == 3)
+  }
+
   test("STIVF: retrain trigger fires on a planted drifted batch, stays quiet in-distribution; index law intact; replay clean") {
     val src = tmp("stivf-src"); val ck = tmp("stivf-ck")
     val idx = src + "-idx"; val sig = src + "-sig"
