@@ -92,7 +92,10 @@ object Bench {
     try {
       val src = scala.io.Source.fromFile(path)
       val txt = try src.mkString finally src.close()
-      val obj = """"([A-Za-z0-9_]+)"\s*:\s*\{([^{}]*)\}""".r
+      // keys anchored to the query-name shape (q/r/p + digit): a
+      // future non-floor flat object carrying a "sec" pair (a
+      // load-stats blob, say) must not be silently imported as a floor
+      val obj = """"([qrp][0-9][A-Za-z0-9_]*)"\s*:\s*\{([^{}]*)\}""".r
       val sec = """"sec"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
       val floors = obj.findAllMatchIn(txt).flatMap { m =>
         sec.findFirstMatchIn(m.group(2)).map(s => m.group(1) -> s.group(1).toDouble)

@@ -351,40 +351,127 @@ object Ann {
     * plain `avg` keeps this the scale path (associative, shuffle-
     * friendly); [[kmeansStep]] is its oracle-checkable single step. */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    // seed = the k smallest vec_ids actually PRESENT (a `vec_id < k`
-    // filter silently under-seeds sparse or offset id spaces)
-    var cents = emb.orderBy("vec_id").limit(k)
+    var cents = seedCentroids(emb, k)
+    for (_ <- 1 to iters) cents = lloydRound(emb, cents)
+    cents
+  }
+
+  /** seed = the k smallest vec_ids actually PRESENT (a `vec_id < k`
+    * filter silently under-seeds sparse or offset id spaces). */
+  private def seedCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("cemb"))
-    for (_ <- 1 to iters) {
-      val assign = assignClusters(emb,
-        cents.select(col("c_id").as("vec_id"), col("cemb").as("embedding")))
-      // The k-row means are MATERIALIZED once per round (eager local
-      // checkpoint — one data-sized job, which is what Lloyd costs by
-      // definition). Left lazy, the two reads below plus the next
-      // round's assignment would each re-run the whole
-      // assign+aggregate, and the per-round lineage compounds —
-      // measured up to ~2^iters whole-pipeline recomputes at stress
-      // scale (SCALE.md "Scale stress (r6)"). On a cluster the k-row
-      // state would be a driver-side collect/broadcast; the local
-      // checkpoint is the DataFrame-shaped equivalent.
-      val means = assign.join(emb, "vec_id")
-        .select(col("c_id"), posexplode(asDouble(col("embedding"))))
-        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
-        .groupBy("c_id", "dim")
-        .agg(avg(col("v")).as("m"))
-        .groupBy("c_id")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
-          .as("cemb"))
-        .localCheckpoint(true)
-      // a centroid that attracted no vectors this round keeps its old
-      // position instead of silently vanishing (k must stay k); pinned
-      // lazily so the k-row union/anti-join lineage never deepens
-      // across rounds (it materializes inside the next round's means
-      // job, or the caller's first action on the last round)
-      cents = means.unionByName(
-        cents.join(means.select("c_id"), Seq("c_id"), "left_anti"))
-        .localCheckpoint(false)
+
+  /** One Lloyd round over (c_id, cemb) centroid frames — the shared
+    * body of [[trainCentroids]] and [[trainCentroidsTol]]. */
+  private def lloydRound(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val assign = assignClusters(emb,
+      cents.select(col("c_id").as("vec_id"), col("cemb").as("embedding")))
+    // The k-row means are MATERIALIZED once per round (eager local
+    // checkpoint — one data-sized job, which is what Lloyd costs by
+    // definition). Left lazy, the two reads below plus the next
+    // round's assignment would each re-run the whole
+    // assign+aggregate, and the per-round lineage compounds —
+    // measured up to ~2^iters whole-pipeline recomputes at stress
+    // scale (SCALE.md "Scale stress (r6)"). On a cluster the k-row
+    // state would be a driver-side collect/broadcast; the local
+    // checkpoint is the DataFrame-shaped equivalent.
+    val means = assign.join(emb, "vec_id")
+      .select(col("c_id"), posexplode(asDouble(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+      .groupBy("c_id", "dim")
+      .agg(avg(col("v")).as("m"))
+      .groupBy("c_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+        .as("cemb"))
+      .localCheckpoint(true)
+    // a centroid that attracted no vectors this round keeps its old
+    // position instead of silently vanishing (k must stay k); pinned
+    // lazily so the k-row union/anti-join lineage never deepens
+    // across rounds (it materializes inside the next round's means
+    // job, or the caller's first action on the last round)
+    means.unionByName(
+      cents.join(means.select("c_id"), Seq("c_id"), "left_anti"))
+      .localCheckpoint(false)
+  }
+
+  /** [[trainCentroids]] run to a MOVEMENT TOLERANCE instead of a fixed
+    * round count — the retrain form: Lloyd rounds stop when no
+    * centroid moved more than `tol` (euclidean) since the previous
+    * round, or at `maxIters`. The movement check collects the k
+    * centroid rows to the driver — the routing-table size, never
+    * data-sized — which is also what makes the check free next to the
+    * data-sized round it follows. Deterministic for a given corpus
+    * (same seed rule, same rounds), so two retrains over the same
+    * vectors produce identical centroids — the STIVF2 equality's
+    * foundation. */
+  def trainCentroidsTol(emb: DataFrame, k: Int, tol: Double = 1e-4,
+      maxIters: Int = 10): DataFrame = {
+    def snapshot(c: DataFrame): Map[Long, Array[Double]] =
+      c.collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    var cents = seedCentroids(emb, k)
+    var prev = snapshot(cents)
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIters && moved > tol) {
+      cents = lloydRound(emb, cents)
+      val cur = snapshot(cents)
+      moved = cur.map { case (id, v) =>
+        prev.get(id) match {
+          case Some(p) =>
+            math.sqrt(v.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
+          case None => Double.MaxValue
+        }
+      }.foldLeft(0.0)(math.max)
+      prev = cur
+      it += 1
     }
+    cents
+  }
+
+  /** The retrain-and-swap the [[assignmentDrift]] signal schedules —
+    * what closes the loop `vectorIngestStream` opens: re-cluster the
+    * LIVE index's own vectors ([[trainCentroidsTol]] to a movement
+    * tolerance), rebuild the cluster-partitioned layout into a side
+    * directory, and promote it with a park-then-promote swap (the
+    * `promoteTouchedBuckets` discipline: the old index is renamed
+    * aside, never deleted, until the new one is fully in place — a
+    * crash leaves the old index either live or parked under `_bak`,
+    * and both renames are CHECKED because HDFS reports most failures
+    * as a false return). Returns the retrained centroids — the FIXED
+    * centroids every subsequent append/search must use; the old
+    * centroids are invalid the moment the swap lands.
+    *
+    * The corpus is materialized (eager local checkpoint) BEFORE the
+    * swap touches the directory it was read from. The promoted index
+    * is the one-shot [[writeIvfIndex]] layout (`c_id=` partitions):
+    * [[appendIvfIndex]] appends into it unchanged, and a resumed
+    * streaming ingest starts a fresh epoch (new checkpoint + the
+    * returned centroids) — replaying an old checkpoint against a
+    * re-clustered index would re-land batches under centroids that no
+    * longer exist. At 100 TB this is one Lloyd job per round over the
+    * corpus (what retraining costs by definition) plus a rename. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, k: Int, tol: Double = 1e-4,
+      maxIters: Int = 10): DataFrame = {
+    val corpus = spark.read.parquet(indexPath)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val cents = trainCentroidsTol(corpus, k, tol, maxIters)
+      .select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
+      .localCheckpoint(true)
+    val tmp = indexPath + "_retrain"
+    val hp = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    writeIvf(corpus, cents, tmp, "overwrite")
+    val bak = new org.apache.hadoop.fs.Path(indexPath + "_bak")
+    fs.delete(bak, true)
+    require(fs.rename(hp, bak),
+      s"retrainIvfIndex: failed to park $indexPath")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+      s"retrainIvfIndex: failed to promote $tmp (old index parked at $bak)")
+    fs.delete(bak, true)
     cents
   }
 
@@ -1630,6 +1717,12 @@ object Ann {
     require(fits.nonEmpty, "pcaProjectBy: no fitted groups")
     val fitSeq = fits.toSeq
     val k = fitSeq.head._2._3.length
+    // every group must carry the same k: a group fitted with MORE
+    // components than the head would otherwise silently lose its
+    // extra pc columns (fewer already fails loudly via comps(m))
+    require(fits.values.forall(_._3.length == k),
+      s"pcaProjectBy: groups fitted with differing k " +
+        fits.map { case (g, (_, _, c)) => s"$g->${c.length}" }.mkString(", "))
     def centered(means: Array[Double]) = zip_with(
       expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"),
       typedLit(means.toSeq), (a, b) => a - b)

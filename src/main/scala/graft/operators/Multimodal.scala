@@ -502,8 +502,12 @@ object Multimodal {
     * comparisons flip under small brightness/clamping/noise edits,
     * pHash's low-frequency signs survive them (MultimodalSpec plants
     * a clamped-brightness duplicate dHash misses and pHash catches);
-    * a uniform brightness shift moves ONLY the DC term, so the hash
-    * is exactly invariant to it. None for undecodable payloads. */
+    * a uniform brightness shift moves ONLY the DC term in exact
+    * arithmetic — in IEEE doubles the AC cosine-row sums are ~0 rather
+    * than exactly 0, so the shift perturbs AC coefficients by ~1e-13,
+    * far below the fixture textures' median gaps: the p63 dist-0
+    * oracle holds by that margin, not by bit-level construction.
+    * None for undecodable payloads. */
   def pHash64(payload: Array[Byte]): Option[Long] =
     decodeBmpPixels(payload).map { case (w, h, rgb) =>
       val n = 32
@@ -786,6 +790,45 @@ object Multimodal {
       .map(id => MediaRow(id, pHashImageFixture(id), "image", 32, 32, 0L))
   }
 
+  /** Deterministic 32×32 grayscale BMP planting near-duplicates at
+    * NONZERO hamming distance for the p66 gate — the row that
+    * exercises the pigeonhole join's `1 <= bit_count(a.h ^ b.h) <= 3`
+    * path with a planted ground truth (p63/p64/p65 all collide at
+    * exact hash equality): doc 2k is a pseudo-random texture in
+    * [0, 192) (seed space offset from p63's so the two fixture
+    * families never share a hash); doc 2k+1 is the SAME texture +32
+    * on every 53rd pixel (20 of 1024 pixels, no clamping) — a
+    * localized luma edit that nudges a few low-frequency DCT
+    * coefficients across the AC median. [[pHash64]] sets exactly 32
+    * of 64 bits (DC + the 31 AC terms above the strict median), so
+    * pair distances are always EVEN; this edit lands 50 of the first
+    * 100 pairs at distance 2, 45 at 0 and 5 at 4
+    * ([[graft.tools.P66Probe]] prints the parameter sweep and the
+    * full per-pair evidence; MultimodalSpec pins every distance).
+    * p66's oracle asserts exactly the dist-2 pair set: the 0-pairs
+    * prove the filter's lower bound, the 4-pairs its upper, and any
+    * change to the hash moves some pair across a boundary. */
+  def perturbedPHashFixture(id: Long): Array[Byte] = {
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    val bump = if (id % 2 == 1) 32 else 0
+    var idx = 0
+    while (idx < w * h) {
+      val base = ((mix64(0x700000000L + (id / 2) * 4096L + idx) >>> 16) % 192).toInt
+      val v = (base + (if (idx % 53 == 0) bump else 0)).toByte
+      rgb(3 * idx) = v; rgb(3 * idx + 1) = v; rgb(3 * idx + 2) = v
+      idx += 1
+    }
+    encodeBmp(w, h, rgb)
+  }
+
+  def perturbedPHashFixtures(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, perturbedPHashFixture(id), "image", 32, 32, 0L))
+  }
+
   /** Deterministic 650-sample PCM16 mono WAV for doc `id`: sample i is
     * `((id/2)*7 + i*13 + bump) % 128` with `bump = 60` on every 331st
     * sample of ODD docs — planted near-dup pairs whose audioHash64
@@ -910,6 +953,92 @@ object Multimodal {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).cast("long").as("matched"))
       .filter(col("matched") >= minFrames)
+  }
+
+  /** Distinct (doc_id, fhash) frame-fingerprint rows of a video
+    * corpus — the unit the VIDEO index persists ([[writeFrameIndex]])
+    * and [[nearDupVideos]]' candidate join runs on. Video dedup needs
+    * per-doc frame SETS (the matched-count law is set intersection,
+    * not single-hash identity), which is why it cannot ride the
+    * single-hash `dedupHashesAgainstIndex` core the image/audio
+    * indexes share. Null frame hashes dropped; the walk + hash are
+    * narrow, the distinct is the one exchange. */
+  def frameFingerprints(media: Dataset[MediaRow]): DataFrame =
+    videoFrameHashes(media).filter(col("fhash").isNotNull)
+      .select("doc_id", "fhash").distinct()
+
+  /** Persist a video corpus's frame fingerprints as distinct
+    * (doc_id, fhash) rows — the video sibling of [[writePHashIndex]]:
+    * later batches dedup against ~16-byte fingerprint rows, never
+    * against pixels. */
+  def writeFrameIndex(media: Dataset[MediaRow], path: String): Unit =
+    frameFingerprints(media).write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's (post-dedup survivor) frame fingerprints. */
+  def appendFrameIndex(media: Dataset[MediaRow], path: String): Unit =
+    frameFingerprints(media).write.mode("append").parquet(path)
+
+  /** One batch's frame fingerprints as a per-batch OVERWRITE dir —
+    * the exactly-once streaming index sink
+    * ([[graft.streaming.Ingest]] videoIngestStream layout;
+    * [[appendFrameIndex]] is the at-least-once batch sibling). */
+  def writeFrameIndexBatch(media: Dataset[MediaRow], batchDir: String): Unit =
+    frameFingerprints(media).write.mode("overwrite").parquet(batchDir)
+
+  /** Incremental VIDEO dedup: survivors of a NEW batch against a
+    * persisted frame-fingerprint index ([[writeFrameIndex]]) plus
+    * within the batch itself — the video form of
+    * [[dedupImagesAgainstIndex]], with the [[nearDupVideos]] match
+    * rule: a pair matches when it shares at least `minFrames` DISTINCT
+    * frame pHashes. Keep/drop law (the shared one): a batch video
+    * drops iff it frame-matches an indexed video, sits in a
+    * within-batch component CONTAINING such a match (transitive
+    * contamination), or is not the min id of its clean within-batch
+    * component. With batch ids above all indexed ids this equals a
+    * full [[nearDupVideos]]-based recompute over old ∪ new restricted
+    * to the batch (MultimodalSpec proves it). Only the batch's frames
+    * are ever decoded — the old side contributes fingerprint rows;
+    * the hot-hash cap counts old+new occupancy together, so a
+    * corpus-hot frame (a black frame, say) stays capped for new
+    * batches. Returns the surviving media rows. */
+  def dedupVideosAgainstIndex(media: Dataset[MediaRow], indexFrames: DataFrame,
+      minFrames: Int = 4, maxBucket: Int = 100, maxIter: Int = 20): DataFrame = {
+    Dedup.ensureCheckpointDir(media.sparkSession)
+    val newFp = frameFingerprints(media).withColumn("is_new", lit(true))
+    val idx = indexFrames.select("doc_id", "fhash")
+      .withColumn("is_new", lit(false))
+    val all = Dedup.capBuckets(newFp.unionByName(idx), Seq("fhash"), maxBucket)
+    val newSide = all.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("fhash"))
+    // one row per (pair, shared fingerprint) — both sides are distinct
+    // per (doc, fhash), so the count IS the intersection size; the
+    // bounded pair table is checkpointed once for its three consumers
+    // (the dedupHashesAgainstIndex discipline)
+    val cand = all
+      .select(col("doc_id").as("other_id"), col("fhash"), col("is_new"))
+      .join(newSide, Seq("fhash"))
+      .filter(col("other_id") =!= col("new_id") &&
+        (!col("is_new") || col("new_id") < col("other_id")))
+      .groupBy(col("new_id"), col("other_id"), col("is_new"))
+      .agg(count(lit(1)).cast("long").as("matched"))
+      .filter(col("matched") >= minFrames)
+      .withColumnRenamed("is_new", "other_is_new")
+      .checkpoint()
+    val newNew = cand.filter(col("other_is_new"))
+      .select(least(col("new_id"), col("other_id")).as("d1"),
+        greatest(col("new_id"), col("other_id")).as("d2"))
+      .distinct()
+    val oldMatched = cand.filter(!col("other_is_new"))
+      .select(col("new_id").as("id")).distinct()
+    val comp = Dedup.components(newNew, maxIter)
+    val contaminated = comp.join(oldMatched, "id").select("comp").distinct()
+    media.toDF()
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(oldMatched.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+      .join(contaminated.withColumnRenamed("comp", "ccomp"),
+        col("comp") === col("ccomp"), "left_anti")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .drop("comp", "ccomp")
   }
 
   /** Deterministic 6-frame 32×32 grayscale BMP-sequence video planting

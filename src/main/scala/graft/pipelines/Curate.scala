@@ -338,11 +338,17 @@ object Curate {
     // pruned corpus — the set that actually trains — is the right
     // point to score against the frozen snapshot; gating earlier would
     // blame the reference for docs a later stage was about to drop.
-    // Runs regardless of `stats` (failOnDrift needs the verdict and
-    // the report is d rows, not corpus-sized); embeddings restricted
-    // to alive docs, the semDedup rule. No rows drop here.
+    // failOnDrift runs regardless of `stats` (the verdict is the
+    // point, and the report is d rows, not corpus-sized); the
+    // monitoring form (failOnDrift=false) runs only under `stats` —
+    // see the skip arm below. Embeddings restricted to alive docs,
+    // the semDedup rule. No rows drop here.
     val driftedDims = embeddingDriftGate match {
       case None => -1L
+      // monitoring gate with stats off: nothing would record the
+      // count and nothing fails on it — skip the corpus-sized join
+      // action entirely instead of computing and discarding it
+      case Some(g) if !stats && !g.failOnDrift => -1L
       case Some(g) =>
         val (lo, hi) = g.varRatioBand
         val alive = g.embeddings.join(

@@ -17,7 +17,7 @@ import graft.operators.Multimodal.MediaRow
   *   text pipeline's transitive rule) →
   *   [fingerprint index write — the artifact later batches dedup
   *   against incrementally via `dedupImagesAgainstIndex` /
-  *   `dedupAudioAgainstIndex`]
+  *   `dedupAudioAgainstIndex` / `dedupVideosAgainstIndex`]
   *
   * No new distributed logic: every stage is one of the spec-proven /
   * oracle-checked operators (p63/p64/p65 and the index laws), so the
@@ -27,15 +27,25 @@ import graft.operators.Multimodal.MediaRow
   * of corruption) and skip dedup. */
 object CurateMedia {
 
+  /** `indexed*` = fingerprint rows landed per modality index
+    * (image: 4 block rows per decodable survivor; audio: 4 block
+    * rows; video: distinct (doc, frame-hash) rows), or -1 when no
+    * `indexRoot` was given — the card's record of the pipeline's
+    * persistent side effects. */
   final case class MediaStats(input: Long, decodable: Long,
-      afterDedup: Long, images: Long, audio: Long, video: Long)
+      afterDedup: Long, images: Long, audio: Long, video: Long,
+      indexedImages: Long = -1L, indexedAudio: Long = -1L,
+      indexedVideo: Long = -1L)
 
   /** Returns (surviving media rows, stats). `indexRoot`, when set,
     * persists the survivors' fingerprint indexes under
-    * `<root>/image_phash` and `<root>/audio_spectral` — the
-    * incremental-dedup handoff for the next batch. `stats = false`
-    * skips the accounting counts (same contract as [[Curate.run]]);
-    * the survivor output is identical either way. */
+    * `<root>/image_phash`, `<root>/audio_spectral` and
+    * `<root>/video_frames` — the incremental-dedup handoff for the
+    * next batch, covering every modality the dedup stage covers (a
+    * video landed today must not be re-admitted tomorrow any more
+    * than an image). `stats = false` skips the accounting counts
+    * (same contract as [[Curate.run]]); the survivor output and the
+    * index writes are identical either way. */
   def run(media: Dataset[MediaRow], maxDist: Int = 3,
       minFrames: Int = 4, maxBucket: Int = 100,
       indexRoot: Option[String] = None,
@@ -73,25 +83,42 @@ object CurateMedia {
     val afterDedup = countIf(survivors)
     // 3. optional fingerprint-index handoff (the incremental contract:
     // only SURVIVORS index — a dropped duplicate must never become
-    // the fingerprint that shadows a later clean arrival)
-    indexRoot.foreach { root =>
-      Multimodal.writePHashIndex(keptImages.as[MediaRow], s"$root/image_phash")
-      Multimodal.writeSpectralIndex(keptAudio.as[MediaRow], s"$root/audio_spectral")
+    // the fingerprint that shadows a later clean arrival). Index-row
+    // accounting reads the landed parquet's footers (metadata-only,
+    // never a data scan) so the card reports what actually persisted.
+    def landed(path: String): Long =
+      if (stats) spark.read.parquet(path).count() else -1L
+    val (idxImg, idxAud, idxVid) = indexRoot match {
+      case None => (-1L, -1L, -1L)
+      case Some(root) =>
+        Multimodal.writePHashIndex(keptImages.as[MediaRow], s"$root/image_phash")
+        Multimodal.writeSpectralIndex(keptAudio.as[MediaRow], s"$root/audio_spectral")
+        Multimodal.writeFrameIndex(keptVideo.as[MediaRow], s"$root/video_frames")
+        (landed(s"$root/image_phash"), landed(s"$root/audio_spectral"),
+          landed(s"$root/video_frames"))
     }
     val st = if (stats) Some(MediaStats(input, decodable, afterDedup,
-      keptImages.count(), keptAudio.count(), keptVideo.count()))
+      keptImages.count(), keptAudio.count(), keptVideo.count(),
+      idxImg, idxAud, idxVid))
     else None
     (survivors, st)
   }
 
-  /** Data card: one row per stage, the [[Curate.dataCard]] shape. */
+  /** Data card: one row per stage, the [[Curate.dataCard]] shape. The
+    * index stages are pure side-effect records (fingerprint rows
+    * landed per modality; nothing drops), present only when the run
+    * was given an `indexRoot`. */
   def dataCard(spark: org.apache.spark.sql.SparkSession,
       st: MediaStats): DataFrame = {
     import spark.implicits._
-    Seq(
+    val stages = Seq(
       ("decode_validate", st.input, st.decodable),
-      ("perceptual_dedup", st.decodable, st.afterDedup))
-      .map { case (n, in, out) =>
+      ("perceptual_dedup", st.decodable, st.afterDedup)) ++
+      Seq(("index_image_phash", st.indexedImages, st.indexedImages),
+        ("index_audio_spectral", st.indexedAudio, st.indexedAudio),
+        ("index_video_frames", st.indexedVideo, st.indexedVideo))
+        .filter(_._2 >= 0L)
+    stages.map { case (n, in, out) =>
         (n, in, out, in - out,
           if (in > 0) math.rint((in - out).toDouble / in * 10000) / 10000 else 0.0)
       }.toDF("stage", "rows_in", "rows_out", "rows_dropped", "drop_frac")

@@ -2114,6 +2114,37 @@ object PipelineInventory {
              |WHERE a.doc_id % 2 = 0
              |ORDER BY d1, d2""".stripMargin)),
 
+    // NONZERO-hamming perceptual pairs: p63/p64/p65 all collide at
+    // exact hash equality, so the pigeonhole join's
+    // `1 <= bit_count(xor) <= 3` path had spec coverage but no oracle
+    // row. The fixture (Multimodal.perturbedPHashFixture) plants doc
+    // 2k+1 = doc 2k with +32 luma on every 53rd pixel — a localized
+    // edit that nudges a few low-frequency DCT coefficients across
+    // the AC median. pHash sets exactly 32 of 64 bits, so distances
+    // are always even: of the 100 planted pairs (doc_id < 200, the
+    // sf-invariant slice), 50 land at distance 2, 45 at 0 and 5 at 4
+    // (tools.P66Probe derived the parameters; MultimodalSpec pins
+    // every distance). The oracle asserts exactly the dist-2 pair
+    // set: the 0-pairs prove the filter's lower bound, the 4-pairs
+    // its upper, and any hash change moves some pair across a
+    // boundary — planted ground truth at NONZERO distance, the same
+    // known-answer design as p63 one bit-flip further out.
+    QueryDef("p66_image_phash_dist",
+      (s, d) => Multimodal.nearDupImagesPHash(
+          Multimodal.perturbedPHashFixtures(
+            T(s, d, "documents").filter(col("doc_id") < 200)), maxDist = 3)
+        .filter(col("dist") >= 1)
+        .orderBy("d1", "d2"),
+      Some("""SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(2 AS BIGINT) AS dist
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 2 = 0 AND a.doc_id < 200
+             |  AND a.doc_id IN (6, 8, 12, 18, 20, 32, 34, 40, 42, 48, 50,
+             |    54, 58, 64, 70, 72, 76, 78, 80, 82, 86, 88, 96, 102, 104,
+             |    106, 108, 114, 120, 122, 132, 134, 136, 138, 142, 144,
+             |    146, 148, 150, 156, 164, 170, 174, 176, 180, 182, 186,
+             |    188, 192, 194)
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Content-defined-chunking dedup — the distributed ExactSubstr
     // answer: boundaries cut where md5(token) % 8 == 0, so verbatim
     // spans produce identical chunks at ANY offset and keep-first

@@ -1423,6 +1423,27 @@ object Ingest {
       writeBatch = Multimodal.writeSpectralIndexBatch)
   }
 
+  /** [[imageIngestStream]]'s VIDEO sibling — the frame-fingerprint
+    * index ([[graft.operators.Multimodal]] writeFrameIndex family)
+    * fed per micro-batch through the same exactly-once layout, with
+    * the [[graft.operators.Multimodal.nearDupVideos]] match rule
+    * (>= `minFrames` distinct shared frame pHashes) instead of a
+    * single-hash hamming bound. Only the batch's frames are ever
+    * decoded; old videos contribute ~16-byte fingerprint rows. */
+  def videoIngestStream(spark: SparkSession, mediaSchema: StructType,
+      srcDir: String, corpusDir: String, indexPath: String,
+      checkpoint: String, minFrames: Int = 4, maxBucket: Int = 100,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.Multimodal
+    mediaDedupIngestStream(spark, mediaSchema, srcDir, corpusDir,
+      indexPath, checkpoint, "videoIngestStream index", maxFilesPerTrigger,
+      dedupAgainst = (m, i) =>
+        Multimodal.dedupVideosAgainstIndex(m, i, minFrames, maxBucket),
+      bootstrapPairs = m => Multimodal.nearDupVideos(m, minFrames, maxBucket)
+        .select(col("d1"), col("d2")),
+      writeBatch = Multimodal.writeFrameIndexBatch)
+  }
+
   /** Shared incremental media-dedup stream: per batch, dedup against
     * the earlier-batch fingerprint index (first batch bootstraps from
     * its own within-batch pairs), land survivors + their fingerprint

@@ -37,13 +37,16 @@ object Golden {
   val curateGoldenPath = "src/test/resources/golden-curate-sf0.001.txt"
   val mediaGoldenPath = "src/test/resources/golden-curate-media-sf0.001.txt"
 
-  /** Canonical digest of the MEDIA curation pipeline's survivors at
-    * default settings over the deterministic fixture corpus (one
-    * image + one audio + one video row per doc id — the p63/p64/p65
-    * fixtures, so planted dups exist in every modality): payload
-    * digested by md5, metadata verbatim. The end-to-end composition
-    * golden for `pipelines.CurateMedia`, like [[curateDigest]] for
-    * the text pipeline. */
+  /** Canonical digest of the MEDIA curation pipeline at default
+    * settings over the deterministic fixture corpus (one image + one
+    * audio + one video row per doc id — the p63/p64/p65 fixtures, so
+    * planted dups exist in every modality): survivors digest (payload
+    * by md5, metadata verbatim) + data-card digest, space-joined. The
+    * run persists all three fingerprint indexes to a scratch root so
+    * the card's index_* side-effect rows (rows landed per modality)
+    * are under golden too — the end-to-end composition golden for
+    * `pipelines.CurateMedia`, like [[curateDigest]] for the text
+    * pipeline. */
   def curateMediaDigest(spark: SparkSession, sf: String): String = {
     import org.apache.spark.sql.functions.{col, md5}
     import spark.implicits._
@@ -54,10 +57,27 @@ object Golden {
         .map(r => r.copy(doc_id = r.doc_id + 1000000L)))
       .unionByName(graft.operators.Multimodal.videoFixtures(docs)
         .map(r => r.copy(doc_id = r.doc_id + 2000000L)))
-    val (out, _) = graft.pipelines.CurateMedia.run(media, stats = false)
-    digest(out.select(col("doc_id"), md5(col("payload")).as("p"),
-        col("kind"), col("width"), col("height"), col("duration_ms"))
-      .orderBy("doc_id"))
+    val idxRoot = Files.createTempDirectory("golden-media-idx")
+    try {
+      val (out, st) = graft.pipelines.CurateMedia.run(media,
+        indexRoot = Some(idxRoot.toString), stats = true)
+      val survivors = digest(out.select(col("doc_id"),
+          md5(col("payload")).as("p"), col("kind"), col("width"),
+          col("height"), col("duration_ms"))
+        .orderBy("doc_id"))
+      val card = digest(graft.pipelines.CurateMedia.dataCard(spark, st.get))
+      s"$survivors $card"
+    } finally deleteRecursively(idxRoot)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
   }
 
   /** Canonical digest of the flagship 17-stage curation pipeline's

@@ -85,18 +85,23 @@ class BenchSpec extends AnyFunSuite {
     f.delete()
   }
 
-  test("loadFloors survives key reorder / extra keys inside a floor object") {
+  test("loadFloors survives key reorder / extra keys; non-query-shaped keys rejected") {
     // r12 advisor: the old parse anchored on "sec" being the FIRST key
-    // and a format tweak silently returned an empty map
+    // and a format tweak silently returned an empty map. r13 advisor:
+    // keys are anchored to the query-name shape (q/r/p + digit), so a
+    // future non-floor flat object carrying a "sec" pair (a load-stats
+    // blob, say) is never silently imported as a floor.
     val f = java.io.File.createTempFile("floors2", ".json")
     val w = new java.io.PrintWriter(f)
     try w.println(
       """{"queries": {
-        |  "a_q": {"src": "BENCH_r12", "sec": 0.42},
-        |  "b_q": {"reps": 4, "sec": 1.5, "src": "quiet"}
-        |}}""".stripMargin) finally w.close()
+        |  "q1_agg": {"src": "BENCH_r12", "sec": 0.42},
+        |  "p66_image_phash_dist": {"reps": 4, "sec": 1.5, "src": "quiet"}
+        | },
+        | "load_stats": {"reps": 4, "sec": 99.0}
+        |}""".stripMargin) finally w.close()
     val m = Bench.loadFloors(f.getAbsolutePath)
-    assert(m == Map("a_q" -> 0.42, "b_q" -> 1.5))
+    assert(m == Map("q1_agg" -> 0.42, "p66_image_phash_dist" -> 1.5))
     f.delete()
   }
 

@@ -391,6 +391,70 @@ class MultimodalSpec extends SparkSpec {
     assert(kept == full.filter(_ >= 100L), s"full=$full kept=$kept")
   }
 
+  test("incremental video dedup against the frame index == full recompute restricted to the batch") {
+    import Multimodal.{MediaRow, videoFixture}
+    def m(id: Long, tex: Long) = MediaRow(id, videoFixture(tex), "video", 32, 32, 0L)
+    // indexed corpus: three distinct 6-frame videos (fixture evens)
+    val old = Seq(m(0, 0), m(2, 2), m(4, 4)).toDS()
+    val idxDir = java.nio.file.Files.createTempDirectory("vfidx").toString + "/idx"
+    Multimodal.writeFrameIndex(old, idxDir)
+    // new batch (ids above all indexed ids — the equality precondition):
+    //  100: trimmed + graded copy of indexed texture 0 (shares 5
+    //       fingerprints >= minFrames=4)          -> old match, drops
+    //  101/102: a FRESH within-batch dup pair     -> keep min (101)
+    //  103: fresh                                  -> kept
+    //  104/105: within-batch dups whose twin 104 ALSO matches indexed
+    //           texture 4 -> whole component contaminated, both drop
+    val batch = Seq(m(100, 1), m(101, 20), m(102, 21),
+      m(103, 30), m(104, 5), m(105, 5)).toDS()
+    val kept = Multimodal.dedupVideosAgainstIndex(batch,
+        spark.read.parquet(idxDir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L, 103L), kept.toString)
+    // the law: equals the full recompute over old ∪ new, restricted
+    // to the batch
+    val all = old.unionByName(batch)
+    val full = graft.operators.Dedup.survivors(all.toDF(),
+        Multimodal.nearDupVideos(all).select("d1", "d2"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == full.filter(_ >= 100L), s"full=$full kept=$kept")
+    // the match bar is the operator's: a batch needing MORE shared
+    // frames than the trim leaves (minFrames=6 > 5) keeps the copy
+    assert(Multimodal.dedupVideosAgainstIndex(batch,
+        spark.read.parquet(idxDir), minFrames = 6)
+      .select("doc_id").as[Long].collect().toSet
+        .contains(100L))
+  }
+
+  test("p66 fixture: localized luma edit lands planted pairs at the pinned even distances (nonzero-hamming contract)") {
+    // the full per-pair evidence tools.P66Probe derived (step=53,
+    // delta=32): pHash distances of the first 100 planted pairs —
+    // pinned so any fixture or hash change fails fast, the literal
+    // source of p66's oracle IN-list
+    val pinned = ("0,0,0,2,2,0,2,0,0,2,2,0,0,0,0,0,2,2,0,4,2,2,0,0,2,2," +
+      "0,2,0,2,0,0,2,0,0,2,2,0,2,2,2,2,4,2,2,4,0,4,2,0,0,2,2,2,2,0,0,2," +
+      "0,0,2,2,0,0,0,0,2,2,2,2,0,2,2,2,2,2,0,0,2,0,4,0,2,0,0,2,0,2,2,0," +
+      "2,2,0,2,2,0,2,2,0,0").split(",").map(_.toInt).toSeq
+    val dists = (0 until 100).map { k =>
+      val a = Multimodal.pHash64(Multimodal.perturbedPHashFixture(2L * k)).get
+      val b = Multimodal.pHash64(Multimodal.perturbedPHashFixture(2L * k + 1)).get
+      java.lang.Long.bitCount(a ^ b)
+    }
+    assert(dists == pinned, s"fixture distances drifted: $dists")
+    // the distributed pigeonhole join over the 200-doc corpus returns
+    // EXACTLY the dist-2 planted set — 0-pairs excluded below, 4-pairs
+    // above, and no cross-texture pair sneaks in
+    val ids = (0L until 200L).toDF("doc_id")
+    val pairs = Multimodal.nearDupImagesPHash(
+        Multimodal.perturbedPHashFixtures(ids), maxDist = 3)
+      .filter(col("dist") >= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = pinned.zipWithIndex.collect {
+      case (2, k) => (2L * k, 2L * k + 1, 2L) }.toSet
+    assert(pairs == want, s"join set drifted: ${pairs.diff(want)} extra, " +
+      s"${want.diff(pairs)} missing")
+  }
+
   test("CurateMedia: validate -> per-modality dedup -> index handoff, stage accounting exact") {
     import Multimodal.MediaRow
     import graft.pipelines.CurateMedia
@@ -408,22 +472,37 @@ class MultimodalSpec extends SparkSpec {
       indexRoot = Some(idxRoot))
     val kept = out.select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 6L, 8L), kept.toString)
-    assert(st.get == CurateMedia.MediaStats(8L, 7L, 4L, 1L, 1L, 1L),
+    // indexed rows: image/audio = 4 pigeonhole blocks per surviving
+    // hash; video = the survivor's 6 distinct frame fingerprints
+    assert(st.get == CurateMedia.MediaStats(8L, 7L, 4L, 1L, 1L, 1L,
+      indexedImages = 4L, indexedAudio = 4L, indexedVideo = 6L),
       st.get.toString)
     val card = CurateMedia.dataCard(spark, st.get).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(card == Map("decode_validate" -> ((8L, 7L)),
-      "perceptual_dedup" -> ((7L, 4L))))
+      "perceptual_dedup" -> ((7L, 4L)),
+      "index_image_phash" -> ((4L, 4L)),
+      "index_audio_spectral" -> ((4L, 4L)),
+      "index_video_frames" -> ((6L, 6L))), card.toString)
     // the handoff contract: a graded copy arriving in the NEXT batch
-    // is dropped against the persisted survivor index
+    // is dropped against the persisted survivor index — per modality
     val next = Seq(MediaRow(100L, Multimodal.pHashImageFixture(1),
       "image", 32, 32, 0L)).toDS()
     assert(Multimodal.dedupImagesAgainstIndex(next,
       spark.read.parquet(s"$idxRoot/image_phash"), maxDist = 0).count() == 0L)
-    // stats = false: identical survivors, no counts
+    val nextVid = Seq(MediaRow(101L, Multimodal.videoFixture(1),
+      "video", 32, 32, 0L)).toDS() // trimmed+graded copy of survivor 6
+    assert(Multimodal.dedupVideosAgainstIndex(nextVid,
+      spark.read.parquet(s"$idxRoot/video_frames")).count() == 0L)
+    // stats = false: identical survivors, no counts — and the card of
+    // an indexRoot-less run carries no index stages
     val (out2, st2) = CurateMedia.run(corpus, maxDist = 0, stats = false)
     assert(st2.isEmpty)
     assert(out2.select("doc_id").as[Long].collect().toSet == kept)
+    val (_, st3) = CurateMedia.run(corpus, maxDist = 0)
+    assert(CurateMedia.dataCard(spark, st3.get)
+      .select("stage").as[String].collect().toSet ==
+      Set("decode_validate", "perceptual_dedup"))
   }
 
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {

@@ -1571,6 +1571,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() == 3)
   }
 
+  test("STVID: streamed video ingest drops cross-batch trimmed+graded dups via the frame index, replay clean") {
+    import graft.operators.Multimodal
+    import Multimodal.{MediaRow, videoFixture}
+    val src = tmp("stvid-src"); val ck = tmp("stvid-ck")
+    val corpus = src + "-corpus"; val idx = src + "-idx"
+    def m(id: Long, tex: Long) = MediaRow(id, videoFixture(tex), "video", 32, 32, 0L)
+    // batch 1: two distinct videos; batch 2: a trimmed + brightness-
+    // graded copy of batch 1's first video (cross-batch dup, shares 5
+    // frame fingerprints) + a fresh one
+    val b1 = Seq(m(1, 0), m(2, 2)).toDS()
+    val b2 = Seq(m(3, 1), m(4, 10)).toDS() // tex 1 = trimmed twin of tex 0
+    b1.toDF().coalesce(1).write.mode("append").parquet(src)
+    b2.toDF().coalesce(1).write.mode("append").parquet(src)
+    Ingest.videoIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck)
+    val keptIds = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptIds == Set(1L, 2L, 4L), s"got $keptIds")
+    // the index carries exactly the survivors' frame fingerprints,
+    // per batch: 6 per surviving video (6 distinct frames each)
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.select("batch_id").distinct().count() == 2)
+    assert(idxDf.select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    assert(idxDf.count() == 18)
+    // restart on the same checkpoint: nothing new, nothing doubled
+    Ingest.videoIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck)
+    assert(spark.read.parquet(corpus).count() == 3)
+    assert(spark.read.parquet(idx).count() == 18)
+  }
+
   test("STIVF: retrain trigger fires on a planted drifted batch, stays quiet in-distribution; index law intact; replay clean") {
     val src = tmp("stivf-src"); val ck = tmp("stivf-ck")
     val idx = src + "-idx"; val sig = src + "-sig"
@@ -1608,6 +1638,52 @@ class StreamingSpec extends SparkSpec {
       signalPath = sig, retrainDist = 0.5)
     assert(Ingest.retrainSignals(spark, sig).count() == signals.size)
     assert(spark.read.parquet(idx).count() == 5)
+  }
+
+  test("STIVF2: acting on the retrain signal — retrain-and-swap equals an index built from scratch; appends resume on the new centroids") {
+    import graft.operators.Ann
+    val src = tmp("stivf2-src"); val ck = tmp("stivf2-ck")
+    val idx = src + "-idx"; val sig = src + "-sig"
+    val cents0 = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(0.75f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    // the planted drift: a new content domain far from both centroids
+    val b2 = Seq((3L, Seq(6f, 4f)), (4L, Seq(4f, 5f)))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.vectorIngestStream(spark, b1.schema, src, idx, cents0, ck,
+      signalPath = sig, retrainDist = 0.5)
+    // the signal fired — the maintenance loop this test plays acts on it
+    assert(Ingest.retrainSignals(spark, sig)
+      .filter($"retrain").count() > 0)
+    val cents = Ann.retrainIvfIndex(spark, idx, k = 2)
+    // THE LAW: the swapped-in index + returned centroids give the
+    // same search results as an index built from scratch on the full
+    // corpus (training is deterministic for a given corpus)
+    val scratch = tmp("stivf2-scratch") + "-w"
+    val allVecs = spark.read.parquet(src)
+    val cents2 = Ann.trainCentroidsTol(allVecs, k = 2)
+      .select($"c_id".as("vec_id"), $"cemb".as("embedding"))
+      .localCheckpoint(true)
+    Ann.writeIvfIndex(allVecs, cents2, scratch)
+    def top(p: String, c: org.apache.spark.sql.DataFrame, q: Seq[Double]) =
+      Ann.ivfSearchIndex(spark, p, c, q, k = 5, nprobe = 1)
+        .as[(Long, Double)].collect().toSeq
+    for (q <- Seq(Seq(1.0, 0.0), Seq(5.0, 4.5)))
+      assert(top(idx, cents, q) == top(scratch, cents2, q), s"query $q")
+    // the swap left the one-shot layout (no batch_id partition) and
+    // cleaned up its working dirs
+    assert(!spark.read.parquet(idx).columns.contains("batch_id"))
+    assert(!new java.io.File(idx + "_bak").exists())
+    assert(!new java.io.File(idx + "_retrain").exists())
+    // the append epoch resumes on the RETRAINED centroids: a new
+    // batch lands in the same c_id= layout and is searchable
+    val b3 = Seq((5L, Seq(5.5f, 4.4f))).toDF("vec_id", "embedding")
+    Ann.appendIvfIndex(b3, cents, idx)
+    assert(spark.read.parquet(idx).count() == 6)
+    assert(top(idx, cents, Seq(5.5, 4.4)).map(_._1).contains(5L))
   }
 
   test("STP: streamed PQ-code ingest equals the batch index; IVFPQ layout prunes across batches") {
