@@ -685,19 +685,8 @@ object Ingest {
       id: Long, what: String): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val entries =
-      if (fs.exists(p))
-        fs.listStatus(p).map(_.getPath.getName)
-          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
-      else Seq.empty
-    val foreign = entries.filterNot(_.startsWith("batch_id="))
-    require(foreign.isEmpty,
-      s"$what: $path is not a batch_id=-partitioned stream dir " +
-        s"(found ${foreign.take(3).mkString(", ")}); use a fresh path " +
-        "or rebuild in the streaming layout")
-    val earlier = entries.exists(n =>
-      n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong < id)
+    val entries = batchIdEntries(fs, new org.apache.hadoop.fs.Path(path), what)
+    val earlier = entries.exists(_.stripPrefix("batch_id=").toLong < id)
     if (earlier) Some(spark.read.parquet(path).filter(col("batch_id") < id))
     else None
   }
@@ -713,7 +702,18 @@ object Ingest {
       id: Long, what: String): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
+    val earlier = batchIdEntries(fs, new org.apache.hadoop.fs.Path(path), what)
+      .map(_.stripPrefix("batch_id=").toLong)
+      .filter(_ < id)
+    if (earlier.isEmpty) None
+    else Some(spark.read.parquet(s"$path/batch_id=${earlier.max}"))
+  }
+
+  /** List a dir's batch_id= partition names, rejecting foreign entries
+    * loudly — the shared layout check of [[earlierBatchPartitions]] /
+    * [[latestEarlierBatch]] and the maintenance ops below. */
+  private def batchIdEntries(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, what: String): Seq[String] = {
     val entries =
       if (fs.exists(p))
         fs.listStatus(p).map(_.getPath.getName)
@@ -721,13 +721,86 @@ object Ingest {
       else Seq.empty
     val foreign = entries.filterNot(_.startsWith("batch_id="))
     require(foreign.isEmpty,
-      s"$what: $path is not a batch_id=-partitioned stream dir " +
+      s"$what: $p is not a batch_id=-partitioned stream dir " +
         s"(found ${foreign.take(3).mkString(", ")}); use a fresh path " +
         "or rebuild in the streaming layout")
-    val earlier = entries.map(_.stripPrefix("batch_id=").toLong)
-      .filter(_ < id)
-    if (earlier.isEmpty) None
-    else Some(spark.read.parquet(s"$path/batch_id=${earlier.max}"))
+    entries
+  }
+
+  /** Small-file compaction for DELTA-style batch_id= stream state —
+    * the fingerprint indexes, survivor corpora and URL/band indexes
+    * the ingest streams here append one partition per micro-batch: at
+    * 100 TB a long-lived stream leaves thousands of tiny partitions,
+    * and every per-batch `earlierBatchPartitions` read then pays a
+    * namenode listing plus an open per file. Folds EVERY partition
+    * into the single HIGHEST existing batch_id, resized to
+    * `targetFileBytes` files — the id is preserved (never renumbered)
+    * so a RESUMED checkpoint, whose next batch id is strictly greater,
+    * reads exactly the union it read before (rows preserved verbatim,
+    * never deduplicated: delta partitions are disjoint by
+    * construction, and content is the invariant StreamingSpec pins).
+    * Park-then-promote like [[graft.sources.Lake.compact]]: the old
+    * layout is parked aside (never deleted first) and a crash between
+    * park and promote is healed by the next call. NOT concurrency-safe
+    * with a running stream — run between [[org.apache.spark.sql.streaming.Trigger.AvailableNow]]
+    * passes (a maintenance window), the same contract as Lake.compact.
+    * A FRESH checkpoint against compacted state has the same hazard as
+    * against uncompacted state (batch 0 reads nothing) — resume, don't
+    * re-key. Returns the surviving batch id. */
+  def compactStreamState(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    val what = "compactStreamState"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "_compact_bak")
+    // heal a crash caught between park and promote
+    if (!fs.exists(p) && fs.exists(bak))
+      require(fs.rename(bak, p), s"$what: failed to restore $bak")
+    val ids = batchIdEntries(fs, p, what).map(_.stripPrefix("batch_id=").toLong)
+    require(ids.nonEmpty, s"$what: $path has no batch_id= partitions")
+    val maxId = ids.max
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).drop("batch_id").repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$tmp/batch_id=$maxId")
+    fs.delete(bak, true)
+    require(fs.rename(p, bak), s"$what: failed to park $p")
+    require(fs.rename(tmp, p),
+      s"$what: failed to promote $tmp (old layout parked at $bak)")
+    fs.delete(bak, true)
+    maxId
+  }
+
+  /** Retention for SNAPSHOT-style batch_id= stream state — the
+    * funnel/transition/retention folds land the WHOLE state per batch
+    * and read only the latest earlier snapshot
+    * ([[latestEarlierBatch]]), so every partition but the newest
+    * `keepLast` is dead weight: at 100 TB that is the users-sized
+    * state times the batch count. Directory-name listing plus one
+    * recursive delete per expired partition, no data file read — the
+    * [[graft.sources.Lake.vacuumBronze]] contract for the streaming
+    * layout. keepLast >= 1 always leaves the replay anchor: the last
+    * COMMITTED batch's snapshot, which is all a resumed checkpoint
+    * ever reads. Returns (kept, deleted) ids, sorted ascending. */
+  def vacuumStreamSnapshots(spark: SparkSession, path: String,
+      keepLast: Int = 2): (Seq[Long], Seq[Long]) = {
+    require(keepLast >= 1, "keepLast must be positive")
+    val what = "vacuumStreamSnapshots"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val ids = batchIdEntries(fs, p, what)
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    val (drop, keep) = ids.splitAt(0.max(ids.size - keepLast))
+    drop.foreach { id =>
+      val part = new org.apache.hadoop.fs.Path(s"$path/batch_id=$id")
+      require(fs.delete(part, true), s"$what: failed to delete $part")
+    }
+    (keep, drop)
   }
 
   /** Streaming funnel: each micro-batch folds into the USERS-SIZED

@@ -1601,6 +1601,85 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 18)
   }
 
+  test("STCMP: delta-state compaction folds to the max batch id; rows verbatim, resumed decisions unchanged") {
+    import graft.operators.Multimodal
+    import Multimodal.{MediaRow, pHashImageFixture}
+    val src = tmp("stcmp-src"); val ck = tmp("stcmp-ck")
+    val corpus = src + "-corpus"; val idx = src + "-idx"
+    def m(id: Long, tex: Long) = MediaRow(id, pHashImageFixture(tex), "image", 32, 32, 0L)
+    val b1 = Seq(m(1, 0), m(2, 2)).toDS()
+    val b2 = Seq(m(3, 1), m(4, 10)).toDS() // tex 1 = shifted twin of tex 0 -> drops
+    b1.toDF().coalesce(1).write.mode("append").parquet(src)
+    b2.toDF().coalesce(1).write.mode("append").parquet(src)
+    Ingest.imageIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck,
+      maxDist = 0)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    def rows(p: String) = spark.read.parquet(p).drop("batch_id")
+      .collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq // structural equality for payloads
+        case v => v
+      }).toSeq.sortBy(_.toString)
+    assert(parts(idx) == Seq("batch_id=0", "batch_id=1"))
+    val (idxBefore, corpusBefore) = (rows(idx), rows(corpus))
+    // compact both state dirs: everything folds into the HIGHEST id
+    // (preserved, never renumbered), rows verbatim
+    assert(Ingest.compactStreamState(spark, idx) == 1L)
+    assert(Ingest.compactStreamState(spark, corpus) == 1L)
+    assert(parts(idx) == Seq("batch_id=1") && parts(corpus) == Seq("batch_id=1"))
+    assert(rows(idx) == idxBefore && rows(corpus) == corpusBefore)
+    assert(!new java.io.File(idx + "_compact_bak").exists())
+    assert(!new java.io.File(idx + "_compact_tmp").exists())
+    // a batch landing AFTER compaction reads the same union it would
+    // have read before: a shifted twin of batch-1 survivor tex 2 still
+    // drops, a fresh texture still lands (under the next checkpoint
+    // id, which is strictly above the compacted one)
+    Seq(m(5, 3), m(6, 20)).toDS().toDF().coalesce(1)
+      .write.mode("append").parquet(src)
+    Ingest.imageIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck,
+      maxDist = 0)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L, 6L))
+    assert(parts(idx) == Seq("batch_id=1", "batch_id=2"))
+    // layout guard: a non-stream dir is rejected, not silently folded
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.compactStreamState(spark, src)
+    }
+    assert(ex.getMessage.contains("batch_id="))
+  }
+
+  test("STVAC: snapshot-state vacuum keeps the newest partitions; resumed fold unchanged") {
+    import graft.operators.Behavior
+    val src = tmp("stvac-src"); val st = tmp("stvac-state"); val ck = tmp("stvac-ck")
+    val steps = Seq("view", "purchase")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val b2 = Seq((1L, "purchase", ts("2024-01-02 09:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Ingest.funnelIngestStream(spark, b1.schema, src, st, ck, steps)
+    def snap = Ingest.funnelStateSnapshot(spark, st)
+      .collect().map(_.toSeq).toSet
+    val full = snap
+    // two snapshots landed; only the newest is live state
+    val (kept, dropped) = Ingest.vacuumStreamSnapshots(spark, st, keepLast = 1)
+    assert(kept == Seq(1L) && dropped == Seq(0L))
+    assert(snap == full)
+    // the fold resumes on the surviving snapshot: batch 3 converts u2
+    Seq((2L, "purchase", ts("2024-01-03 09:00:00")))
+      .toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    Ingest.funnelIngestStream(spark, b1.schema, src, st, ck, steps)
+    assert(snap == Behavior.funnelUsers(
+      spark.read.parquet(src), steps).collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      Ingest.vacuumStreamSnapshots(spark, st, keepLast = 0)
+    }
+  }
+
   test("STIVF: retrain trigger fires on a planted drifted batch, stays quiet in-distribution; index law intact; replay clean") {
     val src = tmp("stivf-src"); val ck = tmp("stivf-ck")
     val idx = src + "-idx"; val sig = src + "-sig"
