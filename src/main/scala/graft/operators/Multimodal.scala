@@ -1041,6 +1041,133 @@ object Multimodal {
       .drop("comp", "ccomp")
   }
 
+  // ---- Media eval-set decontamination -------------------------------
+
+  /** Shared single-hash eval screen: rows of `corpusHashes` (doc_id, h)
+    * whose hash lands within `maxDist` of ANY `evalHashes` hash — the
+    * perceptual form of the text pipeline's eval-contamination screens
+    * (`Dedup.contamination` family): a train image/clip that is a
+    * near-dup of a benchmark item leaks the benchmark into training.
+    * Pure screen semantics — no within-corpus transitivity, no
+    * survivor election; pigeonhole block join corpus-vs-eval with the
+    * occupancy cap on the EVAL side only: the corpus side must never
+    * be capped (a capped-away train row would silently skip its
+    * screen), and capping eval alone still bounds the join — every
+    * corpus row meets at most 4 × maxBucket eval block rows, so the
+    * output is linear in the corpus at any skew. Eval sets are
+    * benchmark-sized (far under any sane cap), so in practice the cap
+    * only guards a degenerate eval with one hot block.
+    * Returns the distinct contaminated corpus doc_ids. */
+  private def contaminatedByHash(corpusHashes: DataFrame,
+      evalHashes: DataFrame, maxDist: Int, maxBucket: Int): DataFrame =
+    contaminatedByBlocks(corpusHashes, hashBlocks(evalHashes),
+      maxDist, maxBucket)
+
+  /** [[contaminatedByHash]] with the eval side already in the
+    * persisted block-index layout ([[writePHashIndex]] /
+    * [[writeSpectralIndex]]'s (doc_id, h, blk, bv) rows) — the form
+    * that screens many train batches against a frozen benchmark
+    * without ever re-hashing eval payloads. */
+  private def contaminatedByBlocks(corpusHashes: DataFrame,
+      evalBlocks: DataFrame, maxDist: Int, maxBucket: Int): DataFrame = {
+    val cb = hashBlocks(corpusHashes)
+      .select(col("doc_id").as("c_id"), col("h").as("ch"),
+        col("blk"), col("bv"))
+    val eb = Dedup.capBuckets(evalBlocks.select("doc_id", "h", "blk", "bv"),
+      Seq("blk", "bv"), maxBucket)
+    cb.join(eb, Seq("blk", "bv"))
+      .filter(expr(s"bit_count(ch ^ h) <= $maxDist"))
+      .select(col("c_id").as("doc_id")).distinct()
+  }
+
+  /** Drop train images that are perceptual near-dups (DCT pHash within
+    * `maxDist`) of ANY eval image — benchmark-leakage decontamination
+    * for the image modality. Undecodable train rows keep (a row that
+    * cannot be hashed cannot be screened; the decode-validate stage is
+    * where undecodables die). Eval hashes are computed once per call —
+    * screen many train batches against a frozen eval set by persisting
+    * [[writePHashIndex]] of the eval corpus and joining its blocks,
+    * the same fingerprint-index economics as incremental dedup.
+    * Returns the surviving train media rows. */
+  def decontaminateImages(train: Dataset[MediaRow], eval: Dataset[MediaRow],
+      maxDist: Int = 0, maxBucket: Int = 100): DataFrame =
+    train.toDF().join(
+      contaminatedByHash(
+        pHashes(train).withColumnRenamed("phash", "h"),
+        pHashes(eval).withColumnRenamed("phash", "h"),
+        maxDist, maxBucket),
+      Seq("doc_id"), "left_anti")
+
+  /** [[decontaminateImages]] against a PERSISTED eval fingerprint
+    * index ([[writePHashIndex]] of the benchmark corpus) — eval
+    * payloads hashed once at index-build time, every train batch
+    * thereafter screens against ~32-byte block rows. */
+  def decontaminateImagesAgainstIndex(train: Dataset[MediaRow],
+      evalIndex: DataFrame, maxDist: Int = 0, maxBucket: Int = 100): DataFrame =
+    train.toDF().join(
+      contaminatedByBlocks(
+        pHashes(train).withColumnRenamed("phash", "h"),
+        evalIndex, maxDist, maxBucket),
+      Seq("doc_id"), "left_anti")
+
+  /** [[decontaminateImages]]' audio sibling under the spectral DCT
+    * hash ([[audioSpectralHash64]] — gain-invariant, so a re-levelled
+    * copy of a benchmark clip still screens out). */
+  def decontaminateAudio(train: Dataset[MediaRow], eval: Dataset[MediaRow],
+      maxDist: Int = 0, maxBucket: Int = 100): DataFrame =
+    train.toDF().join(
+      contaminatedByHash(
+        audioSpectralHashes(train).withColumnRenamed("shash", "h"),
+        audioSpectralHashes(eval).withColumnRenamed("shash", "h"),
+        maxDist, maxBucket),
+      Seq("doc_id"), "left_anti")
+
+  /** [[decontaminateAudio]] against a persisted
+    * [[writeSpectralIndex]] of the benchmark corpus. */
+  def decontaminateAudioAgainstIndex(train: Dataset[MediaRow],
+      evalIndex: DataFrame, maxDist: Int = 0, maxBucket: Int = 100): DataFrame =
+    train.toDF().join(
+      contaminatedByBlocks(
+        audioSpectralHashes(train).withColumnRenamed("shash", "h"),
+        evalIndex, maxDist, maxBucket),
+      Seq("doc_id"), "left_anti")
+
+  /** Video eval decontamination under the frame-fingerprint rule: a
+    * train video drops when it shares at least `minFrames` DISTINCT
+    * frame pHashes with ANY eval video ([[nearDupVideos]]' match law
+    * as a screen — trims and brightness grades of a benchmark clip
+    * still screen out). Frame fingerprints on both sides, fhash-keyed
+    * equi-join with the occupancy cap on the EVAL side only (the
+    * [[decontaminateImages]] argument: a capped-away train frame
+    * silently skips its screen, while capping eval alone bounds the
+    * join fan-out per train frame by the capped eval occupancy), per
+    * (train, eval) pair distinct-intersection count — never all-pairs,
+    * never eval pixels after the one hash pass. Returns the surviving
+    * train media rows. */
+  def decontaminateVideos(train: Dataset[MediaRow], eval: Dataset[MediaRow],
+      minFrames: Int = 4, maxBucket: Int = 100): DataFrame =
+    decontaminateVideosAgainstIndex(train, frameFingerprints(eval),
+      minFrames, maxBucket)
+
+  /** [[decontaminateVideos]] against a persisted [[writeFrameIndex]]
+    * of the benchmark corpus (distinct (doc_id, fhash) rows) — eval
+    * frames decoded once at index-build time. */
+  def decontaminateVideosAgainstIndex(train: Dataset[MediaRow],
+      evalFrames: DataFrame, minFrames: Int = 4,
+      maxBucket: Int = 100): DataFrame = {
+    val tf = frameFingerprints(train)
+      .select(col("doc_id").as("t_id"), col("fhash"))
+    val ef = Dedup.capBuckets(evalFrames.select("doc_id", "fhash"),
+        Seq("fhash"), maxBucket)
+      .select(col("doc_id").as("e_id"), col("fhash"))
+    val contaminated = tf.join(ef, Seq("fhash"))
+      .groupBy("t_id", "e_id")
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") >= minFrames)
+      .select(col("t_id").as("doc_id")).distinct()
+    train.toDF().join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Deterministic 6-frame 32×32 grayscale BMP-sequence video planting
     * TRIMMED + BRIGHTNESS-GRADED duplicates for the p65 gate: video 2k
     * is six distinct pseudo-random textures; video 2k+1 is frames 0-4

@@ -15,6 +15,11 @@ import graft.operators.Multimodal.MediaRow
   *   audio: spectral-envelope hash; video: frame-fingerprint
   *   intersection — min-id survivors via connected components, the
   *   text pipeline's transitive rule) →
+  *   [eval-set decontamination — the per-modality perceptual
+  *   benchmark-leakage screen (`decontaminateImages`/`Audio`/
+  *   `Videos`), the media form of Curate's held-out decontamination
+  *   stage; after dedup (fewer to screen) and BEFORE the index write
+  *   (a leaked item must never become an index fingerprint)] →
   *   [fingerprint index write — the artifact later batches dedup
   *   against incrementally via `dedupImagesAgainstIndex` /
   *   `dedupAudioAgainstIndex` / `dedupVideosAgainstIndex`]
@@ -35,7 +40,7 @@ object CurateMedia {
   final case class MediaStats(input: Long, decodable: Long,
       afterDedup: Long, images: Long, audio: Long, video: Long,
       indexedImages: Long = -1L, indexedAudio: Long = -1L,
-      indexedVideo: Long = -1L)
+      indexedVideo: Long = -1L, afterDecon: Long = -1L)
 
   /** Returns (surviving media rows, stats). `indexRoot`, when set,
     * persists the survivors' fingerprint indexes under
@@ -43,12 +48,17 @@ object CurateMedia {
     * `<root>/video_frames` — the incremental-dedup handoff for the
     * next batch, covering every modality the dedup stage covers (a
     * video landed today must not be re-admitted tomorrow any more
-    * than an image). `stats = false` skips the accounting counts
-    * (same contract as [[Curate.run]]); the survivor output and the
-    * index writes are identical either way. */
+    * than an image). `evalMedia`, when set, screens the dedup
+    * survivors against the benchmark corpus per modality (the
+    * perceptual decontamination stage — images/audio at the run's
+    * `maxDist`, videos at its `minFrames`) before anything indexes.
+    * `stats = false` skips the accounting counts (same contract as
+    * [[Curate.run]]); the survivor output and the index writes are
+    * identical either way. */
   def run(media: Dataset[MediaRow], maxDist: Int = 3,
       minFrames: Int = 4, maxBucket: Int = 100,
       indexRoot: Option[String] = None,
+      evalMedia: Option[Dataset[MediaRow]] = None,
       stats: Boolean = true): (DataFrame, Option[MediaStats]) = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -78,9 +88,25 @@ object CurateMedia {
     val keptVideo = Dedup.survivors(video.toDF(),
       Multimodal.nearDupVideos(video, minFrames, maxBucket)
         .select(col("d1"), col("d2")))
-    val survivors = keptImages.unionByName(keptAudio)
-      .unionByName(keptVideo).unionByName(other.toDF())
-    val afterDedup = countIf(survivors)
+    val afterDedup = countIf(keptImages.unionByName(keptAudio)
+      .unionByName(keptVideo).unionByName(other.toDF()))
+    // 2b. optional eval-set decontamination: survivors only (fewer to
+    // screen), and BEFORE the index handoff — a benchmark leak must
+    // never become the fingerprint later batches dedup against
+    val (finImages, finAudio, finVideo) = evalMedia match {
+      case None => (keptImages, keptAudio, keptVideo)
+      case Some(ev) =>
+        (Multimodal.decontaminateImages(keptImages.as[MediaRow],
+          ev.filter(col("kind") === "image"), maxDist, maxBucket),
+         Multimodal.decontaminateAudio(keptAudio.as[MediaRow],
+          ev.filter(col("kind") === "audio"), maxDist, maxBucket),
+         Multimodal.decontaminateVideos(keptVideo.as[MediaRow],
+          ev.filter(col("kind") === "video"), minFrames, maxBucket))
+    }
+    val survivors = finImages.unionByName(finAudio)
+      .unionByName(finVideo).unionByName(other.toDF())
+    val afterDecon =
+      if (evalMedia.isEmpty) -1L else countIf(survivors)
     // 3. optional fingerprint-index handoff (the incremental contract:
     // only SURVIVORS index — a dropped duplicate must never become
     // the fingerprint that shadows a later clean arrival). Index-row
@@ -91,29 +117,32 @@ object CurateMedia {
     val (idxImg, idxAud, idxVid) = indexRoot match {
       case None => (-1L, -1L, -1L)
       case Some(root) =>
-        Multimodal.writePHashIndex(keptImages.as[MediaRow], s"$root/image_phash")
-        Multimodal.writeSpectralIndex(keptAudio.as[MediaRow], s"$root/audio_spectral")
-        Multimodal.writeFrameIndex(keptVideo.as[MediaRow], s"$root/video_frames")
+        Multimodal.writePHashIndex(finImages.as[MediaRow], s"$root/image_phash")
+        Multimodal.writeSpectralIndex(finAudio.as[MediaRow], s"$root/audio_spectral")
+        Multimodal.writeFrameIndex(finVideo.as[MediaRow], s"$root/video_frames")
         (landed(s"$root/image_phash"), landed(s"$root/audio_spectral"),
           landed(s"$root/video_frames"))
     }
     val st = if (stats) Some(MediaStats(input, decodable, afterDedup,
-      keptImages.count(), keptAudio.count(), keptVideo.count(),
-      idxImg, idxAud, idxVid))
+      finImages.count(), finAudio.count(), finVideo.count(),
+      idxImg, idxAud, idxVid, afterDecon))
     else None
     (survivors, st)
   }
 
   /** Data card: one row per stage, the [[Curate.dataCard]] shape. The
-    * index stages are pure side-effect records (fingerprint rows
-    * landed per modality; nothing drops), present only when the run
-    * was given an `indexRoot`. */
+    * eval_decon row appears only when the run screened against an
+    * eval set; the index stages are pure side-effect records
+    * (fingerprint rows landed per modality; nothing drops), present
+    * only when the run was given an `indexRoot`. */
   def dataCard(spark: org.apache.spark.sql.SparkSession,
       st: MediaStats): DataFrame = {
     import spark.implicits._
     val stages = Seq(
       ("decode_validate", st.input, st.decodable),
       ("perceptual_dedup", st.decodable, st.afterDedup)) ++
+      Seq(("eval_decon", st.afterDedup, st.afterDecon))
+        .filter(_._3 >= 0L) ++
       Seq(("index_image_phash", st.indexedImages, st.indexedImages),
         ("index_audio_spectral", st.indexedAudio, st.indexedAudio),
         ("index_video_frames", st.indexedVideo, st.indexedVideo))

@@ -2145,6 +2145,49 @@ object PipelineInventory {
              |    188, 192, 194)
              |ORDER BY d1, d2""".stripMargin)),
 
+    // Media eval-set decontamination, image modality: the perceptual
+    // sibling of the text pipeline's benchmark-leakage screens (p26/
+    // p45/p61). Eval = the EVEN docs below 100 (textures 0..49);
+    // train = the ODD docs below 300 (textures 0..149, ids disjoint
+    // from eval) — the pHash fixture's odd doc is its even sibling's
+    // texture +40-shifted, an EXACT hash invariance (p63), so the 50
+    // planted leaks collide at dist 0 and every odd doc >= 100 is a
+    // fresh texture no eval image shares. Survivors are planted
+    // ground truth: a hash losing the invariance readmits leaks, a
+    // spurious eval collision drops clean docs.
+    QueryDef("p67_image_decon",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Multimodal.decontaminateImages(
+            Multimodal.pHashImageFixtures(
+              docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 300)),
+            Multimodal.pHashImageFixtures(
+              docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id % 2 = 1 AND doc_id >= 100 AND doc_id < 300
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Video modality under the frame-set rule: the trimmed+graded odd
+    // fixture shares exactly 5 of 6 frame fingerprints with its even
+    // sibling (p65), so at minFrames=4 the 50 planted leaks screen
+    // out and the fresh odd docs >= 100 survive — trim and brightness
+    // robustness of the SCREEN proven in one row.
+    QueryDef("p68_video_decon",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Multimodal.decontaminateVideos(
+            Multimodal.videoFixtures(
+              docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 300)),
+            Multimodal.videoFixtures(
+              docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id % 2 = 1 AND doc_id >= 100 AND doc_id < 300
+             |ORDER BY doc_id""".stripMargin)),
+
     // Content-defined-chunking dedup — the distributed ExactSubstr
     // answer: boundaries cut where md5(token) % 8 == 0, so verbatim
     // spans produce identical chunks at ANY offset and keep-first

@@ -426,6 +426,53 @@ class MultimodalSpec extends SparkSpec {
         .contains(100L))
   }
 
+  test("media eval decontamination: planted benchmark leaks drop in all three modalities; fresh and undecodable rows keep") {
+    import Multimodal.{MediaRow, pHashImageFixture, spectralAudioFixture, videoFixture}
+    // IMAGE: eval textures {0, 2}; train 10 = shifted twin of texture 0
+    // (the p63 exact invariance -> dist 0 leak), 11 = fresh texture,
+    // 12 = undecodable (cannot be screened -> keeps; decode-validate
+    // is where undecodables die)
+    def img(id: Long, tex: Long) = MediaRow(id, pHashImageFixture(tex), "image", 32, 32, 0L)
+    val evalImg = Seq(img(0, 0), img(1, 2)).toDS()
+    val trainImg = Seq(img(10, 1), img(11, 20),
+      MediaRow(12L, "junk".getBytes, "image", 32, 32, 0L)).toDS()
+    assert(Multimodal.decontaminateImages(trainImg, evalImg)
+      .select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    // AUDIO: a re-levelled (x2 gain) copy of the benchmark clip still
+    // screens out under the gain-invariant spectral hash
+    def aud(id: Long, tex: Long) = MediaRow(id, spectralAudioFixture(tex), "audio", 0, 0, 0L)
+    assert(Multimodal.decontaminateAudio(
+        Seq(aud(10, 1), aud(11, 20)).toDS(), Seq(aud(0, 0)).toDS())
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    // VIDEO: the trimmed + graded copy shares 5 of 6 frame
+    // fingerprints — screens at minFrames=4, survives a bar above
+    // what the trim leaves (minFrames=6)
+    def vid(id: Long, tex: Long) = MediaRow(id, videoFixture(tex), "video", 32, 32, 0L)
+    val evalVid = Seq(vid(0, 0)).toDS()
+    val trainVid = Seq(vid(10, 1), vid(11, 20)).toDS()
+    assert(Multimodal.decontaminateVideos(trainVid, evalVid)
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(Multimodal.decontaminateVideos(trainVid, evalVid, minFrames = 6)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+    // index-variant law: screening against a PERSISTED eval
+    // fingerprint index == screening against the eval payloads, per
+    // modality (eval hashed once at index-build time)
+    val evIdx = java.nio.file.Files.createTempDirectory("evidx").toString
+    Multimodal.writePHashIndex(evalImg, s"$evIdx/img")
+    Multimodal.writeSpectralIndex(Seq(aud(0, 0)).toDS(), s"$evIdx/aud")
+    Multimodal.writeFrameIndex(evalVid, s"$evIdx/vid")
+    assert(Multimodal.decontaminateImagesAgainstIndex(trainImg,
+        spark.read.parquet(s"$evIdx/img"))
+      .select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    assert(Multimodal.decontaminateAudioAgainstIndex(
+        Seq(aud(10, 1), aud(11, 20)).toDS(),
+        spark.read.parquet(s"$evIdx/aud"))
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(Multimodal.decontaminateVideosAgainstIndex(trainVid,
+        spark.read.parquet(s"$evIdx/vid"))
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+  }
+
   test("p66 fixture: localized luma edit lands planted pairs at the pinned even distances (nonzero-hamming contract)") {
     // the full per-pair evidence tools.P66Probe derived (step=53,
     // delta=32): pHash distances of the first 100 planted pairs —
@@ -503,6 +550,25 @@ class MultimodalSpec extends SparkSpec {
     assert(CurateMedia.dataCard(spark, st3.get)
       .select("stage").as[String].collect().toSet ==
       Set("decode_validate", "perceptual_dedup"))
+    // eval-set decontamination stage: the benchmark twins screen out
+    // the image and video survivors per modality, the card gains the
+    // eval_decon row, and the leaked items never reach the handoff
+    // indexes (only the clean audio survivor's blocks land)
+    val evalSet = Seq(
+      MediaRow(900L, Multimodal.pHashImageFixture(1), "image", 32, 32, 0L),
+      MediaRow(901L, Multimodal.videoFixture(1), "video", 32, 32, 0L)).toDS()
+    val idxRoot2 = java.nio.file.Files.createTempDirectory("cmidx2").toString
+    val (out4, st4) = CurateMedia.run(corpus, maxDist = 0,
+      indexRoot = Some(idxRoot2), evalMedia = Some(evalSet))
+    assert(out4.select("doc_id").as[Long].collect().toSet == Set(4L, 8L))
+    assert(st4.get.afterDecon == 2L && st4.get.images == 0L &&
+      st4.get.audio == 1L && st4.get.video == 0L, st4.get.toString)
+    val card4 = CurateMedia.dataCard(spark, st4.get).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(card4("eval_decon") == ((4L, 2L)), card4.toString)
+    assert(spark.read.parquet(s"$idxRoot2/image_phash").count() == 0L)
+    assert(spark.read.parquet(s"$idxRoot2/video_frames").count() == 0L)
+    assert(spark.read.parquet(s"$idxRoot2/audio_spectral").count() == 4L)
   }
 
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
