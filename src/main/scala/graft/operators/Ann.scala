@@ -401,10 +401,17 @@ object Ann {
     * round, or at `maxIters`. The movement check collects the k
     * centroid rows to the driver — the routing-table size, never
     * data-sized — which is also what makes the check free next to the
-    * data-sized round it follows. Deterministic for a given corpus
-    * (same seed rule, same rounds), so two retrains over the same
-    * vectors produce identical centroids — the STIVF2 equality's
-    * foundation. */
+    * data-sized round it follows. Determinism caveat: the seed rule
+    * and round count are deterministic, but the per-round means use
+    * associative `avg` (the production plan — map-side combinable),
+    * whose IEEE partial-sum order follows the input PARTITIONING: two
+    * runs over the same vectors in different layouts can differ in
+    * the last ulp, which at corpus scale could flip a rounded
+    * assignment tie or the tol stopping round. The STIVF2
+    * retrain==scratch equality holds by margin on its fixtures (gaps
+    * ≫ ulp), not bit-level across arbitrary layouts — the same
+    * production-vs-oracle duality as [[kmeansStep]]'s ordered-fold
+    * form vs the plain sum (and Graph's two summation modes). */
   def trainCentroidsTol(emb: DataFrame, k: Int, tol: Double = 1e-4,
       maxIters: Int = 10): DataFrame = {
     def snapshot(c: DataFrame): Map[Long, Array[Double]] =
@@ -455,6 +462,16 @@ object Ann {
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, k: Int, tol: Double = 1e-4,
       maxIters: Int = 10): DataFrame = {
+    // Heal a previous retrain crashed between park and promote (live
+    // dir missing, old index parked at _bak): restore the old index
+    // and retrain from it — the compactStreamState heal discipline.
+    // The orphaned _retrain build, if any, is deleted below anyway.
+    val hp0 = new org.apache.hadoop.fs.Path(indexPath)
+    val fs0 = hp0.getFileSystem(spark.sessionState.newHadoopConf())
+    val bak0 = new org.apache.hadoop.fs.Path(indexPath + "_bak")
+    if (!fs0.exists(hp0) && fs0.exists(bak0))
+      require(fs0.rename(bak0, hp0),
+        s"retrainIvfIndex: failed to restore parked index $bak0")
     val corpus = spark.read.parquet(indexPath)
       .select("vec_id", "embedding").localCheckpoint(true)
     val cents = trainCentroidsTol(corpus, k, tol, maxIters)

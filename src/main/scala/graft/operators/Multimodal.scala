@@ -1070,6 +1070,14 @@ object Multimodal {
     * without ever re-hashing eval payloads. */
   private def contaminatedByBlocks(corpusHashes: DataFrame,
       evalBlocks: DataFrame, maxDist: Int, maxBucket: Int): DataFrame = {
+    // Hard bound, not a doc caveat like the nearDup* family's: beyond
+    // distance 3 the 4x16-bit pigeonhole no longer guarantees a shared
+    // block, and for a decontamination SCREEN a silent false negative
+    // is a benchmark leak reaching training — fail loudly instead.
+    require(maxDist >= 0 && maxDist <= 3,
+      s"media decontamination screens require 0 <= maxDist <= 3 " +
+        s"(got $maxDist): the 4-block pigeonhole guarantees recall " +
+        "only within hamming distance 3")
     val cb = hashBlocks(corpusHashes)
       .select(col("doc_id").as("c_id"), col("h").as("ch"),
         col("blk"), col("bv"))

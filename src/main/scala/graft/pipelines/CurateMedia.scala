@@ -51,7 +51,10 @@ object CurateMedia {
     * than an image). `evalMedia`, when set, screens the dedup
     * survivors against the benchmark corpus per modality (the
     * perceptual decontamination stage — images/audio at the run's
-    * `maxDist`, videos at its `minFrames`) before anything indexes.
+    * `maxDist`, videos at its `minFrames`) before anything indexes;
+    * the screens REQUIRE maxDist <= 3 (the pigeonhole recall bound —
+    * dedup merely documents it, a screen fails loudly), so an
+    * evalMedia run with a looser maxDist errors by design.
     * `stats = false` skips the accounting counts (same contract as
     * [[Curate.run]]); the survivor output and the index writes are
     * identical either way. */
@@ -65,13 +68,18 @@ object CurateMedia {
     Dedup.ensureCheckpointDir(spark)
     def countIf(df: DataFrame): Long = if (stats) df.count() else -1L
     val input = countIf(media.toDF())
-    // 1. decode-validate: one narrow pass, kind-appropriate codec walk
+    // 1. decode-validate: one narrow pass, kind-appropriate codec walk.
+    // CHECKPOINTED (the Curate.run stage discipline): the slice below
+    // fans out into 3+ modality pipelines plus the accounting counts,
+    // and without truncation every one of them would re-decode the
+    // whole corpus from source — the dominant recompute when stats +
+    // index + decon all consume it.
     val valid = media.filter(r => r.kind match {
       case "image" => Multimodal.parseBmp(r.payload).isDefined
       case "audio" => Multimodal.parseWav(r.payload).isDefined
       case "video" => Multimodal.parseBmpSequence(r.payload).isDefined
       case _ => true // no codec -> no verdict; kept visible
-    })
+    }).checkpoint()
     val decodable = countIf(valid.toDF())
     // 2. per-modality perceptual dedup. The three hash pipelines are
     // independent narrow stages over disjoint slices of ONE corpus;
@@ -81,13 +89,19 @@ object CurateMedia {
     val audio = valid.filter(col("kind") === "audio")
     val video = valid.filter(col("kind") === "video")
     val other = valid.filter(!col("kind").isin("image", "audio", "video"))
-    val keptImages = Dedup.survivors(images.toDF(),
-      Multimodal.nearDupImagesPHash(images, maxDist, maxBucket))
-    val keptAudio = Dedup.survivors(audio.toDF(),
-      Multimodal.nearDupAudioSpectral(audio, maxDist, maxBucket))
-    val keptVideo = Dedup.survivors(video.toDF(),
+    // each kept* frame has up to four consumers (survivor union, the
+    // per-modality count, the index write, the decon screen) — pin it
+    // when more than the union will read it, so the hash+components
+    // chain runs once per modality, not once per consumer
+    val multi = stats || indexRoot.nonEmpty || evalMedia.nonEmpty
+    def pin(df: DataFrame): DataFrame = if (multi) df.checkpoint() else df
+    val keptImages = pin(Dedup.survivors(images.toDF(),
+      Multimodal.nearDupImagesPHash(images, maxDist, maxBucket)))
+    val keptAudio = pin(Dedup.survivors(audio.toDF(),
+      Multimodal.nearDupAudioSpectral(audio, maxDist, maxBucket)))
+    val keptVideo = pin(Dedup.survivors(video.toDF(),
       Multimodal.nearDupVideos(video, minFrames, maxBucket)
-        .select(col("d1"), col("d2")))
+        .select(col("d1"), col("d2"))))
     val afterDedup = countIf(keptImages.unionByName(keptAudio)
       .unionByName(keptVideo).unionByName(other.toDF()))
     // 2b. optional eval-set decontamination: survivors only (fewer to
@@ -96,12 +110,12 @@ object CurateMedia {
     val (finImages, finAudio, finVideo) = evalMedia match {
       case None => (keptImages, keptAudio, keptVideo)
       case Some(ev) =>
-        (Multimodal.decontaminateImages(keptImages.as[MediaRow],
-          ev.filter(col("kind") === "image"), maxDist, maxBucket),
-         Multimodal.decontaminateAudio(keptAudio.as[MediaRow],
-          ev.filter(col("kind") === "audio"), maxDist, maxBucket),
-         Multimodal.decontaminateVideos(keptVideo.as[MediaRow],
-          ev.filter(col("kind") === "video"), minFrames, maxBucket))
+        (pin(Multimodal.decontaminateImages(keptImages.as[MediaRow],
+          ev.filter(col("kind") === "image"), maxDist, maxBucket)),
+         pin(Multimodal.decontaminateAudio(keptAudio.as[MediaRow],
+          ev.filter(col("kind") === "audio"), maxDist, maxBucket)),
+         pin(Multimodal.decontaminateVideos(keptVideo.as[MediaRow],
+          ev.filter(col("kind") === "video"), minFrames, maxBucket)))
     }
     val survivors = finImages.unionByName(finAudio)
       .unionByName(finVideo).unionByName(other.toDF())

@@ -732,21 +732,31 @@ object Ingest {
     * the ingest streams here append one partition per micro-batch: at
     * 100 TB a long-lived stream leaves thousands of tiny partitions,
     * and every per-batch `earlierBatchPartitions` read then pays a
-    * namenode listing plus an open per file. Folds EVERY partition
-    * into the single HIGHEST existing batch_id, resized to
-    * `targetFileBytes` files — the id is preserved (never renumbered)
-    * so a RESUMED checkpoint, whose next batch id is strictly greater,
-    * reads exactly the union it read before (rows preserved verbatim,
-    * never deduplicated: delta partitions are disjoint by
-    * construction, and content is the invariant StreamingSpec pins).
-    * Park-then-promote like [[graft.sources.Lake.compact]]: the old
-    * layout is parked aside (never deleted first) and a crash between
-    * park and promote is healed by the next call. NOT concurrency-safe
-    * with a running stream — run between [[org.apache.spark.sql.streaming.Trigger.AvailableNow]]
+    * namenode listing plus an open per file. Folds every partition
+    * STRICTLY BELOW the highest existing batch_id into the
+    * second-highest id, resized to `targetFileBytes` files, and
+    * rewrites the max-id partition verbatim under its own id. The
+    * max-id partition deliberately stays separate: the stream may have
+    * crashed AFTER writing it but BEFORE its checkpoint commit, in
+    * which case resume REPLAYS that id — the replay's
+    * `earlierBatchPartitions` read then still sees all older state
+    * (folded under the second-highest id, strictly below the replayed
+    * one), and its overwrite touches only its own partition. Folding
+    * the max in would hand the replay the entire folded corpus to
+    * destroy. Ids are preserved (never renumbered) so a resumed
+    * checkpoint — committed or not — reads exactly the union it read
+    * before (rows verbatim, never deduplicated: delta partitions are
+    * disjoint by construction; StreamingSpec pins the content
+    * invariant and the replay-window law). Park-then-promote like
+    * [[graft.sources.Lake.compact]]: the old layout is parked aside
+    * (never deleted first) and a crash between park and promote is
+    * healed by the next call. NOT concurrency-safe with a RUNNING
+    * stream — run between [[org.apache.spark.sql.streaming.Trigger.AvailableNow]]
     * passes (a maintenance window), the same contract as Lake.compact.
     * A FRESH checkpoint against compacted state has the same hazard as
     * against uncompacted state (batch 0 reads nothing) — resume, don't
-    * re-key. Returns the surviving batch id. */
+    * re-key. Returns the fold id (the second-highest; the max id when
+    * only one partition exists). */
   def compactStreamState(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Long = {
     val what = "compactStreamState"
@@ -760,32 +770,42 @@ object Ingest {
     val ids = batchIdEntries(fs, p, what).map(_.stripPrefix("batch_id=").toLong)
     require(ids.nonEmpty, s"$what: $path has no batch_id= partitions")
     val maxId = ids.max
+    val foldId = if (ids.size > 1) ids.filter(_ < maxId).max else maxId
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(path).drop("batch_id").repartition(nFiles)
+    val all = spark.read.parquet(path)
+    if (ids.size > 1)
+      all.filter(col("batch_id") < maxId).drop("batch_id").repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$tmp/batch_id=$foldId")
+    all.filter(col("batch_id") === maxId).drop("batch_id")
       .write.mode("overwrite").parquet(s"$tmp/batch_id=$maxId")
     fs.delete(bak, true)
     require(fs.rename(p, bak), s"$what: failed to park $p")
     require(fs.rename(tmp, p),
       s"$what: failed to promote $tmp (old layout parked at $bak)")
     fs.delete(bak, true)
-    maxId
+    foldId
   }
 
   /** Retention for SNAPSHOT-style batch_id= stream state — the
     * funnel/transition/retention folds land the WHOLE state per batch
     * and read only the latest earlier snapshot
-    * ([[latestEarlierBatch]]), so every partition but the newest
-    * `keepLast` is dead weight: at 100 TB that is the users-sized
-    * state times the batch count. Directory-name listing plus one
-    * recursive delete per expired partition, no data file read — the
+    * ([[latestEarlierBatch]]), so every partition but the newest few
+    * is dead weight: at 100 TB that is the users-sized state times the
+    * batch count. Directory-name listing plus one recursive delete per
+    * expired partition, no data file read — the
     * [[graft.sources.Lake.vacuumBronze]] contract for the streaming
-    * layout. keepLast >= 1 always leaves the replay anchor: the last
-    * COMMITTED batch's snapshot, which is all a resumed checkpoint
-    * ever reads. Returns (kept, deleted) ids, sorted ascending. */
+    * layout. At least the TWO newest snapshots always survive,
+    * whatever `keepLast` says: the newest may belong to a batch whose
+    * checkpoint commit never landed (crash between the snapshot write
+    * and the commit), and resume then REPLAYS that id — its
+    * `latestEarlierBatch` read needs the predecessor, which is the
+    * true replay anchor. Deleting it would silently reset the fold to
+    * empty state on the replayed batch. Returns (kept, deleted) ids,
+    * sorted ascending. */
   def vacuumStreamSnapshots(spark: SparkSession, path: String,
       keepLast: Int = 2): (Seq[Long], Seq[Long]) = {
     require(keepLast >= 1, "keepLast must be positive")
@@ -795,7 +815,7 @@ object Ingest {
     val p = new org.apache.hadoop.fs.Path(path)
     val ids = batchIdEntries(fs, p, what)
       .map(_.stripPrefix("batch_id=").toLong).sorted
-    val (drop, keep) = ids.splitAt(0.max(ids.size - keepLast))
+    val (drop, keep) = ids.splitAt(0.max(ids.size - math.max(keepLast, 2)))
     drop.foreach { id =>
       val part = new org.apache.hadoop.fs.Path(s"$path/batch_id=$id")
       require(fs.delete(part, true), s"$what: failed to delete $part")
@@ -1606,6 +1626,40 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.Ann.semDecontaminate(batch, eval, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming media eval-decontamination — arriving media batches
+    * screened against a FROZEN eval fingerprint index
+    * ([[graft.operators.Multimodal]]'s `...AgainstIndex` forms over
+    * the persisted `writePHashIndex` / `writeSpectralIndex` /
+    * `writeFrameIndex` layouts) and landed as per-batch-id OVERWRITE
+    * partitions. The screen is stateless per batch against the frozen
+    * index — no cross-batch state at all — so streamed == batch BY
+    * CONSTRUCTION and checkpoint replay re-lands identical files (the
+    * [[semDeconStream]] discipline, which screens vectors the same
+    * way; this is its media sibling). `screen` picks the modality:
+    * pass `Multimodal.decontaminateImagesAgainstIndex(_, evalIndex)`
+    * etc. — the eval index frame is closed over, hashed once, never
+    * re-read per batch beyond its (small, benchmark-sized) scan. */
+  def mediaDeconStream(spark: SparkSession, mediaSchema: StructType,
+      srcDir: String, outDir: String,
+      screen: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRow] => DataFrame,
+      checkpoint: String, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream.schema(mediaSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        screen(batch.as[graft.operators.Multimodal.MediaRow])
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
         ()
       }

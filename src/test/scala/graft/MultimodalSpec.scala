@@ -471,6 +471,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decontaminateVideosAgainstIndex(trainVid,
         spark.read.parquet(s"$evIdx/vid"))
       .select("doc_id").as[Long].collect().toSet == Set(11L))
+    // recall guard: beyond distance 3 the pigeonhole stops
+    // guaranteeing a shared block, and a screen that silently misses
+    // leaks is worse than one that refuses — loud failure by contract
+    val g = intercept[IllegalArgumentException] {
+      Multimodal.decontaminateImages(trainImg, evalImg, maxDist = 4).count()
+    }
+    assert(g.getMessage.contains("maxDist <= 3"))
   }
 
   test("p66 fixture: localized luma edit lands planted pairs at the pinned even distances (nonzero-hamming contract)") {

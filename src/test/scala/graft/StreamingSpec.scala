@@ -1601,7 +1601,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 18)
   }
 
-  test("STCMP: delta-state compaction folds to the max batch id; rows verbatim, resumed decisions unchanged") {
+  test("STCMP: delta-state compaction folds below the max batch id; rows verbatim, replay window safe, resumed decisions unchanged") {
     import graft.operators.Multimodal
     import Multimodal.{MediaRow, pHashImageFixture}
     val src = tmp("stcmp-src"); val ck = tmp("stcmp-ck")
@@ -1622,25 +1622,39 @@ class StreamingSpec extends SparkSpec {
       }).toSeq.sortBy(_.toString)
     assert(parts(idx) == Seq("batch_id=0", "batch_id=1"))
     val (idxBefore, corpusBefore) = (rows(idx), rows(corpus))
-    // compact both state dirs: everything folds into the HIGHEST id
-    // (preserved, never renumbered), rows verbatim
-    assert(Ingest.compactStreamState(spark, idx) == 1L)
-    assert(Ingest.compactStreamState(spark, corpus) == 1L)
-    assert(parts(idx) == Seq("batch_id=1") && parts(corpus) == Seq("batch_id=1"))
+    // compact both state dirs: everything STRICTLY BELOW the max id
+    // folds into the second-highest id (here the two-partition case:
+    // 0 absorbs nothing but itself); the max-id partition stays its
+    // own — the uncommitted-replay window's protection — and rows are
+    // verbatim either way
+    assert(Ingest.compactStreamState(spark, idx) == 0L)
+    assert(Ingest.compactStreamState(spark, corpus) == 0L)
+    assert(parts(idx) == Seq("batch_id=0", "batch_id=1"))
     assert(rows(idx) == idxBefore && rows(corpus) == corpusBefore)
     assert(!new java.io.File(idx + "_compact_bak").exists())
     assert(!new java.io.File(idx + "_compact_tmp").exists())
+    // the replay-window law: if batch 1 had NOT committed and were
+    // replayed, its earlier-state read (batch_id < 1) must still see
+    // all of batch 0's state after compaction — i.e. folding must
+    // never move rows from below an id to at-or-above it
+    assert(spark.read.parquet(idx).filter($"batch_id" < 1).count() ==
+      spark.read.parquet(idx).filter($"batch_id" === 0).count())
     // a batch landing AFTER compaction reads the same union it would
     // have read before: a shifted twin of batch-1 survivor tex 2 still
     // drops, a fresh texture still lands (under the next checkpoint
-    // id, which is strictly above the compacted one)
+    // id, which is strictly above the compacted ones)
     Seq(m(5, 3), m(6, 20)).toDS().toDF().coalesce(1)
       .write.mode("append").parquet(src)
     Ingest.imageIngestStream(spark, b1.toDF().schema, src, corpus, idx, ck,
       maxDist = 0)
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 2L, 4L, 6L))
+    assert(parts(idx) == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    // a three-partition dir folds 0+1 into 1, leaving 2 alone
+    assert(Ingest.compactStreamState(spark, idx) == 1L)
     assert(parts(idx) == Seq("batch_id=1", "batch_id=2"))
+    assert(spark.read.parquet(idx).filter($"batch_id" < 2).count() ==
+      idxBefore.size)
     // layout guard: a non-stream dir is rejected, not silently folded
     val ex = intercept[IllegalArgumentException] {
       Ingest.compactStreamState(spark, src)
@@ -1664,20 +1678,57 @@ class StreamingSpec extends SparkSpec {
     def snap = Ingest.funnelStateSnapshot(spark, st)
       .collect().map(_.toSeq).toSet
     val full = snap
-    // two snapshots landed; only the newest is live state
+    // two snapshots landed; at least the TWO newest always survive
+    // (the newest may be an uncommitted batch's write; its
+    // predecessor is the true replay anchor), so keepLast=1 still
+    // deletes nothing here
     val (kept, dropped) = Ingest.vacuumStreamSnapshots(spark, st, keepLast = 1)
-    assert(kept == Seq(1L) && dropped == Seq(0L))
+    assert(kept == Seq(0L, 1L) && dropped == Seq.empty, s"$kept $dropped")
     assert(snap == full)
-    // the fold resumes on the surviving snapshot: batch 3 converts u2
+    // the fold resumes on the surviving snapshots: batch 3 converts u2
     Seq((2L, "purchase", ts("2024-01-03 09:00:00")))
       .toDF("user_id", "event_type", "ts")
       .coalesce(1).write.mode("append").parquet(src)
     Ingest.funnelIngestStream(spark, b1.schema, src, st, ck, steps)
     assert(snap == Behavior.funnelUsers(
       spark.read.parquet(src), steps).collect().map(_.toSeq).toSet)
+    // with three snapshots on disk, vacuum now drops the oldest
+    val (kept3, dropped3) = Ingest.vacuumStreamSnapshots(spark, st, keepLast = 1)
+    assert(kept3 == Seq(1L, 2L) && dropped3 == Seq(0L), s"$kept3 $dropped3")
+    assert(snap == Behavior.funnelUsers(
+      spark.read.parquet(src), steps).collect().map(_.toSeq).toSet)
     intercept[IllegalArgumentException] {
       Ingest.vacuumStreamSnapshots(spark, st, keepLast = 0)
     }
+  }
+
+  test("STDECON: streamed media screen vs a frozen eval index == batch screen; replay clean") {
+    import graft.operators.Multimodal
+    import Multimodal.{MediaRow, pHashImageFixture}
+    val src = tmp("stdc-src"); val ck = tmp("stdc-ck")
+    val out = src + "-out"; val evIdx = src + "-evidx"
+    def m(id: Long, tex: Long) = MediaRow(id, pHashImageFixture(tex), "image", 32, 32, 0L)
+    // frozen eval index: textures 0 and 1, hashed once
+    Multimodal.writePHashIndex(Seq(m(900, 0), m(901, 2)).toDS(), evIdx)
+    // each batch carries one shifted benchmark twin (leak) + one fresh
+    val b1 = Seq(m(1, 1), m(2, 20)).toDS()
+    val b2 = Seq(m(3, 3), m(4, 30)).toDS()
+    b1.toDF().coalesce(1).write.mode("append").parquet(src)
+    b2.toDF().coalesce(1).write.mode("append").parquet(src)
+    val ev = spark.read.parquet(evIdx)
+    def screen(ds: org.apache.spark.sql.Dataset[MediaRow]) =
+      Multimodal.decontaminateImagesAgainstIndex(ds, ev)
+    Ingest.mediaDeconStream(spark, b1.toDF().schema, src, out, screen, ck)
+    val streamed = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(streamed == Set(2L, 4L), streamed.toString)
+    // stateless per batch against the frozen index -> == the one-shot
+    // batch screen over the union, by construction AND by check
+    assert(streamed == screen(b1.unionByName(b2))
+      .select("doc_id").as[Long].collect().toSet)
+    // replay on the same checkpoint: nothing new, nothing doubled
+    Ingest.mediaDeconStream(spark, b1.toDF().schema, src, out, screen, ck)
+    assert(spark.read.parquet(out).count() == 2)
   }
 
   test("STIVF: retrain trigger fires on a planted drifted batch, stays quiet in-distribution; index law intact; replay clean") {
@@ -1740,7 +1791,8 @@ class StreamingSpec extends SparkSpec {
     val cents = Ann.retrainIvfIndex(spark, idx, k = 2)
     // THE LAW: the swapped-in index + returned centroids give the
     // same search results as an index built from scratch on the full
-    // corpus (training is deterministic for a given corpus)
+    // corpus (holds by margin on this fixture — the gaps dwarf the
+    // ulp-level layout sensitivity trainCentroidsTol documents)
     val scratch = tmp("stivf2-scratch") + "-w"
     val allVecs = spark.read.parquet(src)
     val cents2 = Ann.trainCentroidsTol(allVecs, k = 2)
@@ -1763,6 +1815,16 @@ class StreamingSpec extends SparkSpec {
     Ann.appendIvfIndex(b3, cents, idx)
     assert(spark.read.parquet(idx).count() == 6)
     assert(top(idx, cents, Seq(5.5, 4.4)).map(_._1).contains(5L))
+    // crash healing: a retrain that died between park and promote
+    // leaves the live dir missing and the old index at _bak — the
+    // next call restores it and retrains from the restored corpus
+    val hp = new org.apache.hadoop.fs.Path(idx)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(hp, new org.apache.hadoop.fs.Path(idx + "_bak")))
+    val cents3 = Ann.retrainIvfIndex(spark, idx, k = 2)
+    assert(spark.read.parquet(idx).count() == 6)
+    assert(!new java.io.File(idx + "_bak").exists())
+    assert(top(idx, cents3, Seq(5.5, 4.4)).map(_._1).contains(5L))
   }
 
   test("STP: streamed PQ-code ingest equals the batch index; IVFPQ layout prunes across batches") {
