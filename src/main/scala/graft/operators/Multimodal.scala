@@ -1176,6 +1176,174 @@ object Multimodal {
     train.toDF().join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  // ---- Media quality scoring ----------------------------------------
+
+  /** Per-image sharpness: population variance of the 4-neighbor
+    * Laplacian over the interior luma grid — the blur/flat-content
+    * detector every scraped-image curation pass runs (a defocused or
+    * solid-color image has no high-frequency energy, so the Laplacian
+    * variance collapses toward 0; textured content scores high). The
+    * variance is computed from EXACT integer sums as
+    * (n·Σlp² − (Σlp)²) / n² in one IEEE division (6dp) so a SQL
+    * oracle reproduces it bit for bit from the closed-form fixture
+    * pixels; exact up to ~3 Mpx per image (the Long bound on n·Σlp²),
+    * far above this codec family's sizes. Null for undecodable
+    * payloads or images with no interior (w or h < 3) — kept visible,
+    * the null-hash discipline. Narrow mapPartitions, no shuffle.
+    * Output: doc_id, sharpness. */
+  def imageSharpness(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = decodeBmpPixels(r.payload).flatMap { case (w, h, rgb) =>
+        if (w < 3 || h < 3) None
+        else {
+          val g = new Array[Int](w * h)
+          var i = 0
+          while (i < w * h) {
+            g(i) = ((rgb(3 * i) & 0xff) * 299 + (rgb(3 * i + 1) & 0xff) * 587 +
+              (rgb(3 * i + 2) & 0xff) * 114) / 1000
+            i += 1
+          }
+          var sum = 0L; var ss = 0L
+          val n = (w - 2).toLong * (h - 2)
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val c = y * w + x
+              val lp = 4L * g(c) - g(c - w) - g(c + w) - g(c - 1) - g(c + 1)
+              sum += lp; ss += lp * lp
+              x += 1
+            }
+            y += 1
+          }
+          Some((n * ss - sum * sum).toDouble / (n.toDouble * n))
+        }
+      }
+      (r.doc_id, s)
+    }).toDF("doc_id", "raw")
+      .select(col("doc_id"), round(col("raw"), 6).as("sharpness"))
+  }
+
+  /** Per-clip audio quality stats: sample count, peak |amplitude|,
+    * RMS level and clipping fraction (|s| ≥ `clipLevel`, default
+    * ~0.984 full scale) — the silence / level / clipping screens an
+    * audio curation pass gates on (near-zero RMS = dead air, high
+    * clip_frac = distorted capture). RMS divides the exact integer
+    * Σs² by n before one IEEE sqrt, so the oracle reproduces it from
+    * closed-form fixture samples. Null stats for undecodable or
+    * empty payloads, kept visible. Narrow, no shuffle.
+    * Output: doc_id, n_samples, peak, rms, clip_frac. */
+  def audioStats(media: Dataset[MediaRow], clipLevel: Int = 32256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val s = decodeWavSamples(r.payload).collect {
+        case (_, samples) if samples.nonEmpty =>
+          var ss = 0L; var peak = 0; var clipped = 0L
+          var i = 0
+          while (i < samples.length) {
+            val a = math.abs(samples(i).toInt)
+            ss += a.toLong * a
+            if (a > peak) peak = a
+            if (a >= clipLevel) clipped += 1
+            i += 1
+          }
+          val n = samples.length
+          (n, peak, math.sqrt(ss.toDouble / n), clipped.toDouble / n)
+      }
+      (r.doc_id, s)
+    }).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s._1").as("n_samples"),
+        col("s._2").as("peak"), round(col("s._3"), 6).as("rms"),
+        round(col("s._4"), 6).as("clip_frac"))
+  }
+
+  /** Per-video motion score: mean absolute luma difference between
+    * consecutive frames, averaged over all pairs — the frozen-clip /
+    * static-slate detector (a stuck or still "video" wastes its
+    * modality budget; motion 0 means every frame is pixel-identical).
+    * Exact integer Σ|Δ| over pairs.toLong · w · h in one IEEE
+    * division (6dp). Unclamped uniform grading of every frame leaves
+    * the score unchanged (the diffs are shift-invariant —
+    * MultimodalSpec pins it). Null motion for undecodable payloads,
+    * fewer than 2 frames, or frame-size mismatches.
+    * Output: doc_id, n_frames, motion. */
+  def videoMotion(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val parsed = parseBmpSequence(r.payload)
+      val nFrames = parsed.map(_.size)
+      val motion = parsed.flatMap { frames =>
+        val lumas = frames.map(decodeBmpPixels(_).map { case (w, h, rgb) =>
+          val g = new Array[Int](w * h)
+          var i = 0
+          while (i < w * h) {
+            g(i) = ((rgb(3 * i) & 0xff) * 299 + (rgb(3 * i + 1) & 0xff) * 587 +
+              (rgb(3 * i + 2) & 0xff) * 114) / 1000
+            i += 1
+          }
+          g
+        })
+        if (lumas.size < 2 || lumas.exists(_.isEmpty)) None
+        else {
+          val gs = lumas.map(_.get)
+          if (gs.map(_.length).distinct.size != 1) None
+          else {
+            var sumAbs = 0L
+            var f = 1
+            while (f < gs.size) {
+              val a = gs(f - 1); val b = gs(f)
+              var i = 0
+              while (i < a.length) { sumAbs += math.abs(a(i) - b(i)); i += 1 }
+              f += 1
+            }
+            Some(sumAbs.toDouble / ((gs.size - 1).toLong * gs.head.length))
+          }
+        }
+      }
+      (r.doc_id, nFrames, motion)
+    }).toDF("doc_id", "n_frames", "raw")
+      .select(col("doc_id"), col("n_frames"),
+        round(col("raw"), 6).as("motion"))
+  }
+
+  /** Deterministic 6-frame video fixture planting the STATIC-CLIP
+    * ground truth for the video-motion gate: even docs repeat ONE
+    * 32×32 texture six times (motion exactly 0 — every consecutive
+    * diff is pixel-identical), odd docs use six DISTINCT textures of
+    * the same pseudo-random family (motion far above 0). Seed space
+    * offset from [[videoFixture]]'s so the two families never share
+    * frames. The planted classification IS the oracle: a motion
+    * score that reads any static clip as moving (or any dynamic one
+    * as frozen) flips a row. */
+  def motionVideoFixture(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 6) {
+      val tex = if (id % 2 == 0) 0L else f.toLong
+      val rgb = new Array[Byte](32 * 32 * 3)
+      var idx = 0
+      while (idx < 32 * 32) {
+        val v = ((mix64(0x900000000L + (id / 2) * 65536L + tex * 4096L + idx) >>> 16) % 192).toByte
+        rgb(3 * idx) = v; rgb(3 * idx + 1) = v; rgb(3 * idx + 2) = v
+        idx += 1
+      }
+      out.write(encodeBmp(32, 32, rgb))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  def motionVideoFixtures(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, motionVideoFixture(id), "video", 32, 32, 6000L))
+  }
+
   /** Deterministic 6-frame 32×32 grayscale BMP-sequence video planting
     * TRIMMED + BRIGHTNESS-GRADED duplicates for the p65 gate: video 2k
     * is six distinct pseudo-random textures; video 2k+1 is frames 0-4

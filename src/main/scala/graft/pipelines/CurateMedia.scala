@@ -11,6 +11,10 @@ import graft.operators.Multimodal.MediaRow
   *
   *   decode-validate (kind-appropriate REAL codec walk; undecodable
   *   payloads drop and are counted) →
+  *   [per-modality quality gate — `imageSharpness` (blur/flat) /
+  *   `audioStats` (clipping) / `videoMotion` (frozen clips), the
+  *   media sibling of Curate's rule gate; before dedup so junk never
+  *   spends the pigeonhole joins] →
   *   per-modality perceptual dedup (images: DCT pHash pigeonhole;
   *   audio: spectral-envelope hash; video: frame-fingerprint
   *   intersection — min-id survivors via connected components, the
@@ -40,7 +44,8 @@ object CurateMedia {
   final case class MediaStats(input: Long, decodable: Long,
       afterDedup: Long, images: Long, audio: Long, video: Long,
       indexedImages: Long = -1L, indexedAudio: Long = -1L,
-      indexedVideo: Long = -1L, afterDecon: Long = -1L)
+      indexedVideo: Long = -1L, afterDecon: Long = -1L,
+      afterQuality: Long = -1L)
 
   /** Returns (surviving media rows, stats). `indexRoot`, when set,
     * persists the survivors' fingerprint indexes under
@@ -55,6 +60,9 @@ object CurateMedia {
     * the screens REQUIRE maxDist <= 3 (the pigeonhole recall bound —
     * dedup merely documents it, a screen fails loudly), so an
     * evalMedia run with a looser maxDist errors by design.
+    * `minSharpness`/`maxClipFrac`/`minMotion`, when set, gate their
+    * modality on the quality scores before dedup (null verdicts
+    * pass).
     * `stats = false` skips the accounting counts (same contract as
     * [[Curate.run]]); the survivor output and the index writes are
     * identical either way. */
@@ -62,6 +70,9 @@ object CurateMedia {
       minFrames: Int = 4, maxBucket: Int = 100,
       indexRoot: Option[String] = None,
       evalMedia: Option[Dataset[MediaRow]] = None,
+      minSharpness: Option[Double] = None,
+      maxClipFrac: Option[Double] = None,
+      minMotion: Option[Double] = None,
       stats: Boolean = true): (DataFrame, Option[MediaStats]) = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -81,14 +92,50 @@ object CurateMedia {
       case _ => true // no codec -> no verdict; kept visible
     }).checkpoint()
     val decodable = countIf(valid.toDF())
+    // 1b. optional per-modality quality gate (the media sibling of
+    // Curate's rule gate): blur/flat images below `minSharpness`,
+    // clipped audio above `maxClipFrac`, frozen clips below
+    // `minMotion`. BEFORE dedup — junk must not spend the pigeonhole
+    // joins — and gate-less modalities pass untouched. A decodable row
+    // the scorer cannot judge (no interior, too few frames) keeps its
+    // null verdict and PASSES: absence of a verdict is not evidence of
+    // junk, the decode-validate philosophy.
+    val gateOn =
+      minSharpness.nonEmpty || maxClipFrac.nonEmpty || minMotion.nonEmpty
+    def gate(slice: Dataset[MediaRow], scoreOf: Dataset[MediaRow] => DataFrame,
+        keep: org.apache.spark.sql.Column): Dataset[MediaRow] = {
+      import slice.sparkSession.implicits._
+      slice.toDF()
+        .join(scoreOf(slice), Seq("doc_id"), "left")
+        .filter(keep)
+        .select(slice.columns.map(col).toIndexedSeq: _*).as[MediaRow]
+    }
+    val qImages0 = valid.filter(col("kind") === "image")
+    val qAudio0 = valid.filter(col("kind") === "audio")
+    val qVideo0 = valid.filter(col("kind") === "video")
+    val images = minSharpness match {
+      case None => qImages0
+      case Some(t) => gate(qImages0, Multimodal.imageSharpness(_),
+        col("sharpness").isNull || col("sharpness") >= t)
+    }
+    val audio = maxClipFrac match {
+      case None => qAudio0
+      case Some(t) => gate(qAudio0, Multimodal.audioStats(_),
+        col("clip_frac").isNull || col("clip_frac") <= t)
+    }
+    val video = minMotion match {
+      case None => qVideo0
+      case Some(t) => gate(qVideo0, Multimodal.videoMotion(_),
+        col("motion").isNull || col("motion") >= t)
+    }
+    val other = valid.filter(!col("kind").isin("image", "audio", "video"))
+    val afterQuality = if (!gateOn) -1L
+      else countIf(images.toDF().unionByName(audio.toDF())
+        .unionByName(video.toDF()).unionByName(other.toDF()))
     // 2. per-modality perceptual dedup. The three hash pipelines are
     // independent narrow stages over disjoint slices of ONE corpus;
     // each modality's pairs collapse to min-id survivors through the
     // same components machinery as the text pipeline.
-    val images = valid.filter(col("kind") === "image")
-    val audio = valid.filter(col("kind") === "audio")
-    val video = valid.filter(col("kind") === "video")
-    val other = valid.filter(!col("kind").isin("image", "audio", "video"))
     // each kept* frame has up to four consumers (survivor union, the
     // per-modality count, the index write, the decon screen) — pin it
     // when more than the union will read it, so the hash+components
@@ -139,7 +186,7 @@ object CurateMedia {
     }
     val st = if (stats) Some(MediaStats(input, decodable, afterDedup,
       finImages.count(), finAudio.count(), finVideo.count(),
-      idxImg, idxAud, idxVid, afterDecon))
+      idxImg, idxAud, idxVid, afterDecon, afterQuality))
     else None
     (survivors, st)
   }
@@ -152,9 +199,12 @@ object CurateMedia {
   def dataCard(spark: org.apache.spark.sql.SparkSession,
       st: MediaStats): DataFrame = {
     import spark.implicits._
+    val dedupIn = if (st.afterQuality >= 0L) st.afterQuality else st.decodable
     val stages = Seq(
-      ("decode_validate", st.input, st.decodable),
-      ("perceptual_dedup", st.decodable, st.afterDedup)) ++
+      ("decode_validate", st.input, st.decodable)) ++
+      Seq(("quality_gate", st.decodable, st.afterQuality))
+        .filter(_._3 >= 0L) ++
+      Seq(("perceptual_dedup", dedupIn, st.afterDedup)) ++
       Seq(("eval_decon", st.afterDedup, st.afterDecon))
         .filter(_._3 >= 0L) ++
       Seq(("index_image_phash", st.indexedImages, st.indexedImages),

@@ -303,6 +303,49 @@ object PipelineInventory {
        |  WHERE a.w < 64
        |  GROUP BY a.doc_id)""".stripMargin
 
+  /** Closed-form pixel of Multimodal.imageFixture at row-major index
+    * `j` (grayscale, so luma is the identity — the ihashCte formula
+    * parameterized over the index expression). */
+  private def ifxPx(j: String): String =
+    s"(((d.doc_id // 2) * 31 + ($j) * 7 + " +
+      s"CASE WHEN d.doc_id % 2 = 1 AND (($j) % 37) = 0 THEN 64 ELSE 0 END) % 256)"
+
+  /** p69 oracle: 4-neighbor Laplacian variance over the interior of
+    * the 32×32 closed-form fixture — integer sums, one IEEE division,
+    * Spark's round via rrepr. */
+  private def p69OracleSql: String =
+    s"""WITH lap AS (
+       |  SELECT d.doc_id,
+       |         4 * ${ifxPx("i.i")} - ${ifxPx("i.i - 32")} - ${ifxPx("i.i + 32")}
+       |           - ${ifxPx("i.i - 1")} - ${ifxPx("i.i + 1")} AS lp
+       |  FROM documents d, range(0, 1024) i(i)
+       |  WHERE d.doc_id < 500
+       |    AND (i.i % 32) BETWEEN 1 AND 30 AND (i.i // 32) BETWEEN 1 AND 30),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n, SUM(lp) AS s, SUM(lp * lp) AS ss
+       |  FROM lap GROUP BY doc_id)
+       |SELECT doc_id,
+       |       ${rrepr("CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n)", 6)} AS sharpness
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** p70 oracle: peak / RMS / clipping over the closed-form 650-sample
+    * fixture (the ahashCte sample formula); values < 128 so the
+    * clipping fraction is exactly 0. */
+  private def p70OracleSql: String =
+    s"""WITH smp AS (
+       |  SELECT d.doc_id,
+       |         (((d.doc_id // 2) * 7 + i.i * 13 +
+       |           CASE WHEN d.doc_id % 2 = 1 AND (i.i % 331) = 0 THEN 60 ELSE 0 END) % 128) AS v
+       |  FROM documents d, range(0, 650) i(i)
+       |  WHERE d.doc_id < 500),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n, MAX(v) AS peak, SUM(v * v) AS ss
+       |  FROM smp GROUP BY doc_id)
+       |SELECT doc_id, CAST(n AS INT) AS n_samples, CAST(peak AS INT) AS peak,
+       |       ${rrepr("sqrt(CAST(ss AS DOUBLE) / n)", 6)} AS rms,
+       |       CAST(0.0 AS DOUBLE) AS clip_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** BPE merge table trained on the sf0.01 documents corpus
     * (Bpe.train, 16 merges, r6). */
   val P35Merges: Seq[(String, String)] = Seq(
@@ -2186,6 +2229,48 @@ object PipelineInventory {
       },
       Some("""SELECT doc_id FROM documents
              |WHERE doc_id % 2 = 1 AND doc_id >= 100 AND doc_id < 300
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Image sharpness (Laplacian variance) — the blur/flat-content
+    // quality gate, hash-exact cross-engine: the fixture's grayscale
+    // pixels are a closed modular form (the p33 oracle's own CTE
+    // trick), the Laplacian and its variance are exact integer sums,
+    // and only the final (n·Σlp² − (Σlp)²)/n² division is IEEE.
+    QueryDef("p69_image_sharpness",
+      (s, d) => Multimodal.imageSharpness(
+          Multimodal.imageFixtures(T(s, d, "documents")
+            .filter(col("doc_id") < 500)))
+        .orderBy("doc_id"),
+      Some(p69OracleSql)),
+
+    // Audio level stats (peak / RMS / clipping fraction) — the
+    // silence-and-distortion gate; same closed-form sample
+    // reconstruction as the p34 oracle, exact integer Σs², one IEEE
+    // division + sqrt.
+    QueryDef("p70_audio_stats",
+      (s, d) => Multimodal.audioStats(
+          Multimodal.audioFixtures(T(s, d, "documents")
+            .filter(col("doc_id") < 500)))
+        .orderBy("doc_id"),
+      Some(p70OracleSql)),
+
+    // Video motion (mean abs luma diff between consecutive frames) —
+    // the frozen-clip detector. The motionVideoFixture plants the
+    // ground truth: even docs repeat one texture six times (motion
+    // EXACTLY 0 — integer diffs of identical frames), odd docs use
+    // six distinct textures (motion far above 0); the oracle asserts
+    // the planted static/dynamic classification, so a score that
+    // reads any frozen clip as moving (or vice versa) flips a row.
+    QueryDef("p71_video_motion",
+      (s, d) => Multimodal.videoMotion(
+          Multimodal.motionVideoFixtures(T(s, d, "documents")
+            .filter(col("doc_id") < 500)))
+        .select(col("doc_id"), col("n_frames"),
+          (col("motion") === 0.0).as("is_static"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(6 AS INT) AS n_frames,
+             |       (doc_id % 2 = 0) AS is_static
+             |FROM documents WHERE doc_id < 500
              |ORDER BY doc_id""".stripMargin)),
 
     // Content-defined-chunking dedup — the distributed ExactSubstr

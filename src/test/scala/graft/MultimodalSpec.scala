@@ -578,6 +578,95 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idxRoot2/audio_spectral").count() == 4L)
   }
 
+  test("media quality scores: flat images score 0 sharpness, audio clipping reads exactly, motion 0 iff frozen and shift-invariant") {
+    import Multimodal.MediaRow
+    // IMAGE: constant image has zero Laplacian everywhere -> 0.0;
+    // the textured fixture scores high; undecodable keeps a null row
+    val flatRgb = Array.fill(8 * 8 * 3)(100.toByte)
+    val imgs = Seq(
+      MediaRow(1L, Multimodal.encodeBmp(8, 8, flatRgb), "image", 8, 8, 0L),
+      MediaRow(2L, Multimodal.imageFixture(0), "image", 32, 32, 0L),
+      MediaRow(3L, "junk".getBytes, "image", 0, 0, 0L)).toDS()
+    val sh = Multimodal.imageSharpness(imgs).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sh(1L).contains(0.0), sh.toString)
+    assert(sh(2L).exists(_.asInstanceOf[Double] > 100.0), sh.toString)
+    assert(sh(3L).isEmpty, sh.toString)
+    // AUDIO: crafted clip — two silent samples, two full-scale ones:
+    // peak = 32768, clip_frac exactly 0.5, rms = the exact-int sqrt
+    val loud = Multimodal.encodeWavSamples(8000, 1,
+      Array[Short](0, 0, 32767, -32768))
+    val silent = Multimodal.encodeWavSamples(8000, 1, Array[Short](0, 0, 0))
+    val stats = Multimodal.audioStats(
+        Seq(MediaRow(1L, loud, "audio", 0, 0, 0L),
+          MediaRow(2L, silent, "audio", 0, 0, 0L),
+          MediaRow(3L, "junk".getBytes, "audio", 0, 0, 0L)).toDS())
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    val wantRms = math.rint(math.sqrt(
+      (32767.0 * 32767 + 32768.0 * 32768) / 4) * 1e6) / 1e6
+    assert(stats(1L) == ((Some(4), Some(32768), Some(wantRms), Some(0.5))),
+      stats.toString)
+    assert(stats(2L) == ((Some(3), Some(0), Some(0.0), Some(0.0))), stats.toString)
+    assert(stats(3L) == ((None, None, None, None)), stats.toString)
+    // VIDEO: the planted static clip reads motion EXACTLY 0, the
+    // dynamic one far above; grading every frame +30 (unclamped)
+    // leaves motion unchanged — the diffs are shift-invariant
+    val vids = Seq(
+      MediaRow(0L, Multimodal.motionVideoFixture(0), "video", 32, 32, 0L),
+      MediaRow(1L, Multimodal.motionVideoFixture(1), "video", 32, 32, 0L),
+      MediaRow(2L, "junk".getBytes, "video", 0, 0, 0L)).toDS()
+    val mo = Multimodal.videoMotion(vids).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(mo(0L) == ((Some(6), Some(0.0))), mo.toString)
+    assert(mo(1L)._1.contains(6) &&
+      mo(1L)._2.exists(_.asInstanceOf[Double] > 10.0), mo.toString)
+    assert(mo(2L) == ((None, None)), mo.toString)
+    def shifted(payload: Array[Byte], d: Int): Array[Byte] = {
+      val frames = Multimodal.parseBmpSequence(payload).get
+      val out = new java.io.ByteArrayOutputStream()
+      frames.foreach { f =>
+        val (w, h, rgb) = Multimodal.decodeBmpPixels(f).get
+        out.write(Multimodal.encodeBmp(w, h, rgb.map(b => (b + d).toByte)))
+      }
+      out.toByteArray
+    }
+    val graded = Seq(MediaRow(10L,
+      shifted(Multimodal.motionVideoFixture(1), 30), "video", 32, 32, 0L)).toDS()
+    assert(Multimodal.videoMotion(graded).collect().head.get(2) ==
+      mo(1L)._2.get)
+  }
+
+  test("CurateMedia quality gate: blurred/clipped/frozen rows drop before dedup; card gains the quality_gate row") {
+    import Multimodal.MediaRow
+    import graft.pipelines.CurateMedia
+    val flatRgb = Array.fill(8 * 8 * 3)(100.toByte)
+    val clipped = Multimodal.encodeWavSamples(8000, 1,
+      Array[Short](32767, -32768, 32767, -32768))
+    val corpus = Seq(
+      MediaRow(1L, Multimodal.imageFixture(0), "image", 32, 32, 0L),   // sharp
+      MediaRow(2L, Multimodal.encodeBmp(8, 8, flatRgb), "image", 8, 8, 0L), // flat -> gate drops
+      MediaRow(3L, Multimodal.audioFixture(0), "audio", 0, 0, 0L),     // clean
+      MediaRow(4L, clipped, "audio", 0, 0, 0L),                        // clipped -> drops
+      MediaRow(5L, Multimodal.motionVideoFixture(1), "video", 32, 32, 0L), // dynamic
+      MediaRow(6L, Multimodal.motionVideoFixture(0), "video", 32, 32, 0L), // frozen -> drops
+      MediaRow(7L, "just text".getBytes, "text", 0, 0, 0L)).toDS()     // no gate: passes
+    val (out, st) = CurateMedia.run(corpus,
+      minSharpness = Some(1.0), maxClipFrac = Some(0.1), minMotion = Some(1.0))
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 7L))
+    assert(st.get.afterQuality == 4L, st.get.toString)
+    val card = CurateMedia.dataCard(spark, st.get).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(card("quality_gate") == ((7L, 4L)), card.toString)
+    assert(card("perceptual_dedup") == ((4L, 4L)), card.toString)
+    // gate off: everything decodable reaches dedup, no gate row
+    val (_, st2) = CurateMedia.run(corpus)
+    assert(st2.get.afterQuality == -1L)
+    assert(!CurateMedia.dataCard(spark, st2.get)
+      .select("stage").as[String].collect().contains("quality_gate"))
+  }
+
   test("fixture corpora plant 2k/2k+1 near-dup pairs within 3 bits (p33/p34 contract)") {
     // the oracle-checked gate queries rely on the bump reaching only
     // the documented grid cells / energy windows — pin that here so a
