@@ -75,8 +75,16 @@ object Graph {
       exact: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be positive")
     require(damping > 0.0 && damping < 1.0, s"damping $damping outside (0, 1)")
+    // The edge list is materialized ONCE (localCheckpoint, the same
+    // between-iteration pin the rank frame gets): every iteration joins
+    // it, and without the pin each of the `iters` update jobs re-derives
+    // it from the source scan (for the declared link-graph queries that
+    // is 2 corpus scans + a distinct PER ITERATION — r14 JobProfile
+    // measured the derivation re-running inside every iteration job).
+    // nodes/deg then derive from the pinned edges, not the raw scan.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct()
@@ -87,17 +95,24 @@ object Graph {
     var pr = nodes.select(col("v"), (lit(1.0) / n).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dangRow = pr.join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
-        .agg(nodeSum(col("pr"), exact).as("dm")).head
-      val dm = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
+      // The dangling mass is a ONE-ROW aggregate; instead of collecting
+      // it to the driver (a full extra job per iteration — half this
+      // loop's driver sync points), it rides into the update as a
+      // broadcast 1-row crossJoin (the p32/p47 corpus-total shape).
+      // Arithmetic is unchanged: the same nodeSum feeds the same
+      // `dm / n` term, with the empty-input null mapped to 0.0 exactly
+      // as the old isNullAt branch did.
+      val dang = pr.join(deg.select(col("src").as("v")), Seq("v"), "left_anti")
+        .agg(coalesce(nodeSum(col("pr"), exact), lit(0.0)).as("dm"))
       val sums = e.join(pr.withColumnRenamed("v", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("v"), round(col("pr") / col("deg"), 9).as("c"))
         .groupBy("v").agg(nodeSum(col("c"), exact).as("s"))
       pr = nodes.join(sums, Seq("v"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("v"), round(
           lit(1 - damping) / n +
-            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dm) / n), 9)
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / n), 9)
           .as("pr"))
         .localCheckpoint(true)
     }
@@ -133,8 +148,12 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       exact: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be positive")
+    // Edge list pinned once for the same reason as [[pagerank]]'s: both
+    // half-steps of every iteration join it, and unpinned each of the
+    // 2×iters update jobs re-derives it from the source scan.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct()
@@ -147,12 +166,17 @@ object Graph {
     // the previous half-step's localCheckpoint, so the replay is one
     // cheap edge join + agg; pinning it was A/B-measured at sf0.1 and
     // changed nothing (3.20 vs 3.21 s) — the extra materialization is
-    // not worth a job.
+    // not worth a job. The L1 total is a ONE-ROW aggregate and rides
+    // into the normalize as a broadcast 1-row crossJoin rather than a
+    // driver collect — this removes one full job per HALF-STEP (2×iters
+    // driver sync points per query), with arithmetic unchanged (the
+    // same nodeSum value divides the same coalesced score).
     def l1(raw: DataFrame): DataFrame = {
-      val t = raw.agg(nodeSum(col("s"), exact).as("t")).head.getDouble(0)
+      val tot = raw.agg(nodeSum(col("s"), exact).as("t"))
       nodes.join(raw, Seq("v"), "left")
+        .crossJoin(broadcast(tot))
         .select(col("v"),
-          round(coalesce(col("s"), lit(0.0)) / t, 9).as("s"))
+          round(coalesce(col("s"), lit(0.0)) / col("t"), 9).as("s"))
         .localCheckpoint(true)
     }
     var hub = nodes.select(col("v"), (lit(1.0) / n).as("s"))
