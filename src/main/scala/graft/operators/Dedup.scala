@@ -456,23 +456,34 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      // Both consumers of `labels` (the neighbor-min build and the
+      // propagation join) read the SAME subtree keyed the SAME way
+      // (id) — the old `withColumnRenamed("id", "src")` form made the
+      // two exchanges canonically different, so each iteration shuffled
+      // the label table twice; the shared form is one exchange + an
+      // AQE stage reuse (r14: one fewer stage per iteration).
+      val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val prop = labels.select(col("id"), col("comp").as("old"))
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("ncomp"), col("old"))).as("comp"))
+      val prop = labels.join(nbrMin.withColumnRenamed("id", "_nid"),
+          col("id") === col("_nid"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
       // Path halving: comp := comp(comp). Every comp value is itself a
       // labelled vertex, so the self-join resolves one more hop. The
-      // change flag rides in the checkpointed frame, so the convergence
-      // probe is a filter over the checkpoint — no extra join job.
+      // convergence signal is an `observe` metric collected DURING the
+      // checkpoint job's own pass (CollectMetricsExec accumulator), so
+      // the per-iteration emptiness-probe job is gone — the old
+      // `filter(chg).isEmpty` launched one extra job per iteration.
+      val obs = new org.apache.spark.sql.Observation(s"cc_conv_$iter")
       val next = prop
-        .join(prop.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
-        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"),
-          (coalesce(col("cc"), col("comp")) =!= col("old")).as("chg"))
+        .join(prop.select(col("comp2").as("cc2"), col("id").as("comp2")),
+          Seq("comp2"), "left")
+        .select(col("id"), coalesce(col("cc2"), col("comp2")).as("comp"),
+          (coalesce(col("cc2"), col("comp2")) =!= col("old")).as("chg"))
+        .observe(obs, coalesce(max(col("chg")), lit(false)).as("anychg"))
         .checkpoint()
-      converged = next.filter(col("chg")).isEmpty
+      converged = !obs.get("anychg").asInstanceOf[Boolean]
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
