@@ -127,6 +127,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Codegen class cache (STATIC conf — set before the session
+      // exists). The Spark default of 100 entries is smaller than ONE
+      // multi-stage query's generated-class count (projections,
+      // predicates, comparators, aggregates — dozens per stage), so a
+      // 25-stage plan evicts its own early fragments before its second
+      // rep and pays janino compilation twice; across 193 heterogeneous
+      // queries the cache thrashes continuously (r14 A/B, top-20
+      // subset: ~40 s -> ~35 s). Not core-count- or scale-dependent —
+      // any long-lived driver running many distinct queries wants this;
+      // env-overridable for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Deterministic (sorted) order + one discarded warmup so the

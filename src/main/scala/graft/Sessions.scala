@@ -26,6 +26,11 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf; Spark's 100-entry default is below one multi-stage
+      // query's generated-class count, so heterogeneous workloads
+      // recompile constantly (see Bench.scala for the measured A/B).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // GC-driven cleanup of reliable checkpoints (Dedup.components
       // checkpoints per iteration; without this a long-running stream
       // of dedup batches grows the checkpoint dir without bound).
