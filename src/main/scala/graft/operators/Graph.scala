@@ -82,18 +82,23 @@ object Graph {
     // is 2 corpus scans + a distinct PER ITERATION — r14 JobProfile
     // measured the derivation re-running inside every iteration job).
     // nodes/deg then derive from the pinned edges, not the raw scan.
+    // All pins below are LAZY localCheckpoints: each is materialized
+    // inside its first consumer's job (n's count for e/nodes, the first
+    // iteration's update for deg and the seed ranks) instead of paying
+    // a dedicated eager-materialization job per frame — same lineage
+    // truncation, four fewer driver sync points per query (r14).
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var pr = nodes.select(col("v"), (lit(1.0) / n).as("pr"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       // The dangling mass is a ONE-ROW aggregate; instead of collecting
       // it to the driver (a full extra job per iteration — half this
@@ -114,7 +119,7 @@ object Graph {
           lit(1 - damping) / n +
             lit(damping) * (coalesce(col("s"), lit(0.0)) + col("dm") / n), 9)
           .as("pr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     pr.orderBy("v")
   }
@@ -151,13 +156,14 @@ object Graph {
     // Edge list pinned once for the same reason as [[pagerank]]'s: both
     // half-steps of every iteration join it, and unpinned each of the
     // 2×iters update jobs re-derives it from the source scan.
+    // Lazy pins (the pagerank rationale): materialized by n's count.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "hits: empty edge set")
     // L1-normalize a raw (v, s) score frame over the node set: nodes
@@ -177,10 +183,10 @@ object Graph {
         .crossJoin(broadcast(tot))
         .select(col("v"),
           round(coalesce(col("s"), lit(0.0)) / col("t"), 9).as("s"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     var hub = nodes.select(col("v"), (lit(1.0) / n).as("s"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var auth = hub
     for (_ <- 1 to iters) {
       auth = l1(e.join(hub.withColumnRenamed("v", "src"), "src")
