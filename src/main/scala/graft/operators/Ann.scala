@@ -785,9 +785,15 @@ object Ann {
       // bounded frame: the global window runs AFTER limit(ksub), over
       // ksub (= 64) seed rows, never the embedding corpus
       .withColumn("c_id", row_number().over(Window.orderBy("h")) - 1)
+    // lazy pins throughout (r14): each checkpoint materializes inside
+    // its first consumer's job (the seed books inside round 1's
+    // broadcast build, each round's means inside the caller's first
+    // action through the final union) instead of paying a dedicated
+    // eager-materialization job per frame; lineage truncation and the
+    // empty-centroid union semantics are unchanged.
     var books = sv.join(broadcast(seedIds.select("vec_id", "c_id")), "vec_id")
       .select(col("sub"), col("c_id"), col("sv").as("cemb"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 0 until iters) {
       val b = books.withColumn("cn2", dot(col("cemb"), col("cemb")))
       val assigned = sv.join(broadcast(b), "sub")
@@ -809,7 +815,7 @@ object Ann {
         .groupBy("sub", "c_id")
         .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)")
           .as("cemb"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       books = means.unionByName(
         books.join(means.select("sub", "c_id"), Seq("sub", "c_id"), "left_anti"))
         .localCheckpoint(false)

@@ -293,7 +293,7 @@ object Quality {
     // re-runs per consumer. Touched-block-sized — the step's working
     // set by definition.
     val oldT = cur.join(touched, Seq("blk"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val comb = nb.select(col("id"), col("blk"), col("m"),
         col("id").as("comp"), lit(true).as("is_new"))
       .unionByName(oldT.select(col("id"), col("blk"), col("m"), col("comp"))

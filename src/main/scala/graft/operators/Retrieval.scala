@@ -128,7 +128,7 @@ object Retrieval {
     val e = emb.select(col("vec_id"),
       graft.functions.Vectors.asDouble(col("embedding")).as("emb"))
     val ce = cands.select("q_id", "vec_id", "rel").join(e, "vec_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pairs = ce.select(col("q_id"), col("vec_id"), col("emb"))
       .join(ce.select(col("q_id").as("q2"), col("vec_id").as("o_id"),
         col("emb").as("oemb")),
@@ -136,13 +136,13 @@ object Retrieval {
       .select(col("q_id"), col("vec_id"), col("o_id"),
         round(graft.functions.Vectors.cosine(col("emb"), col("oemb")), 3)
           .as("sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val base = ce.select("q_id", "vec_id", "rel")
     val first = base
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))))
       .filter(col("rn") === 1).drop("rn")
-      .withColumn("step", lit(1)).localCheckpoint(true)
+      .withColumn("step", lit(1)).localCheckpoint(false)
     var selected = first
     for (t <- 2 to k) {
       val selIds = selected.select(col("q_id").as("sq"), col("vec_id").as("sel_id"))
@@ -163,7 +163,10 @@ object Retrieval {
           Window.partitionBy("q_id").orderBy(col("mmr").desc, col("vec_id"))))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), col("rel"), lit(t).as("step"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      // lazy pin: materializes inside the next step's anti-join (or the
+      // caller's first action on the last step) - same flat lineage,
+      // one fewer dedicated job per greedy step (r14)
+      selected = selected.unionByName(pick).localCheckpoint(false)
     }
     selected
   }

@@ -4215,7 +4215,7 @@ object PipelineInventory {
         val idx1 = Quality.resolveEntitiesStep(
           cust.filter(col("c_custkey") % 2 === 0),
           Quality.emptyEntityIndex(s), col("c_custkey"), blk, col("c_name"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val idx2 = Quality.resolveEntitiesStep(
           cust.filter(col("c_custkey") % 2 =!= 0),
           idx1, col("c_custkey"), blk, col("c_name"))
