@@ -43,12 +43,33 @@ object Tables {
     }
   }
 
+  /** Session-scoped RELATION cache (r14): `spark.read.parquet` builds a
+    * fresh InMemoryFileIndex and re-reads the footer schema on every
+    * call, and the bench/driver resolve each fixture table hundreds of
+    * times per run — pure repeated driver-side metadata work. A catalog
+    * table would be resolved once; this map is that resolution for the
+    * path-based fixtures. Values are UNEXECUTED lazy scans (no data, no
+    * cached results — Catalyst still plans/prunes per query; exactly the
+    * guide's file-listing-cache point, §6). Keyed weakly by session so
+    * test suites' stopped sessions don't pin entries. */
+  private val relations =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    name match {
+    val bySession = relations.synchronized {
+      var m = relations.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        relations.put(spark, m)
+      }
+      m
+    }
+    bySession.getOrElseUpdate((dir, name), name match {
       case "events" => events(spark, dir)
       case n        => spark.read.parquet(s"$dir/$n.parquet")
-    }
+    })
   }
 
   /** Register every fixture table as a temp view for SQL entry points. */
