@@ -394,8 +394,9 @@ object Dedup {
     * cliques or short chains — 2-4 rounds in practice). Each iteration
     * is CHECKPOINTED (reliable, not cached): lineage stays bounded, no
     * persisted RDDs are left behind, and a lost executor recomputes
-    * from the checkpoint, not from the raw pair join. The per-iteration
-    * driver action is a single emptiness probe for convergence; all
+    * from the checkpoint, not from the raw pair join. Convergence is
+    * read from an `observe()` metric collected during the checkpoint
+    * job itself (r14) — no separate per-iteration probe job; all
     * data stays distributed — labels are (id, comp) pairs, orders of
     * magnitude smaller than the corpus at 100 TB.
     *

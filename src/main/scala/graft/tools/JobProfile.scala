@@ -25,6 +25,7 @@ object JobProfile {
     @volatile var jobs = Vector.empty[(Int, Double)] // (jobId, sec)
     @volatile var taskTimeMs = 0L
     @volatile var stages = 0
+    @volatile var stageNames = Vector.empty[String]
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobStart.put(js.jobId, System.nanoTime())
@@ -36,6 +37,7 @@ object JobProfile {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages += 1
         taskTimeMs += sc.stageInfo.taskMetrics.executorRunTime
+        stageNames :+= sc.stageInfo.name.takeWhile(_ != '\n').take(90)
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -45,6 +47,7 @@ object JobProfile {
       val times = (1 to reps).map { r =>
         spark.catalog.clearCache()
         jobs = Vector.empty; taskTimeMs = 0L; stages = 0
+        stageNames = Vector.empty
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -57,6 +60,9 @@ object JobProfile {
       println(f"$name%-28s wall=${wall}%6.2f s  jobs=${js.size}%3d  stages=$st%4d  taskTime=${tt / 1000.0}%7.2f s  (reps: ${times.map(t => f"${t._1}%.2f").mkString(", ")})")
       val slow = js.sortBy(-_._2).take(8)
       println("   slowest jobs: " + slow.map { case (id, s) => f"#$id:${s}%.2f" }.mkString("  "))
+      if (sys.env.contains("JOBPROFILE_NAMES"))
+        stageNames.groupBy(identity).toSeq.sortBy(-_._2.size)
+          .take(20).foreach { case (n, g) => println(f"   ${g.size}%3d x $n") }
     }
     spark.stop()
   }
