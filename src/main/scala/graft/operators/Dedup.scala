@@ -396,9 +396,11 @@ object Dedup {
     * persisted RDDs are left behind, and a lost executor recomputes
     * from the checkpoint, not from the raw pair join. Convergence is
     * read from an `observe()` metric collected during the checkpoint
-    * job itself (r14) — no separate per-iteration probe job; all
-    * data stays distributed — labels are (id, comp) pairs, orders of
-    * magnitude smaller than the corpus at 100 TB.
+    * job itself (r14) — no separate per-iteration probe job — and the
+    * metric is a LOOKAHEAD (r15): it tests whether the NEXT round
+    * would change anything, so the classic confirming round never
+    * runs; all data stays distributed — labels are (id, comp) pairs,
+    * orders of magnitude smaller than the corpus at 100 TB.
     *
     * Checkpoint location: an unset checkpoint dir falls back to
     * java.io.tmpdir — fine for local mode; a CLUSTER deployment must
@@ -454,37 +456,69 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+    // Lookahead convergence (r15): each round's checkpoint CARRIES the
+    // next round's neighbor-min as an extra `ncomp` column, computed
+    // inside the same checkpoint job, and the observed metric asks
+    // "would another propagation change any label?" (ncomp < comp
+    // anywhere). That test is EXACT, not heuristic: labels are
+    // non-increasing, comp(u) <= u, and every label is an id inside
+    // its own component, so "no propagation change" forces equal
+    // labels across every (symmetric) edge, hence a constant label
+    // per component which can only be the component min — and then
+    // path halving is the identity too. Net effect vs the r14 loop
+    // (which observed "did THIS round change anything"): the final
+    // confirming round — a full neighbor-min + propagation + halving
+    // + checkpoint that by definition changes nothing — disappears
+    // for every input needing >= 1 real round; already-converged
+    // seeds (pair/star graphs) still pay exactly one round, now with
+    // the small lookahead aggregation riding it. Rounds 2+ read the
+    // carried `ncomp` instead of re-deriving the neighbor-min join,
+    // so steady-state per-round work is unchanged.
+    //
+    // withNbrMin consumes `lbl` exactly ONCE: the joined edge stream
+    // (src, dst, comp(src)) is exploded into a neighbor-contribution
+    // row for dst AND an own-label row for src, and one aggregation
+    // yields (id, comp, ncomp) directly — no join-back of the
+    // aggregate onto the label table. (A first cut kept the aggregate
+    // + join-back shape, which planned the un-pinned halving subtree
+    // twice per round: p20 taskTime 45 s -> 58 s, jobs 23 -> 27; a
+    // lazy localCheckpoint pin was worse still — the pinned subtree
+    // plans without AQE, the r14 persist-before-checkpoint lesson.)
+    // Every id appears as a src of the symmetrized edge list, so the
+    // own-label row exists for every labelled node and `comp` is never
+    // null; ncomp is null-guarded anyway for safety.
+    def withNbrMin(lbl: DataFrame): DataFrame =
+      edges.join(lbl, col("src") === col("id"))
+        .select(explode(array(
+          struct(col("dst").as("node"), col("comp").as("v"), lit(true).as("nb")),
+          struct(col("src").as("node"), col("comp").as("v"), lit(false).as("nb"))))
+          .as("c"))
+        .groupBy(col("c.node").as("id"))
+        .agg(min(when(!col("c.nb"), col("c.v"))).as("comp"),
+          min(when(col("c.nb"), col("c.v"))).as("ncomp"))
+    var carried: DataFrame = withNbrMin(labels) // (id, comp, ncomp)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // Both consumers of `labels` (the neighbor-min build and the
-      // propagation join) read the SAME subtree keyed the SAME way
-      // (id) — the old `withColumnRenamed("id", "src")` form made the
-      // two exchanges canonically different, so each iteration shuffled
-      // the label table twice; the shared form is one exchange + an
-      // AQE stage reuse (r14: one fewer stage per iteration).
-      val nbrMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("ncomp"))
-      val prop = labels.join(nbrMin.withColumnRenamed("id", "_nid"),
-          col("id") === col("_nid"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
+      val prop = carried.select(col("id"),
+        least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp2"))
       // Path halving: comp := comp(comp). Every comp value is itself a
-      // labelled vertex, so the self-join resolves one more hop. The
-      // convergence signal is an `observe` metric collected DURING the
-      // checkpoint job's own pass (CollectMetricsExec accumulator), so
-      // the per-iteration emptiness-probe job is gone — the old
-      // `filter(chg).isEmpty` launched one extra job per iteration.
-      val obs = new org.apache.spark.sql.Observation(s"cc_conv_$iter")
-      val next = prop
+      // labelled vertex, so the self-join resolves one more hop. Both
+      // halving inputs are one narrow projection above `carried` (the
+      // seed aggregation in round 1, the prior checkpoint after), so
+      // re-deriving prop on each side is the cheap checkpoint re-read,
+      // not a recompute of the round's heavy work.
+      val halved = prop
         .join(prop.select(col("comp2").as("cc2"), col("id").as("comp2")),
           Seq("comp2"), "left")
-        .select(col("id"), coalesce(col("cc2"), col("comp2")).as("comp"),
-          (coalesce(col("cc2"), col("comp2")) =!= col("old")).as("chg"))
-        .observe(obs, coalesce(max(col("chg")), lit(false)).as("anychg"))
+        .select(col("id"), coalesce(col("cc2"), col("comp2")).as("comp"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_conv_$iter")
+      val next = withNbrMin(halved)
+        .observe(obs, coalesce(max(col("ncomp") < col("comp")), lit(false))
+          .as("wouldchg"))
         .checkpoint()
-      converged = !obs.get("anychg").asInstanceOf[Boolean]
+      converged = !obs.get("wouldchg").asInstanceOf[Boolean]
+      carried = next
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
