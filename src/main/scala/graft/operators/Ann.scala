@@ -100,18 +100,48 @@ object Ann {
   }
 
   /** Assign each vector to its highest-cosine centroid (6dp rounding +
-    * centroid-id tiebreak keeps the argmax engine-independent). */
-  def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val e = withNorm(emb)
-    val c = withNorm(centroids)
-      .select(col("vec_id").as("c_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("c_id"),
-        round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id"))))
-      .filter(col("crn") === 1)
+    * centroid-id tiebreak keeps the argmax engine-independent).
+    *
+    * Exchange-free (r15): the centroid table collapses to ONE array row
+    * (centroids are small by construction — that is what makes them
+    * centroids), broadcast to every task, and the argmax runs INSIDE
+    * the row as an array fold — so assignment really is the "broadcast
+    * narrow map" the IVF docstrings promise. The previous form
+    * materialized corpus × k rows and shuffled ALL of them through a
+    * row_number window keyed by vec_id — a corpus-scale exchange + sort
+    * whose only product was the per-vector argmax (guide §2.4: remove
+    * shuffles outright). Semantics are bit-identical: same `dot`, same
+    * 6dp `round`, null/short csim sorts LAST (the window's NULLS LAST
+    * under desc), ties break to the smallest c_id via the struct
+    * ordering of (-csim, c_id), and an empty centroid table yields an
+    * empty result (array_min of the empty array is null → filtered). */
+  def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame =
+    withClusterId(emb.select(col("vec_id"), col("embedding")), centroids)
       .select(col("vec_id"), col("c_id"))
+
+  /** `df` + `c_id`: the nearest-centroid id attached IN PLACE by the
+    * same in-row argmax as [[assignClusters]] — the fused form of
+    * `assignClusters(df, cents).join(df, "vec_id")`, which paid a
+    * corpus-scale join to re-attach the very rows the assignment was
+    * computed from (guide §3: a data-sized shuffle for a narrow map's
+    * worth of information). Rows with no assignable centroid (empty
+    * centroid table) drop, matching the old inner join. `df` must
+    * carry `embedding`; all its columns pass through. */
+  private def withClusterId(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val cArr = withNorm(centroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+      .agg(collect_list(struct(col("c_id"), col("cemb"), col("cnrm"))).as("cs"))
+    df.withColumn("__e", asDouble(col("embedding")))
+      .withColumn("__nrm", sqrt(dot(col("__e"), col("__e"))))
+      .crossJoin(broadcast(cArr))
+      .withColumn("c_id",
+        array_min(transform(col("cs"), x =>
+          struct((-coalesce(round(dot(col("__e"), x("cemb")) /
+              (col("__nrm") * x("cnrm")), 6), lit(-9.0))).as("nsim"),
+            x("c_id").as("c_id"))))
+          .getField("c_id"))
+      .drop("cs", "__e", "__nrm")
+      .filter(col("c_id").isNotNull)
   }
 
   /** Cluster-balanced (diversity) sampling: assign every vector to its
@@ -159,7 +189,7 @@ object Ann {
     // recall@10 ≈ 0.18 on the sf0.01 corpus — true neighbors straddle
     // cluster boundaries. nprobe is the recall knob, same machinery as
     // the batch path; AnnSpec pins the shipped default to ≥ 0.9.
-    val index = assignClusters(emb, centroids).join(emb, "vec_id")
+    val index = withClusterId(emb, centroids)
     rerankProbed(index, probeRank(centroids, emb.filter(col("vec_id") === queryId), nprobe), k)
       .select(col("vec_id"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -180,10 +210,15 @@ object Ann {
     * append, and the streaming per-batch writer all go through here,
     * so a layout change has exactly one home. */
   private[graft] def writeIvf(batch: DataFrame, centroids: DataFrame,
-      path: String, mode: String): Unit =
-    assignClusters(batch, centroids)
-      .join(batch, "vec_id")
+      path: String, mode: String): Unit = {
+    // fused assignment (no assign⋈batch join back); the explicit select
+    // keeps the landed column order of the old join form, so appends
+    // from either code generation stay schema-identical
+    val rest = batch.columns.filter(_ != "vec_id").map(col).toSeq
+    withClusterId(batch, centroids)
+      .select(col("vec_id") +: col("c_id") +: rest: _*)
       .write.partitionBy("c_id").mode(mode).parquet(path)
+  }
 
   /** Incremental IVF ingest: assign ONLY the new batch to the index's
     * (fixed) centroids and append into the partitioned index — the
@@ -249,20 +284,29 @@ object Ann {
     rerankProbed(index, probeRank(centroids, queries, nprobe), k)
 
   /** (q_id, qemb, qnrm, c_id): the `nprobe` highest-cosine centroids
-    * per query (6dp rounding + centroid-id tiebreak, engine-stable). */
+    * per query (6dp rounding + centroid-id tiebreak, engine-stable).
+    *
+    * Exchange-free (r15, the [[assignClusters]] shape): centroids
+    * collapse to one broadcast array row and the per-query top-nprobe
+    * is an in-row sort+slice instead of a row_number window — no
+    * exchange of the (queries × centroids) frame. Ordering/null
+    * semantics match the old window exactly: (-csim, c_id) ascending
+    * is (csim desc, c_id asc), null csim (guarded to -9, below any
+    * cosine) sorts last under desc. */
   private def probeRank(centroids: DataFrame, queries: DataFrame,
       nprobe: Int): DataFrame = {
     val q = withNorm(queries)
       .select(col("vec_id").as("q_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val c = withNorm(centroids)
+    val cArr = withNorm(centroids)
       .select(col("vec_id").as("c_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    q.crossJoin(broadcast(c))
-      .select(col("q_id"), col("qemb"), col("qnrm"), col("c_id"),
-        round(dot(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))))
-      .filter(col("crn") <= nprobe)
-      .select(col("q_id"), col("qemb"), col("qnrm"), col("c_id"))
+      .agg(collect_list(struct(col("c_id"), col("cemb"), col("cnrm"))).as("cs"))
+    q.crossJoin(broadcast(cArr))
+      .select(col("q_id"), col("qemb"), col("qnrm"),
+        explode(slice(sort_array(transform(col("cs"), x =>
+          struct((-coalesce(round(dot(col("qemb"), x("cemb")) /
+              (col("qnrm") * x("cnrm")), 6), lit(-9.0))).as("nsim"),
+            x("c_id").as("c_id")))), 1, nprobe)).as("pr"))
+      .select(col("q_id"), col("qemb"), col("qnrm"), col("pr.c_id").as("c_id"))
   }
 
   /** Exact-cosine re-rank of probed clusters: index ⋈ broadcast probes
@@ -306,8 +350,7 @@ object Ann {
     * plain associative `sum` replaces it (same values up to last-ulp).
     * Output: c_id, dim, n, mean. */
   def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame =
-    assignClusters(emb, centroids)
-      .join(emb, "vec_id")
+    withClusterId(emb, centroids)
       .select(col("c_id"), posexplode(asDouble(col("embedding"))))
       .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
       .groupBy("c_id", "dim")
@@ -365,7 +408,7 @@ object Ann {
   /** One Lloyd round over (c_id, cemb) centroid frames — the shared
     * body of [[trainCentroids]] and [[trainCentroidsTol]]. */
   private def lloydRound(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val assign = assignClusters(emb,
+    val assigned = withClusterId(emb,
       cents.select(col("c_id").as("vec_id"), col("cemb").as("embedding")))
     // The k-row means are MATERIALIZED once per round (eager local
     // checkpoint — one data-sized job, which is what Lloyd costs by
@@ -376,7 +419,7 @@ object Ann {
     // scale (SCALE.md "Scale stress (r6)"). On a cluster the k-row
     // state would be a driver-side collect/broadcast; the local
     // checkpoint is the DataFrame-shaped equivalent.
-    val means = assign.join(emb, "vec_id")
+    val means = assigned
       .select(col("c_id"), posexplode(asDouble(col("embedding"))))
       .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
       .groupBy("c_id", "dim")
@@ -740,18 +783,22 @@ object Ann {
     * contract is enforced fail-loud per row via `raise_error` (the
     * 64-dim fixture with m ∈ {4,8,16} all qualify). One narrow map —
     * no shuffle. */
-  private def subvectors(emb: DataFrame, m: Int): DataFrame =
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+  private def subvectors(emb: DataFrame, m: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    emb.select(col("vec_id") +: cs :+ asDouble(col("embedding")).as("e"): _*)
       .withColumn("dsub",
         when(size(col("e")) % m === 0, size(col("e")) / m)
           .otherwise(raise_error(concat(
             lit(s"PQ: embedding dimension "), size(col("e")).cast("string"),
             lit(s" is not divisible by m=$m — trailing dims would be dropped"))))
           .cast("int"))
-      .select(col("vec_id"), explode(expr(
+      .select(col("vec_id") +: cs :+ explode(expr(
         s"transform(sequence(0, $m - 1), s -> " +
-          "struct(s AS sub, slice(e, s * dsub + 1, dsub) AS sv))")).as("z"))
-      .select(col("vec_id"), col("z.sub").as("sub"), col("z.sv").as("sv"))
+          "struct(s AS sub, slice(e, s * dsub + 1, dsub) AS sv))")).as("z"): _*)
+      .select(col("vec_id") +: cs ++:
+        Seq(col("z.sub").as("sub"), col("z.sv").as("sv")): _*)
+  }
 
   /** Train the m per-subspace codebooks (ksub centroids each) with L2
     * k-means — cosine would normalize away subvector magnitude, which
@@ -776,6 +823,30 @@ object Ann {
     * concession [[kmeansStep]] makes vs [[trainCentroids]]. The p43/
     * p44 gate queries train with it; production trains without.
     * Output: sub, c_id, cemb — m·ksub rows. */
+  /** Nearest codebook centroid per (vec_id, sub) row, exchange-free
+    * (r15): the m·ksub codebook collapses to one array row per sub,
+    * broadcast, and the L2 argmin (score = sv·c − |c|²/2, 6dp rounding,
+    * c_id tiebreak) runs inside the row as an array fold. The previous
+    * form shuffled the whole (corpus × sub) frame through a row_number
+    * window keyed by (vec_id, sub) — a corpus-scale exchange + sort per
+    * call (one per Lloyd iteration, one per encode; guide §2.4). Null
+    * scores (guarded to NaN, which Spark orders above every double)
+    * sort last, matching the window's NULLS LAST under desc; an
+    * all-null row ties down to the smallest c_id, also as before.
+    * Output: vec_id, sub, sv, c_id. */
+  private def nearestSub(sv: DataFrame, books: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val bArr = books.withColumn("cn2", dot(col("cemb"), col("cemb")))
+      .groupBy("sub")
+      .agg(collect_list(struct(col("c_id"), col("cemb"), col("cn2"))).as("bs"))
+    sv.join(broadcast(bArr), "sub")
+      .select(col("vec_id") +: carry.map(col) ++: Seq(col("sub"), col("sv"),
+        array_min(transform(col("bs"), x =>
+          struct(coalesce(-round(dot(col("sv"), x("cemb")) - x("cn2") / 2, 6),
+            lit(Double.NaN)).as("nscore"), x("c_id").as("c_id"))))
+          .getField("c_id").as("c_id")): _*)
+  }
+
   def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 64,
       iters: Int = 3, exactMeans: Boolean = false): DataFrame = {
     val sv = subvectors(emb, m).localCheckpoint(false)
@@ -795,13 +866,7 @@ object Ann {
       .select(col("sub"), col("c_id"), col("sv").as("cemb"))
       .localCheckpoint(false)
     for (_ <- 0 until iters) {
-      val b = books.withColumn("cn2", dot(col("cemb"), col("cemb")))
-      val assigned = sv.join(broadcast(b), "sub")
-        .select(col("vec_id"), col("sub"), col("sv"), col("c_id"),
-          round(dot(col("sv"), col("cemb")) - col("cn2") / 2, 6).as("score"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "sub").orderBy(col("score").desc, col("c_id"))))
-        .filter(col("rn") === 1)
+      val assigned = nearestSub(sv, books)
       val mv =
         if (exactMeans)
           round(expr(
@@ -828,16 +893,9 @@ object Ann {
     * 32× cut in what the candidate scan reads). Broadcast codebook
     * join + per-(vec_id, sub) argmin, same determinism rules as
     * training. Output: vec_id, sub, c_id. */
-  def pqEncode(emb: DataFrame, books: DataFrame, m: Int = 8): DataFrame = {
-    val b = books.withColumn("cn2", dot(col("cemb"), col("cemb")))
-    subvectors(emb, m).join(broadcast(b), "sub")
-      .select(col("vec_id"), col("sub"), col("c_id"),
-        round(dot(col("sv"), col("cemb")) - col("cn2") / 2, 6).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "sub").orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rn") === 1)
+  def pqEncode(emb: DataFrame, books: DataFrame, m: Int = 8): DataFrame =
+    nearestSub(subvectors(emb, m), books)
       .select(col("vec_id"), col("sub"), col("c_id"))
-  }
 
   /** PQ ANN: train codebooks on the corpus, encode it, rank candidates
     * by the ADC (asymmetric-distance) approximate dot, shortlist per
@@ -988,11 +1046,25 @@ object Ann {
     val resid = ivfPqResiduals(emb, coarse).localCheckpoint(false)
     val books = books0.getOrElse(
       pqTrain(resid.drop("c_id"), m, ksub, iters, exactMeans))
-    val codes = packedCodes(pqEncode(resid, books, m))
-      .join(resid.select("vec_id", "c_id"), "vec_id")
     rerankShortlist(emb, queries,
-      ivfPqShortlist(codes, coarse, books, queries, m, nprobe, shortlist), k)
+      ivfPqShortlist(ivfPqCodes(resid, books, m), coarse, books, queries,
+        m, nprobe, shortlist), k)
   }
+
+  /** (vec_id, codes[m], c_id) — the IVFPQ code table from a residual
+    * frame. The coarse cluster id RIDES the encode as a carried column
+    * (duplicated m× through the subvector explode, a few bytes each)
+    * instead of being re-attached by a corpus×corpus join on vec_id
+    * after packing — that join shuffled both sides for a column the
+    * encode's own input already had (guide §3). Shared by the
+    * in-memory search path and the persisted-index writer. */
+  private def ivfPqCodes(resid: DataFrame, books: DataFrame,
+      m: Int): DataFrame =
+    nearestSub(subvectors(resid.withColumnRenamed("c_id", "ivf_c"), m,
+        carry = Seq("ivf_c")), books, carry = Seq("ivf_c"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, c_id))), s -> s.c_id)")
+        .as("codes"), max(col("ivf_c")).as("c_id"))
 
   /** Residual frame against FIXED coarse centroids (`coarse` is a
     * (c_id, cemb) frame — [[trainCentroids]] output shape): each
@@ -1002,11 +1074,11 @@ object Ann {
   def ivfPqResiduals(emb: DataFrame, coarse: DataFrame): DataFrame = {
     val cents = coarse.select(col("c_id").as("vec_id"), col("cemb").as("embedding"))
     val ce = coarse.select(col("c_id"), asDouble(col("cemb")).as("ce"))
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .join(assignClusters(emb, cents), "vec_id")
+    withClusterId(emb.select(col("vec_id"), col("embedding")), cents)
       .join(broadcast(ce), "c_id")
       .select(col("vec_id"), col("c_id"),
-        zip_with(col("e"), col("ce"), (a, b) => a - b).as("embedding"))
+        zip_with(asDouble(col("embedding")), col("ce"), (a, b) => a - b)
+          .as("embedding"))
   }
 
   /** ADC candidate scan over coarse-partitioned residual codes.
@@ -1105,12 +1177,9 @@ object Ann {
     * pattern): full build, batch append, and the streaming per-batch
     * writer all go through here. */
   private[graft] def writeIvfPq(batch: DataFrame, coarse: DataFrame,
-      books: DataFrame, path: String, m: Int, mode: String): Unit = {
-    val resid = ivfPqResiduals(batch, coarse)
-    packedCodes(pqEncode(resid, books, m))
-      .join(resid.select("vec_id", "c_id"), "vec_id")
+      books: DataFrame, path: String, m: Int, mode: String): Unit =
+    ivfPqCodes(ivfPqResiduals(batch, coarse), books, m)
       .write.partitionBy("c_id").mode(mode).parquet(path)
-  }
 
   /** Incremental IVFPQ ingest: residual-encode ONLY the new batch
     * (coarse centroids and codebooks fixed) and append into the
@@ -1215,7 +1284,9 @@ object Ann {
   def semDecontaminateIvf(train: DataFrame, eval: DataFrame,
       centroids: DataFrame, threshold: Double = 0.9,
       nprobe: Int = 4): DataFrame = {
-    val t = withNorm(train).join(assignClusters(train, centroids), "vec_id")
+    val t = withClusterId(train.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"), col("c_id"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val probes = probeRank(centroids, eval, nprobe)
     val mx = t.join(broadcast(probes), Seq("c_id"))
       .select(col("vec_id"),
