@@ -135,12 +135,29 @@ object Dedup {
     * longs are bit-equal to [[minhashSignatures]] (DedupSpec law). */
   def docSignatures(shingles: DataFrame, k: Int = 16): DataFrame = {
     val x = col("shingle")
-    val withHalves = shingles.select(col("doc_id"), x.as("shingle"),
-      shiftright(x, 30).as("xhi"), x.bitwiseAND(lit((1L << 30) - 1)).as("xlo"))
+    // Explicit null-id filter (r15): every consumer of this frame joins
+    // on doc_id, so the optimizer INFERS isnotnull(doc_id) and pushes it
+    // into SOME copies of the subtree but not others (p02's band path
+    // got it, its verify path did not) — canonically different copies,
+    // so ReuseExchange could not collapse them and the whole
+    // scan+shingle+md5+minhash aggregation ran once per consumer.
+    // Stating the filter once here makes every copy identical. A
+    // null-id doc never survived any consumer (all join on doc_id), so
+    // results are unchanged.
+    val withHalves = shingles.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), x.as("shingle"),
+        shiftright(x, 30).as("xhi"), x.bitwiseAND(lit((1L << 30) - 1)).as("xlo"))
     val aggs = (0 until k).map { j =>
       val (a, b, c) = (minhashCoef(j, "a"), minhashCoef(j, "b"), minhashCoef(j, "c"))
       min((lit(a) * col("xhi") + lit(b) * col("xlo") + lit(c)) % MinhashP).as(s"h$j")
     } ++ Seq(collect_list("shingle").as("ss"), count(lit(1)).as("n"))
+    // (A post-aggregation repartition(doc_id) was probed here as a
+    // shared stage boundary so consumers would not re-run the agg —
+    // Spark elides it: the fanout below already hash-partitions by
+    // doc_id, and a keyed repartition whose distribution is satisfied
+    // inserts no exchange. The agg re-runs per consumer stage; the
+    // shared fanout exchange above caps the duplication at the
+    // post-shuffle work, and the one-scan plan is the 100 TB win.)
     withHalves.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
