@@ -138,8 +138,9 @@ object Bench {
       // any long-lived driver running many distinct queries wants this;
       // env-overridable for A/B.
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        Sessions.codegenCacheEntries)
       .getOrCreate()
+    Sessions.warnIfStaticConfIgnored(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Deterministic (sorted) order + one discarded warmup so the
     // first-measured query does not absorb JVM/codegen warmup, and a

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * aggregate — no corpus-wide window, no driver-side adjacency. */
 object Graph {
 
+  /** The between-iteration pin for the EDGE-SCALE frame (r15, advisor
+    * note): the default lazy localCheckpoint is executor-local — at the
+    * 100 TB design point a lost executor then fails the whole
+    * pagerank/hits query instead of recomputing, and unlike the
+    * node/rank pins this one is edge-sized. A cluster deployment that
+    * wants the [[Dedup.components]] lost-executor recovery story sets
+    * `spark.graft.reliableGraphPins=true` to route the edge pin through
+    * the reliable checkpoint dir (one durable edge-table write per
+    * query — the price of recoverability). Local/default behavior is
+    * unchanged, so bench comparability holds. */
+  private def pinEdges(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.reliableGraphPins")
+        .exists(_.toBoolean)) {
+      Dedup.ensureCheckpointDir(df.sparkSession)
+      df.checkpoint()
+    } else df.localCheckpoint(false)
+
   private def fold9(c: Column): Column =
     round(aggregate(sort_array(collect_list(c)), lit(0d), _ + _), 9)
 
@@ -87,9 +104,8 @@ object Graph {
     // iteration's update for deg and the seed ranks) instead of paying
     // a dedicated eager-materialization job per frame — same lineage
     // truncation, four fewer driver sync points per query (r14).
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(false)
+    val e = pinEdges(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct()
@@ -157,9 +173,8 @@ object Graph {
     // half-steps of every iteration join it, and unpinned each of the
     // 2×iters update jobs re-derives it from the source scan.
     // Lazy pins (the pagerank rationale): materialized by n's count.
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(false)
+    val e = pinEdges(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct()

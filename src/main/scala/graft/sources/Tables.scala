@@ -50,15 +50,37 @@ object Tables {
     * table would be resolved once; this map is that resolution for the
     * path-based fixtures. Values are UNEXECUTED lazy scans (no data, no
     * cached results — Catalyst still plans/prunes per query; exactly the
-    * guide's file-listing-cache point, §6). Keyed weakly by session so
-    * test suites' stopped sessions don't pin entries. */
+    * guide's file-listing-cache point, §6).
+    *
+    * Eviction (r15, advisor note): weak keys alone can NEVER collect an
+    * entry here — the cached DataFrames strongly reference their
+    * SparkSession through queryExecution, and a WeakHashMap value that
+    * references its key pins the entry — so stopped sessions are purged
+    * EXPLICITLY on every access instead (`sparkContext.isStopped`).
+    *
+    * Staleness contract (r15, advisor note): a cached relation freezes
+    * its file listing at first load. The fixture dirs are
+    * immutable-per-session by the round contract (the driver generates
+    * them once); a caller that regenerates fixtures mid-session must
+    * call [[invalidate]] first or later reads see the old listing. */
   private val relations =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
+  /** Drop cached relations under `dir` (every session) — the hook for
+    * fixture-regeneration paths; see the staleness contract above. */
+  def invalidate(dir: String): Unit = relations.synchronized {
+    val it = relations.values().iterator()
+    while (it.hasNext)
+      it.next().filterInPlace { case ((d, _), _) => d != dir }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val bySession = relations.synchronized {
+      val dead = relations.entrySet().iterator()
+      while (dead.hasNext)
+        if (dead.next().getKey.sparkContext.isStopped) dead.remove()
       var m = relations.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty

@@ -42,6 +42,18 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.pagerank(e, damping = 1.0) }
   }
 
+  test("reliableGraphPins: reliable edge pin yields identical pagerank and hits") {
+    val e = (0L until 40L).map(i => (i, (i * 11 + 5) % 40))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    val prLocal = Graph.pagerank(e, iters = 3, damping = 0.5).collect().toSeq
+    val hitsLocal = Graph.hits(e, iters = 2).collect().toSeq
+    spark.conf.set("spark.graft.reliableGraphPins", "true")
+    try {
+      assert(Graph.pagerank(e, iters = 3, damping = 0.5).collect().toSeq == prLocal)
+      assert(Graph.hits(e, iters = 2).collect().toSeq == hitsLocal)
+    } finally spark.conf.unset("spark.graft.reliableGraphPins")
+  }
+
   test("hits: pure star — the center is the sole authority, leaves split hub mass") {
     val e = (1L to 5L).map(i => (i, 0L)).toDF("src", "dst")
     val m = Graph.hits(e, iters = 3).collect()
