@@ -855,6 +855,13 @@ object Quality {
   private def driftFromCountsImpl(old: DataFrame, curr: DataFrame,
       buckets: Int): DataFrame = {
     val spark = old.sparkSession
+    // No pins here, deliberately (r15): each side has only TWO
+    // consumers (side total + spine join) and the duplicated towers are
+    // independent subtrees of one job — they run in the parallel slack,
+    // while a pin is a serializing materialization barrier (measured:
+    // pinning moved r70 0.45 -> 0.96 s at sf0.1). The 3-consumer
+    // grouped form (driftFromCountsByImpl) IS pinned — there the trade
+    // measured the other way.
     val a = old.select(col("bucket"), col("n").as("ca"))
     val b = curr.select(col("bucket"), col("n").as("cb"))
     // coalesce: an EMPTY side (failed/missing batch) sums to null,
@@ -949,10 +956,18 @@ object Quality {
   private def driftFromCountsByImpl(old: DataFrame, curr: DataFrame,
       buckets: Int): DataFrame = {
     val spark = old.sparkSession
+    // Each side is consumed THREE times (cell join, group totals, the
+    // group spine); the frames are summary-sized (≤ groups × buckets
+    // rows) but their lineage can be the full corpus ngram tower
+    // (corpusDriftBy), which re-ran once per consumer — r101 at sf0.1:
+    // 8 corpus scans in the final plan, 23.7 s task time. Lazy pins
+    // (the r14 small-frame idiom) run each tower once.
     val a = old.select(col("group").as("ga"), col("bucket").as("ba"),
       col("n").as("ca"))
+      .localCheckpoint(false)
     val b = curr.select(col("group").as("gb"), col("bucket").as("bb"),
       col("n").as("cb"))
+      .localCheckpoint(false)
     val na = a.groupBy("ga").agg(sum("ca").cast("long").as("na"))
       .withColumnRenamed("ga", "gna")
     val nb = b.groupBy("gb").agg(sum("cb").cast("long").as("nb"))
@@ -1067,6 +1082,9 @@ object Quality {
   private def psiFromHistogramsImpl(old: DataFrame, curr: DataFrame,
       bins: Int): DataFrame = {
     val spark = old.sparkSession
+    // No pins: two consumers per side — the driftFromCountsImpl
+    // parallel-slack argument (r15); only the 3-consumer grouped form
+    // pins.
     val a = old.select(col("bin"), col("c").as("ca"))
     val b = curr.select(col("bin"), col("c").as("cb"))
     val na = a.agg(coalesce(sum("ca"), lit(0L)).cast("long").as("na"))
@@ -1137,10 +1155,15 @@ object Quality {
   private def psiFromHistogramsByImpl(old: DataFrame, curr: DataFrame,
       bins: Int): DataFrame = {
     val spark = old.sparkSession
+    // Lazy pins: three consumers per side (group totals, group spine,
+    // cell join) — the driftFromCountsByImpl argument, on the PSI side
+    // (r15).
     val a = old.select(col("group").as("ga"), col("bin").as("bina"),
       col("c").as("ca"))
+      .localCheckpoint(false)
     val b = curr.select(col("group").as("gb"), col("bin").as("binb"),
       col("c").as("cb"))
+      .localCheckpoint(false)
     val na = a.groupBy("ga").agg(sum("ca").cast("long").as("na"))
       .withColumnRenamed("ga", "gna")
     val nb = b.groupBy("gb").agg(sum("cb").cast("long").as("nb"))
